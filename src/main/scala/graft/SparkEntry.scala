@@ -1,13 +1,534 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Analytics, Dedup, Detect, Relational, Similarity, TextOps}
+
+/** Driver contract — one entry per implemented operator from SURVEY §2
+  * plus the training-data-pipeline surface, each with an equivalent
+  * DuckDB oracle SQL over the same parquet tables.
+  *
+  * Parity conventions (both sides):
+  *  - every query has a deterministic total ORDER BY;
+  *  - double aggregates go through exact decimal summation (see
+  *    [[Relational.dsum]] / [[Similarity.dot]]) then round(…, n);
+  *  - computed integers are BIGINT on both sides;
+  *  - raw event timestamps are emitted as formatted strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("dam_severity")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- //
+  // Shared oracle prelude: the DuckDB replica of Tables.activity     //
+  // (events → activity_logs-shaped view). Must stay in lockstep with //
+  // Tables.sqlTextFromEvent / Tables.activity / Classify.*           //
+  // ---------------------------------------------------------------- //
+
+  private val tableNamePatterns = Seq("from", "into", "update", "table", "join")
+    .map(kw => s"(?i)\\b$kw\\s+([a-zA-Z_][a-zA-Z0-9_]*)")
+
+  private def sqlRe(p: String): String = p.replace("'", "''")
+
+  private val ActivityPrelude: String = {
+    val tblExtract = tableNamePatterns
+      .map(p => s"NULLIF(regexp_extract(sql_text, '${sqlRe(p)}', 1), '')")
+      .mkString("COALESCE(", ", ", ", 'unknown')")
+    s"""WITH ev AS (
+  SELECT *, CASE
+    WHEN event_type = 'click' THEN 'SELECT * FROM products WHERE id = ' || event_id
+    WHEN event_type = 'view' THEN 'SELECT name, price FROM products WHERE id = ' || event_id
+    WHEN event_type = 'signup' THEN 'INSERT INTO users (name, email) VALUES (''u' || user_id || ''', ''u' || user_id || '@example.com'')'
+    WHEN event_type = 'purchase' AND value > 190 THEN 'SELECT * FROM accounts WHERE 1=1 UNION SELECT password FROM users'
+    WHEN event_type = 'purchase' THEN 'UPDATE accounts SET balance = balance - 1 WHERE user_id = ' || user_id
+    ELSE 'DELETE FROM sessions WHERE token = ''' || md5(props) || '''' END AS sql_text
+  FROM events
+), activity AS (
+  SELECT
+    event_id AS activity_id,
+    user_id,
+    'user_' || user_id AS username,
+    CASE WHEN user_id % 7 = 0 THEN 'Admin'
+         WHEN user_id % 3 = 0 THEN 'Guest'
+         ELSE 'User' END AS role,
+    CASE WHEN upper(ltrim(sql_text)) LIKE 'SELECT%' THEN 'SELECT'
+         WHEN upper(ltrim(sql_text)) LIKE 'INSERT%' THEN 'INSERT'
+         WHEN upper(ltrim(sql_text)) LIKE 'UPDATE%' THEN 'UPDATE'
+         WHEN upper(ltrim(sql_text)) LIKE 'DELETE%' THEN 'DELETE'
+         WHEN upper(ltrim(sql_text)) LIKE 'CREATE%' THEN 'CREATE'
+         WHEN upper(ltrim(sql_text)) LIKE 'DROP%' THEN 'DROP'
+         WHEN upper(ltrim(sql_text)) LIKE 'ALTER%' THEN 'ALTER'
+         WHEN upper(ltrim(sql_text)) LIKE 'TRUNCATE%' THEN 'TRUNCATE'
+         WHEN upper(ltrim(sql_text)) LIKE 'GRANT%' THEN 'GRANT'
+         WHEN upper(ltrim(sql_text)) LIKE 'REVOKE%' THEN 'REVOKE'
+         WHEN upper(ltrim(sql_text)) LIKE 'CALL%' THEN 'PROCEDURE'
+         WHEN upper(ltrim(sql_text)) LIKE 'EXEC%' THEN 'PROCEDURE'
+         ELSE 'OTHER' END AS operation_type,
+    $tblExtract AS table_name,
+    CASE WHEN event_type = 'error' THEN 'Failed' ELSE 'Success' END AS operation_status,
+    sql_text AS operation_details,
+    '10.0.' || (user_id % 50) || '.' || (event_id % 250) AS ip_address,
+    ts AS access_timestamp,
+    CAST(floor(value) AS BIGINT) AS rows_affected,
+    md5(sql_text) AS query_hash
+  FROM ev
+)"""
+  }
+
+  private val BlacklistIps =
+    Seq("10.0.3.7", "10.0.11.42", "10.0.21.100", "10.0.33.13", "10.0.47.200")
+  private val blacklistInList = BlacklistIps.map(ip => s"'$ip'").mkString(", ")
+
+  /** Severity-rule CTE shared by dam_severity / dam_alerts oracles.
+    * Mirrors Detect.classify exactly.
+    */
+  private val SeverityCte: String = {
+    val inj = Detect.InjectionPatterns
+      .map(p => s"regexp_matches(operation_details, '${sqlRe(p)}')")
+      .mkString("(", " OR ", ")")
+    val sens = Detect.SensitiveColumns
+      .map(c => s"contains(lower(operation_details), '$c')")
+      .mkString("(", " OR ", ")")
+    val sensTables = Detect.SensitiveTables.map(t => s"'$t'").mkString(", ")
+    s""", en AS (
+  SELECT a.*,
+    count(*) OVER (PARTITION BY user_id, date_trunc('minute', access_timestamp)) AS events_per_minute,
+    (ip_address IN ($blacklistInList)) AS r1,
+    (role = 'Guest' AND operation_type IN ('INSERT','UPDATE','DELETE','DROP','ALTER')) AS r2,
+    (role = 'User' AND table_name IN ($sensTables) AND operation_type IN ('SELECT','INSERT','UPDATE')) AS r3,
+    (hour(access_timestamp) < 9 OR hour(access_timestamp) >= 18) AS r4,
+    $inj AS r5,
+    $sens AS r6,
+    (COALESCE(rows_affected, 0) > 1000) AS r7
+  FROM activity a
+), sev AS (
+  SELECT *, (events_per_minute > 100) AS r8,
+    greatest(0,
+      CASE WHEN r1 THEN 3 ELSE 0 END, CASE WHEN r2 THEN 2 ELSE 0 END,
+      CASE WHEN r3 THEN 1 ELSE 0 END, CASE WHEN r4 THEN 1 ELSE 0 END,
+      CASE WHEN r5 THEN 3 ELSE 0 END, CASE WHEN r6 THEN 2 ELSE 0 END,
+      CASE WHEN r7 THEN 2 ELSE 0 END,
+      CASE WHEN events_per_minute > 100 THEN 1 ELSE 0 END) AS ord
+  FROM en
+), classified AS (
+  SELECT *, CAST(ord AS BIGINT) AS severity_ord,
+    CASE WHEN ord >= 3 THEN 'Critical' WHEN ord = 2 THEN 'High'
+         WHEN ord = 1 THEN 'Medium' ELSE 'Low' END AS severity_level,
+    (ord > 0) AS is_suspicious,
+    concat_ws('; ',
+      CASE WHEN r1 THEN 'IP address blacklisted' END,
+      CASE WHEN r2 THEN 'Guest role write operation' END,
+      CASE WHEN r3 THEN 'User access to sensitive table' END,
+      CASE WHEN r4 THEN 'Off-hours access' END,
+      CASE WHEN r5 THEN 'SQL Injection pattern' END,
+      CASE WHEN r6 THEN 'Sensitive column access' END,
+      CASE WHEN r7 THEN 'Large extraction' END,
+      CASE WHEN r8 THEN 'Rate limit exceeded' END) AS suspicious_reasons
+  FROM sev
+)"""
+  }
+
+  /** DuckDB replica of the document-profile column formulas. */
+  private val DocProfileCte: String =
+    s""", prof AS (
+  SELECT doc_id, lang, n_chars,
+    len(string_split_regex(trim(text), '\\s+')) AS ntok_i,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpeish_tokens,
+    length(text) AS chars_i,
+    len(list_filter(string_split_regex(trim(text), '\\s+'),
+      t -> t IN ('the','a','of','and'))) AS stop_i,
+    len(list_filter(string_split_regex(trim(text), '\\s+'),
+      t -> t IN ('the','a'))) AS stop2_i,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct_i,
+    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+  FROM documents
+), profq AS (
+  SELECT *,
+    least(10000, (ntok_i * 10000) // 64) AS q_t1,
+    least(10000, (stop_i * 100000) // greatest(ntok_i, 1)) AS q_t2,
+    10000 - least(10000, (punct_i * 50000) // greatest(chars_i, 1)) AS q_t3
+  FROM prof
+)"""
+
+  private def act(sql: String): String = ActivityPrelude + "\n" + sql
+  private def sev(sql: String): String = ActivityPrelude + SeverityCte + "\n" + sql
+
+  // ---------------------------------------------------------------- //
+  // Spark-side helpers                                               //
+  // ---------------------------------------------------------------- //
+
+  private def classified(s: SparkSession, d: String): DataFrame =
+    Detect.classify(Tables.activity(s, d), Detect.ipBlacklist(s))
+
+  private val fmtTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / warehouse surface ----
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d)
+      .select(col("l_orderkey"), fmtTs(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))),
+    "q5_region_revenue" -> ((s, d) => Relational.regionRevenue(s, d)),
+    "q_events_by_segment" -> ((s, d) => Relational.eventsBySegment(s, d)),
+
+    // ---- DAM classification pipelines (C1-C3, P9, S5) ----
+    "dam_classify" -> ((s, d) => Tables.activity(s, d)
+      .select(col("activity_id"), col("user_id"), col("username"), col("role"),
+        col("operation_type"), col("table_name"), col("operation_status"),
+        col("ip_address"), col("rows_affected"), col("query_hash"))
+      .orderBy(col("activity_id"))),
+
+    // ---- DAM analytics (A1-A9, W1-W2, P4) ----
+    "dam_stats" -> ((s, d) => Analytics.stats(Tables.activity(s, d))),
+    "dam_ops_by_type" -> ((s, d) => Analytics.opsByType(Tables.activity(s, d))),
+    "dam_top_users" -> ((s, d) => Analytics.topUsers(Tables.activity(s, d))),
+    "dam_timeline_hourly" -> ((s, d) =>
+      Analytics.timelineHourly(Tables.activity(s, d))),
+    "dam_behavior_profile" -> ((s, d) =>
+      Analytics.behaviorProfile(Tables.activity(s, d))),
+    "dam_user_baseline" -> ((s, d) =>
+      Analytics.userBaseline(Tables.activity(s, d))),
+    "dam_rate_per_minute" -> ((s, d) =>
+      Analytics.ratePerMinute(Tables.activity(s, d))),
+    "dam_anomaly_zscore" -> ((s, d) =>
+      Analytics.anomalyZScore(Tables.activity(s, d))),
+    "dam_ip_switches" -> ((s, d) => Analytics.ipSwitches(Tables.activity(s, d))),
+    "dam_latest_failed" -> ((s, d) =>
+      Analytics.latest(Tables.activity(s, d), 50, status = Some("Failed"))
+        .select(col("activity_id"), col("username"), col("operation_type"),
+          col("table_name"), col("ip_address"),
+          fmtTs(col("access_timestamp")).as("access_ts"))
+        .orderBy(col("activity_id"))),
+
+    // ---- DAM detection engines (C4-C6, J3, J4+W3) ----
+    "dam_severity" -> ((s, d) => classified(s, d)
+      .select(col("activity_id"), col("operation_type"), col("table_name"),
+        col("role"), col("severity_ord"), col("severity_level"),
+        col("is_suspicious"), col("suspicious_reasons"))
+      .orderBy(col("activity_id"))),
+    "dam_alerts" -> ((s, d) => Detect.deriveAlerts(classified(s, d))
+      .select(col("activity_id"), col("username"), col("alert_type"),
+        col("severity_level"), col("alert_status"))
+      .orderBy(col("activity_id"))),
+    "dam_compliance" -> ((s, d) =>
+      Detect.complianceFindings(Tables.activity(s, d))
+        .orderBy(col("activity_id"), col("standard"))),
+    "dam_firewall" -> ((s, d) => Detect.firewallMatch(
+      Tables.activity(s, d), Detect.firewallRules(s))
+      .orderBy(col("activity_id"))),
+    "dam_blacklist_hits" -> ((s, d) => Tables.activity(s, d)
+      .join(broadcast(Detect.ipBlacklist(s).select("ip_address")),
+        Seq("ip_address"), "left_semi")
+      .select(col("activity_id"), col("username"), col("ip_address"))
+      .orderBy(col("activity_id"))),
+
+    // ---- text analysis / fingerprinting ----
+    "doc_profile" -> ((s, d) => TextOps.profile(Tables.documents(s, d))),
+    "doc_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(Tables.documents(s, d))),
+    "doc_dedup_fingerprint" -> ((s, d) =>
+      Dedup.fingerprintDupGroups(Tables.documents(s, d))),
+    "doc_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardNearDups(Tables.documents(s, d))),
+
+    // ---- similarity search ----
+    "emb_knn_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+
+    // ---- Spark-native sketches (no SQL oracle: xxhash64/LSH-based;
+    //      driver records rows-only checks) ----
+    "doc_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3)),
+    "doc_simhash" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))),
+    "emb_lsh_ann" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    "emb_near_dups" -> ((s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), minCos = 0.35)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the hash/LSH sketch ops →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_events_by_segment" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+  count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS value_sum
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "dam_classify" -> act(
+      """SELECT activity_id, user_id, username, role, operation_type, table_name,
+  operation_status, ip_address, rows_affected, query_hash
+FROM activity ORDER BY activity_id"""),
+
+    "dam_stats" -> act(
+      """SELECT count(*) AS total_activities,
+  count(CASE WHEN operation_status = 'Failed' THEN 1 END) AS failed_activities,
+  count(CASE WHEN operation_type = 'SELECT' THEN 1 END) AS select_count,
+  count(CASE WHEN operation_type = 'INSERT' THEN 1 END) AS insert_count,
+  count(CASE WHEN operation_type = 'UPDATE' THEN 1 END) AS update_count,
+  count(CASE WHEN operation_type = 'DELETE' THEN 1 END) AS delete_count,
+  count(DISTINCT user_id) AS distinct_users,
+  CAST(sum(COALESCE(rows_affected, 0)) AS BIGINT) AS total_rows_affected
+FROM activity"""),
+
+    "dam_ops_by_type" -> act(
+      """SELECT operation_type, count(*) AS n,
+  CAST(sum(COALESCE(rows_affected, 0)) AS BIGINT) AS rows_total
+FROM activity GROUP BY operation_type ORDER BY operation_type"""),
+
+    "dam_top_users" -> act(
+      """SELECT username, count(*) AS n FROM activity
+GROUP BY username ORDER BY n DESC, username LIMIT 5"""),
+
+    "dam_timeline_hourly" -> act(
+      """SELECT strftime(date_trunc('hour', access_timestamp), '%Y-%m-%d %H:00') AS bucket,
+  count(*) AS n,
+  count(CASE WHEN operation_status = 'Failed' THEN 1 END) AS n_failed,
+  CAST(sum(COALESCE(rows_affected, 0)) AS BIGINT) AS rows_total
+FROM activity GROUP BY 1 ORDER BY 1"""),
+
+    "dam_behavior_profile" -> act(
+      """SELECT hour(access_timestamp) AS hr, operation_type, count(*) AS n
+FROM activity GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "dam_user_baseline" -> act(
+      """, hourly AS (
+  SELECT user_id, CAST(access_timestamp AS DATE) AS d,
+    hour(access_timestamp) AS h, count(*) AS cnt
+  FROM activity GROUP BY 1, 2, 3
+), agg AS (
+  SELECT user_id, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+    CAST(sum(cnt * cnt) AS BIGINT) AS s2
+  FROM hourly GROUP BY user_id
+)
+SELECT user_id,
+  round(CAST(s AS DOUBLE) / n, 4) AS avg_per_hour,
+  round(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n)), 4) AS std_per_hour,
+  n AS active_hours
+FROM agg ORDER BY user_id"""),
+
+    "dam_rate_per_minute" -> act(
+      """SELECT user_id,
+  strftime(date_trunc('minute', access_timestamp), '%Y-%m-%d %H:%M') AS minute,
+  count(*) AS n, (count(*) > 100) AS over_limit
+FROM activity GROUP BY 1, 2 ORDER BY user_id, minute"""),
+
+    "dam_anomaly_zscore" -> act(
+      """, mx AS (SELECT max(access_timestamp) AS m FROM activity),
+recent AS (
+  SELECT user_id, count(*) AS recent_cnt FROM activity, mx
+  WHERE access_timestamp >= m - INTERVAL 1 HOUR GROUP BY user_id
+), hourly AS (
+  SELECT user_id, CAST(access_timestamp AS DATE) AS d,
+    hour(access_timestamp) AS h, count(*) AS cnt
+  FROM activity GROUP BY 1, 2, 3
+), base AS (
+  SELECT user_id, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+    CAST(sum(cnt * cnt) AS BIGINT) AS s2
+  FROM hourly GROUP BY user_id
+)
+SELECT r.user_id, r.recent_cnt,
+  round(CAST(s AS DOUBLE) / n, 4) AS avg_cnt,
+  round(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n)), 4) AS std_cnt,
+  (r.recent_cnt > CAST(s AS DOUBLE) / n + 3 * sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n))) AS is_anomalous
+FROM recent r JOIN base b ON r.user_id = b.user_id ORDER BY r.user_id"""),
+
+    "dam_ip_switches" -> act(
+      """, w AS (
+  SELECT username, activity_id, ip_address, access_timestamp,
+    lag(ip_address) OVER (PARTITION BY username ORDER BY access_timestamp, activity_id) AS prev_ip,
+    lag(access_timestamp) OVER (PARTITION BY username ORDER BY access_timestamp, activity_id) AS prev_ts
+  FROM activity
+)
+SELECT username, activity_id, ip_address, prev_ip,
+  CAST(floor(epoch(access_timestamp)) - floor(epoch(prev_ts)) AS BIGINT) AS gap_seconds
+FROM w
+WHERE prev_ip IS NOT NULL AND prev_ip <> ip_address
+  AND access_timestamp <= prev_ts + INTERVAL 1 HOUR
+ORDER BY username, activity_id"""),
+
+    "dam_latest_failed" -> act(
+      """SELECT activity_id, username, operation_type, table_name, ip_address,
+  strftime(access_timestamp, '%Y-%m-%d %H:%M:%S') AS access_ts
+FROM (
+  SELECT * FROM activity WHERE operation_status = 'Failed'
+  ORDER BY access_timestamp DESC, activity_id DESC LIMIT 50
+) ORDER BY activity_id"""),
+
+    "dam_severity" -> sev(
+      """SELECT activity_id, operation_type, table_name, role, severity_ord,
+  severity_level, is_suspicious, suspicious_reasons
+FROM classified ORDER BY activity_id"""),
+
+    "dam_alerts" -> sev(
+      """SELECT activity_id, username,
+  CASE WHEN contains(suspicious_reasons, 'SQL Injection') THEN 'SQL Injection'
+       WHEN contains(suspicious_reasons, 'Sensitive') THEN 'Data Leakage'
+       WHEN contains(suspicious_reasons, 'Rate limit') THEN 'DoS Attempt'
+       ELSE 'Security Violation' END AS alert_type,
+  severity_level, 'New' AS alert_status
+FROM classified WHERE severity_ord >= 2 ORDER BY activity_id"""),
+
+    "dam_compliance" -> act(
+      """SELECT activity_id, username, standard, finding, status FROM (
+  SELECT activity_id, username, 'GDPR' AS standard, 'PII read access' AS finding,
+    'Non-compliant' AS status
+  FROM activity WHERE table_name = 'users' AND operation_type = 'SELECT'
+  UNION ALL
+  SELECT activity_id, username, 'SOX', 'Financial data modification',
+    CASE WHEN COALESCE(rows_affected, 0) > 0 THEN 'Compliant' ELSE 'Review needed' END
+  FROM activity WHERE table_name = 'accounts' AND operation_type IN ('UPDATE', 'DELETE')
+  UNION ALL
+  SELECT activity_id, username, 'PCI_DSS', 'Cardholder data environment touched', 'Monitored'
+  FROM activity WHERE table_name IN ('payments', 'sessions')
+) ORDER BY activity_id, standard"""),
+
+    "dam_firewall" -> act(
+      """, rules(rule_id, pattern, match_type, action, priority) AS (VALUES
+  (1, 'union select', 'contains', 'block', 1),
+  (2, 'drop table', 'contains', 'block', 2),
+  (3, 'into outfile', 'contains', 'block', 3),
+  (4, 'xp_', 'contains', 'block', 4),
+  (5, 'sleep(', 'contains', 'block', 5),
+  (6, 'or 1=1', 'contains', 'block', 6),
+  (7, 'delete from sessions', 'starts_with', 'alert', 7),
+  (8, '^select \*', 'regex', 'alert', 8))
+SELECT activity_id, username, ip_address, rule_id, action, priority,
+  substr(operation_details, 1, 500) AS query_snippet
+FROM (
+  SELECT a.activity_id, a.username, a.ip_address, a.operation_details,
+    r.rule_id, r.action, r.priority,
+    row_number() OVER (PARTITION BY a.activity_id ORDER BY r.priority) AS rn
+  FROM activity a JOIN rules r ON (
+    (r.match_type = 'contains' AND contains(lower(a.operation_details), r.pattern)) OR
+    (r.match_type = 'starts_with' AND starts_with(lower(a.operation_details), r.pattern)) OR
+    (r.match_type = 'regex' AND regexp_matches(lower(a.operation_details),
+      CASE WHEN r.match_type = 'regex' THEN r.pattern ELSE 'a^' END)))
+) WHERE rn = 1 ORDER BY activity_id"""),
+
+    "dam_blacklist_hits" -> act(
+      s"""SELECT activity_id, username, ip_address FROM activity
+WHERE ip_address IN ($blacklistInList) ORDER BY activity_id"""),
+
+    "doc_profile" -> ("WITH x AS (SELECT 1)" + DocProfileCte +
+      """
+SELECT doc_id, lang, n_chars, CAST(ntok_i AS BIGINT) AS n_tokens,
+  CAST(bpeish_tokens AS BIGINT) AS bpeish_tokens,
+  round((CAST(chars_i AS DOUBLE) - ntok_i + 1.0) / ntok_i, 4) AS avg_token_len,
+  round(CAST(stop_i AS DOUBLE) / ntok_i, 4) AS stopword_ratio,
+  round(CAST(punct_i AS DOUBLE) / greatest(chars_i, 1), 4) AS punct_ratio,
+  CAST(q_t1 * 5 + q_t2 * 3 + q_t3 * 2 AS DOUBLE) / 100000.0 AS quality_score,
+  CASE WHEN cjk > 0 THEN 'zh'
+       WHEN CAST(stop2_i AS DOUBLE) / greatest(ntok_i, 1) >= 0.04 THEN 'en'
+       ELSE 'other' END AS lang_guess,
+  fingerprint
+FROM profq ORDER BY doc_id"""),
+
+    "doc_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS digest,
+  count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+FROM documents ORDER BY doc_id""",
+
+    "doc_dedup_fingerprint" ->
+      """WITH f AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+  count(*) OVER (PARTITION BY fp) AS dup_count,
+  min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+FROM f ORDER BY doc_id""",
+
+    "doc_jaccard_pairs" ->
+      """WITH sh AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\s+')[1] AS tok1,
+    len(string_split_regex(trim(text), '\s+')) // 10 AS lenb,
+    list_distinct(list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
+      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 3])) AS sh
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      greatest(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 4) AS jaccard
+  FROM sh a JOIN sh b ON a.tok1 = b.tok1 AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
+ORDER BY doc_a, doc_b""",
+
+    "emb_knn_brute" ->
+      """WITH dotsq AS (
+  SELECT e.vec_id, e.label, q.vec_id AS query_id,
+    CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE) AS dp,
+    sqrt(CAST(list_sum(list_transform(e.embedding,
+      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE)) AS norm_e,
+    sqrt(CAST(list_sum(list_transform(q.embedding,
+      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE)) AS norm_q
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+  WHERE e.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, vec_id, label, round(dp / (norm_e * norm_q), 4) AS cos_sim
+  FROM dotsq
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank""")
+
+  private[graft] def activityPreludeForTest: String = ActivityPrelude
 }

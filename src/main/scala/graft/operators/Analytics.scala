@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's dashboard / behavioral analytics (SURVEY §2.4-§2.5)
+  * over the activity view.
+  *
+  * Scale design notes:
+  *  - [[stats]] collapses the reference's 7 sequential single-value
+  *    queries (app.py:297-306) into ONE scan with conditional
+  *    aggregates — at 100 TB that is 1 pass instead of 7.
+  *  - Top-k queries go through orderBy(...).limit(k) which Spark plans
+  *    as TakeOrderedAndProject (per-partition heaps + driver merge of
+  *    k rows, no global sort).
+  *  - Time-bucket aggregations group by date_trunc — partial
+  *    aggregation map-side; cardinality after grouping is tiny
+  *    (hours × types), so the shuffle moves only partial aggregates.
+  *  - "Rolling window relative to NOW" predicates are anchored to
+  *    max(access_timestamp) instead of the wall clock so results are
+  *    deterministic and oracle-replayable; the anchor is computed in
+  *    the same job via a scalar subquery-style cross join of a 1-row
+  *    aggregate (broadcast, no extra pass over the fact).
+  */
+object Analytics {
+
+  /** A1+A2 — the get_stats block (reference app.py:294-306) in a
+    * single pass: total / suspicious-analog (Failed) / per-op counts.
+    */
+  def stats(activity: DataFrame): DataFrame =
+    activity.agg(
+      count(lit(1)).as("total_activities"),
+      count(when(col("operation_status") === "Failed", 1)).as("failed_activities"),
+      count(when(col("operation_type") === "SELECT", 1)).as("select_count"),
+      count(when(col("operation_type") === "INSERT", 1)).as("insert_count"),
+      count(when(col("operation_type") === "UPDATE", 1)).as("update_count"),
+      count(when(col("operation_type") === "DELETE", 1)).as("delete_count"),
+      count_distinct(col("user_id")).as("distinct_users"),
+      sum(coalesce(col("rows_affected"), lit(0L))).as("total_rows_affected"))
+
+  /** A3 — group-by operation counts (reference app.py:303). */
+  def opsByType(activity: DataFrame): DataFrame =
+    activity.groupBy(col("operation_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("rows_affected"), lit(0L))).as("rows_total"))
+      .orderBy(col("operation_type"))
+
+  /** A4 — top-K users leaderboard (reference app.py:304): top 5 by
+    * activity count; deterministic tie-break on username.
+    */
+  def topUsers(activity: DataFrame, k: Int = 5): DataFrame =
+    activity.groupBy(col("username"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("username"))
+      .limit(k)
+
+  /** A5 — hourly timeline (reference app.py:308-318): per-hour counts,
+    * failed counts, rows_affected sums. Bucket emitted as a formatted
+    * string (reference DATE_FORMAT '%Y-%m-%d %H:00') to keep the
+    * oracle type-stable.
+    */
+  def timelineHourly(activity: DataFrame): DataFrame =
+    activity
+      .groupBy(date_format(date_trunc("hour", col("access_timestamp")),
+        "yyyy-MM-dd HH:00").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("operation_status") === "Failed", 1)).as("n_failed"),
+        sum(coalesce(col("rows_affected"), lit(0L))).as("rows_total"))
+      .orderBy(col("bucket"))
+
+  /** A6 — two-key behavior profile (reference app.py:448-461):
+    * hour-of-day × operation_type counts. The reference's dict folds
+    * overwrite on duplicate keys (documented bug, SURVEY §2.4 A6);
+    * we compute the corrected sums.
+    */
+  def behaviorProfile(activity: DataFrame): DataFrame =
+    activity
+      .groupBy(hour(col("access_timestamp")).cast("long").as("hr"),
+        col("operation_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hr"), col("operation_type"))
+
+  /** A7 — per-user statistical baseline (reference app.py:522-532):
+    * avg / population-stddev of hourly activity counts. MySQL STDDEV
+    * is population stddev → stddev_pop (SURVEY §2.4 A7).
+    */
+  def userBaseline(activity: DataFrame): DataFrame =
+    activity
+      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
+        hour(col("access_timestamp")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("user_id"),
+        // population stddev via exact integer sums (σ² = (nΣx²-(Σx)²)/n²)
+        // — bit-deterministic, unlike streaming stddev accumulators
+        round(col("s").cast("double") / col("n"), 4).as("avg_per_hour"),
+        round(sqrt((col("n").cast("double") * col("s2") -
+          col("s").cast("double") * col("s")) /
+          (col("n").cast("double") * col("n"))), 4).as("std_per_hour"),
+        col("n").as("active_hours"))
+      .orderBy(col("user_id"))
+
+  /** A8 — rate-limit window (reference app.py:105-108,396-403):
+    * per-(user, minute) tumbling counts with the over-threshold flag.
+    * The exact trailing-60s sliding variant lives in the streaming
+    * path ([[graft.streaming.Ingest]]); this tumbling form is the
+    * batch/oracle-parity shape.
+    */
+  def ratePerMinute(activity: DataFrame, threshold: Int = 100): DataFrame =
+    activity
+      .groupBy(col("user_id"),
+        date_format(date_trunc("minute", col("access_timestamp")),
+          "yyyy-MM-dd HH:mm").as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("over_limit", col("n") > threshold)
+      .orderBy(col("user_id"), col("minute"))
+
+  /** A9 — z-score anomaly (reference app.py:534-544): each user's
+    * activity count in the trailing hour (anchored at max ts) vs
+    * avg + 3·stddev of their hourly baseline (stddev null → 1).
+    */
+  def anomalyZScore(activity: DataFrame): DataFrame = {
+    val anchor = activity.agg(max(col("access_timestamp")).as("max_ts"))
+    val recent = activity
+      .crossJoin(broadcast(anchor))
+      .filter(col("access_timestamp") >=
+        col("max_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("recent_cnt"))
+    val baseline = activity
+      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
+        hour(col("access_timestamp")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("user_id"),
+        (col("s").cast("double") / col("n")).as("avg_cnt"),
+        sqrt((col("n").cast("double") * col("s2") -
+          col("s").cast("double") * col("s")) /
+          (col("n").cast("double") * col("n"))).as("std_cnt"))
+    recent.join(baseline, Seq("user_id"), "inner")
+      .select(
+        col("user_id"),
+        col("recent_cnt"),
+        round(col("avg_cnt"), 4).as("avg_cnt"),
+        round(col("std_cnt"), 4).as("std_cnt"),
+        (col("recent_cnt") > col("avg_cnt") + lit(3) * col("std_cnt"))
+          .as("is_anomalous"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W2 — "impossible travel" analog (reference app.py:546-552): per
+    * username, consecutive events from different IPs within 1 hour.
+    * lag() over (user, ts) — one shuffle by user, then a per-row
+    * comparison; at scale the partition key is the natural entity key
+    * so skew tracks the hottest user (AQE skew-split handles it).
+    */
+  def ipSwitches(activity: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("username"))
+      .orderBy(col("access_timestamp"), col("activity_id"))
+    activity
+      .withColumn("prev_ip", lag(col("ip_address"), 1).over(w))
+      .withColumn("prev_ts", lag(col("access_timestamp"), 1).over(w))
+      .filter(col("prev_ip").isNotNull &&
+        col("prev_ip") =!= col("ip_address") &&
+        col("access_timestamp") <= col("prev_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("username"), col("activity_id"),
+        col("ip_address"), col("prev_ip"),
+        unix_timestamp(col("access_timestamp"))
+          .minus(unix_timestamp(col("prev_ts"))).as("gap_seconds"))
+      .orderBy(col("username"), col("activity_id"))
+  }
+
+  /** P4 + W1 — latest-N feed with dynamic conjunctive filters
+    * (reference app.py:269-285): optional status / operation / table
+    * predicates, newest first, limit. TakeOrderedAndProject — no
+    * global sort at any scale.
+    */
+  def latest(activity: DataFrame, n: Int = 50,
+             status: Option[String] = None,
+             operation: Option[String] = None,
+             tableLike: Option[String] = None): DataFrame = {
+    val base = Seq(
+      status.map(s => col("operation_status") === s),
+      operation.map(o => col("operation_type") === o),
+      tableLike.map(t => col("table_name").contains(t))
+    ).flatten.foldLeft(activity)((df, p) => df.filter(p))
+    base
+      .orderBy(col("access_timestamp").desc, col("activity_id").desc)
+      .limit(n)
+      .select(col("activity_id"), col("username"), col("operation_type"),
+        col("table_name"), col("operation_status"), col("ip_address"),
+        col("access_timestamp"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the whole point of these at 100 TB):
+  *  - exact dedup is one hash-groupBy — shuffle on the 128-bit digest,
+  *    uniformly distributed by construction, no skew;
+  *  - MinHash/LSH avoids the O(n²) pair space: shingles → k min-hashes
+  *    → b bands; candidate pairs only form inside identical band
+  *    buckets, so the join fan-out tracks true near-duplicate density,
+  *    not corpus size. Banding is an explode (b rows/doc) + groupBy
+  *    band key — both linear;
+  *  - SimHash gives a 64-bit sketch per doc (linear, no shuffle) whose
+  *    Hamming distance approximates cosine/token overlap;
+  *  - exact n-gram Jaccard runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: every doc annotated
+    * with its group size and whether it is the canonical (min doc_id)
+    * member — the "keep one per group" primitive.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("digest"))
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withColumn("dup_count", count(lit(1)).over(w).cast("long"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("digest"), col("dup_count"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fingerprint-level near-dup groups (normalized-text digest from
+    * [[TextOps.fingerprint]]) — catches whitespace/punctuation
+    * variants; SQL-expressible so the oracle can verify it.
+    */
+  def fingerprintDupGroups(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("dup_count", count(lit(1)).over(w).cast("long"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("fp"), col("dup_count"),
+        col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word n-gram shingles of the document text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    val count = size(toks) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k permutations approximated by xxhash64 with
+    * distinct seeds over the shingle set; each signature slot is the
+    * min hash under that seed.
+    */
+  def minhashSignature(text: Column, k: Int = 16, ngram: Int = 3): Column = {
+    val sh = array_distinct(shingles(text, ngram))
+    array((0 until k).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: docs → (band_id, band_hash) buckets →
+    * candidate pairs within buckets → exact n-gram Jaccard on the
+    * candidates only. Returns (doc_a, doc_b, jaccard) for pairs with
+    * jaccard >= threshold. bands × rowsPerBand must equal k.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+                      k: Int = 16, bands: Int = 4,
+                      ngram: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    // Stage 1: signatures via explode + hash-aggregate — one pass over
+    // the shingle stream with map-side partial min() per seed. This
+    // both scales (shuffles 16 longs per doc, never the shingles) and
+    // avoids Catalyst's project-collapse re-inlining the shingle
+    // expression into every band expression (measured 64× blowup with
+    // the pure-expression formulation).
+    val shingleStream = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), ngram))).as("s"))
+    val sig = shingleStream.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("h0"),
+      (1 until k).map(seed =>
+        min(xxhash64(lit(seed), col("s"))).as(s"h$seed")): _*)
+    // band key: 8-byte hash of the band's signature slots + band id
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }: _*)).as("band_key"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Stage 2: exact n-gram Jaccard only for surviving candidates —
+    // two joins back against the (small) candidate set.
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), ngram)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+            lit(1.0)), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit sketch — per token-hash bit, sum +1/-1 weights,
+    * take the sign bit. Implemented as a 64-slot aggregate over the
+    * token array per row (no shuffle; one pass).
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(trim(text), "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    // bit i of the sketch = (Σ_t ±1 by bit_i(h(t))) >= 0
+    val bitCols = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(votes >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Exact n-gram Jaccard near-dup pairs with content blocking on
+    * (first token, token-length bucket): near-identical docs agree on
+    * both, so candidate pairs shrink from O(n²) to per-block O(b²)
+    * with b ≈ n / (vocab × lengths). SQL-expressible (oracle-checked),
+    * complementing the minhash path.
+    */
+  def jaccardNearDups(docs: DataFrame, ngram: Int = 3,
+                      minJaccard: Double = 0.3): DataFrame = {
+    val blocked = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("tok1", element_at(col("toks"), 1))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+      .withColumn("lenb", expr("ntok div 10"))
+      .select(col("doc_id"), col("tok1"), col("lenb"),
+        array_distinct(shingles(col("text"), ngram)).as("sh"))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b, col("a.tok1") === col("b.tok1") &&
+        col("a.lenb") === col("b.lenb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          greatest(size(array_union(col("a.sh"), col("b.sh"))).cast("double"),
+            lit(1.0)), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard between all pairs within a caller-supplied
+    * blocking key — the verification stage after LSH candidate
+    * generation at scale.
+    */
+  def jaccardWithinBlocks(docs: DataFrame, blockCol: String,
+                          ngram: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val withSh = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      array_distinct(shingles(col("text"), ngram)).as("sh"))
+    val a = withSh.alias("a")
+    val b = withSh.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          greatest(size(array_union(col("a.sh"), col("b.sh"))).cast("double"),
+            lit(1.0)), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's threat-detection rule engines (SURVEY §2.7 C4-C8)
+  * as declarative Column pipelines over the activity view.
+  *
+  * Scale design: every rule is a per-row expression (codegen'd, no
+  * shuffle); the only non-local pieces are
+  *  - the blacklist semi-join (J3) — tiny dim, always broadcast;
+  *  - the firewall rule match (J4) — broadcast nested-loop join
+  *    against a handful of rules, then a per-activity row_number to
+  *    pick the first match by priority (W3). At 100 TB the rule table
+  *    is still KBs, so the match stays a map-side broadcast with no
+  *    shuffle; the row_number partitions by activity_id which is
+  *    unique per row, so AQE sees near-zero skew.
+  *  - the rate-limit rule (C4 rule 8) — one windowed count per
+  *    (user, minute); partial aggregation map-side, shuffle by user.
+  */
+object Detect {
+
+  /** Severity ordinal lattice (reference app.py severity levels):
+    * Low=0, Medium=1, High=2, Critical=3.
+    */
+  val SeverityNames: Seq[String] = Seq("Low", "Medium", "High", "Critical")
+  def severityName(ordinal: Column): Column =
+    when(ordinal >= 3, "Critical")
+      .when(ordinal === 2, "High")
+      .when(ordinal === 1, "Medium")
+      .otherwise("Low")
+
+  /** Sensitive tables / columns (reference app.py:82-83). */
+  val SensitiveTables: Seq[String] =
+    Seq("users", "customers", "accounts", "payments", "credit_cards")
+  val SensitiveColumns: Seq[String] =
+    Seq("password", "ssn", "credit", "salary", "email")
+
+  /** SQL-injection signatures (reference app.py:86-102, condensed to
+    * patterns valid in both Java regex and RE2 so the oracle agrees).
+    */
+  val InjectionPatterns: Seq[String] = Seq(
+    "(?i)union\\s+select", "(?i)or\\s+1\\s*=\\s*1", "(?i)'\\s*or\\s*'1'\\s*=\\s*'1",
+    "(?i);\\s*--", "(?i)drop\\s+table", "(?i)into\\s+outfile",
+    "(?i)xp_cmdshell", "(?i)sleep\\s*\\(", "(?i)benchmark\\s*\\(",
+    "(?i)load_file\\s*\\(")
+
+  /** Static IP blacklist dim (reference ip_blacklist table,
+    * sql/02_create_tables.sql:69-77; loaded as an in-memory set at
+    * app.py:332-337). Stand-in fixture rows over the synthesized IP
+    * space of [[graft.sources.Tables.activity]].
+    */
+  def ipBlacklist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("10.0.3.7", "known scanner"),
+      ("10.0.11.42", "credential stuffing"),
+      ("10.0.21.100", "tor exit"),
+      ("10.0.33.13", "abuse report"),
+      ("10.0.47.200", "manual block"))
+      .toDF("ip_address", "reason")
+  }
+
+  /** Firewall rule dim (reference firewall_rules seed, app.py:1531-1539):
+    * (rule_id, pattern, match_type, action, priority).
+    */
+  def firewallRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1, "union select", "contains", "block", 1),
+      (2, "drop table", "contains", "block", 2),
+      (3, "into outfile", "contains", "block", 3),
+      (4, "xp_", "contains", "block", 4),
+      (5, "sleep(", "contains", "block", 5),
+      (6, "or 1=1", "contains", "block", 6),
+      (7, "delete from sessions", "starts_with", "alert", 7),
+      (8, "^select \\*", "regex", "alert", 8))
+      .toDF("rule_id", "pattern", "match_type", "action", "priority")
+  }
+
+  /** C4 — the severity lattice. Takes the activity view (must carry
+    * role, operation_type, table_name, operation_details, ip_address,
+    * access_timestamp, rows_affected, user_id) and returns it with
+    * is_suspicious / suspicious_reasons / severity_level / severity_ord.
+    *
+    * Reference rules app.py:339-411; the "raise only if currently Low"
+    * caps are equivalent to greatest() over fixed per-rule ordinals
+    * (each rule's contribution is a constant — SURVEY §7 equivalence).
+    * Rate-limit rule (app.py:396-403, >100 events/min) is evaluated as
+    * a per-(user, minute) windowed count, threshold parameterized.
+    */
+  def classify(activity: DataFrame, blacklist: DataFrame,
+               rateThreshold: Int = 100): DataFrame = {
+    val bl = broadcast(blacklist.select(col("ip_address"),
+      lit(true).as("is_blacklisted")))
+    val withBl = activity.join(bl, Seq("ip_address"), "left")
+
+    val minuteW = Window.partitionBy(col("user_id"),
+      date_trunc("minute", col("access_timestamp")))
+    val perMinute = count(lit(1)).over(minuteW)
+
+    val op = col("operation_type")
+    val sql = col("operation_details")
+    val writeOps = Seq("INSERT", "UPDATE", "DELETE", "DROP", "ALTER")
+    val hr = hour(col("access_timestamp"))
+
+    val r1 = coalesce(col("is_blacklisted"), lit(false))
+    val r2 = col("role") === "Guest" && op.isin(writeOps: _*)
+    val r3 = col("role") === "User" &&
+      col("table_name").isin(SensitiveTables: _*) &&
+      op.isin("SELECT", "INSERT", "UPDATE")
+    val r4 = hr < 9 || hr >= 18
+    val r5 = InjectionPatterns.map(p => sql.rlike(p)).reduce(_ || _)
+    val r6 = SensitiveColumns.map(c => lower(sql).contains(c)).reduce(_ || _)
+    val r7 = coalesce(col("rows_affected"), lit(0L)) > 1000L
+    val r8 = col("events_per_minute") > rateThreshold
+
+    val rules: Seq[(Column, Int, String)] = Seq(
+      (r1, 3, "IP address blacklisted"),
+      (r2, 2, "Guest role write operation"),
+      (r3, 1, "User access to sensitive table"),
+      (r4, 1, "Off-hours access"),
+      (r5, 3, "SQL Injection pattern"),
+      (r6, 2, "Sensitive column access"),
+      (r7, 2, "Large extraction"),
+      (r8, 1, "Rate limit exceeded"))
+
+    val ord = greatest(lit(0) +: rules.map { case (c, o, _) =>
+      when(c, lit(o)).otherwise(lit(0)) }: _*)
+    val reasons = concat_ws("; ", rules.map { case (c, _, r) =>
+      when(c, lit(r)) }: _*)
+
+    withBl
+      .withColumn("events_per_minute", perMinute)
+      .withColumn("severity_ord", ord.cast("long"))
+      .withColumn("severity_level", severityName(ord))
+      .withColumn("suspicious_reasons", reasons)
+      .withColumn("is_suspicious", ord > 0)
+      .drop("is_blacklisted")
+  }
+
+  /** C5 — alert derivation (reference app.py:410-433): only
+    * High/Critical activities raise alerts; alert_type is the first
+    * match over the joined reason string.
+    */
+  def deriveAlerts(classified: DataFrame): DataFrame = {
+    val reasons = col("suspicious_reasons")
+    classified
+      .filter(col("severity_ord") >= 2)
+      .withColumn("alert_type",
+        when(reasons.contains("SQL Injection"), "SQL Injection")
+          .when(reasons.contains("Sensitive"), "Data Leakage")
+          .when(reasons.contains("Rate limit"), "DoS Attempt")
+          .otherwise("Security Violation"))
+      .withColumn("alert_status", lit("New"))
+  }
+
+  /** C6 — compliance classifier (reference app.py:468-486): per
+    * activity, zero..three findings (GDPR / SOX / PCI_DSS), exploded
+    * into a findings stream. Generator-shaped (explode) per SURVEY
+    * §2.7; no shuffle — explode runs inside the scan stage.
+    */
+  def complianceFindings(activity: DataFrame): DataFrame = {
+    val tbl = col("table_name")
+    val op = col("operation_type")
+    val gdpr = when(tbl === "users" && op === "SELECT",
+      struct(lit("GDPR").as("standard"),
+        lit("PII read access").as("finding"),
+        lit("Non-compliant").as("status")))
+    val sox = when(tbl === "accounts" && op.isin("UPDATE", "DELETE"),
+      struct(lit("SOX").as("standard"),
+        lit("Financial data modification").as("finding"),
+        when(coalesce(col("rows_affected"), lit(0L)) > 0L, "Compliant")
+          .otherwise("Review needed").as("status")))
+    val pci = when(tbl.isin("payments", "sessions"),
+      struct(lit("PCI_DSS").as("standard"),
+        lit("Cardholder data environment touched").as("finding"),
+        lit("Monitored").as("status")))
+    activity
+      .withColumn("f", explode(array_compact(array(gdpr, sox, pci))))
+      .select(col("activity_id"), col("username"),
+        col("f.standard").as("standard"), col("f.finding").as("finding"),
+        col("f.status").as("status"))
+  }
+
+  /** J4 + W3 — firewall matcher (reference app.py:823-850): every
+    * activity matched against all active rules (contains /
+    * starts_with / regex on lower-cased text), priority order, first
+    * match wins. Broadcast nested-loop join; dedup to first match via
+    * per-activity min-priority (no window shuffle needed — the join
+    * output is grouped back by the unique activity_id with a
+    * map-side-combinable min aggregate).
+    */
+  def firewallMatch(activity: DataFrame, rules: DataFrame): DataFrame = {
+    val txt = lower(col("operation_details"))
+    // regexp only ever sees a valid pattern: non-regex rules substitute
+    // the never-matching 'a^' (vectorized engines may evaluate the
+    // regexp branch even when match_type guards it — same guard in the
+    // DuckDB oracle)
+    val safePat = when(col("match_type") === "regex", col("pattern"))
+      .otherwise(lit("a^"))
+    val matchPred =
+      (col("match_type") === "contains" && txt.contains(col("pattern"))) ||
+      (col("match_type") === "starts_with" && txt.startsWith(col("pattern"))) ||
+      (col("match_type") === "regex" && regexp_like(txt, safePat))
+    val hits = activity.join(broadcast(rules), matchPred, "inner")
+    val w = Window.partitionBy(col("activity_id")).orderBy(col("priority"))
+    hits
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("activity_id"), col("username"), col("ip_address"),
+        col("rule_id"), col("action"), col("priority"),
+        substring(col("operation_details"), 1, 500).as("query_snippet"))
+  }
+}

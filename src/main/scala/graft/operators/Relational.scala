@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational workload over the TPC-H-ish star schema — the generic
+  * scan/filter/join/aggregate/top-k surface (SURVEY §2.2-§2.5 applied
+  * to the warehouse tables) and the bench headliners.
+  *
+  * Scale design:
+  *  - q1 is a pure scan+hash-agg: partial aggregation map-side, the
+  *    shuffle carries ≤ (flags × statuses) rows per partition.
+  *  - q3/q5: dimension sides (customer filtered by segment, the
+  *    region→nation chain, supplier) are orders of magnitude smaller
+  *    than the fact tables, so they are explicitly broadcast; only
+  *    orders⋈lineitem is a genuine distributed join — on the natural
+  *    key both sides already share, so AQE can pick SMJ and skew-split
+  *    hot orders at 100 TB.
+  *  - top-k results go through TakeOrderedAndProject.
+  */
+object Relational {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Order-independent exact sum of a double expression: per-row cast
+    * to decimal(30,10) (deterministic), exact decimal summation (no
+    * float reassociation error across partials), result as double.
+    * This is what makes aggregate results bit-identical between Spark
+    * partial aggregation (arbitrary partition order) and the DuckDB
+    * oracle — plain double sums differ in the last ulps depending on
+    * summation order.
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 10))).cast("double")
+
+  /** TPC-H Q1-flavored pricing summary over lineitem. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(dsum(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        round(dsum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-flavored: top-10 unshipped orders by revenue for a
+    * market segment.
+    */
+  def topRevenueOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-flavored: revenue by nation for one region/year, through
+    * the full region→nation→customer→orders→lineitem→supplier chain.
+    */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val dims = broadcast(nation.join(broadcast(region),
+      col("n_regionkey") === col("r_regionkey")))
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Events joined to the user dimension derived from customer —
+    * the J1 fact→dim enrichment analog at warehouse shape: per
+    * (market segment, event_type) event counts and value sums.
+    */
+  def eventsBySegment(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    ev.join(broadcast(cust), Seq("user_id"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("value_sum"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+}

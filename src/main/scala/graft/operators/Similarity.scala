@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (array<float>).
+  *
+  * Scale design:
+  *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small)
+  *    query set against the corpus — one map-side pass over the
+  *    corpus, then TakeOrderedAndProject per query. Linear in corpus
+  *    size, no corpus shuffle, embarrassingly parallel at 100 TB.
+  *  - [[lshTopK]] is the scale path: random-hyperplane LSH (sign bits
+  *    against fixed deterministic hyperplanes) buckets the corpus;
+  *    probing compares a query only against its bucket(s). The bucket
+  *    id is a per-row expression, so index build is a single pass and
+  *    the search join is an equi-join on bucket — shuffle-free when
+  *    the corpus is pre-bucketed (partitioned by bucket on write).
+  *  - An IVF variant swaps the hash for nearest-centroid assignment
+  *    (k-means centroids as a broadcast dim) — same join shape.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays. Each per-row product is cast to
+    * decimal(30,15) so the accumulation is EXACT and therefore
+    * order-independent — the double result is bit-identical no matter
+    * how partitions/engines order the summation (oracle parity; same
+    * trick as [[Relational.dsum]]).
+    */
+  def dot(a: Column, b: Column): Column = {
+    val acc38 = org.apache.spark.sql.types.DecimalType(38, 15)
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 15))),
+      lit(java.math.BigDecimal.ZERO).cast(acc38),
+      (acc, v) => (acc + v).cast(acc38)).cast("double")
+  }
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact cosine top-k: for each query vector (vec_id in queryIds),
+    * the k nearest corpus vectors (self-matches excluded).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                     k: Int = 10): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qnorm"))
+    // corpus-side norm computed once per row, not once per (row, query)
+    val scored = embeddings
+      .withColumn("norm", l2norm(col("embedding")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is
+    * reproducible across runs and clusters.
+    */
+  private def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"graft-lsh-$p-$j", 42)
+      (h.toDouble / Int.MaxValue.toDouble) / 2.0
+    }
+
+  /** Sign-LSH bucket id from `planes` fixed hyperplanes. */
+  def lshBucket(vec: Column, planes: Int = 8, dim: Int = 64): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = hyperplane(p, dim)
+      val proj = aggregate(
+        zip_with(vec, typedlit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN: corpus bucketed once; each query joins only its
+    * own bucket, then exact cosine re-rank within the bucket.
+    */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long],
+              k: Int = 10, planes: Int = 8): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+    val queries = bucketed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qvec")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
+    * exceeds a threshold, blocked by LSH bucket to avoid O(n²).
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.95,
+                        planes: Int = 8): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder brief): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All pure Column pipelines —
+  * per-row, codegen'd, zero shuffle — so they scale linearly with
+  * input bytes at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; documents are single-space word soup but
+    * the split is whitespace-class so real text works too.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace) plus a BPE-ish subword estimate:
+    * words + punctuation clusters + digit runs counted separately.
+    */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality signals (length / punctuation / stopword ratios) and a
+    * composite score in [0,1]. Deterministic and oracle-replayable.
+    */
+  def withQualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    // The composite score is computed in scaled-integer arithmetic with
+    // ONE final double division — float-sum association differs between
+    // engines, so a double formula would flip round() at knife edges.
+    docs
+      .withColumn("chars_i", length(col("text")).cast("long"))
+      .withColumn("ntok_i", size(toks).cast("long"))
+      .withColumn("stop_i", size(filter(toks, t =>
+        t === "the" || t === "a" || t === "of" || t === "and")).cast("long"))
+      .withColumn("punct_i", (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long"))
+      .withColumn("n_tokens", col("ntok_i"))
+      .withColumn("avg_token_len",
+        round((col("chars_i").cast("double") - col("ntok_i") + lit(1.0)) /
+          col("ntok_i"), 4))
+      .withColumn("stopword_ratio",
+        round(col("stop_i").cast("double") / col("ntok_i"), 4))
+      .withColumn("punct_ratio", round(col("punct_i").cast("double") /
+        greatest(col("chars_i"), lit(1L)), 4))
+      // terms scaled to [0,10000]: length, stopword density, punct penalty
+      .withColumn("q_t1", least(lit(10000L), expr("(ntok_i * 10000) div 64")))
+      .withColumn("q_t2", least(lit(10000L),
+        expr("(stop_i * 100000) div greatest(ntok_i, 1)")))
+      .withColumn("q_t3", lit(10000L) - least(lit(10000L),
+        expr("(punct_i * 50000) div greatest(chars_i, 1)")))
+      .withColumn("quality_score",
+        (col("q_t1") * 5 + col("q_t2") * 3 + col("q_t3") * 2)
+          .cast("double") / lit(100000.0))
+      .drop("q_t1", "q_t2", "q_t3", "chars_i", "ntok_i", "stop_i", "punct_i")
+  }
+
+  /** Language-ID heuristic: CJK codepoint share → zh, else Latin
+    * stopword-profile ratio → en / other. (An n-gram profile model at
+    * full fidelity would be a broadcast dim of n-gram → lang weights
+    * joined the same way; the plumbing is identical.)
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    when(cjk > 0, "zh")
+      .when(stop / greatest(n, lit(1.0)) >= lit(0.04), "en")
+      .otherwise("other")
+  }
+
+  /** Document fingerprint: md5 over the normalized text (lower-case,
+    * strip non-alphanumerics, collapse whitespace) — the batch analog
+    * of a rolling-hash fingerprint, stable under trivial edits of
+    * spacing/punctuation.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Per-document report combining the signals above. */
+  def profile(docs: DataFrame): DataFrame =
+    withQualitySignals(docs)
+      .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
+      .withColumn("lang_guess", langGuess(col("text")))
+      .withColumn("fingerprint", fingerprint(col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+        col("bpeish_tokens"), col("avg_token_len"), col("stopword_ratio"),
+        col("punct_ratio"), col("quality_score"), col("lang_guess"),
+        col("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table registry over the driver-generated parquet tables
+  * (see /root/repo/TESTDATA.md) plus the DAM-shaped derived views.
+  *
+  * The reference system's central fact table is `activity_logs`
+  * (reference sql/02_create_tables.sql:26-47); here the synthetic
+  * `events` table stands in for the activity stream at volume, and
+  * [[Tables.activity]] derives a deterministic activity_logs-shaped
+  * view from it so every reference analytic has a faithful analog
+  * that a DuckDB oracle can replay (see SparkEntry.ActivityPrelude).
+  *
+  * Scale notes (100 TB design): all loaders are plain parquet scans —
+  * Catalyst pushes filters/projections into the scan; nothing here
+  * materializes. The tiny dimensions (region/nation/supplier, and the
+  * DAM rule/blacklist dims in [[graft.operators.Detect]]) are
+  * broadcast at join sites.
+  */
+object Tables {
+  val Names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * and we convert nanos → microsecond TIMESTAMP_NTZ here (truncating
+    * division — the same ns→µs truncation DuckDB applies, so oracle
+    * comparisons line up exactly).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Schema of the reference's activity_logs fact table
+    * (reference sql/02_create_tables.sql:26-47, app.py:1405-1426),
+    * used by the streaming ingest path and unit fixtures.
+    */
+  val ActivityLogSchema: StructType = StructType(Seq(
+    StructField("activity_id", LongType),
+    StructField("user_id", LongType),
+    StructField("username", StringType),
+    StructField("operation_type", StringType),
+    StructField("table_name", StringType),
+    StructField("operation_status", StringType),
+    StructField("operation_details", StringType),
+    StructField("ip_address", StringType),
+    StructField("access_timestamp", TimestampNTZType),
+    StructField("session_id", StringType),
+    StructField("rows_affected", LongType),
+    StructField("query_hash", StringType),
+    StructField("is_suspicious", BooleanType),
+    StructField("suspicious_reasons", StringType),
+    StructField("severity_level", StringType)))
+
+  /** Raw wire schema of the agent's general_log poll
+    * (reference dam_agent.py:184-194): event_time, user_host, argument.
+    */
+  val GeneralLogSchema: StructType = StructType(Seq(
+    StructField("event_time", TimestampNTZType),
+    StructField("user_host", StringType),
+    StructField("argument", StringType)))
+
+  /** Deterministic SQL statement text synthesized from an event row.
+    * This is what the reference's agent would have captured from
+    * mysql.general_log (dam_agent.py:184-213); the mapping is fixed so
+    * the DuckDB oracle can reconstruct byte-identical text.
+    * Doubles are never embedded (engine-dependent float formatting).
+    */
+  def sqlTextFromEvent(): org.apache.spark.sql.Column = {
+    val et = col("event_type")
+    when(et === "click",
+        concat(lit("SELECT * FROM products WHERE id = "), col("event_id")))
+      .when(et === "view",
+        concat(lit("SELECT name, price FROM products WHERE id = "), col("event_id")))
+      .when(et === "signup",
+        concat(lit("INSERT INTO users (name, email) VALUES ('u"), col("user_id"), lit("', 'u"), col("user_id"), lit("@example.com')")))
+      .when(et === "purchase" && col("value") > 190,
+        lit("SELECT * FROM accounts WHERE 1=1 UNION SELECT password FROM users"))
+      .when(et === "purchase",
+        concat(lit("UPDATE accounts SET balance = balance - 1 WHERE user_id = "), col("user_id")))
+      .otherwise(
+        concat(lit("DELETE FROM sessions WHERE token = '"), md5(col("props")), lit("'")))
+  }
+
+  /** The DAM activity view: events → activity_logs analog.
+    * Classification columns (operation_type / table_name / status /
+    * query_hash) are computed by the real classifier pipelines in
+    * [[graft.functions.Classify]] — the same Column pipelines the
+    * streaming ingest path uses (reference dam_agent.py:76-123,
+    * app.py:255-267,1181).
+    */
+  def activity(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Classify
+    events(s, d)
+      .withColumn("operation_details", sqlTextFromEvent())
+      .select(
+        col("event_id").as("activity_id"),
+        col("user_id"),
+        concat(lit("user_"), col("user_id")).as("username"),
+        // deterministic role assignment for the J1 enrichment analog
+        when(col("user_id") % 7 === 0, "Admin")
+          .when(col("user_id") % 3 === 0, "Guest")
+          .otherwise("User").as("role"),
+        Classify.operationType(col("operation_details")).as("operation_type"),
+        Classify.tableNameOf(col("operation_details")).as("table_name"),
+        when(col("event_type") === "error", "Failed").otherwise("Success")
+          .as("operation_status"),
+        col("operation_details"),
+        concat(lit("10.0."), col("user_id") % 50, lit("."), col("event_id") % 250)
+          .as("ip_address"),
+        col("ts").as("access_timestamp"),
+        col("value").cast("long").as("rows_affected"),
+        md5(col("operation_details")).as("query_hash"))
+  }
+}
