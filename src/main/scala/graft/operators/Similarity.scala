@@ -83,8 +83,11 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int = 8, dim: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
       val plane = hyperplane(p, dim)
+      // coalesce: vectors shorter than `dim` simply ignore the unused
+      // plane components (zip_with pads with null)
       val proj = aggregate(
-        zip_with(vec, typedlit(plane), (x, w) => x.cast("double") * w),
+        zip_with(vec, typedlit(plane), (x, w) =>
+          coalesce(x.cast("double") * w, lit(0.0))),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

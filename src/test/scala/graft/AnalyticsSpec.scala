@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** A1-A9 / W1-W2 analytics unit tests (SURVEY §2.4-§2.5). */
+class AnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkActivity(rows: Seq[(Long, Long, String, String, String, String, Long)]): DataFrame =
+    rows.toDF("activity_id", "user_id", "username", "operation_type",
+        "operation_status", "ts_s", "rows_affected")
+      .withColumn("access_timestamp", to_timestamp(col("ts_s")))
+      .withColumn("table_name", lit("t"))
+      .withColumn("ip_address", concat(lit("ip"), col("activity_id") % 3))
+      .drop("ts_s")
+
+  private val base = Seq(
+    (1L, 1L, "u1", "SELECT", "Success", "2024-01-10 10:00:00", 1L),
+    (2L, 1L, "u1", "SELECT", "Failed", "2024-01-10 10:10:00", 2L),
+    (3L, 1L, "u1", "INSERT", "Success", "2024-01-10 11:00:00", 3L),
+    (4L, 2L, "u2", "DELETE", "Failed", "2024-01-10 11:30:00", 4L),
+    (5L, 2L, "u2", "SELECT", "Success", "2024-01-11 10:00:00", 5L))
+
+  test("A1+A2 stats: one-pass conditional aggregates") {
+    val r = Analytics.stats(mkActivity(base)).collect()(0)
+    assert(r.getAs[Long]("total_activities") == 5L)
+    assert(r.getAs[Long]("failed_activities") == 2L)
+    assert(r.getAs[Long]("select_count") == 3L)
+    assert(r.getAs[Long]("distinct_users") == 2L)
+    assert(r.getAs[Long]("total_rows_affected") == 15L)
+  }
+
+  test("A4 top users: count desc, username tiebreak") {
+    val got = Analytics.topUsers(mkActivity(base), 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("u1", 3L), ("u2", 2L)))
+  }
+
+  test("A5 timeline buckets by hour with failed counts") {
+    val got = Analytics.timelineHourly(mkActivity(base))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-10 10:00", 2L, 1L, 3L),
+      ("2024-01-10 11:00", 2L, 1L, 7L),
+      ("2024-01-11 10:00", 1L, 0L, 5L)))
+  }
+
+  test("A7 baseline: avg and population stddev of hourly counts") {
+    // u1 hourly counts: [2,1] → avg 1.5, stddev_pop 0.5
+    val fixed = Analytics.userBaseline(mkActivity(base))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(fixed(1L) == ((1.5, 0.5, 2L)))
+    assert(fixed(2L) == ((1.0, 0.0, 2L)))
+  }
+
+  test("W2 ip switches: consecutive differing IPs within 1 hour") {
+    val rows = Seq(
+      (1L, 1L, "u1", "SELECT", "Success", "2024-01-10 10:00:00", 0L), // ip1
+      (2L, 1L, "u1", "SELECT", "Success", "2024-01-10 10:20:00", 0L), // ip2 → switch, 1200s
+      (3L, 1L, "u1", "SELECT", "Success", "2024-01-10 12:00:00", 0L), // ip0, > 1h gap → no flag
+      (4L, 2L, "u2", "SELECT", "Success", "2024-01-10 10:00:00", 0L), // ip1
+      (5L, 2L, "u2", "SELECT", "Success", "2024-01-10 10:30:00", 0L)) // ip2 → switch
+    val got = Analytics.ipSwitches(mkActivity(rows))
+      .select($"activity_id", $"gap_seconds").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1200L), (5L, 1800L)))
+  }
+
+  test("A8 rate per minute flags over-threshold minutes") {
+    val rows = (1L to 7L).map(i =>
+      (i, 1L, "u1", "SELECT", "Success", "2024-01-10 10:00:30", 0L))
+    val got = Analytics.ratePerMinute(mkActivity(rows), threshold = 5)
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, "2024-01-10 10:00", 7L, true)))
+  }
+
+  test("P4+W1 latest with status filter, newest first") {
+    val got = Analytics.latest(mkActivity(base), 1, status = Some("Failed"))
+      .select($"activity_id").as[Long].collect().toSeq
+    assert(got == Seq(4L))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Dedup / similarity / text-op unit tests. */
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("shingles: 3-grams in order; short docs yield empty") {
+    val got = Seq("a b c d", "a b", "").toDF("text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "same text here"), (2L, "same text here"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDupGroups(docs)
+      .select($"doc_id", $"dup_count", $"canonical_id", $"is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 2L, 1L, true), (2L, 2L, 1L, false), (3L, 1L, 3L, true)))
+  }
+
+  test("fingerprint dedup is insensitive to punctuation/whitespace/case") {
+    val docs = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fingerprintDupGroups(docs)
+      .select($"doc_id", $"dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("minhash near-dups finds a perturbed copy, not unrelated docs") {
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"zed$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("jaccardNearDups: identical docs jaccard=1, disjoint absent") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => s"w$i").mkString(" ")  // identical
+    val c = (50 to 90).map(i => s"w$i").mkString(" ") // same lenb, diff tok1
+    val got = Dedup.jaccardNearDups(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical text → identical sketch; hamming near for near-dups") {
+    val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 50).map(i => if (i % 25 == 0) "x" else s"tok$i").mkString(" ")
+    val other = (1 to 50).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, t1), (2L, t1), (3L, t2), (4L, other)).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("cosine top-k: self excluded, ranks by similarity") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 1),
+      (3L, Array(-1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopK(vecs, Seq(0L), k = 3)
+      .select($"vec_id", $"rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("lsh ann returns a subset of brute-force candidates with same scores") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 13) % 17 - 8).toFloat / 8f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(vecs, Seq(0L), k = 49)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toMap
+    val ann = Similarity.lshTopK(vecs, Seq(0L), k = 10, planes = 4)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
+  test("text profile: token counts and ratios") {
+    val got = TextOps.profile(
+      Seq((1L, "the cat sat on the mat!", "en", "s", 23L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select($"n_tokens", $"bpeish_tokens", $"stopword_ratio")
+      .as[(Long, Long, Double)].collect()(0)
+    assert(got._1 == 6L)
+    assert(got._2 == 7L) // 6 words + '!'
+    assert(got._3 == 0.3333)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Detect
+
+/** C4 severity lattice truth table, C5 alert typing, C6 compliance,
+  * J4 firewall first-match (SURVEY §2.7; reference app.py:339-486,
+  * 823-850).
+  */
+class DetectSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkActivity(rows: Seq[(Long, Long, String, String, String,
+      String, String, String, Long)]): DataFrame =
+    rows.toDF("activity_id", "user_id", "username", "role",
+        "operation_type", "table_name", "operation_details", "ip_address",
+        "rows_affected")
+      .withColumn("access_timestamp",
+        // working-hours timestamp unless overridden per-test
+        to_timestamp(lit("2024-01-10 12:00:00")) + expr("INTERVAL 1 MINUTE") * col("activity_id"))
+      .withColumn("operation_status", lit("Success"))
+
+  private def classify(df: DataFrame): Map[Long, (Long, String, String)] =
+    Detect.classify(df, Detect.ipBlacklist(spark))
+      .select($"activity_id", $"severity_ord", $"severity_level", $"suspicious_reasons")
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("C4 rules fire with their fixed ordinals") {
+    val rows = Seq(
+      // blacklisted IP → Critical
+      (1L, 1L, "u1", "User", "SELECT", "products", "SELECT 1", "10.0.3.7", 0L),
+      // Guest write → High
+      (2L, 2L, "u2", "Guest", "DELETE", "products", "DELETE FROM products", "10.0.0.1", 0L),
+      // User on sensitive table → Medium
+      (3L, 3L, "u3", "User", "SELECT", "accounts", "SELECT 1 FROM accounts", "10.0.0.1", 0L),
+      // injection → Critical
+      (4L, 4L, "u4", "User", "SELECT", "products", "SELECT * FROM t UNION SELECT secret", "10.0.0.1", 0L),
+      // sensitive column → High
+      (5L, 5L, "u5", "Admin", "SELECT", "products", "SELECT password FROM t", "10.0.0.1", 0L),
+      // large extraction → High
+      (6L, 6L, "u6", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 5000L),
+      // benign (Admin, working hours, normal table) → Low
+      (7L, 7L, "u7", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 1L))
+    val got = classify(mkActivity(rows))
+    assert(got(1L)._2 == "Critical" && got(1L)._3.contains("blacklisted"))
+    assert(got(2L)._2 == "High" && got(2L)._3.contains("Guest"))
+    assert(got(3L)._2 == "Medium" && got(3L)._3.contains("sensitive table"))
+    assert(got(4L)._2 == "Critical" && got(4L)._3.contains("Injection"))
+    assert(got(5L)._2 == "High" && got(5L)._3.contains("Sensitive column"))
+    assert(got(6L)._2 == "High" && got(6L)._3.contains("Large extraction"))
+    assert(got(7L)._2 == "Low" && got(7L)._3 == "")
+  }
+
+  test("C4 severity is max of contributions, not order-dependent") {
+    // Guest (High) + sensitive table (Medium) + injection (Critical)
+    val rows = Seq(
+      (1L, 2L, "u", "Guest", "UPDATE", "accounts",
+        "UPDATE accounts SET x=1 WHERE '1'='1' OR 1=1", "10.0.0.1", 0L))
+    val got = classify(mkActivity(rows))
+    assert(got(1L)._1 == 3L && got(1L)._2 == "Critical")
+    val reasons = got(1L)._3
+    assert(reasons.contains("Guest") && reasons.contains("Injection"))
+  }
+
+  test("C4 off-hours rule respects working-hours boundaries [9,18)") {
+    val base = Seq((0L, 1L, "u", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 0L))
+    def at(hour: Int): DataFrame =
+      mkActivity(base).withColumn("access_timestamp",
+        to_timestamp(lit(f"2024-01-10 $hour%02d:30:00")))
+    assert(classify(at(8))(0L)._2 == "Medium")
+    assert(classify(at(9))(0L)._2 == "Low")
+    assert(classify(at(17))(0L)._2 == "Low")
+    assert(classify(at(18))(0L)._2 == "Medium")
+  }
+
+  test("C4 rate-limit rule: over-threshold minute flags Medium") {
+    // 6 events for user 1 inside one minute, threshold 5
+    val rows = (1L to 6L).map(i =>
+      (i, 1L, "u1", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 0L)) ++
+      Seq((7L, 2L, "u2", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 0L))
+    val df = mkActivity(rows).withColumn("access_timestamp",
+      to_timestamp(lit("2024-01-10 12:00:05")))
+    val got = Detect.classify(df, Detect.ipBlacklist(spark), rateThreshold = 5)
+      .select($"activity_id", $"severity_level").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Medium")
+    assert(got(7L) == "Low")
+  }
+
+  test("C5 alert typing: first match over reasons") {
+    val rows = Seq(
+      (1L, 1L, "u", "User", "SELECT", "products", "SELECT * FROM t UNION SELECT 1", "10.0.0.1", 0L),
+      (2L, 1L, "u", "Admin", "SELECT", "products", "SELECT salary FROM t", "10.0.0.1", 0L),
+      (3L, 2L, "u2", "Guest", "DROP", "products", "DROP products", "10.0.0.1", 0L),
+      (4L, 1L, "u", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 0L))
+    val alerts = Detect.deriveAlerts(
+      Detect.classify(mkActivity(rows), Detect.ipBlacklist(spark)))
+      .select($"activity_id", $"alert_type").as[(Long, String)].collect().toMap
+    assert(alerts(1L) == "SQL Injection")
+    assert(alerts(2L) == "Data Leakage")
+    assert(alerts(3L) == "Security Violation")
+    assert(!alerts.contains(4L)) // Low severity → no alert
+  }
+
+  test("C6 compliance findings per rule branch") {
+    val rows = Seq(
+      (1L, 1L, "u", "User", "SELECT", "users", "SELECT * FROM users", "ip", 0L),
+      (2L, 1L, "u", "User", "UPDATE", "accounts", "UPDATE accounts", "ip", 5L),
+      (3L, 1L, "u", "User", "DELETE", "accounts", "DELETE FROM accounts", "ip", 0L),
+      (4L, 1L, "u", "User", "SELECT", "payments", "SELECT 1 FROM payments", "ip", 0L),
+      (5L, 1L, "u", "User", "SELECT", "products", "SELECT 1", "ip", 0L))
+    val got = Detect.complianceFindings(mkActivity(rows))
+      .select($"activity_id", $"standard", $"status")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "GDPR", "Non-compliant"),
+      (2L, "SOX", "Compliant"),
+      (3L, "SOX", "Review needed"),
+      (4L, "PCI_DSS", "Monitored")))
+  }
+
+  test("J4+W3 firewall: priority first-match wins; regex/starts_with dispatch") {
+    val rows = Seq(
+      // matches rule 1 (union select) and rule 8 (^select *) → rule 1 by priority
+      (1L, 1L, "u", "User", "SELECT", "t", "select * from t union select password", "ip", 0L),
+      // matches only rule 8 (regex ^select \*)
+      (2L, 1L, "u", "User", "SELECT", "t", "SELECT * FROM t", "ip", 0L),
+      // starts_with rule 7
+      (3L, 1L, "u", "User", "DELETE", "sessions", "DELETE FROM sessions WHERE 1=0", "ip", 0L),
+      // no match
+      (4L, 1L, "u", "User", "SELECT", "t", "with x as (select 1) select 2", "ip", 0L))
+    val got = Detect.firewallMatch(mkActivity(rows), Detect.firewallRules(spark))
+      .select($"activity_id", $"rule_id").as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1)
+    assert(got(2L) == 8)
+    assert(got(3L) == 7)
+    assert(!got.contains(4L))
+  }
+}
