@@ -78,7 +78,9 @@ object Tables {
     * (reference dam_agent.py:184-194): event_time, user_host, argument.
     */
   val GeneralLogSchema: StructType = StructType(Seq(
-    StructField("event_time", TimestampNTZType),
+    // instant semantics (agent stamps wall-clock): TIMESTAMP, which is
+    // also what streaming watermarks require (NTZ is rejected)
+    StructField("event_time", TimestampType),
     StructField("user_host", StringType),
     StructField("argument", StringType)))
 

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.Ingest
+
+/** End-to-end streaming ingest tests (E1 pipeline + stateful ops),
+  * driven through MemoryStream micro-batches.
+  */
+class IngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("E1: raw log rows stream → classified logs + alerts parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val raw = mem.toDF().toDF("event_time", "user_host", "argument")
+    val users = Seq(("root", "Admin", 1L), ("app", "User", 2L))
+      .toDF("username", "role", "user_id")
+    val dir = Files.createTempDirectory("ingest").toString
+    val cfg = Ingest.IngestConfig(
+      logsDir = s"$dir/logs", alertsDir = s"$dir/alerts",
+      checkpointDir = s"$dir/ckpt", triggerMs = 100L)
+    val q = Ingest.start(spark, raw, users, cfg)
+    try {
+      mem.addData(
+        (ts("2024-01-10 12:00:00"), "root[root] @ localhost []", "SELECT * FROM orders"),
+        (ts("2024-01-10 12:00:01"), "app[app] @ 10.0.0.5 []",
+          "0x53454c454354202a2046524f4d207061796d656e7473"), // hex: SELECT * FROM payments
+        (ts("2024-01-10 12:00:02"), "app[app] @ 10.0.0.5 []", "SET GLOBAL x=1"), // skipped
+        (ts("2024-01-10 12:00:03"), "evil[evil] @ 10.6.6.6 []",
+          "SELECT password FROM users UNION SELECT 1"), // injection → Critical alert
+        (ts("2024-01-10 12:00:03"), "evil[evil] @ 10.6.6.6 []",
+          "SELECT password FROM users UNION SELECT 1")) // duplicate → dropped
+      q.processAllAvailable()
+
+      val logs = spark.read.parquet(s"$dir/logs")
+      assert(logs.count() == 3) // skip-filter dropped 1, dedup dropped 1
+      val byUser = logs.select($"username", $"operation_type", $"table_name", $"role")
+        .as[(String, String, String, String)].collect().toSet
+      assert(byUser == Set(
+        ("root", "SELECT", "orders", "Admin"),
+        ("app", "SELECT", "payments", "User"),
+        ("evil", "SELECT", "users", "Guest"))) // unknown user → Guest
+      // partition pruning structure exists
+      assert(new java.io.File(s"$dir/logs/event_date=2024-01-10").exists())
+
+      val alerts = spark.read.parquet(s"$dir/alerts")
+      val a = alerts.select($"alert_type", $"severity").as[(String, String)].collect()
+      assert(a.toSet == Set(("SQL Injection", "Critical")))
+    } finally q.stop()
+  }
+
+  test("stateful rate limit counts trailing window across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ingest.RateEvent]
+    val flags = Ingest.rateLimitFlags(mem.toDS(), windowMs = 60000L, threshold = 3)
+    val q = flags.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rate_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData(Ingest.RateEvent(1, t0), Ingest.RateEvent(1, t0 + 1000),
+        Ingest.RateEvent(1, t0 + 2000))
+      q.processAllAvailable()
+      mem.addData(Ingest.RateEvent(1, t0 + 3000), // 4th in window → over
+        Ingest.RateEvent(1, t0 + 70000), // window slid → count resets to 1
+        Ingest.RateEvent(2, t0 + 3000)) // other user independent
+      q.processAllAvailable()
+      val got = spark.table("rate_out").as[Ingest.RateFlag].collect()
+        .map(f => (f.user_id, f.ts_ms - t0) -> ((f.count_in_window, f.over_limit))).toMap
+      assert(got((1L, 0L)) == ((1, false)))
+      assert(got((1L, 2000L)) == ((3, false)))
+      assert(got((1L, 3000L)) == ((4, true)))
+      assert(got((1L, 70000L)) == ((1, false)))
+      assert(got((2L, 3000L)) == ((1, false)))
+    } finally q.stop()
+  }
+
+  test("stateful ip-switch flags differ-within-hour across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ingest.LoginEvent]
+    val flags = Ingest.ipSwitchFlags(mem.toDS())
+    val q = flags.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("switch_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData(Ingest.LoginEvent("u", t0, "1.1.1.1"))
+      q.processAllAvailable()
+      mem.addData(Ingest.LoginEvent("u", t0 + 60000, "2.2.2.2"), // switch < 1h → flag
+        Ingest.LoginEvent("u", t0 + 2 * 3600000, "3.3.3.3")) // > 1h gap → no flag
+      q.processAllAvailable()
+      val got = spark.table("switch_out").as[Ingest.IpSwitch].collect()
+      assert(got.length == 1)
+      assert(got(0).prev_ip == "1.1.1.1" && got(0).ip == "2.2.2.2"
+        && got(0).gap_ms == 60000L)
+    } finally q.stop()
+  }
+}
