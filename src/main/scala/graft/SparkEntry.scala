@@ -228,6 +228,34 @@ object SparkEntry {
       .select(col("activity_id"), col("username"), col("ip_address"))
       .orderBy(col("activity_id"))),
 
+    // ---- enrichment / set ops / sessions (A10, J5, S4, windows) ----
+    "dam_geo_top" -> ((s, d) =>
+      Analytics.geoTopCountries(Tables.activity(s, d))),
+    "dam_orphans" -> ((s, d) => Analytics.orphanActivity(
+      Tables.activity(s, d),
+      Tables.customer(s, d).select("c_custkey"), "c_custkey")),
+    "dam_union_feed" -> ((s, d) => {
+      val cls = classified(s, d)
+      Detect.deriveAlerts(cls)
+        .select(col("activity_id"), lit("alert").as("src"))
+        .unionByName(cls
+          .join(broadcast(Detect.ipBlacklist(s).select("ip_address")),
+            Seq("ip_address"), "left_semi")
+          .select(col("activity_id"), lit("blacklist").as("src")))
+        .orderBy(col("activity_id"), col("src"))
+    }),
+    "ev_sessions" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "doc_top_per_source" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ---- text analysis / fingerprinting ----
     "doc_profile" -> ((s, d) => TextOps.profile(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
@@ -457,6 +485,60 @@ FROM (
     "dam_blacklist_hits" -> act(
       s"""SELECT activity_id, username, ip_address FROM activity
 WHERE ip_address IN ($blacklistInList) ORDER BY activity_id"""),
+
+    "dam_geo_top" -> act(
+      """, geo AS (
+  SELECT o AS octet,
+    CASE o % 5 WHEN 0 THEN 'US' WHEN 1 THEN 'IN' WHEN 2 THEN 'DE'
+               WHEN 3 THEN 'BR' ELSE 'JP' END AS country
+  FROM range(50) t(o)
+)
+SELECT country, count(*) AS n
+FROM activity a JOIN geo g
+  ON CAST(string_split(a.ip_address, '.')[3] AS BIGINT) = g.octet
+GROUP BY country ORDER BY n DESC, country LIMIT 10"""),
+
+    "dam_orphans" -> act(
+      """SELECT user_id, count(*) AS n FROM activity
+WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+GROUP BY user_id ORDER BY user_id"""),
+
+    "dam_union_feed" -> sev(
+      s"""SELECT activity_id, src FROM (
+  SELECT activity_id, 'alert' AS src FROM classified WHERE severity_ord >= 2
+  UNION ALL
+  SELECT activity_id, 'blacklist' AS src FROM classified
+  WHERE ip_address IN ($blacklistInList)
+) ORDER BY activity_id, src"""),
+
+    "ev_sessions" ->
+      """WITH x AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session, event_id
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM y
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    "doc_top_per_source" ->
+      """SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY source""",
 
     "doc_profile" -> ("WITH x AS (SELECT 1)" + DocProfileCte +
       """

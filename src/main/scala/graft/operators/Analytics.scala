@@ -176,6 +176,66 @@ object Analytics {
       .orderBy(col("username"), col("activity_id"))
   }
 
+  /** A10 — geo enrichment + top-N countries (reference app.py:709-731:
+    * IP→geo lookup with memo cache, Counter.most_common(10)). The HTTP
+    * lookup becomes a broadcast-joined static geo dim keyed by the
+    * routable IP octet; the counter becomes groupBy + TakeOrdered.
+    */
+  def geoDim(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val countries = Seq("US", "IN", "DE", "BR", "JP")
+    spark.range(50).select(col("id").as("octet"),
+      element_at(array(countries.map(lit): _*), (col("id") % 5 + 1).cast("int"))
+        .as("country"))
+  }
+
+  def geoTopCountries(activity: DataFrame, k: Int = 10): DataFrame = {
+    val spark = activity.sparkSession
+    activity
+      .withColumn("octet",
+        split(col("ip_address"), "\\.").getItem(2).cast("long"))
+      .join(broadcast(geoDim(spark)), Seq("octet"))
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("country"))
+      .limit(k)
+  }
+
+  /** J5 — referential hygiene as an anti-join: activity rows whose
+    * user has no row in the user dimension (reference FK ON DELETE
+    * semantics, sql/02_create_tables.sql:46).
+    */
+  def orphanActivity(activity: DataFrame, userDim: DataFrame,
+                     dimKey: String): DataFrame =
+    activity
+      .join(userDim, col("user_id") === col(dimKey), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  /** Gap-based sessionization over the event stream: a new session
+    * starts after `gapMinutes` of inactivity. Two window passes over
+    * the same (user, ts) partitioning — one shuffle total, the second
+    * window reuses the partitioning/sort of the first.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** P4 + W1 — latest-N feed with dynamic conjunctive filters
     * (reference app.py:269-285): optional status / operation / table
     * predicates, newest first, limit. TakeOrderedAndProject — no

@@ -122,10 +122,18 @@ object Dedup {
   }
 
   /** SimHash: 64-bit sketch — per token-hash bit, sum +1/-1 weights,
-    * take the sign bit. Implemented as a 64-slot aggregate over the
-    * token array per row (no shuffle; one pass).
+    * take the sign bit. Uses the native one-pass Catalyst expression
+    * [[graft.functions.SimHash64]].
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(
+      array_distinct(split(trim(text), "\\s+")))
+
+  /** Reference compositional formulation of [[simhash]] (64 ×
+    * aggregate over the token array, one pass per sketch bit); kept
+    * for the equivalence spec and as documentation of the semantics.
+    */
+  def simhashComposed(text: Column): Column = {
     val toks = array_distinct(split(trim(text), "\\s+"))
     val hashes = transform(toks, t => xxhash64(t))
     // bit i of the sketch = (Σ_t ±1 by bit_i(h(t))) >= 0

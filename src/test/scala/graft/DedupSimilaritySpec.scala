@@ -64,6 +64,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("native SimHash64 expression matches the compositional formulation") {
+    val texts = Seq("a b c d e f", "the quick brown fox", "x",
+      (1 to 80).map(i => s"tok$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        Dedup.simhash($"text").as("native"),
+        Dedup.simhashComposed($"text").as("composed"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("cosine top-k: self excluded, ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f), 0),
