@@ -64,6 +64,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("simhash64 is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT simhash64(array('a','b','c')) AS s").collect()(0).getLong(0)
+    val viaColumn = Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks")
+      .select(graft.functions.SimHash64.simhash64($"toks")).collect()(0).getLong(0)
+    assert(viaSql == viaColumn)
+  }
+
   test("native SimHash64 expression matches the compositional formulation") {
     val texts = Seq("a b c d e f", "the quick brown fox", "x",
       (1 to 80).map(i => s"tok$i").mkString(" "))
