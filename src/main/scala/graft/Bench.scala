@@ -13,9 +13,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: scan every table once (JIT + parquet reader + codegen
+    // for the scan stages) so the first timed query doesn't absorb
+    // session start-up cost
+    graft.sources.Tables.Names.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: materializes every output column (count() would let
+      // Catalyst prune the projections and under-report the real cost)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -235,16 +235,36 @@ object SparkEntry {
       Tables.activity(s, d),
       Tables.customer(s, d).select("c_custkey"), "c_custkey")),
     "dam_union_feed" -> ((s, d) => {
+      // single severity pass: both feed branches derived with one
+      // generator instead of unioning two copies of the classify plan
       val cls = classified(s, d)
-      Detect.deriveAlerts(cls)
-        .select(col("activity_id"), lit("alert").as("src"))
-        .unionByName(cls
-          .join(broadcast(Detect.ipBlacklist(s).select("ip_address")),
-            Seq("ip_address"), "left_semi")
-          .select(col("activity_id"), lit("blacklist").as("src")))
+        .join(broadcast(Detect.ipBlacklist(s).select(col("ip_address"),
+          lit(true).as("is_black"))), Seq("ip_address"), "left")
+      cls.select(col("activity_id"), explode(array_compact(array(
+          when(col("severity_ord") >= 2, "alert"),
+          when(coalesce(col("is_black"), lit(false)), "blacklist"))))
+        .as("src"))
         .orderBy(col("activity_id"), col("src"))
     }),
     "ev_sessions" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "ev_percentiles" -> ((s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))),
+    "ev_user_reach" -> ((s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))),
+    // approx sketch (HLL) — engine-specific, rows-only check
+    "ev_user_reach_approx" -> ((s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))),
     "doc_top_per_source" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
@@ -510,6 +530,19 @@ GROUP BY user_id ORDER BY user_id"""),
   SELECT activity_id, 'blacklist' AS src FROM classified
   WHERE ip_address IN ($blacklistInList)
 ) ORDER BY activity_id, src"""),
+
+    "ev_percentiles" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "ev_user_reach" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
 
     "ev_sessions" ->
       """WITH x AS (

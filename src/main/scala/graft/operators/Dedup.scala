@@ -165,14 +165,17 @@ object Dedup {
       .withColumn("lenb", expr("ntok div 10"))
       .select(col("doc_id"), col("tok1"), col("lenb"),
         array_distinct(shingles(col("text"), ngram)).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
     val a = blocked.alias("a")
     val b = blocked.alias("b")
+    // |A∪B| = |A| + |B| − |A∩B|: one set op per pair instead of two
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
     a.join(b, col("a.tok1") === col("b.tok1") &&
         col("a.lenb") === col("b.lenb") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          greatest(size(array_union(col("a.sh"), col("b.sh"))).cast("double"),
+        round(inter.cast("double") /
+          greatest((col("a.nsh") + col("b.nsh") - inter).cast("double"),
             lit(1.0)), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -28,13 +28,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The driver's testdata ships each table as ONE parquet row group —
+    * unsplittable, so a bare scan is a single task and every
+    * expression pipeline above it runs on one core. Fact-scale tables
+    * get a round-robin repartition to restore parallelism (cost: one
+    * shuffle of the raw rows, MBs here). A production layout with
+    * properly sized row groups / many files would not need this.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "lineitem"))
   /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
     * and we convert nanos → microsecond TIMESTAMP_NTZ here (truncating
@@ -43,15 +53,18 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+    val converted = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       case _ => raw
     }
+    spread(s, converted)
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "embeddings"))
 
   /** Schema of the reference's activity_logs fact table
     * (reference sql/02_create_tables.sql:26-47, app.py:1405-1426),

@@ -1,12 +1,12 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Dedup
 
 /** Scratch profiler for operator stage timing (not part of the
-  * library surface).
+  * library surface). Uses noop writes (count() would prune the
+  * projections under test).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -19,35 +19,23 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      f.write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val docs = Tables.documents(spark, d)
-    time("shingles only") {
-      docs.select(col("doc_id"),
-        Dedup.shingles(col("text"), 3).as("sh")).count()
-    }
-    time("minhash sig") {
-      docs.select(col("doc_id"),
-        Dedup.minhashSignature(col("text"), 16, 3).as("sig")).count()
-    }
-    val banded = docs
-      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
-      .select(col("doc_id"), explode(array((0 until 4).map { b =>
-        xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))
-      }: _*)).as("band_key"))
-    time("banded") { banded.count() }
-    time("candidate pairs") {
-      banded.alias("a").join(banded.alias("b"),
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).count()
-    }
-    time("full minhashNearDups") {
-      Dedup.minhashNearDups(docs, threshold = 0.3).count()
-    }
+    val ev = Tables.events(spark, d)
+    time("events scan")(ev)
+    time("events + sqlText")(ev.withColumn("sql", Tables.sqlTextFromEvent()))
+    val act = Tables.activity(spark, d)
+    time("activity view")(act)
+    time("activity no-hash")(act.drop("query_hash"))
+    time("activity + orderBy")(act.orderBy(col("activity_id")))
+    val cls = graft.operators.Detect.classify(act,
+      graft.operators.Detect.ipBlacklist(spark))
+    time("classified")(cls)
+    time("dam_classify full")(
+      graft.SparkEntry.queries("dam_classify")(spark, d))
     spark.stop()
   }
 }
