@@ -34,10 +34,30 @@ object SparkEntry {
 
   private def sqlRe(p: String): String = p.replace("'", "''")
 
+  /** DuckDB replica of Classify.operationType over column `c`. */
+  private def opCaseSql(c: String): String = {
+    val prefixes = Seq("SELECT" -> "SELECT", "INSERT" -> "INSERT",
+      "UPDATE" -> "UPDATE", "DELETE" -> "DELETE", "CREATE" -> "CREATE",
+      "DROP" -> "DROP", "ALTER" -> "ALTER", "TRUNCATE" -> "TRUNCATE",
+      "GRANT" -> "GRANT", "REVOKE" -> "REVOKE", "CALL" -> "PROCEDURE",
+      "EXEC" -> "PROCEDURE")
+    prefixes.map { case (p, label) =>
+      s"WHEN upper(ltrim($c)) LIKE '$p%' THEN '$label'"
+    }.mkString("CASE ", "\n         ", " ELSE 'OTHER' END")
+  }
+
+  /** DuckDB replica of Classify.tableNameOf over column `c`. */
+  private def tblExtractSql(c: String): String = tableNamePatterns
+    .map(p => s"NULLIF(regexp_extract($c, '${sqlRe(p)}', 1), '')")
+    .mkString("COALESCE(", ", ", ", 'unknown')")
+
+  /** DuckDB replica of Classify.usernameOf over column `c`. */
+  private def usernameSql(c: String): String =
+    s"""COALESCE(NULLIF(trim(regexp_extract($c, '^([^\\[]+)\\[', 1)), ''),
+      NULLIF(trim(regexp_extract($c, '^([^@\\[]+)@', 1)), ''), 'SYSTEM')"""
+
   private val ActivityPrelude: String = {
-    val tblExtract = tableNamePatterns
-      .map(p => s"NULLIF(regexp_extract(sql_text, '${sqlRe(p)}', 1), '')")
-      .mkString("COALESCE(", ", ", ", 'unknown')")
+    val tblExtract = tblExtractSql("sql_text")
     s"""WITH ev AS (
   SELECT *, CASE
     WHEN event_type = 'click' THEN 'SELECT * FROM products WHERE id = ' || event_id
@@ -55,19 +75,7 @@ object SparkEntry {
     CASE WHEN user_id % 7 = 0 THEN 'Admin'
          WHEN user_id % 3 = 0 THEN 'Guest'
          ELSE 'User' END AS role,
-    CASE WHEN upper(ltrim(sql_text)) LIKE 'SELECT%' THEN 'SELECT'
-         WHEN upper(ltrim(sql_text)) LIKE 'INSERT%' THEN 'INSERT'
-         WHEN upper(ltrim(sql_text)) LIKE 'UPDATE%' THEN 'UPDATE'
-         WHEN upper(ltrim(sql_text)) LIKE 'DELETE%' THEN 'DELETE'
-         WHEN upper(ltrim(sql_text)) LIKE 'CREATE%' THEN 'CREATE'
-         WHEN upper(ltrim(sql_text)) LIKE 'DROP%' THEN 'DROP'
-         WHEN upper(ltrim(sql_text)) LIKE 'ALTER%' THEN 'ALTER'
-         WHEN upper(ltrim(sql_text)) LIKE 'TRUNCATE%' THEN 'TRUNCATE'
-         WHEN upper(ltrim(sql_text)) LIKE 'GRANT%' THEN 'GRANT'
-         WHEN upper(ltrim(sql_text)) LIKE 'REVOKE%' THEN 'REVOKE'
-         WHEN upper(ltrim(sql_text)) LIKE 'CALL%' THEN 'PROCEDURE'
-         WHEN upper(ltrim(sql_text)) LIKE 'EXEC%' THEN 'PROCEDURE'
-         ELSE 'OTHER' END AS operation_type,
+    ${opCaseSql("sql_text")} AS operation_type,
     $tblExtract AS table_name,
     CASE WHEN event_type = 'error' THEN 'Failed' ELSE 'Success' END AS operation_status,
     sql_text AS operation_details,
@@ -274,6 +282,55 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("source"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"))
+    }),
+
+    // ---- agent parse pipeline end-to-end (S1, C1-C3, P9, P10) ----
+    "dam_agent_parse" -> ((s, d) => {
+      val sqlText = Tables.sqlTextFromEvent()
+      val raw = Tables.events(s, d).select(
+        col("ts").cast("timestamp").as("event_time"),
+        concat(lit("user_"), col("user_id"), lit("[user_"), col("user_id"),
+          lit("] @ 10.0."), col("user_id") % 50, lit(".99 []")).as("user_host"),
+        when(col("event_id") % 7 === 0, lit("SET GLOBAL slow_query_log = 1"))
+          .when(col("event_id") % 5 === 0, concat(lit("0x"), hex(sqlText)))
+          .otherwise(sqlText).as("argument"))
+      graft.streaming.Ingest.parseGeneralLog(raw)
+        .select(col("username"), col("operation_type"), col("table_name"),
+          col("operation_status"), col("operation_details"),
+          col("ip_address"), col("query_hash"),
+          fmtTs(col("access_timestamp")).as("event_ts"))
+        .orderBy(col("event_ts"), col("query_hash"))
+    }),
+
+    // ---- E3 charts: severity histogram with integer-exact shares ----
+    "dam_severity_histogram" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      classified(s, d)
+        .groupBy(col("severity_level")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(w))
+        .withColumn("pct",
+          expr("(n * 10000) div total").cast("double") / lit(100.0))
+        .select(col("severity_level"), col("n"), col("pct"))
+        .orderBy(col("severity_level"))
+    }),
+
+    // ---- skew-safe two-phase top-k (salting pattern) ----
+    "dam_top_users_salted" -> ((s, d) =>
+      Analytics.topUsersSalted(Tables.activity(s, d))),
+
+    // ---- as-of (point-in-time) join ----
+    "ev_asof_order" -> ((s, d) => {
+      import graft.operators.AsOf
+      AsOf.asofJoin(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts",
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("__asof.o_orderkey").as("last_orderkey"),
+          fmtTs(col("__asof.o_orderdate")).as("last_orderdate"),
+          col("__asof.o_totalprice").as("last_totalprice"))
+        .orderBy(col("event_id"))
     }),
 
     // ---- text analysis / fingerprinting ----
@@ -572,6 +629,70 @@ FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""",
     row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents
 ) WHERE rn = 1 ORDER BY source""",
+
+    "dam_agent_parse" -> {
+      val skipRe = sqlRe(graft.functions.Classify.SkipPattern)
+      s"""WITH ev AS (
+  SELECT *, CASE
+    WHEN event_type = 'click' THEN 'SELECT * FROM products WHERE id = ' || event_id
+    WHEN event_type = 'view' THEN 'SELECT name, price FROM products WHERE id = ' || event_id
+    WHEN event_type = 'signup' THEN 'INSERT INTO users (name, email) VALUES (''u' || user_id || ''', ''u' || user_id || '@example.com'')'
+    WHEN event_type = 'purchase' AND value > 190 THEN 'SELECT * FROM accounts WHERE 1=1 UNION SELECT password FROM users'
+    WHEN event_type = 'purchase' THEN 'UPDATE accounts SET balance = balance - 1 WHERE user_id = ' || user_id
+    ELSE 'DELETE FROM sessions WHERE token = ''' || md5(props) || '''' END AS sql_text
+  FROM events
+), raw AS (
+  SELECT ts AS event_time,
+    'user_' || user_id || '[user_' || user_id || '] @ 10.0.' || (user_id % 50) || '.99 []' AS user_host,
+    CASE WHEN event_id % 7 = 0 THEN 'SET GLOBAL slow_query_log = 1'
+         WHEN event_id % 5 = 0 THEN '0x' || hex(sql_text)
+         ELSE sql_text END AS argument
+  FROM ev
+), kept AS (
+  SELECT * FROM raw
+  WHERE argument IS NOT NULL AND NOT regexp_matches(argument, '$skipRe')
+), decoded AS (
+  SELECT event_time, user_host,
+    substr(CASE WHEN regexp_matches(argument, '^0x(?:[0-9a-fA-F]{2})+$$')
+                THEN decode(unhex(substr(argument, 3)))
+                ELSE argument END, 1, 1000) AS operation_details
+  FROM kept
+)
+SELECT
+  ${usernameSql("user_host")} AS username,
+  ${opCaseSql("operation_details")} AS operation_type,
+  ${tblExtractSql("operation_details")} AS table_name,
+  CASE WHEN contains(lower(operation_details), 'error')
+         OR contains(lower(operation_details), 'failed')
+       THEN 'Failed' ELSE 'Success' END AS operation_status,
+  operation_details,
+  COALESCE(NULLIF(regexp_extract(user_host, '@\\s*([0-9a-fA-F:.]+)', 1), ''), '127.0.0.1') AS ip_address,
+  md5(operation_details) AS query_hash,
+  strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM decoded ORDER BY event_ts, query_hash"""
+    },
+
+    "dam_severity_histogram" -> sev(
+      """SELECT severity_level, count(*) AS n,
+  CAST((count(*) * 10000) // (SELECT count(*) FROM classified) AS DOUBLE) / 100.0 AS pct
+FROM classified GROUP BY 1 ORDER BY 1"""),
+
+    "dam_top_users_salted" -> act(
+      """SELECT username, count(*) AS n FROM activity
+GROUP BY username ORDER BY n DESC, username LIMIT 5"""),
+
+    "ev_asof_order" ->
+      """SELECT event_id, user_id, last_orderkey,
+  strftime(last_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+  last_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+    o.o_orderdate AS last_orderdate, o.o_totalprice AS last_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1 ORDER BY event_id""",
 
     "doc_profile" -> ("WITH x AS (SELECT 1)" + DocProfileCte +
       """

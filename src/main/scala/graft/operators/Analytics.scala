@@ -55,6 +55,22 @@ object Analytics {
       .orderBy(col("n").desc, col("username"))
       .limit(k)
 
+  /** A4 at scale — two-phase salted top-K: pre-aggregate on
+    * (key, salt) so one hot key spreads over `salt` reducers, then
+    * combine partials. Result is identical to [[topUsers]]; the shape
+    * survives a key owning an arbitrary share of a 100 TB table.
+    */
+  def topUsersSalted(activity: DataFrame, k: Int = 5,
+                     salt: Int = 16): DataFrame =
+    activity
+      .withColumn("__salt", pmod(xxhash64(col("activity_id")), lit(salt.toLong)))
+      .groupBy(col("username"), col("__salt"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy(col("username"))
+      .agg(sum(col("pc")).as("n"))
+      .orderBy(col("n").desc, col("username"))
+      .limit(k)
+
   /** A5 — hourly timeline (reference app.py:308-318): per-hour counts,
     * failed counts, rows_affected sums. Bucket emitted as a formatted
     * string (reference DATE_FORMAT '%Y-%m-%d %H:00') to keep the
