@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row mutations over immutable parquet (SURVEY §7 "mutable rows"):
+  * the reference UPDATEs rows in place (alert resolve app.py:1132,
+  * user lock/unlock app.py:246, failed_attempts app.py:207-226);
+  * here mutations are read-merge-rewrite jobs over the small control
+  * tables.
+  *
+  * Scale note: this pattern is only for KB..MB control tables (users,
+  * alerts). The big fact table never mutates — the one reference
+  * UPDATE against it (post-insert severity enrichment,
+  * app.py:405-409) is classify-at-ingest in this engine, so rows are
+  * born final. A lakehouse format (Delta/Iceberg/Hudi) would replace
+  * this file-swap with a transactional MERGE at scale.
+  */
+object Mutations {
+
+  /** Apply `updates` to rows matching `predicate`, atomically swapping
+    * the table directory (write new → move old → move new). Returns
+    * the number of updated rows.
+    */
+  def updateRows(spark: SparkSession, dir: String, predicate: Column,
+                 updates: Map[String, Column]): Long = {
+    val current = spark.read.parquet(dir)
+    val matched = current.filter(predicate).count()
+    if (matched > 0) {
+      val updated = updates.foldLeft(current) { case (df, (name, value)) =>
+        // a column introduced by the mutation (e.g. resolved_at on an
+        // alerts table that never had one) stays null elsewhere
+        if (df.columns.contains(name))
+          df.withColumn(name, when(predicate, value).otherwise(col(name)))
+        else df.withColumn(name, when(predicate, value))
+      }
+      val tmp = dir + ".tmp"
+      val old = dir + ".old"
+      updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.delete(p(old), true)
+      fs.rename(p(dir), p(old))
+      fs.rename(p(tmp), p(dir))
+      fs.delete(p(old), true)
+    }
+    matched
+  }
+
+  /** Alert lifecycle (reference app.py:1132): status → Resolved with
+    * a resolution timestamp.
+    */
+  def resolveAlert(spark: SparkSession, alertsDir: String,
+                   activityId: Long, resolvedAt: java.sql.Timestamp): Long =
+    updateRows(spark, alertsDir, col("activity_id") === activityId, Map(
+      "status" -> lit("Resolved"),
+      "resolved_at" -> lit(resolvedAt)))
+
+  /** Account lock/unlock (reference app.py:246). */
+  def setAccountStatus(spark: SparkSession, usersDir: String,
+                       username: String, status: String): Long =
+    updateRows(spark, usersDir, col("username") === username,
+      Map("account_status" -> lit(status)))
+}
