@@ -355,6 +355,8 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "emb_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    "emb_ivf_ann" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
     "emb_near_dups" -> ((s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d), minCos = 0.35)))
 

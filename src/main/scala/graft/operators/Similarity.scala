@@ -117,6 +117,96 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ----------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer + per-list scan
+  // ----------------------------------------------------------------
+
+  /** Squared L2 distance between a vector column and a literal
+    * centroid. Plain double left-fold — the per-row fold order is
+    * fixed, so this is deterministic without decimal cost (decimal
+    * exactness is only needed where values aggregate ACROSS rows,
+    * like the k-means means).
+    */
+  private def sqDistTo(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(centroid.toSeq), (x, w) => {
+        val dlt = x.cast("double") - w
+        dlt * dlt
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid id for a vector column (argmin via array_min
+    * over (dist, id) structs — struct ordering compares dist first).
+    */
+  private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDistTo(vec, c).as("d"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Deterministic k-means training: init = the k lowest vec_ids,
+    * fixed Lloyd iterations, decimal-exact means (bit-reproducible
+    * across runs/partitionings). Centroids are driver-side — k×dim
+    * doubles, broadcast into the assignment expression.
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int = 16,
+                     iters: Int = 3): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    var cents: Array[Array[Double]] = embeddings
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val dim = cents(0).length
+      val acc = org.apache.spark.sql.types.DecimalType(38, 15)
+      val updated = embeddings
+        .withColumn("cid", nearestCentroid(col("embedding"), cents))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast("double").cast(
+          org.apache.spark.sql.types.DecimalType(30, 15))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** IVF ANN search: corpus assigned once to inverted lists; each
+    * query probes its `nprobe` nearest lists and re-ranks by exact
+    * cosine within them. At scale the corpus would be written
+    * partitioned by `cid`, making each probe a partition-pruned scan.
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 2,
+              iters: Int = 3): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, iters)
+    val assigned = embeddings
+      .withColumn("cid", nearestCentroid(col("embedding"), cents))
+    val queries = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+          struct(sqDistTo(col("embedding"), c).as("d"), lit(i).as("cid"))
+        }: _*)), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qvec"), col("probe.cid").as("cid"))
+    val scored = assigned.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qvec")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
     * exceeds a threshold, blocked by LSH bucket to avoid O(n²).
     */

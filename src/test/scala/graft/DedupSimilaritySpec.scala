@@ -110,6 +110,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     ann.foreach { case (id, sim) => assert(brute(id) == sim) }
   }
 
+  test("ivf ann: scores match brute force; top-1 recalled with wide probe") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(vecs, Seq(0L), k = 59)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(vecs, Seq(0L), k = 10, nlist = 4, nprobe = 4)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, sim, _) => assert(brute(id) == sim) }
+    // probing ALL lists ⇒ exhaustive ⇒ exact top-1
+    val bruteTop = brute.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    assert(ivf.find(_._3 == 1L).get._1 == bruteTop)
+  }
+
+  test("kmeans training is deterministic across partitionings") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 7 + j) % 11) - 5).toFloat / 5f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val c1 = Similarity.trainCentroids(vecs, k = 4, iters = 2)
+    val c2 = Similarity.trainCentroids(vecs.repartition(13), k = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("text profile: token counts and ratios") {
     val got = TextOps.profile(
       Seq((1L, "the cat sat on the mat!", "en", "s", 23L))

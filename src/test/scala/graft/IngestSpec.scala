@@ -56,6 +56,35 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming tumbling-window aggregation with watermark (A5 streaming form)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "op")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"op")
+      .agg(count("*").as("n"))
+      .select($"window.start".as("bucket"), $"op", $"n")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      mem.addData(
+        (ts("2024-01-10 10:05:00"), "SELECT"),
+        (ts("2024-01-10 10:45:00"), "SELECT"),
+        (ts("2024-01-10 10:50:00"), "INSERT"))
+      q.processAllAvailable()
+      // advance event time far past the watermark to close the 10:00 window
+      mem.addData((ts("2024-01-10 13:00:00"), "SELECT"))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select($"bucket".cast("string"), $"op", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-10 10:00:00", "SELECT", 2L),
+        ("2024-01-10 10:00:00", "INSERT", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful rate limit counts trailing window across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ingest.RateEvent]
