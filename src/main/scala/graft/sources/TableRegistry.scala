@@ -83,6 +83,44 @@ object TableRegistry {
     n
   }
 
+  /** Small-file compaction for streaming sink output: micro-batch
+    * appends accumulate one file per partition per batch; this
+    * rewrites each date partition into `filesPerPartition` files.
+    * Operationally required at scale (file-count pressure on the
+    * namenode/listing); semantically a no-op.
+    */
+  def compact(spark: SparkSession, dir: String,
+              filesPerPartition: Int = 1): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val df = spark.read.parquet(dir)
+    val tmp = dir + ".compact"
+    val partCols = df.schema.fieldNames.filter(_ == "event_date")
+    val writer = df.repartition(filesPerPartition).write
+      .mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp)
+    val old = dir + ".old"
+    fs.delete(p(old), true)
+    fs.rename(p(dir), p(old))
+    fs.rename(p(tmp), p(dir))
+    fs.delete(p(old), true)
+  }
+
+  /** Bucketed table write: co-locates future joins on `bucketCol` —
+    * two tables bucketed identically join with zero Exchange (proven
+    * by BucketingSpec). Requires saveAsTable (bucketing metadata
+    * lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S8 — CSV export sink (reference app.py:626-636, 1215-1226):
     * top-N rows, ISO-formatted timestamps, single header file.
     */
