@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays. Each per-row product is cast to
-    * decimal(30,15) so the accumulation is EXACT and therefore
-    * order-independent — the double result is bit-identical no matter
-    * how partitions/engines order the summation (oracle parity; same
-    * trick as [[Relational.dsum]]).
+  /** Dot product of two float arrays, decimal-exact and therefore
+    * order-independent — bit-identical no matter how partitions or
+    * engines order the summation (oracle parity; same trick as
+    * [[Relational.dsum]]). Computed by the native one-pass
+    * [[graft.functions.DotExact]] expression.
     */
-  def dot(a: Column, b: Column): Column = {
+  def dot(a: Column, b: Column): Column =
+    graft.functions.DotExact.dot_exact(a, b)
+
+  /** Compositional formulation of [[dot]] (zip_with + decimal
+    * aggregate), kept for documentation/tests. NOTE: not bit-exact —
+    * decimal(38,15) + decimal(30,15) exceeds precision 38, so each
+    * accumulation step rounds at scale 14 (~1e-13 drift). The native
+    * expression avoids this by summing unbounded BigDecimals.
+    */
+  def dotComposed(a: Column, b: Column): Column = {
     val acc38 = org.apache.spark.sql.types.DecimalType(38, 15)
     aggregate(
       zip_with(a, b, (x, y) =>
@@ -101,14 +110,16 @@ object Similarity {
               k: Int = 10, planes: Int = 8): DataFrame = {
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .withColumn("norm", l2norm(col("embedding")))
     val queries = bucketed
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("bucket"))
+        col("norm").as("qnorm"), col("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("qvec")), 4).as("cos_sim"))
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored
@@ -188,17 +199,21 @@ object Similarity {
     val cents = trainCentroids(embeddings, nlist, iters)
     val assigned = embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
+      .withColumn("norm", l2norm(col("embedding")))
     val queries = assigned
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"),
         explode(slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
           struct(sqDistTo(col("embedding"), c).as("d"), lit(i).as("cid"))
         }: _*)), 1, nprobe)).as("probe"))
-      .select(col("query_id"), col("qvec"), col("probe.cid").as("cid"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("probe.cid").as("cid"))
     val scored = assigned.join(broadcast(queries), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("qvec")), 4).as("cos_sim"))
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored
@@ -214,13 +229,15 @@ object Similarity {
                         planes: Int = 8): DataFrame = {
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col("embedding"), planes))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        l2norm(col("embedding")).as("norm"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -110,6 +110,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     ann.foreach { case (id, sim) => assert(brute(id) == sim) }
   }
 
+  test("native DotExact equals exact BigDecimal ground truth") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val arrays = (0L until 30L).map { i =>
+      i -> Array.tabulate(16)(j => (((i * 13 + j * 3) % 19) - 9).toFloat / 9f)
+    }
+    val vecs = arrays.toDF("vec_id", "embedding")
+    val q = arrays.head._2
+    def expected(a: Array[Float]): Double =
+      a.zip(q).foldLeft(JBD.ZERO) { case (acc, (x, y)) =>
+        acc.add(new JBD(java.lang.Double.toString(x.toDouble * y.toDouble))
+          .setScale(15, RoundingMode.HALF_UP))
+      }.doubleValue()
+    val got = vecs.crossJoin(
+        vecs.filter($"vec_id" === 0L).select($"embedding".as("qvec")))
+      .select($"vec_id", Similarity.dot($"embedding", $"qvec"))
+      .as[(Long, Double)].collect().toMap
+    arrays.foreach { case (id, arr) =>
+      assert(got(id) == expected(arr), s"vec $id")
+    }
+    // the compositional decimal-aggregate form rounds each
+    // accumulation step at scale 14 (decimal(38,15)+decimal(30,15)
+    // exceeds precision 38) — document that it agrees to ~1e-13
+    val composed = vecs.crossJoin(
+        vecs.filter($"vec_id" === 0L).select($"embedding".as("qvec")))
+      .select($"vec_id", Similarity.dotComposed($"embedding", $"qvec"))
+      .as[(Long, Double)].collect().toMap
+    arrays.foreach { case (id, _) =>
+      assert(math.abs(got(id) - composed(id)) < 1e-12, s"vec $id drift")
+    }
+  }
+
   test("ivf ann: scores match brute force; top-1 recalled with wide probe") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
