@@ -227,6 +227,12 @@ object SparkEntry {
     "dam_compliance" -> ((s, d) =>
       Detect.complianceFindings(Tables.activity(s, d))
         .orderBy(col("activity_id"), col("standard"))),
+    "dam_compliance_summary" -> ((s, d) =>
+      Detect.complianceFindings(Tables.activity(s, d))
+        .groupBy(col("standard"), col("status"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("username")).as("distinct_users"))
+        .orderBy(col("standard"), col("status"))),
     "dam_firewall" -> ((s, d) => Detect.firewallMatch(
       Tables.activity(s, d), Detect.firewallRules(s))
       .orderBy(col("activity_id"))),
@@ -537,6 +543,21 @@ FROM classified WHERE severity_ord >= 2 ORDER BY activity_id"""),
   SELECT activity_id, username, 'PCI_DSS', 'Cardholder data environment touched', 'Monitored'
   FROM activity WHERE table_name IN ('payments', 'sessions')
 ) ORDER BY activity_id, standard"""),
+
+    "dam_compliance_summary" -> act(
+      """SELECT standard, status, count(*) AS n,
+  count(DISTINCT username) AS distinct_users
+FROM (
+  SELECT activity_id, username, 'GDPR' AS standard, 'Non-compliant' AS status
+  FROM activity WHERE table_name = 'users' AND operation_type = 'SELECT'
+  UNION ALL
+  SELECT activity_id, username, 'SOX',
+    CASE WHEN COALESCE(rows_affected, 0) > 0 THEN 'Compliant' ELSE 'Review needed' END
+  FROM activity WHERE table_name = 'accounts' AND operation_type IN ('UPDATE', 'DELETE')
+  UNION ALL
+  SELECT activity_id, username, 'PCI_DSS', 'Monitored'
+  FROM activity WHERE table_name IN ('payments', 'sessions')
+) GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "dam_firewall" -> act(
       """, rules(rule_id, pattern, match_type, action, priority) AS (VALUES
