@@ -30,9 +30,12 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the projections and under-report the real cost)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); true }
+      // failures report the -1 sentinel, never a bogus fast time
+      name -> (if (failed) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,7 +25,11 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash64 expects exactly 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

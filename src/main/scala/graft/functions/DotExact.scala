@@ -58,21 +58,22 @@ case class DotExact(left: Expression, right: Expression)
 }
 
 object DotExact {
-  /** Matches zip_with semantics: iterate over max length; a missing
-    * element (shorter array) is null → that product contributes null,
-    * and the compositional aggregate's `acc + null` made the WHOLE
-    * result null — reproduced by returning null-as-NaN guard below.
-    * For equal-length arrays (the engine's contract) this never
-    * triggers; null ELEMENTS likewise poison the sum.
+  /** Returns a PRIMITIVE double so generated code assigns it directly
+    * (an Object return would make every codegen'd stage fail to
+    * compile and silently fall back to interpreted execution).
+    * Engine contract: equal-length arrays with non-null elements;
+    * violations fail loudly rather than producing a silent null.
     */
   def compute(a: ArrayData, aFloat: Boolean,
-              b: ArrayData, bFloat: Boolean): Any = {
+              b: ArrayData, bFloat: Boolean): Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return null
+    require(b.numElements() == n,
+      s"dot_exact: array length mismatch (${a.numElements()} vs ${b.numElements()})")
     var sum = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"dot_exact: null element at index $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       val p = x * y

@@ -91,12 +91,13 @@ object Detect {
     * a per-(user, minute) windowed count, threshold parameterized.
     */
   def classify(activity: DataFrame, blacklist: DataFrame,
-               rateThreshold: Int = 100): DataFrame = {
+               rateThreshold: Int = 100,
+               rateKey: String = "user_id"): DataFrame = {
     val bl = broadcast(blacklist.select(col("ip_address"),
       lit(true).as("is_blacklisted")))
     val withBl = activity.join(bl, Seq("ip_address"), "left")
 
-    val minuteW = Window.partitionBy(col("user_id"),
+    val minuteW = Window.partitionBy(col(rateKey),
       date_trunc("minute", col("access_timestamp")))
     val perMinute = count(lit(1)).over(minuteW)
 

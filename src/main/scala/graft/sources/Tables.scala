@@ -146,7 +146,9 @@ object Tables {
         concat(lit("10.0."), col("user_id") % 50, lit("."), col("event_id") % 250)
           .as("ip_address"),
         col("ts").as("access_timestamp"),
-        col("value").cast("long").as("rows_affected"),
+        // floor (not cast-truncation) — keeps negative values aligned
+        // with the oracle's CAST(floor(value) AS BIGINT)
+        floor(col("value")).cast("long").as("rows_affected"),
         md5(col("operation_details")).as("query_hash"))
   }
 }

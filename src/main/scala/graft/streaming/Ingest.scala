@@ -61,7 +61,9 @@ object Ingest {
         Classify.tableNameOf(col("operation_details")).as("table_name"),
         Classify.statusOf(col("operation_details")).as("operation_status"),
         col("operation_details"),
-        coalesce(regexp_extract(col("user_host"), "@\\s*([0-9a-fA-F:.]+)", 1),
+        coalesce(
+          nullif(regexp_extract(col("user_host"), "@\\s*([0-9a-fA-F:.]+)", 1),
+            lit("")),
           lit("127.0.0.1")).as("ip_address"),
         col("event_time").cast("timestamp").as("access_timestamp"),
         Classify.queryHash(col("operation_details")).as("query_hash"))
@@ -73,9 +75,13 @@ object Ingest {
     */
   def start(spark: SparkSession, source: DataFrame, users: DataFrame,
             cfg: IngestConfig): StreamingQuery = {
+    // dropDuplicatesWithinWatermark (not plain dropDuplicates): the
+    // dedup state for an activity_id is evicted once the watermark
+    // passes it — plain dropDuplicates on a non-event-time key would
+    // grow state forever on a long-running stream
     val parsed = parseGeneralLog(source)
       .withWatermark("access_timestamp", cfg.watermarkDelay)
-      .dropDuplicates("activity_id")
+      .dropDuplicatesWithinWatermark("activity_id")
     parsed.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", cfg.checkpointDir)
@@ -86,8 +92,12 @@ object Ingest {
             col("role"), col("user_id"))), Seq("username"), "left")
           .withColumn("role", coalesce(col("role"), lit("Guest")))
           .withColumn("rows_affected", lit(null).cast("long"))
+        // rate windows key on username (always present) — user_id is
+        // null for any name outside the users dim, and a null key
+        // would pool every unknown user into one rate bucket
         val classified = Detect.classify(enriched,
-          Detect.ipBlacklist(batch.sparkSession), cfg.rateThreshold)
+          Detect.ipBlacklist(batch.sparkSession), cfg.rateThreshold,
+          rateKey = "username")
           .withColumn("event_date", to_date(col("access_timestamp")))
         classified.persist()
         try {

@@ -34,7 +34,7 @@ object ExplainAudit {
         "BroadcastHashJoin" -> "BroadcastHashJoin".r,
         "SortMergeJoin" -> "SortMergeJoin".r,
         "BroadcastNestedLoop" -> "BroadcastNestedLoopJoin".r,
-        "Exchange(shuffle)" -> "Exchange [^S]".r,
+        "Exchange(shuffle)" -> "(?<!Broadcast)Exchange [^S]".r,
         "TakeOrderedAndProject" -> "TakeOrderedAndProject".r)
       val summary = props.map { case (label, re) =>
         s"$label=${re.findAllIn(plan).size}"

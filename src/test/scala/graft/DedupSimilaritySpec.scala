@@ -141,6 +141,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("DotExact survives codegen with fallback disabled") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Seq((1L, Array(1f, 2f), Array(3f, 4f))).toDF("id", "a", "b")
+        .select(Similarity.dot($"a", $"b")).collect()(0).getDouble(0)
+      assert(got == 11.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("ivf ann: scores match brute force; top-1 recalled with wide probe") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
