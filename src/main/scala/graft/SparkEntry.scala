@@ -309,6 +309,14 @@ object SparkEntry {
     }),
 
     // ---- E3 charts: severity histogram with integer-exact shares ----
+    "dam_rollup" -> ((s, d) => classified(s, d)
+      .rollup(col("operation_type"), col("severity_level"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("operation_type"), lit("ALL")).as("operation_type"),
+        coalesce(col("severity_level"), lit("ALL")).as("severity_level"),
+        col("n"))
+      .orderBy(col("operation_type"), col("severity_level"))),
+
     "dam_severity_histogram" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
       classified(s, d)
@@ -694,6 +702,12 @@ SELECT
   strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_ts
 FROM decoded ORDER BY event_ts, query_hash"""
     },
+
+    "dam_rollup" -> sev(
+      """SELECT COALESCE(operation_type, 'ALL') AS operation_type,
+  COALESCE(severity_level, 'ALL') AS severity_level, count(*) AS n
+FROM classified GROUP BY ROLLUP (operation_type, severity_level)
+ORDER BY operation_type, severity_level"""),
 
     "dam_severity_histogram" -> sev(
       """SELECT severity_level, count(*) AS n,
