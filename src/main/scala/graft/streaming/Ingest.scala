@@ -69,6 +69,29 @@ object Ingest {
         Classify.queryHash(col("operation_details")).as("query_hash"))
   }
 
+  /** S4 per-row error isolation: split raw rows into (valid, rejects)
+    * instead of silently dropping malformed input (reference
+    * app.py:1193-1206 catches per-row errors in bulk ingest). A row is
+    * rejected when it cannot produce a well-formed activity: missing
+    * event time or empty/system-filtered statement text.
+    */
+  def parseWithRejects(raw: DataFrame): (DataFrame, DataFrame) = {
+    val reasons = array_compact(array(
+      when(col("event_time").isNull, "missing event_time"),
+      when(col("argument").isNull || trim(col("argument")) === "",
+        "empty statement"),
+      when(col("argument").isNotNull &&
+        !Classify.keepQuery(col("argument")), "system query filtered")))
+    val tagged = raw.withColumn("reject_reasons", reasons)
+    val valid = parseGeneralLog(
+      tagged.filter(size(col("reject_reasons")) === 0)
+        .drop("reject_reasons"))
+    val rejects = tagged.filter(size(col("reject_reasons")) > 0)
+      .select(col("event_time"), col("user_host"), col("argument"),
+        array_join(col("reject_reasons"), "; ").as("reject_reason"))
+    (valid, rejects)
+  }
+
   /** Start the ingest stream. `source` is a streaming DataFrame with
     * the general_log schema (event_time, user_host, argument); `users`
     * is the static user dim (username, role).

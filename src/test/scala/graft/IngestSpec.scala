@@ -56,6 +56,50 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes exactly-once from offsets") {
+    val dir = Files.createTempDirectory("ckpt_rec").toString
+    val srcDir = s"$dir/src"
+    new java.io.File(srcDir).mkdirs()
+    val users = Seq(("root", "Admin", 1L)).toDF("username", "role", "user_id")
+    val cfg = Ingest.IngestConfig(
+      logsDir = s"$dir/logs", alertsDir = s"$dir/alerts",
+      checkpointDir = s"$dir/ckpt", triggerMs = 100L)
+    def startStream() = Ingest.start(spark,
+      spark.readStream.schema(graft.sources.Tables.GeneralLogSchema).json(srcDir),
+      users, cfg)
+    def writeBatch(file: String, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$srcDir/$file")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes)
+    }
+    writeBatch("b1.json", Seq(
+      """{"event_time":"2024-01-10T12:00:00.000Z","user_host":"root[root] @ h []","argument":"SELECT 1 FROM a"}"""))
+    val q1 = startStream()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$dir/logs").count() == 1)
+    // restart from the same checkpoint; only the new file is processed
+    writeBatch("b2.json", Seq(
+      """{"event_time":"2024-01-10T12:00:05.000Z","user_host":"root[root] @ h []","argument":"SELECT 2 FROM b"}"""))
+    val q2 = startStream()
+    q2.processAllAvailable(); q2.stop()
+    val logs = spark.read.parquet(s"$dir/logs")
+    assert(logs.count() == 2) // batch 1 not re-ingested, batch 2 present
+    assert(logs.select($"table_name").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("parseWithRejects isolates malformed rows with reasons") {
+    val raw = Seq(
+      (ts("2024-01-10 12:00:00"), "root[root] @ h []", "SELECT 1 FROM t"),
+      (null.asInstanceOf[Timestamp], "x[x] @ h []", "SELECT 2 FROM t"),
+      (ts("2024-01-10 12:00:02"), "x[x] @ h []", "   "),
+      (ts("2024-01-10 12:00:03"), "x[x] @ h []", "SHOW TABLES"))
+      .toDF("event_time", "user_host", "argument")
+    val (valid, rejects) = Ingest.parseWithRejects(raw)
+    assert(valid.count() == 1)
+    val r = rejects.select($"reject_reason").as[String].collect().toSeq.sorted
+    assert(r == Seq("empty statement", "missing event_time",
+      "system query filtered"))
+  }
+
   test("streaming tumbling-window aggregation with watermark (A5 streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
