@@ -261,6 +261,12 @@ object SparkEntry {
         .orderBy(col("activity_id"), col("src"))
     }),
     "ev_sessions" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "ev_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), "signup", "purchase")),
+    "ev_retention" -> ((s, d) =>
+      Analytics.retentionCohorts(Tables.events(s, d))),
+    "doc_tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, d))),
     "ev_percentiles" -> ((s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
@@ -618,6 +624,51 @@ GROUP BY user_id ORDER BY user_id"""),
   SELECT activity_id, 'blacklist' AS src FROM classified
   WHERE ip_address IN ($blacklistInList)
 ) ORDER BY activity_id, src"""),
+
+    "ev_funnel" ->
+      """WITH f AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_from,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_to
+  FROM events GROUP BY user_id
+)
+SELECT count(CASE WHEN first_from IS NOT NULL THEN 1 END) AS entered,
+  count(CASE WHEN first_from IS NOT NULL AND first_to > first_from THEN 1 END) AS converted,
+  CAST(count(CASE WHEN first_from IS NOT NULL AND first_to > first_from THEN 1 END) * 10000 AS DOUBLE)
+    / greatest(count(CASE WHEN first_from IS NOT NULL THEN 1 END), 1) AS conv_bp
+FROM f""",
+
+    "ev_retention" ->
+      """WITH fs AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+  CAST((floor(epoch(date_trunc('week', e.ts))) - floor(epoch(cohort_week))) // 604800 AS BIGINT) AS week_offset,
+  count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN fs USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "doc_tfidf_top_terms" ->
+      """WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+), n AS (SELECT count(*) AS total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+    round(tf.tf * ln(CAST(total AS DOUBLE) / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
+  term, tf, df, score
+FROM scored
+QUALIFY rank <= 3 ORDER BY doc_id, rank""",
 
     "ev_percentiles" ->
       """SELECT event_type,

@@ -252,6 +252,44 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Funnel conversion over the event stream: users who performed
+    * `fromType` and then `toType` strictly later. One aggregation
+    * (min ts per step per user, conditional aggregates — no join),
+    * then a global rollup.
+    */
+  def funnel(events: DataFrame, fromType: String, toType: String): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === fromType, col("ts"))).as("first_from"),
+        min(when(col("event_type") === toType, col("ts"))).as("first_to"))
+      .agg(
+        count(when(col("first_from").isNotNull, 1)).as("entered"),
+        count(when(col("first_from").isNotNull &&
+          col("first_to") > col("first_from"), 1)).as("converted"))
+      .select(col("entered"), col("converted"),
+        (col("converted") * 10000L).cast("double")
+          .divide(greatest(col("entered"), lit(1L))).as("conv_bp"))
+
+  /** Retention cohorts: users grouped by first-seen week; for each
+    * (cohort, weeks-since) cell, how many cohort users were active.
+    * Two aggregations over one scan lineage — cohort assignment is a
+    * per-user min, then activity re-aggregates by (cohort, offset).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    events
+      .join(firstSeen, Seq("user_id"))
+      .withColumn("week_offset",
+        floor((unix_timestamp(date_trunc("week", col("ts"))) -
+          unix_timestamp(col("cohort_week"))) / 604800L).cast("long"))
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** P4 + W1 — latest-N feed with dynamic conjunctive filters
     * (reference app.py:269-285): optional status / operation / table
     * predicates, newest first, limit. TakeOrderedAndProject — no

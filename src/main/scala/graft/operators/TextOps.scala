@@ -85,6 +85,46 @@ object TextOps {
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
 
+  /** Text normalization pipeline: lowercase, strip punctuation,
+    * collapse whitespace, drop stopwords — the standard pre-tokenize
+    * cleaning pass. Pure Column expression, zero shuffle.
+    */
+  def cleaned(text: Column, stopwords: Seq[String] =
+      Seq("the", "a", "of", "and")): Column =
+    array_join(
+      filter(
+        split(trim(regexp_replace(
+          regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")), " "),
+        t => !t.isin(stopwords.map(lit(_).asInstanceOf[Any]): _*) && t =!= ""),
+      " ")
+
+  /** TF-IDF top terms per document: explode tokens → term frequencies
+    * → document frequencies (one aggregation over distinct
+    * (doc, term)) → score = tf · ln(N/df) → top `k` terms per doc.
+    * Both aggregations are hash-aggs with map-side partials; the only
+    * wide rows are (doc, term) pairs — linear in corpus tokens.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val total = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .withColumn("score",
+        round(col("tf") * log(lit(total.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)
