@@ -51,6 +51,32 @@ class DashboardBucketingSpec extends SparkSpecBase {
     assert(new java.io.File(s"$root/event_date=2024-01-11").exists())
   }
 
+  test("date-partitioned fact table prunes partitions on date predicates") {
+    val root = Files.createTempDirectory("prune").toString + "/logs"
+    val rows = (1 to 20).map(i => (i.toLong, f"2024-01-${i % 4 + 10}%02d 10:00:00"))
+    graft.sources.TableRegistry.appendActivities(
+      rows.toDF("activity_id", "ts_s")
+        .withColumn("access_timestamp", to_timestamp($"ts_s")).drop("ts_s")
+        .withColumn("operation_details", lit("SELECT 1")),
+      root)
+    val all = spark.read.parquet(root)
+    val q = all.filter($"event_date" === "2024-01-11")
+    assert(q.collect().length == 5)
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters") &&
+      plan.toString.contains("event_date"),
+      s"expected partition filters:\n$plan")
+    // the scan's runtime metric shows only the matching partition read
+    val scans = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = all.inputFiles.length
+    assert(filesRead < totalFiles,
+      s"pruning read $filesRead of $totalFiles files")
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -56,6 +56,42 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming classification equals the batch pipeline on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-10 12:00:00"), "root[root] @ 10.1.1.1 []", "SELECT * FROM orders"),
+      (ts("2024-01-10 12:00:01"), "app[app] @ 10.0.0.5 []", "SELECT password FROM users"),
+      (ts("2024-01-10 23:00:02"), "ghost[ghost] @ 10.9.9.9 []", "DELETE FROM sessions WHERE 1=1"))
+    val users = Seq(("root", "Admin", 1L), ("app", "User", 2L))
+      .toDF("username", "role", "user_id")
+    // streaming path
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val dir = Files.createTempDirectory("par").toString
+    val q = Ingest.start(spark,
+      mem.toDF().toDF("event_time", "user_host", "argument"), users,
+      Ingest.IngestConfig(s"$dir/logs", s"$dir/alerts", s"$dir/ckpt",
+        triggerMs = 100L))
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/logs")
+      .select($"activity_id", $"severity_level", $"suspicious_reasons")
+      .as[(Long, String, String)].collect().toSet
+    // batch path over the identical raw frame
+    val batch = {
+      val parsed = Ingest.parseGeneralLog(
+        rows.toDF("event_time", "user_host", "argument"))
+      val enriched = parsed
+        .join(org.apache.spark.sql.functions.broadcast(users),
+          Seq("username"), "left")
+        .withColumn("role", coalesce($"role", lit("Guest")))
+        .withColumn("rows_affected", lit(null).cast("long"))
+      graft.operators.Detect.classify(enriched,
+        graft.operators.Detect.ipBlacklist(spark), rateKey = "username")
+        .select($"activity_id", $"severity_level", $"suspicious_reasons")
+        .as[(Long, String, String)].collect().toSet
+    }
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("checkpoint recovery: restart resumes exactly-once from offsets") {
     val dir = Files.createTempDirectory("ckpt_rec").toString
     val srcDir = s"$dir/src"
