@@ -1,0 +1,22 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Replicates the driver's smoke check: SparkEntry.entry(spark) must
+  * return rows > 0 on sf0.001.
+  */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows = $n")
+    require(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}
