@@ -48,6 +48,23 @@ object TableRegistry {
       graft.operators.Detect.ipBlacklist(spark)
         .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00")))
         .withColumn("expires_at", to_timestamp(lit("2099-01-01 00:00:00"))))
+    // remaining feature tables (reference app.py:1464-1514): created
+    // empty with fixed schemas so the full control-table surface exists
+    writeIfAbsent("webhooks", {
+      import spark.implicits._
+      Seq.empty[(Int, String, Boolean)]
+        .toDF("webhook_id", "url", "is_active")
+    })
+    writeIfAbsent("report_log", {
+      import spark.implicits._
+      Seq.empty[(Int, String, String)]
+        .toDF("report_id", "report_type", "file_path")
+    })
+    writeIfAbsent("user_2fa", {
+      import spark.implicits._
+      Seq.empty[(Int, Long, String, Boolean)]
+        .toDF("id", "user_id", "totp_secret", "enabled")
+    })
   }
 
   /** S5 — append activities, date-partitioned, with the computed
