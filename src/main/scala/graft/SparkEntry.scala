@@ -206,6 +206,10 @@ object SparkEntry {
       Analytics.ratePerMinute(Tables.activity(s, d))),
     "dam_anomaly_zscore" -> ((s, d) =>
       Analytics.anomalyZScore(Tables.activity(s, d))),
+    "dam_anomaly_mad" -> ((s, d) =>
+      Analytics.madAnomalies(Tables.activity(s, d))),
+    "dam_timeline_dense" -> ((s, d) =>
+      Analytics.timelineDense(Tables.activity(s, d))),
     "dam_ip_switches" -> ((s, d) => Analytics.ipSwitches(Tables.activity(s, d))),
     "dam_latest_failed" -> ((s, d) =>
       Analytics.latest(Tables.activity(s, d), 50, status = Some("Failed"))
@@ -507,6 +511,41 @@ SELECT r.user_id, r.recent_cnt,
   round(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n)), 4) AS std_cnt,
   (r.recent_cnt > CAST(s AS DOUBLE) / n + 3 * sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n))) AS is_anomalous
 FROM recent r JOIN base b ON r.user_id = b.user_id ORDER BY r.user_id"""),
+
+    "dam_anomaly_mad" -> act(
+      """, hourly AS (
+  SELECT user_id, CAST(access_timestamp AS DATE) AS d,
+    hour(access_timestamp) AS h, count(*) AS cnt
+  FROM activity GROUP BY 1, 2, 3
+), med AS (
+  SELECT user_id, quantile_cont(cnt, 0.5) AS med FROM hourly GROUP BY user_id
+), mad AS (
+  SELECT h.user_id, quantile_cont(abs(h.cnt - m.med), 0.5) AS mad, any_value(m.med) AS med
+  FROM hourly h JOIN med m USING (user_id) GROUP BY h.user_id
+)
+SELECT h.user_id, strftime(h.d, '%Y-%m-%d') AS day,
+  CAST(h.h AS BIGINT) AS hr, h.cnt,
+  round(x.med, 4) AS med, round(x.mad, 4) AS mad
+FROM hourly h JOIN mad x USING (user_id)
+WHERE abs(h.cnt - x.med) > 3.0 * greatest(x.mad, 0.5)
+ORDER BY h.user_id, day, hr"""),
+
+    "dam_timeline_dense" -> act(
+      """, bounds AS (
+  SELECT date_trunc('hour', min(access_timestamp)) AS t0,
+    date_trunc('hour', max(access_timestamp)) AS t1
+  FROM activity
+), spine AS (
+  SELECT strftime(unnest(generate_series(t0, t1, INTERVAL 1 HOUR)), '%Y-%m-%d %H:00') AS bucket
+  FROM bounds
+), counts AS (
+  SELECT strftime(date_trunc('hour', access_timestamp), '%Y-%m-%d %H:00') AS bucket,
+    count(*) AS n
+  FROM activity GROUP BY 1
+)
+SELECT s.bucket, COALESCE(c.n, 0) AS n
+FROM spine s LEFT JOIN counts c USING (bucket)
+ORDER BY s.bucket"""),
 
     "dam_ip_switches" -> act(
       """, w AS (

@@ -252,6 +252,54 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Robust anomaly scoring via median absolute deviation: per user,
+    * the median of hourly counts and MAD; hours where
+    * |cnt − median| > 3·MAD are flagged. Medians via exact
+    * interpolated percentile (deterministic, oracle-matched).
+    * Resistant to the heavy-tailed activity bursts that wreck
+    * mean/stddev baselines.
+    */
+  def madAnomalies(activity: DataFrame): DataFrame = {
+    val hourly = activity
+      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
+        hour(col("access_timestamp")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = hourly.groupBy(col("user_id"))
+      .agg(expr("percentile(cnt, 0.5)").as("med"))
+    val mad = hourly.join(med, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(expr("percentile(abs(cnt - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    hourly.join(mad, Seq("user_id"))
+      .filter(abs(col("cnt") - col("med")) > lit(3.0) * greatest(col("mad"), lit(0.5)))
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("h").cast("long").as("hr"), col("cnt"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      .orderBy(col("user_id"), col("day"), col("hr"))
+  }
+
+  /** Dense hourly timeline with gap filling: every hour between the
+    * table's min and max gets a row, zero-filled where no events
+    * occurred — sequence() + explode generates the spine, the counts
+    * left-join onto it. Spine generation is one tiny job; the join is
+    * broadcast (spine cardinality = hours, not rows).
+    */
+  def timelineDense(activity: DataFrame): DataFrame = {
+    val bounds = activity.agg(
+      date_trunc("hour", min(col("access_timestamp"))).as("t0"),
+      date_trunc("hour", max(col("access_timestamp"))).as("t1"))
+    val spine = bounds.select(explode(
+        sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("bucket_ts"))
+      .select(date_format(col("bucket_ts"), "yyyy-MM-dd HH:00").as("bucket"))
+    val counts = activity
+      .groupBy(date_format(date_trunc("hour", col("access_timestamp")),
+        "yyyy-MM-dd HH:00").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Funnel conversion over the event stream: users who performed
     * `fromType` and then `toType` strictly later. One aggregation
     * (min ts per step per user, conditional aggregates — no join),
