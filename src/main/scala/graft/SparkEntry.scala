@@ -668,12 +668,12 @@ GROUP BY user_id ORDER BY user_id"""),
       """WITH f AS (
   SELECT user_id,
     min(CASE WHEN event_type = 'signup' THEN ts END) AS first_from,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_to
+    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_to
   FROM events GROUP BY user_id
 )
 SELECT count(CASE WHEN first_from IS NOT NULL THEN 1 END) AS entered,
-  count(CASE WHEN first_from IS NOT NULL AND first_to > first_from THEN 1 END) AS converted,
-  CAST(count(CASE WHEN first_from IS NOT NULL AND first_to > first_from THEN 1 END) * 10000 AS DOUBLE)
+  count(CASE WHEN first_from IS NOT NULL AND last_to > first_from THEN 1 END) AS converted,
+  CAST(count(CASE WHEN first_from IS NOT NULL AND last_to > first_from THEN 1 END) * 10000 AS DOUBLE)
     / greatest(count(CASE WHEN first_from IS NOT NULL THEN 1 END), 1) AS conv_bp
 FROM f""",
 
@@ -700,7 +700,7 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 ), n AS (SELECT count(*) AS total FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-    round(tf.tf * ln(CAST(total AS DOUBLE) / dfq.df), 6) AS score
+    round(tf.tf * ln(CAST(total AS DOUBLE) / dfq.df), 4) AS score
   FROM tf JOIN dfq USING (term), n
 )
 SELECT doc_id,

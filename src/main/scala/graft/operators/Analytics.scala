@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Per-(user, date, hour) activity counts — the shared base of the
+    * baseline / z-score / MAD analytics (one definition, one oracle
+    * shape to keep in lockstep).
+    */
+  private def hourlyCounts(activity: DataFrame): DataFrame =
+    activity
+      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
+        hour(col("access_timestamp")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Formatted hour bucket shared by the timeline queries. */
+  private def hourBucket: Column =
+    date_format(date_trunc("hour", col("access_timestamp")), "yyyy-MM-dd HH:00")
+
   /** A1+A2 — the get_stats block (reference app.py:294-306) in a
     * single pass: total / suspicious-analog (Failed) / per-op counts.
     */
@@ -78,8 +92,7 @@ object Analytics {
     */
   def timelineHourly(activity: DataFrame): DataFrame =
     activity
-      .groupBy(date_format(date_trunc("hour", col("access_timestamp")),
-        "yyyy-MM-dd HH:00").as("bucket"))
+      .groupBy(hourBucket.as("bucket"))
       .agg(
         count(lit(1)).as("n"),
         count(when(col("operation_status") === "Failed", 1)).as("n_failed"),
@@ -103,10 +116,7 @@ object Analytics {
     * is population stddev → stddev_pop (SURVEY §2.4 A7).
     */
   def userBaseline(activity: DataFrame): DataFrame =
-    activity
-      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
-        hour(col("access_timestamp")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+    hourlyCounts(activity)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("s2"))
@@ -147,10 +157,7 @@ object Analytics {
         col("max_ts") - expr("INTERVAL 1 HOUR"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("recent_cnt"))
-    val baseline = activity
-      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
-        hour(col("access_timestamp")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+    val baseline = hourlyCounts(activity)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("s2"))
@@ -260,10 +267,7 @@ object Analytics {
     * mean/stddev baselines.
     */
   def madAnomalies(activity: DataFrame): DataFrame = {
-    val hourly = activity
-      .groupBy(col("user_id"), to_date(col("access_timestamp")).as("d"),
-        hour(col("access_timestamp")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+    val hourly = hourlyCounts(activity)
     val med = hourly.groupBy(col("user_id"))
       .agg(expr("percentile(cnt, 0.5)").as("med"))
     val mad = hourly.join(med, Seq("user_id"))
@@ -292,8 +296,7 @@ object Analytics {
         sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("bucket_ts"))
       .select(date_format(col("bucket_ts"), "yyyy-MM-dd HH:00").as("bucket"))
     val counts = activity
-      .groupBy(date_format(date_trunc("hour", col("access_timestamp")),
-        "yyyy-MM-dd HH:00").as("bucket"))
+      .groupBy(hourBucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
     spine.join(counts, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
@@ -310,11 +313,13 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === fromType, col("ts"))).as("first_from"),
-        min(when(col("event_type") === toType, col("ts"))).as("first_to"))
+        // LAST toType: converted iff ANY toType after the first fromType
+        // (min-vs-min would miss users with an earlier pre-entry event)
+        max(when(col("event_type") === toType, col("ts"))).as("last_to"))
       .agg(
         count(when(col("first_from").isNotNull, 1)).as("entered"),
         count(when(col("first_from").isNotNull &&
-          col("first_to") > col("first_from"), 1)).as("converted"))
+          col("last_to") > col("first_from"), 1)).as("converted"))
       .select(col("entered"), col("converted"),
         (col("converted") * 10000L).cast("double")
           .divide(greatest(col("entered"), lit(1L))).as("conv_bp"))

@@ -95,7 +95,7 @@ object TextOps {
       filter(
         split(trim(regexp_replace(
           regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")), " "),
-        t => !t.isin(stopwords.map(lit(_).asInstanceOf[Any]): _*) && t =!= ""),
+        t => !t.isin(stopwords: _*) && t =!= ""),
       " ")
 
   /** TF-IDF top terms per document: explode tokens → term frequencies
@@ -105,7 +105,8 @@ object TextOps {
     * wide rows are (doc, term) pairs — linear in corpus tokens.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val total = docs.count()
+    // corpus size as a lazy 1-row broadcast, not an eager driver count
+    val total = docs.agg(count(lit(1)).cast("double").as("total"))
     val terms = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -116,8 +117,9 @@ object TextOps {
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(total))
       .withColumn("score",
-        round(col("tf") * log(lit(total.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("total") / col("df")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),

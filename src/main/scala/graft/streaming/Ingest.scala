@@ -92,6 +92,24 @@ object Ingest {
     (valid, rejects)
   }
 
+  /** Companion rejects stream: persists the malformed/filtered rows
+    * from the same raw source (with reasons) so per-row error
+    * isolation is an operational property of the deployment, not just
+    * a helper. Runs as its own query with its own checkpoint.
+    */
+  def startRejects(source: DataFrame, rejectsDir: String,
+                   checkpointDir: String,
+                   triggerMs: Long = 3000L): StreamingQuery =
+    parseWithRejects(source)._2.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(rejectsDir)
+        ()
+      }
+      .start()
+
   /** Start the ingest stream. `source` is a streaming DataFrame with
     * the general_log schema (event_time, user_host, argument); `users`
     * is the static user dim (username, role).

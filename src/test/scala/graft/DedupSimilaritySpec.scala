@@ -174,6 +174,12 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("cleaned(): lowercases, strips punctuation, drops stopwords") {
+    val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
+      .select(TextOps.cleaned($"text")).as[String].collect()(0)
+    assert(got == "cat mat extra spaces")
+  }
+
   test("text profile: token counts and ratios") {
     val got = TextOps.profile(
       Seq((1L, "the cat sat on the mat!", "en", "s", 23L))

@@ -27,6 +27,7 @@ class IngestSpec extends SparkSpecBase {
       logsDir = s"$dir/logs", alertsDir = s"$dir/alerts",
       checkpointDir = s"$dir/ckpt", triggerMs = 100L)
     val q = Ingest.start(spark, raw, users, cfg)
+    val qr = Ingest.startRejects(raw, s"$dir/rejects", s"$dir/ckpt_rej", 100L)
     try {
       mem.addData(
         (ts("2024-01-10 12:00:00"), "root[root] @ localhost []", "SELECT * FROM orders"),
@@ -53,7 +54,13 @@ class IngestSpec extends SparkSpecBase {
       val alerts = spark.read.parquet(s"$dir/alerts")
       val a = alerts.select($"alert_type", $"severity").as[(String, String)].collect()
       assert(a.toSet == Set(("SQL Injection", "Critical")))
-    } finally q.stop()
+
+      qr.processAllAvailable()
+      val rejects = spark.read.parquet(s"$dir/rejects")
+      val rr = rejects.select($"argument", $"reject_reason")
+        .as[(String, String)].collect().toSet
+      assert(rr == Set(("SET GLOBAL x=1", "system query filtered")))
+    } finally { q.stop(); qr.stop() }
   }
 
   test("streaming classification equals the batch pipeline on the same input") {
