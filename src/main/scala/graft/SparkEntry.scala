@@ -184,6 +184,8 @@ object SparkEntry {
         col("o_orderpriority"), col("revenue"))),
     "q5_region_revenue" -> ((s, d) => Relational.regionRevenue(s, d)),
     "q_events_by_segment" -> ((s, d) => Relational.eventsBySegment(s, d)),
+    "q_user_coverage" -> ((s, d) => Relational.userCoverage(s, d)),
+    "q_events_pivot" -> ((s, d) => Relational.eventsPivot(s, d)),
 
     // ---- DAM classification pipelines (C1-C3, P9, S5) ----
     "dam_classify" -> ((s, d) => Tables.activity(s, d)
@@ -433,6 +435,24 @@ GROUP BY n_name ORDER BY revenue DESC, n_name""",
   round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS value_sum
 FROM events LEFT JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_user_coverage" ->
+      """WITH ev AS (SELECT DISTINCT user_id FROM events)
+SELECT
+  count(CASE WHEN ev.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 1 END) AS matched,
+  count(CASE WHEN ev.user_id IS NOT NULL AND c.c_custkey IS NULL THEN 1 END) AS event_only,
+  count(CASE WHEN ev.user_id IS NULL AND c.c_custkey IS NOT NULL THEN 1 END) AS customer_only
+FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey""",
+
+    "q_events_pivot" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1""",
 
     "dam_classify" -> act(
       """SELECT activity_id, user_id, username, role, operation_type, table_name,

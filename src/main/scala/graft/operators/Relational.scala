@@ -97,6 +97,42 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Full-outer data-quality reconciliation: customers vs event users —
+    * how many keys exist on both sides, only in the dimension, or only
+    * in the stream. One full outer join on the key, then a single-pass
+    * conditional rollup.
+    */
+  def userCoverage(s: SparkSession, d: String): DataFrame = {
+    val evUsers = Tables.events(s, d).select(col("user_id")).distinct()
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    evUsers.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+      .agg(
+        count(when(col("user_id").isNotNull && col("c_custkey").isNotNull, 1))
+          .as("matched"),
+        count(when(col("user_id").isNotNull && col("c_custkey").isNull, 1))
+          .as("event_only"),
+        count(when(col("user_id").isNull && col("c_custkey").isNotNull, 1))
+          .as("customer_only"))
+  }
+
+  /** Pivot: per-segment event-type counts as wide columns — Spark's
+    * pivot operator with an explicit value list (explicit values keep
+    * the plan single-pass; an open pivot needs a distinct pre-query).
+    */
+  def eventsPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+        Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .groupBy(col("segment"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("segment"))
+  }
+
   /** Events joined to the user dimension derived from customer —
     * the J1 fact→dim enrichment analog at warehouse shape: per
     * (market segment, event_type) event counts and value sums.
