@@ -330,10 +330,14 @@ object SparkEntry {
       .orderBy(col("operation_type"), col("severity_level"))),
 
     "dam_severity_histogram" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      classified(s, d)
+      // grand total via 1-row broadcast cross-join (same idiom as the
+      // TF-IDF corpus count) instead of an empty-partition window,
+      // which funnels into a single task; the two branches share the
+      // groupBy exchange (ReusedExchange), so classify runs once
+      val counts = classified(s, d)
         .groupBy(col("severity_level")).agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over(w))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
         .withColumn("pct",
           expr("(n * 10000) div total").cast("double") / lit(100.0))
         .select(col("severity_level"), col("n"), col("pct"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's threat-detection rule engines (SURVEY §2.7 C4-C8)
@@ -11,13 +10,14 @@ import org.apache.spark.sql.functions._
   * shuffle); the only non-local pieces are
   *  - the blacklist semi-join (J3) — tiny dim, always broadcast;
   *  - the firewall rule match (J4) — broadcast nested-loop join
-  *    against a handful of rules, then a per-activity row_number to
-  *    pick the first match by priority (W3). At 100 TB the rule table
-  *    is still KBs, so the match stays a map-side broadcast with no
-  *    shuffle; the row_number partitions by activity_id which is
-  *    unique per row, so AQE sees near-zero skew.
-  *  - the rate-limit rule (C4 rule 8) — one windowed count per
-  *    (user, minute); partial aggregation map-side, shuffle by user.
+  *    against a handful of rules, then first-match-by-priority via a
+  *    map-side-combinable min_by aggregate on the unique activity_id
+  *    (W3): partial aggregation collapses the join output to one row
+  *    per activity before any exchange, so the shuffle carries one
+  *    narrow row per matched activity instead of rows × matched rules.
+  *  - the rate-limit rule (C4 rule 8) — per-(user, minute) counts are
+  *    pre-aggregated (the shuffle carries keys + a long, not full
+  *    rows) and joined back; AQE broadcasts the count side when small.
   */
 object Detect {
 
@@ -97,9 +97,14 @@ object Detect {
       lit(true).as("is_blacklisted")))
     val withBl = activity.join(bl, Seq("ip_address"), "left")
 
-    val minuteW = Window.partitionBy(col(rateKey),
-      date_trunc("minute", col("access_timestamp")))
-    val perMinute = count(lit(1)).over(minuteW)
+    // per-(rateKey, minute) counts: pre-aggregated off the raw activity
+    // (shuffles just the two keys and a long — a window over the full
+    // rows would shuffle every column by (user, minute)), then joined
+    // back; left join so null keys keep their rows either way
+    val minuteExpr = date_trunc("minute", col("access_timestamp"))
+    val rates = activity
+      .groupBy(col(rateKey), minuteExpr.as("__rate_minute"))
+      .agg(count(lit(1)).as("events_per_minute"))
 
     val op = col("operation_type")
     val sql = col("operation_details")
@@ -133,7 +138,9 @@ object Detect {
       when(c, lit(r)) }: _*)
 
     withBl
-      .withColumn("events_per_minute", perMinute)
+      .withColumn("__rate_minute", minuteExpr)
+      .join(rates, Seq(rateKey, "__rate_minute"), "left")
+      .drop("__rate_minute")
       .withColumn("severity_ord", ord.cast("long"))
       .withColumn("severity_level", severityName(ord))
       .withColumn("suspicious_reasons", reasons)
@@ -206,12 +213,20 @@ object Detect {
       (col("match_type") === "starts_with" && txt.startsWith(col("pattern"))) ||
       (col("match_type") === "regex" && regexp_like(txt, safePat))
     val hits = activity.join(broadcast(rules), matchPred, "inner")
-    val w = Window.partitionBy(col("activity_id")).orderBy(col("priority"))
+    // first match by priority as a min_by aggregate: partial aggregation
+    // collapses to one row per activity map-side (activity_id is unique,
+    // so the post-shuffle side is already minimal); a window would
+    // instead shuffle the entire join output to rank it
     hits
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("activity_id"), col("username"), col("ip_address"),
-        col("rule_id"), col("action"), col("priority"),
-        substring(col("operation_details"), 1, 500).as("query_snippet"))
+      .groupBy(col("activity_id"))
+      .agg(min_by(
+        struct(col("username"), col("ip_address"), col("rule_id"),
+          col("action"), col("priority"),
+          substring(col("operation_details"), 1, 500).as("query_snippet")),
+        col("priority")).as("__m"))
+      .select(col("activity_id"), col("__m.username").as("username"),
+        col("__m.ip_address").as("ip_address"), col("__m.rule_id").as("rule_id"),
+        col("__m.action").as("action"), col("__m.priority").as("priority"),
+        col("__m.query_snippet").as("query_snippet"))
   }
 }

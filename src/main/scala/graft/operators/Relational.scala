@@ -11,12 +11,14 @@ import graft.sources.Tables
   * Scale design:
   *  - q1 is a pure scan+hash-agg: partial aggregation map-side, the
   *    shuffle carries ≤ (flags × statuses) rows per partition.
-  *  - q3/q5: dimension sides (customer filtered by segment, the
-  *    region→nation chain, supplier) are orders of magnitude smaller
-  *    than the fact tables, so they are explicitly broadcast; only
-  *    orders⋈lineitem is a genuine distributed join — on the natural
-  *    key both sides already share, so AQE can pick SMJ and skew-split
-  *    hot orders at 100 TB.
+  *  - q3/q5: only truly bounded dims (region→nation — ≤25 rows at any
+  *    scale factor) carry an explicit broadcast hint. customer and
+  *    supplier GROW with scale factor, so hard-coding broadcast on
+  *    them would OOM at 100×; they are left unhinted and AQE +
+  *    autoBroadcastJoinThreshold picks broadcast while they fit and
+  *    falls back to a shuffled join (with skew splitting) beyond that.
+  *    orders⋈lineitem is a genuine distributed join on the natural
+  *    key both sides already share.
   *  - top-k results go through TakeOrderedAndProject.
   */
 object Relational {
@@ -64,7 +66,7 @@ object Relational {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
@@ -87,8 +89,8 @@ object Relational {
         col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
     val li = Tables.lineitem(s, d)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(dims, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -122,8 +124,8 @@ object Relational {
   def eventsPivot(s: SparkSession, d: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
         Seq("user_id"), "left")
       .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
       .groupBy(col("segment"))
@@ -141,7 +143,7 @@ object Relational {
     val ev = Tables.events(s, d)
     val cust = Tables.customer(s, d)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-    ev.join(broadcast(cust), Seq("user_id"), "left")
+    ev.join(cust, Seq("user_id"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("value_sum"))

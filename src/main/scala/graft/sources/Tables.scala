@@ -134,12 +134,37 @@ object Tables {
     */
   private val activityCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   def activity(s: SparkSession, d: String): DataFrame =
     activityCache.computeIfAbsent((s, d), { _ =>
+      registerCleanup(s)
       deriveActivity(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Explicit cache-lifecycle hook: unpersist + drop one (session, dir)
+    * entry — call after a dir's data is rewritten (Mutations) or when a
+    * long-lived session is done with a dataset.
+    */
+  def invalidateActivity(s: SparkSession, d: String): Unit =
+    Option(activityCache.remove((s, d))).foreach(_.unpersist())
+
+  /** Session-end eviction so stopped sessions don't pin cache entries
+    * (and their SparkSession objects) forever in the static map.
+    */
+  private def registerCleanup(s: SparkSession): Unit =
+    if (cleanupRegistered.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cleanupRegistered.remove(s)
+          val it = activityCache.keySet.iterator()
+          while (it.hasNext) if (it.next()._1 eq s) it.remove()
+        }
+      })
+    }
 
   private def deriveActivity(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Classify
