@@ -166,6 +166,25 @@ object SparkEntry {
   private def act(sql: String): String = ActivityPrelude + "\n" + sql
   private def sev(sql: String): String = ActivityPrelude + SeverityCte + "\n" + sql
 
+  /** Period-windowed compliance report oracle (Detect.complianceReport):
+    * `cond` filters activity against the max-timestamp anchor `m`.
+    */
+  private def complianceReportSql(cond: String): String = act(
+    s""", mx AS (SELECT max(access_timestamp) AS m FROM activity),
+win AS (SELECT a.* FROM activity a, mx WHERE $cond)
+SELECT standard, status, count(*) AS n, count(DISTINCT username) AS distinct_users
+FROM (
+  SELECT activity_id, username, 'GDPR' AS standard, 'Non-compliant' AS status
+  FROM win WHERE table_name = 'users' AND operation_type = 'SELECT'
+  UNION ALL
+  SELECT activity_id, username, 'SOX',
+    CASE WHEN COALESCE(rows_affected, 0) > 0 THEN 'Compliant' ELSE 'Review needed' END
+  FROM win WHERE table_name = 'accounts' AND operation_type IN ('UPDATE', 'DELETE')
+  UNION ALL
+  SELECT activity_id, username, 'PCI_DSS', 'Monitored'
+  FROM win WHERE table_name IN ('payments', 'sessions')
+) GROUP BY 1, 2 ORDER BY 1, 2""")
+
   // ---------------------------------------------------------------- //
   // Spark-side helpers                                               //
   // ---------------------------------------------------------------- //
@@ -239,6 +258,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("username")).as("distinct_users"))
         .orderBy(col("standard"), col("status"))),
+    // ---- period-windowed compliance reports (app.py:489-495) ----
+    "dam_compliance_daily" -> ((s, d) =>
+      Detect.complianceReport(Tables.activity(s, d), "daily")),
+    "dam_compliance_weekly" -> ((s, d) =>
+      Detect.complianceReport(Tables.activity(s, d), "weekly")),
+    "dam_compliance_monthly" -> ((s, d) =>
+      Detect.complianceReport(Tables.activity(s, d), "monthly")),
+
+    // ---- failed-login lockouts + hourly failure feed ----
+    // maxAttempts/threshold tightened vs the reference defaults (5 /
+    // 10) so the synthetic activity stream actually exercises them
+    "dam_lockouts" -> ((s, d) =>
+      Detect.lockouts(Tables.activity(s, d), maxAttempts = 3)
+        .select(col("username"), col("activity_id"),
+          fmtTs(col("locked_at")).as("locked_at"), col("failed_attempts"),
+          fmtTs(col("locked_until")).as("locked_until"))
+        .orderBy(col("username"), col("activity_id"))),
+    "dam_failed_hourly" -> ((s, d) =>
+      Detect.failedHourly(Tables.activity(s, d), threshold = 1)
+        .select(col("username"),
+          date_format(col("hour_bucket"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+          col("n_failed"))
+        .orderBy(col("username"), col("hour_bucket"))),
+
+    // ---- recent-threats feed (E2 payload, app.py:305) ----
+    "dam_threat_feed" -> ((s, d) => classified(s, d)
+      .filter(col("is_suspicious"))
+      .orderBy(col("access_timestamp").desc, col("activity_id").desc)
+      .limit(10)
+      .select(col("activity_id"), col("username"), col("severity_level"),
+        col("suspicious_reasons"), fmtTs(col("access_timestamp")).as("access_ts"))
+      .orderBy(col("activity_id"))),
+
     "dam_firewall" -> ((s, d) => Detect.firewallMatch(
       Tables.activity(s, d), Detect.firewallRules(s))
       .orderBy(col("activity_id"))),
@@ -635,6 +687,51 @@ FROM (
   SELECT activity_id, username, 'PCI_DSS', 'Monitored'
   FROM activity WHERE table_name IN ('payments', 'sessions')
 ) GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "dam_compliance_daily" -> complianceReportSql(
+      "CAST(access_timestamp AS DATE) = CAST(m AS DATE)"),
+    "dam_compliance_weekly" -> complianceReportSql(
+      "access_timestamp >= m - INTERVAL 7 DAY"),
+    "dam_compliance_monthly" -> complianceReportSql(
+      "access_timestamp >= m - INTERVAL 30 DAY"),
+
+    "dam_lockouts" -> act(
+      """, w1 AS (
+  SELECT username, activity_id, operation_status, access_timestamp,
+    sum(CASE WHEN operation_status = 'Failed' THEN 1 ELSE 0 END) OVER
+      (PARTITION BY username ORDER BY access_timestamp, activity_id
+       ROWS UNBOUNDED PRECEDING) AS run_failed
+  FROM activity
+), w2 AS (
+  SELECT *, last_value(CASE WHEN operation_status = 'Success' THEN run_failed END IGNORE NULLS) OVER
+      (PARTITION BY username ORDER BY access_timestamp, activity_id
+       ROWS UNBOUNDED PRECEDING) AS at_success
+  FROM w1
+)
+SELECT username, activity_id,
+  strftime(access_timestamp, '%Y-%m-%d %H:%M:%S') AS locked_at,
+  CAST(run_failed - COALESCE(at_success, 0) AS BIGINT) AS failed_attempts,
+  strftime(access_timestamp + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS locked_until
+FROM w2
+WHERE operation_status = 'Failed' AND run_failed - COALESCE(at_success, 0) = 3
+ORDER BY username, activity_id"""),
+
+    "dam_failed_hourly" -> act(
+      """SELECT username,
+  strftime(date_trunc('hour', access_timestamp), '%Y-%m-%d %H:00') AS hour_bucket,
+  count(*) AS n_failed
+FROM activity WHERE operation_status = 'Failed'
+GROUP BY username, date_trunc('hour', access_timestamp)
+HAVING count(*) > 1
+ORDER BY username, hour_bucket"""),
+
+    "dam_threat_feed" -> sev(
+      """SELECT activity_id, username, severity_level, suspicious_reasons,
+  strftime(access_timestamp, '%Y-%m-%d %H:%M:%S') AS access_ts
+FROM (
+  SELECT * FROM classified WHERE is_suspicious
+  ORDER BY access_timestamp DESC, activity_id DESC LIMIT 10
+) ORDER BY activity_id"""),
 
     "dam_firewall" -> act(
       """, rules(rule_id, pattern, match_type, action, priority) AS (VALUES

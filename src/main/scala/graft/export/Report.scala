@@ -2,7 +2,8 @@ package graft.export
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 import graft.operators.{Analytics, Detect}
 
@@ -37,6 +38,35 @@ object Report {
     Files.writeString(Paths.get(outPath), sb.toString)
   }
 
+  /** report_log append (reference app.py:1505-1513 table; the
+    * scheduled reporter records every generated report). report_id is
+    * content-addressed (type + path + timestamp — AUTO_INCREMENT has
+    * no distributed analog, SURVEY §1.3); `createdAt` is injectable so
+    * tests and replays are deterministic.
+    */
+  def logReport(spark: org.apache.spark.sql.SparkSession,
+                reportLogDir: String, reportType: String, filePath: String,
+                createdAt: java.sql.Timestamp): Unit = {
+    import spark.implicits._
+    Seq((reportType, filePath, createdAt))
+      .toDF("report_type", "file_path", "created_at")
+      .withColumn("report_id",
+        xxhash64(col("report_type"), col("file_path"), col("created_at")))
+      .select("report_id", "report_type", "file_path", "created_at")
+      .write.mode(SaveMode.Append).parquet(reportLogDir)
+  }
+
+  /** Generate a report file AND record it in report_log — the
+    * scheduled-reporter flow (app.py:891-902) as one call.
+    */
+  def writeLoggedReport(df: DataFrame, outPath: String, title: String,
+                        reportLogDir: String, reportType: String,
+                        createdAt: java.sql.Timestamp,
+                        cap: Int = 500): Unit = {
+    writeTextReport(df, outPath, title, cap)
+    logReport(df.sparkSession, reportLogDir, reportType, outPath, createdAt)
+  }
+
   /** Notification sink (reference daemon-thread dispatch app.py:433):
     * alerts stream → side-effecting notifier. The engine only filters
     * to High/Critical; transport is pluggable.
@@ -49,6 +79,48 @@ object Report {
     val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]
     override def notify(t: String, s: String, d: String): Unit =
       sent.add((t, s, d))
+  }
+
+  /** The fixed alert wire payload (reference alert dict app.py:425-433
+    * + the webhook envelope app.py:921-924: {source: "DAM-v3",
+    * timestamp, payload}, header X-DAM-Event: security-alert):
+    * to_json over an explicit StructType, computed distributed — the
+    * driver only iterates the already-tiny alert set. The envelope
+    * timestamp is the alert's event time (the reference stamps
+    * dispatch wall-clock; event time keeps replays byte-identical).
+    */
+  val WireEventHeader: (String, String) = "X-DAM-Event" -> "security-alert"
+
+  def alertWireJson(classified: DataFrame): DataFrame =
+    Detect.deriveAlerts(classified).select(
+      col("activity_id"),
+      to_json(struct(
+        lit("DAM-v3").as("source"),
+        date_format(col("access_timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("timestamp"),
+        struct(
+          col("activity_id").as("alert_id"),
+          col("alert_type"),
+          col("severity_level").as("severity"),
+          col("suspicious_reasons").as("description"),
+          col("username")).as("payload"))).as("wire_json"))
+
+  /** Webhook-shaped transport: receives the exact wire JSON string. */
+  trait WireNotifier extends Serializable {
+    def post(json: String): Unit
+  }
+
+  /** Dispatch the JSON wire payloads through a webhook-shaped
+    * notifier (WebhookManager.fire_all analog, app.py:914-924).
+    */
+  def dispatchWire(classified: DataFrame, notifier: WireNotifier): Long = {
+    var n = 0L
+    alertWireJson(classified).select("wire_json")
+      .toLocalIterator().forEachRemaining { row =>
+        notifier.post(row.getString(0))
+        n += 1
+      }
+    n
   }
 
   /** Dispatch High/Critical alerts from a classified micro-batch or

@@ -15,16 +15,21 @@ import org.apache.spark.sql.functions._
 object Dashboard {
 
   final case class Snapshot(
-      stats: DataFrame,     // 1 row: totals / failed / per-op / users
-      latest: DataFrame,    // latest-50 feed
-      alerts: DataFrame)    // active High/Critical alerts
+      stats: DataFrame,          // 1 row: totals / failed / per-op / users
+      latest: DataFrame,         // latest-50 feed
+      alerts: DataFrame,         // active High/Critical alerts
+      recentThreats: DataFrame)  // suspicious-only latest-10 feed
 
   final case class ChartData(
       timeline: DataFrame,          // hourly buckets
       severityHistogram: DataFrame, // severity_level, n
       opsDistribution: DataFrame)   // operation_type, n
 
-  /** E2 — /api/dashboard-data equivalent. */
+  /** E2 — /api/dashboard-data equivalent, including the
+    * recent_threats block of the reference's get_stats payload
+    * (app.py:305: suspicious-only, ORDER BY ts DESC LIMIT 10 —
+    * TakeOrderedAndProject, no full sort).
+    */
   def snapshot(activity: DataFrame, blacklist: DataFrame): Snapshot = {
     val classified = Detect.classify(activity, blacklist)
     Snapshot(
@@ -34,7 +39,13 @@ object Dashboard {
         .select(col("activity_id"), col("username"), col("alert_type"),
           col("severity_level"), col("access_timestamp"))
         .orderBy(col("access_timestamp").desc, col("activity_id").desc)
-        .limit(20))
+        .limit(20),
+      recentThreats = classified
+        .filter(col("is_suspicious"))
+        .select(col("activity_id"), col("username"), col("severity_level"),
+          col("suspicious_reasons"), col("access_timestamp"))
+        .orderBy(col("access_timestamp").desc, col("activity_id").desc)
+        .limit(10))
   }
 
   /** E3 — /api/v2/charts/all equivalent: one classified frame feeds

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's threat-detection rule engines (SURVEY §2.7 C4-C8)
@@ -191,6 +192,95 @@ object Detect {
         col("f.standard").as("standard"), col("f.finding").as("finding"),
         col("f.status").as("status"))
   }
+
+  /** Anchored period filter for report windows (reference
+    * app.py:489-495; cron cadences app.py:878-882): "daily" keeps the
+    * calendar day of the newest activity (the CURDATE analog — batch
+    * data has no wall clock), "weekly"/"monthly" keep the trailing
+    * 7/30 days from the max timestamp. The anchor is a 1-row broadcast
+    * cross-join (no driver collect), so the filter still pushes into
+    * the scan stage and prunes date partitions where present.
+    */
+  def periodFilter(activity: DataFrame, period: String): DataFrame = {
+    val anchor = broadcast(
+      activity.agg(max(col("access_timestamp")).as("__anchor")))
+    val keep = period match {
+      case "daily" =>
+        to_date(col("access_timestamp")) === to_date(col("__anchor"))
+      case "weekly" =>
+        col("access_timestamp") >= col("__anchor") - expr("INTERVAL 7 DAYS")
+      case "monthly" =>
+        col("access_timestamp") >= col("__anchor") - expr("INTERVAL 30 DAYS")
+      case other =>
+        throw new IllegalArgumentException(s"unknown report period: $other")
+    }
+    activity.crossJoin(anchor).filter(keep).drop("__anchor")
+  }
+
+  /** Period-windowed compliance report (reference generate_report,
+    * app.py:489-509): findings over the daily/weekly/monthly window,
+    * summarized per standard/status — the statistics block the
+    * scheduled reporter emails and renders to PDF.
+    */
+  def complianceReport(activity: DataFrame, period: String): DataFrame =
+    complianceFindings(periodFilter(activity, period))
+      .groupBy(col("standard"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("username")).as("distinct_users"))
+      .orderBy(col("standard"), col("status"))
+
+  /** Failed-login lockout analytics (reference app.py:80-81
+    * MAX_LOGIN_ATTEMPTS=5 / LOCKOUT_DURATION=30 min; authenticate
+    * app.py:205-221 resets failed_attempts on success and refuses
+    * logins while locked_until is in the future). Batch analog over
+    * the activity stream: per user, the consecutive-failure counter
+    * since the last success; the row where it reaches `maxAttempts`
+    * emits a lockout with locked_until = ts + lockoutMinutes.
+    *
+    * Plan shape: both running windows share one (username) partition
+    * and ordering, so there is exactly ONE shuffle (keyed by user —
+    * key-parallel at any scale) and the two WindowExecs pipeline with
+    * no second exchange. The counter is running-failed-count minus its
+    * value at the most recent success (gaps-and-islands without a
+    * second partition key).
+    */
+  def lockouts(activity: DataFrame, maxAttempts: Int = 5,
+               lockoutMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("username"))
+      .orderBy(col("access_timestamp"), col("activity_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runFailed =
+      sum(when(col("operation_status") === "Failed", 1L).otherwise(0L))
+        .over(byUser)
+    activity
+      .select(col("username"), col("activity_id"), col("operation_status"),
+        col("access_timestamp"))
+      .withColumn("__run_failed", runFailed)
+      .withColumn("__at_success",
+        last(when(col("operation_status") === "Success", col("__run_failed")),
+          ignoreNulls = true).over(byUser))
+      .withColumn("failed_attempts",
+        col("__run_failed") - coalesce(col("__at_success"), lit(0L)))
+      .filter(col("operation_status") === "Failed" &&
+        col("failed_attempts") === maxAttempts)
+      .select(col("username"), col("activity_id"),
+        col("access_timestamp").as("locked_at"), col("failed_attempts"),
+        (col("access_timestamp") + expr(s"INTERVAL $lockoutMinutes MINUTES"))
+          .as("locked_until"))
+  }
+
+  /** The RATE_LIMIT.max_failed_per_hour feed (reference app.py:107):
+    * users whose failed-operation count within an hour bucket exceeds
+    * the threshold. Plain hash aggregate — partial combine map-side,
+    * the shuffle carries (user, hour, long).
+    */
+  def failedHourly(activity: DataFrame, threshold: Int = 10): DataFrame =
+    activity.filter(col("operation_status") === "Failed")
+      .groupBy(col("username"),
+        date_trunc("hour", col("access_timestamp")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n_failed"))
+      .filter(col("n_failed") > threshold)
+      .orderBy(col("username"), col("hour_bucket"))
 
   /** J4 + W3 — firewall matcher (reference app.py:823-850): every
     * activity matched against all active rules (contains /

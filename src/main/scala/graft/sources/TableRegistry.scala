@@ -57,8 +57,8 @@ object TableRegistry {
     })
     writeIfAbsent("report_log", {
       import spark.implicits._
-      Seq.empty[(Int, String, String)]
-        .toDF("report_id", "report_type", "file_path")
+      Seq.empty[(Long, String, String, java.sql.Timestamp)]
+        .toDF("report_id", "report_type", "file_path", "created_at")
     })
     writeIfAbsent("user_2fa", {
       import spark.implicits._

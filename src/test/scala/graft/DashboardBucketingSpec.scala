@@ -18,6 +18,12 @@ class DashboardBucketingSpec extends SparkSpecBase {
     assert(snap.latest.count() == 50)
     val alerts = snap.alerts.collect()
     assert(alerts.length <= 20 && alerts.nonEmpty)
+    // recent_threats block (app.py:305): suspicious-only, capped at 10,
+    // newest first
+    val threats = snap.recentThreats.collect()
+    assert(threats.length == 10)
+    val ts = threats.map(_.getAs[java.time.LocalDateTime]("access_timestamp"))
+    assert(ts.sliding(2).forall(p => !p(0).isBefore(p(1))))
   }
 
   test("E3 charts payload from a single classified frame") {

@@ -138,4 +138,64 @@ class DetectSpec extends SparkSpecBase {
     assert(got(3L) == 7)
     assert(!got.contains(4L))
   }
+
+  private def mkStatusSeq(statuses: Seq[String]): org.apache.spark.sql.DataFrame =
+    statuses.zipWithIndex.map { case (st, i) => (i.toLong + 1, st) }
+      .toDF("activity_id", "operation_status")
+      .withColumn("username", lit("u"))
+      .withColumn("access_timestamp",
+        to_timestamp(lit("2024-01-10 12:00:00")) +
+          expr("INTERVAL 1 MINUTE") * col("activity_id"))
+
+  test("lockouts: counter resets on success, fires once per streak crossing") {
+    // F F S F F F F S F F F — with maxAttempts=3 the counter reaches 3
+    // exactly at ids 6 (second streak) and 11 (third streak)
+    val df = mkStatusSeq(Seq("Failed", "Failed", "Success", "Failed",
+      "Failed", "Failed", "Failed", "Success", "Failed", "Failed", "Failed"))
+    val got = Detect.lockouts(df, maxAttempts = 3, lockoutMinutes = 30)
+      .select($"activity_id", $"failed_attempts",
+        unix_timestamp($"locked_until") - unix_timestamp($"locked_at"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((6L, 3L, 1800L), (11L, 3L, 1800L)))
+  }
+
+  test("lockouts: a 4th consecutive failure does not re-fire") {
+    val df = mkStatusSeq(Seq("Failed", "Failed", "Failed", "Failed"))
+    val ids = Detect.lockouts(df, maxAttempts = 3)
+      .select($"activity_id").as[Long].collect().toSeq
+    assert(ids == Seq(3L))
+  }
+
+  test("failedHourly: per-hour failed counts above threshold only") {
+    val rows = Seq(
+      (1L, "u1", "Failed", "2024-01-10 12:05:00"),
+      (2L, "u1", "Failed", "2024-01-10 12:25:00"),
+      (3L, "u1", "Failed", "2024-01-10 12:45:00"),
+      (4L, "u1", "Failed", "2024-01-10 13:05:00"),
+      (5L, "u1", "Success", "2024-01-10 12:50:00"),
+      (6L, "u2", "Failed", "2024-01-10 12:10:00"))
+      .toDF("activity_id", "username", "operation_status", "ts_s")
+      .withColumn("access_timestamp", to_timestamp($"ts_s")).drop("ts_s")
+    val got = Detect.failedHourly(rows, threshold = 2)
+      .select($"username", date_format($"hour_bucket", "HH:00"), $"n_failed")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("u1", "12:00", 3L)))
+  }
+
+  test("periodFilter anchors at max ts: daily=calendar day, weekly/monthly trailing") {
+    val rows = Seq(
+      (1L, "2024-02-15 10:00:00"), // the anchor (max ts)
+      (2L, "2024-02-15 01:00:00"), // same calendar day
+      (3L, "2024-02-13 09:00:00"), // within 7 days
+      (4L, "2024-02-01 09:00:00"), // within 30 days
+      (5L, "2023-12-25 09:00:00")) // outside all windows
+      .toDF("activity_id", "ts_s")
+      .withColumn("access_timestamp", to_timestamp($"ts_s")).drop("ts_s")
+    def ids(p: String) = Detect.periodFilter(rows, p)
+      .select($"activity_id").as[Long].collect().toSet
+    assert(ids("daily") == Set(1L, 2L))
+    assert(ids("weekly") == Set(1L, 2L, 3L))
+    assert(ids("monthly") == Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException](Detect.periodFilter(rows, "hourly"))
+  }
 }
