@@ -18,12 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Mutations {
 
-  /** Apply `updates` to rows matching `predicate`, atomically swapping
-    * the table directory (write new → move old → move new). Returns
-    * the number of updated rows.
+  /** If a previous swap crashed between the two renames, the live path
+    * is missing and the data sits stranded under '.old' (or fully
+    * written under '.tmp'). Called at the top of every mutation so a
+    * restart self-heals; concurrent readers during the swap window
+    * still see a transient missing path — SINGLE-WRITER, and readers
+    * must tolerate/retry. That non-atomicity is inherent to
+    * directory-swap over a plain filesystem; a lakehouse table format
+    * (Delta/Iceberg/Hudi) is the real fix at scale.
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(dir))) {
+      if (fs.exists(p(dir + ".tmp"))) fs.rename(p(dir + ".tmp"), p(dir))
+      else if (fs.exists(p(dir + ".old"))) fs.rename(p(dir + ".old"), p(dir))
+    }
+  }
+
+  /** Apply `updates` to rows matching `predicate`, swapping the table
+    * directory (write new → move old → move new; see [[recoverSwap]]
+    * for the crash-window contract). Returns the number of updated
+    * rows.
     */
   def updateRows(spark: SparkSession, dir: String, predicate: Column,
                  updates: Map[String, Column]): Long = {
+    recoverSwap(spark, dir)
     val current = spark.read.parquet(dir)
     val matched = current.filter(predicate).count()
     if (matched > 0) {

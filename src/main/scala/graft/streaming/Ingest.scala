@@ -53,7 +53,14 @@ object Ingest {
       .withColumn("operation_details", substring(sql, 1, 1000))
       .select(
         // deterministic surrogate id: content-addressed (AUTO_INCREMENT
-        // has no distributed equivalent; SURVEY §1.3)
+        // has no distributed equivalent; SURVEY §1.3). CONTRACT: dedup
+        // assumes at most one identical statement per (event_time,
+        // user_host) tick — two genuinely distinct deliveries with
+        // byte-identical text in the same timestamp collapse to one
+        // (the general_log's µs timestamps make that collision a
+        // same-connection replay in practice; a per-delivery offset
+        // would restore AUTO_INCREMENT multiplicity but break
+        // replay-idempotence, which the pipeline values more)
         xxhash64(col("event_time"), col("user_host"), col("argument"))
           .as("activity_id"),
         Classify.usernameOf(col("user_host")).as("username"),
@@ -127,7 +134,7 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val enriched = batch
           .join(broadcast(users.select(col("username"),
             col("role"), col("user_id"))), Seq("username"), "left")
@@ -141,16 +148,27 @@ object Ingest {
           rateKey = "username")
           .withColumn("event_date", to_date(col("access_timestamp")))
         classified.persist()
+        // effectively-once via per-batch idempotence: both sinks carry
+        // the micro-batch id as a partition and dynamically OVERWRITE
+        // only that partition, so a replay after a crash between the
+        // append and the checkpoint commit rewrites the same files
+        // instead of duplicating rows (a plain append would be
+        // at-least-once across that window)
         try {
-          classified.write.mode("append")
-            .partitionBy("event_date").parquet(cfg.logsDir)
+          classified.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date", "ingest_batch").parquet(cfg.logsDir)
           Detect.deriveAlerts(classified)
             .select(col("activity_id"), col("alert_type"),
               col("severity_level").as("severity"),
               col("suspicious_reasons").as("description"),
               col("alert_status").as("status"),
               col("access_timestamp").as("created_at"))
-            .write.mode("append").parquet(cfg.alertsDir)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(cfg.alertsDir)
         } finally classified.unpersist()
         ()
       }
