@@ -166,6 +166,115 @@ object SparkEntry {
   private def act(sql: String): String = ActivityPrelude + "\n" + sql
   private def sev(sql: String): String = ActivityPrelude + SeverityCte + "\n" + sql
 
+  // ---------------------------------------------------------------- //
+  // ANN oracle building blocks: the LSH hyperplanes are fixed         //
+  // hash-derived constants, so DuckDB replays bucket assignment from  //
+  // the same literals; dot/norm use the decimal-exact product-sum     //
+  // pattern proven by emb_knn_brute. Projections replicate the Spark  //
+  // side's sequential double fold via list_reduce.                    //
+  // ---------------------------------------------------------------- //
+
+  /** Exact-decimal dot product of two DuckDB list expressions. */
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE)"""
+
+  private def normSql(e: String): String =
+    s"""sqrt(CAST(list_sum(list_transform($e,
+      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE))"""
+
+  /** Signed projection of `e` onto fixed hyperplane p (plain double
+    * left fold — the same IEEE op sequence as Similarity.lshBucket's
+    * aggregate()).
+    */
+  private def planeProjSql(p: Int, e: String): String = {
+    val plane = Similarity.hyperplane(p, 64)
+      .map(_.toString).mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($e, $plane),
+      s -> CAST(s[1] AS DOUBLE) * s[2])), (a, b) -> a + b)"""
+  }
+
+  /** Sign-LSH bucket id over 8 fixed hyperplanes (Similarity.lshBucket). */
+  private def lshBucketSql(e: String): String =
+    (0 until 8).map { p =>
+      s"(CASE WHEN ${planeProjSql(p, e)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+
+  /** Squared L2 between a list expr and a centroid list expr — the
+    * same sequential double fold as Similarity.sqDistTo.
+    */
+  private def sqDistSql(v: String, c: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($v, $c),
+      s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), (a, b) -> a + b)"""
+
+  /** DuckDB replay of Similarity.trainCentroids + ivfTopK: k-means is
+    * fully deterministic (init = the nlist lowest vec_ids, fixed Lloyd
+    * iterations, decimal-exact means), so the oracle re-trains the
+    * same centroids with unrolled iteration CTEs and replays the
+    * nprobe search — nothing about IVF stays engine-specific.
+    */
+  private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
+                           dim: Int, queryIds: Seq[Long]): String = {
+    val qIn = queryIds.mkString(", ")
+    val init =
+      s"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)
+)"""
+    val iterCtes = (0 until iters).map { i =>
+      s"""a$i AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c$i c
+  ) WHERE rn = 1
+), m$i AS (
+  SELECT a.cid, t.i AS pos,
+    CAST(sum(CAST(CAST(e.embedding[t.i + 1] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+      / count(*) AS m
+  FROM embeddings e JOIN a$i a USING (vec_id) CROSS JOIN range($dim) t(i)
+  GROUP BY a.cid, t.i
+), c${i + 1} AS (
+  SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
+  FROM c$i c LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cent FROM m$i GROUP BY cid
+  ) n USING (cid)
+)"""
+    }.mkString(",\n")
+    val cf = s"c$iters"
+    s"""WITH $init,
+$iterCtes,
+nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
+), af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN $cf c
+  ) WHERE rn = 1
+), qp AS (
+  SELECT query_id, qe, qnorm, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, nq.norm AS qnorm, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${sqDistSql("q.embedding", "c.cent")}, c.cid) AS rn
+    FROM embeddings q JOIN nn nq ON nq.vec_id = q.vec_id
+    CROSS JOIN $cf c
+    WHERE q.vec_id IN ($qIn)
+  ) WHERE rn <= $nprobe
+), scored AS (
+  SELECT qp.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "qp.qe")} / (nn.norm * qp.qnorm), 4) AS cos_sim
+  FROM nn JOIN af ON af.vec_id = nn.vec_id
+  JOIN qp ON qp.cid = af.cid AND nn.vec_id <> qp.query_id
+)
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Period-windowed compliance report oracle (Detect.complianceReport):
     * `cond` filters activity against the max-timestamp anchor `m`.
     */
@@ -428,10 +537,15 @@ FROM (
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
 
-    // ---- Spark-native sketches (no SQL oracle: xxhash64/LSH-based;
-    //      driver records rows-only checks) ----
+    // md5-seeded hash family so the full minhash+LSH+verify pipeline
+    // is oracle-replayable (Dedup.md5Seeded; xxSeeded is the
+    // engine-only fast path)
     "doc_minhash_neardups" -> ((s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3)),
+      Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
+        hashFn = Dedup.md5Seeded)),
+
+    // ---- Spark-native sketch (no SQL oracle: the SimHash64 Catalyst
+    //      expression is xxhash64-based; rows-only check) ----
     "doc_simhash" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
       .orderBy(col("doc_id"))),
@@ -992,6 +1106,78 @@ FROM f ORDER BY doc_id""",
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
+
+    "doc_minhash_neardups" -> {
+      // k=16 slots, 4 bands × 4 rows; md5-seeded family (Dedup.md5Seeded)
+      val sigCols = (0 until 16).map { seed =>
+        s"min(CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT)) AS h$seed"
+      }.mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val slots = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, $slots FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val toks = """string_split_regex(trim(text), '\s+')"""
+      s"""WITH base AS (
+  SELECT doc_id, list_distinct(list_transform(range(len($toks) - 2),
+    i -> $toks[i + 1] || ' ' || $toks[i + 2] || ' ' || $toks[i + 3])) AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM base
+), sig AS (
+  SELECT doc_id,
+    $sigCols
+  FROM ex GROUP BY doc_id
+), banded(doc_id, band, s1, s2, s3, s4) AS (
+  $bandRows
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+   AND x.s3 = y.s3 AND x.s4 = y.s4 AND x.doc_id < y.doc_id
+), j AS (
+  SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      greatest(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 4) AS jaccard
+  FROM pairs p JOIN base a ON a.doc_id = p.doc_a JOIN base b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
+ORDER BY doc_a, doc_b"""
+    },
+
+    "emb_lsh_ann" -> {
+      s"""WITH b AS (
+  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+    ${normSql("embedding")} AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm, bucket
+  FROM b WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(${dotSql("e.embedding", "q.qe")} / (e.norm * q.qnorm), 4) AS cos_sim
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
+    },
+
+    "emb_near_dups" -> {
+      s"""WITH b AS (
+  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+    ${normSql("embedding")} AS norm
+  FROM embeddings
+), p AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+    round(${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm), 4) AS cos_sim
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35
+ORDER BY vec_a, vec_b"""
+    },
+
+    "emb_ivf_ann" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
+      k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

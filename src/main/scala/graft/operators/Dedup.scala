@@ -62,14 +62,32 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k permutations approximated by xxhash64 with
-    * distinct seeds over the shingle set; each signature slot is the
-    * min hash under that seed.
+  /** Seeded 64-bit string hash family for minhash permutations —
+    * xxhash64 with the seed as a leading column: the fast path
+    * (codegen'd, no allocation).
     */
-  def minhashSignature(text: Column, k: Int = 16, ngram: Int = 3): Column = {
+  def xxSeeded(seed: Int, s: Column): Column = xxhash64(lit(seed), s)
+
+  /** Portable 60-bit hash family: top 15 hex chars of md5("seed:" ++ s)
+    * as an integer. Identical in Spark (conv base 16) and DuckDB
+    * ('0x…' cast), which makes the whole minhash+LSH pipeline
+    * oracle-replayable — only the (collision-negligible) band-bucket
+    * hashing stays engine-internal. ~2-3× the cost of [[xxSeeded]];
+    * use that when no cross-engine verification is needed.
+    */
+  def md5Seeded(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: k permutations approximated by a seeded hash
+    * family over the shingle set; each signature slot is the min hash
+    * under that seed.
+    */
+  def minhashSignature(text: Column, k: Int = 16, ngram: Int = 3,
+                       hashFn: (Int, Column) => Column = xxSeeded): Column = {
     val sh = array_distinct(shingles(text, ngram))
     array((0 until k).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+      array_min(transform(sh, s => hashFn(seed, s)))
     }: _*)
   }
 
@@ -79,8 +97,8 @@ object Dedup {
     * jaccard >= threshold. bands × rowsPerBand must equal k.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-                      k: Int = 16, bands: Int = 4,
-                      ngram: Int = 3): DataFrame = {
+                      k: Int = 16, bands: Int = 4, ngram: Int = 3,
+                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
     val rowsPerBand = k / bands
     // Stage 1: signatures via explode + hash-aggregate — one pass over
     // the shingle stream with map-side partial min() per seed. This
@@ -91,9 +109,9 @@ object Dedup {
     val shingleStream = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), ngram))).as("s"))
     val sig = shingleStream.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("s"))).as("h0"),
+      min(hashFn(0, col("s"))).as("h0"),
       (1 until k).map(seed =>
-        min(xxhash64(lit(seed), col("s"))).as(s"h$seed")): _*)
+        min(hashFn(seed, col("s"))).as(s"h$seed")): _*)
     // band key: 8-byte hash of the band's signature slots + band id
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand)

@@ -129,7 +129,7 @@ object Similarity {
     * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is
     * reproducible across runs and clusters.
     */
-  private def hyperplane(p: Int, dim: Int): Seq[Double] =
+  private[graft] def hyperplane(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
       val h = scala.util.hashing.MurmurHash3.stringHash(s"graft-lsh-$p-$j", 42)
       (h.toDouble / Int.MaxValue.toDouble) / 2.0
