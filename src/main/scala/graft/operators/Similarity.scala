@@ -203,7 +203,17 @@ object Similarity {
     */
   def trainCentroids(embeddings: DataFrame, k: Int = 16,
                      iters: Int = 3): Array[Array[Double]] = {
-    val spark = embeddings.sparkSession
+    // each Lloyd iteration is a full corpus pass — pin the input for
+    // the duration of training instead of re-running its lineage
+    // (scan + repartition) iters+1 times
+    val pinned = embeddings
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainCentroidsPinned(pinned, k, iters)
+    finally { pinned.unpersist(); () }
+  }
+
+  private def trainCentroidsPinned(embeddings: DataFrame, k: Int,
+                                   iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = embeddings
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
