@@ -129,4 +129,35 @@ class MutationsReportSpec extends SparkSpecBase {
     assert(n == parsed.length && seen.size() == parsed.length)
     assert(Report.WireEventHeader == ("X-DAM-Event" -> "security-alert"))
   }
+
+  test("report scheduler: runs the period job, logs and notifies each run") {
+    val root = Files.createTempDirectory("sched").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    val notifier = new Report.CollectingNotifier
+    val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sched = new graft.export.ReportScheduler(
+      activity = () => Tables.activity(spark, sf("sf0.001")),
+      outDir = root + "/reports",
+      reportLogDir = root + "/report_log",
+      notifier = notifier,
+      clock = () => Timestamp.valueOf(
+        s"2024-01-10 07:00:0${tick.getAndIncrement()}"))
+    try {
+      val p1 = sched.runOnce("daily")
+      val p2 = sched.runOnce("weekly")
+      assert(Files.exists(java.nio.file.Paths.get(p1)))
+      assert(Files.exists(java.nio.file.Paths.get(p2)))
+      val logged = spark.read.parquet(root + "/report_log")
+        .select($"report_type", $"file_path").as[(String, String)]
+        .collect().toSet
+      assert(logged == Set(("daily", p1), ("weekly", p2)))
+      assert(notifier.sent.size() == 2)
+      // fixed-rate scheduling drives the same job repeatedly
+      sched.start("daily", intervalMs = 150L)
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (spark.read.parquet(root + "/report_log").count() < 4 &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      assert(spark.read.parquet(root + "/report_log").count() >= 4)
+    } finally sched.stop()
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+import graft.operators.Relational
+
+/** Regression locks for the scale anti-patterns removed in round 2:
+  * windows that funnel unbounded input into one task per key, and
+  * forced broadcasts of scale-proportional dimensions. These assert
+  * plan SHAPE, not results — the oracles cover results.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect() // finalize AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("firewall first-match is a map-side partial aggregate, not a window") {
+    val p = executedPlan("dam_firewall")
+    assert(p.contains("partial_min_by"),
+      "expected partial_min_by (map-side combine) in the firewall plan")
+    assert(!p.contains("Window"),
+      "firewall first-match must not rank with a window")
+  }
+
+  test("ANN rankings carry no per-query window funnel") {
+    for (q <- Seq("emb_knn_brute", "emb_lsh_ann", "emb_ivf_ann")) {
+      val p = executedPlan(q)
+      assert(!p.contains("Window"), s"$q must use two-phase top-k, got a Window")
+    }
+  }
+
+  test("severity classify pre-aggregates rate counts instead of a full-row window") {
+    val p = executedPlan("dam_severity")
+    assert(!p.contains("Window"),
+      "rate rule must join a pre-aggregated count, not window the full rows")
+  }
+
+  test("severity histogram total has no empty-partition window") {
+    val p = executedPlan("dam_severity_histogram")
+    assert(!p.contains("Window"))
+  }
+
+  test("only bounded dims carry broadcast hints in the warehouse joins") {
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val d = sf("sf0.001")
+    // q5: exactly the region + (nation ⋈ region) hints — customer and
+    // supplier grow with scale factor and must stay unhinted for AQE
+    assert(hints(Relational.regionRevenue(spark, d)) == 2)
+    assert(hints(Relational.topRevenueOrders(spark, d)) == 0)
+    assert(hints(Relational.eventsBySegment(spark, d)) == 0)
+    assert(hints(Relational.eventsPivot(spark, d)) == 0)
+  }
+}
