@@ -299,7 +299,7 @@ FROM (
   // ---------------------------------------------------------------- //
 
   private def classified(s: SparkSession, d: String): DataFrame =
-    Detect.classify(Tables.activity(s, d), Detect.ipBlacklist(s))
+    Tables.classifiedActivity(s, d)
 
   private val fmtTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
 

@@ -144,12 +144,32 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The classified activity view (severity lattice applied) — these
+    * columns are born at ingest in the production layout (the
+    * streaming path persists them, reference app.py:405-409), so the
+    * serving queries that share them (severity, alerts, rollup,
+    * histogram, union feed, threat feed) read a cached frame instead
+    * of re-running the regex battery per query.
+    */
+  private val classifiedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def classifiedActivity(s: SparkSession, d: String): DataFrame =
+    classifiedCache.computeIfAbsent((s, d), { _ =>
+      registerCleanup(s)
+      graft.operators.Detect.classify(
+        activity(s, d), graft.operators.Detect.ipBlacklist(s))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Explicit cache-lifecycle hook: unpersist + drop one (session, dir)
     * entry — call after a dir's data is rewritten (Mutations) or when a
     * long-lived session is done with a dataset.
     */
-  def invalidateActivity(s: SparkSession, d: String): Unit =
+  def invalidateActivity(s: SparkSession, d: String): Unit = {
     Option(activityCache.remove((s, d))).foreach(_.unpersist())
+    Option(classifiedCache.remove((s, d))).foreach(_.unpersist())
+  }
 
   /** Session-end eviction so stopped sessions don't pin cache entries
     * (and their SparkSession objects) forever in the static map.
@@ -162,6 +182,8 @@ object Tables {
           cleanupRegistered.remove(s)
           val it = activityCache.keySet.iterator()
           while (it.hasNext) if (it.next()._1 eq s) it.remove()
+          val it2 = classifiedCache.keySet.iterator()
+          while (it2.hasNext) if (it2.next()._1 eq s) it2.remove()
         }
       })
     }
