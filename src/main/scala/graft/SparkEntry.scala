@@ -549,6 +549,9 @@ FROM (
     "doc_simhash" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
       .orderBy(col("doc_id"))),
+    // oracle-replayable variant over the md5-seeded 60-bit family
+    "doc_simhash_portable" -> ((s, d) =>
+      Dedup.simhashPortable(Tables.documents(s, d))),
     "emb_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
     "emb_ivf_ann" -> ((s, d) =>
@@ -1174,6 +1177,28 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
 )
 SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35
 ORDER BY vec_a, vec_b"""
+    },
+
+    "doc_simhash_portable" -> {
+      val voteCols = (0 until 60).map { i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+      }.mkString(",\n    ")
+      val sketch = (0 until 60).map { i =>
+        s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", "\n  + ", ")")
+      s"""WITH ex AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('0:' || t), 1, 15)) AS BIGINT) AS h
+  FROM ex
+), v AS (
+  SELECT doc_id,
+    $voteCols
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST($sketch AS BIGINT) AS simhash
+FROM v ORDER BY doc_id"""
     },
 
     "emb_ivf_ann" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,

@@ -168,6 +168,29 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Portable simhash: the same bit-vote semantics as [[simhash]] but
+    * over the md5-seeded 60-bit family ([[md5Seeded]]) and computed
+    * explode → aggregate, so DuckDB replays it exactly. The shuffle
+    * carries 60 vote longs per doc (map-side partial sums), never the
+    * tokens — the same scale shape as the minhash signature pass. The
+    * native [[simhash]] expression remains the fast engine-only path.
+    */
+  def simhashPortable(docs: org.apache.spark.sql.DataFrame,
+                      bits: Int = 60): org.apache.spark.sql.DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("t"))
+      .withColumn("h", md5Seeded(0, col("t")))
+    val votes = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$i")
+    }
+    val agg = ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sketch = (0 until bits).map { i =>
+      when(col(s"v$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"), sketch.as("simhash")).orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs with content blocking on
     * (first token, token-length bucket): near-identical docs agree on
     * both, so candidate pairs shrink from O(n²) to per-block O(b²)
