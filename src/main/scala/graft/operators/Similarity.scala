@@ -269,6 +269,72 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialized IVF index — the 100 TB layout [[ivfTopK]]
+    * approximates in one job: the corpus is written partitioned by
+    * inverted-list id (with the norm precomputed), and the trained
+    * centroids sit alongside as a tiny dim table. A probe then reads
+    * ONLY its lists via partition pruning instead of scanning the
+    * corpus; index build is one training pass + one partitioned write.
+    */
+  def writeIvfIndex(embeddings: DataFrame, dir: String, nlist: Int = 16,
+                    iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(embeddings, nlist, iters)
+    embeddings
+      .withColumn("cid", nearestCentroid(col("embedding"), cents))
+      .withColumn("norm", l2norm(col("embedding")))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a materialized IVF index: the probe-list ids come from the
+    * (tiny) centroid dim, so the list filter is a literal IN predicate
+    * and the scan is partition-pruned — at 100 TB a probe touches
+    * nprobe/nlist of the data. The only driver-side data is the query
+    * vectors and k×dim centroids.
+    */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queryIds: Seq[Long], k: Int = 10,
+                       nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val lists = spark.read.parquet(s"$dir/lists")
+    val queryRows = lists.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"), col("norm")).collect()
+    val probes: Map[Long, Seq[Int]] = queryRows.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val nearest = cents.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          while (j < v.length) { val dl = v(j) - c(j); d += dl * dl; j += 1 }
+          (d, i)
+        }
+        .sortBy(identity).take(nprobe).map(_._2).toSeq
+      r.getLong(0) -> nearest
+    }.toMap
+    val probeCids = probes.values.flatten.toSeq.distinct.sorted
+    val queries = {
+      import spark.implicits._
+      queryRows.toSeq.flatMap { r =>
+        probes(r.getLong(0)).map(cid =>
+          (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), cid))
+      }.toDF("query_id", "qvec", "qnorm", "cid")
+    }
+    // literal IN on the partition column → pruned scan
+    val scored = lists.filter(col("cid").isin(probeCids: _*))
+      .join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
     * exceeds a threshold, blocked by LSH bucket to avoid O(n²).
     */

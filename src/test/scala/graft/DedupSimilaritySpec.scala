@@ -174,6 +174,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("materialized IVF index: pruned probes, same results as one-shot ivf") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.writeIvfIndex(emb, dir, nlist = 16, iters = 3)
+    // the list layout partition-prunes: a single-list read touches a
+    // strict subset of the index files
+    val lists = spark.read.parquet(s"$dir/lists")
+    val one = lists.filter($"cid" === 0)
+    one.collect()
+    val scans = one.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead > 0 && filesRead < lists.inputFiles.length,
+      s"pruning read $filesRead of ${lists.inputFiles.length} files")
+    // probe results are identical to the in-memory ivfTopK (same
+    // deterministic training, same probe + ranking semantics)
+    val viaIndex = Similarity
+      .ivfSearchIndexed(spark, dir, Seq(0L, 1L, 2L), k = 10, nprobe = 2)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val oneShot = Similarity
+      .ivfTopK(emb, Seq(0L, 1L, 2L), k = 10, nlist = 16, nprobe = 2, iters = 3)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == oneShot && viaIndex.nonEmpty)
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)
