@@ -55,18 +55,60 @@ object Mutations {
           df.withColumn(name, when(predicate, value).otherwise(col(name)))
         else df.withColumn(name, when(predicate, value))
       }
-      val tmp = dir + ".tmp"
-      val old = dir + ".old"
-      updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      def p(s: String) = new org.apache.hadoop.fs.Path(s)
-      fs.delete(p(old), true)
-      fs.rename(p(dir), p(old))
-      fs.rename(p(tmp), p(dir))
-      fs.delete(p(old), true)
+      swapWrite(spark, dir, updated)
     }
     matched
+  }
+
+  /** Write `df` to `dir` via the tmp/old rename dance ([[recoverSwap]]
+    * heals a crash inside it).
+    */
+  private def swapWrite(spark: SparkSession, dir: String,
+                        df: DataFrame): Unit = {
+    val tmp = dir + ".tmp"
+    val old = dir + ".old"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(old), true)
+    fs.rename(p(dir), p(old))
+    fs.rename(p(tmp), p(dir))
+    fs.delete(p(old), true)
+    ()
+  }
+
+  /** Bulk lockout application — the write half of the reference's
+    * lockout flow (authenticate refuses while locked_until is future,
+    * app.py:215-216; update_status app.py:246): every username in
+    * `lockouts` (the [[graft.operators.Detect.lockouts]] output, or
+    * any frame with username + locked_until) gets
+    * account_status='Locked' and its locked_until persisted on the
+    * users control table. The lockout frame is already tiny
+    * (aggregated), so the merge is a broadcast join over the small
+    * users dim. Returns the number of users locked.
+    */
+  def applyLockouts(spark: SparkSession, usersDir: String,
+                    lockouts: DataFrame): Long = {
+    recoverSwap(spark, usersDir)
+    val cur = spark.read.parquet(usersDir)
+    val lk = broadcast(lockouts.groupBy(col("username"))
+      .agg(max(col("locked_until")).as("__locked_until")))
+    val n = cur.join(lk, Seq("username"), "left_semi").count()
+    if (n > 0) {
+      val base =
+        if (cur.columns.contains("locked_until")) cur
+        else cur.withColumn("locked_until", lit(null).cast("timestamp_ntz"))
+      val merged = base.join(lk, Seq("username"), "left")
+        .withColumn("account_status",
+          when(col("__locked_until").isNotNull, "Locked")
+            .otherwise(col("account_status")))
+        .withColumn("locked_until",
+          coalesce(col("__locked_until"), col("locked_until")))
+        .drop("__locked_until")
+      swapWrite(spark, usersDir, merged)
+    }
+    n
   }
 
   /** Alert lifecycle (reference app.py:1132): status → Resolved with

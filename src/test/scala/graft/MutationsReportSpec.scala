@@ -32,6 +32,37 @@ class MutationsReportSpec extends SparkSpecBase {
       col("activity_id") === 99L, Map("status" -> lit("x"))) == 0)
   }
 
+  test("lockout detection drives the users-table mutation end to end") {
+    val dir = Files.createTempDirectory("lock").toString + "/users"
+    graft.sources.TableRegistry.seedUsers(spark).write.parquet(dir)
+    // user1: 3 consecutive failures → lockout event at the 3rd
+    val act = Seq(
+      (1L, "user1", "Failed", "2024-01-10 12:01:00"),
+      (2L, "user1", "Failed", "2024-01-10 12:02:00"),
+      (3L, "user1", "Failed", "2024-01-10 12:03:00"),
+      (4L, "guest1", "Failed", "2024-01-10 12:04:00"),
+      (5L, "guest1", "Success", "2024-01-10 12:05:00"))
+      .toDF("activity_id", "username", "operation_status", "ts_s")
+      .withColumn("access_timestamp",
+        to_timestamp($"ts_s").cast("timestamp_ntz")).drop("ts_s")
+    val lockouts = Detect.lockouts(act, maxAttempts = 3, lockoutMinutes = 30)
+    assert(Mutations.applyLockouts(spark, dir, lockouts) == 1)
+    val back = spark.read.parquet(dir)
+      .select($"username", $"account_status", $"locked_until".isNotNull)
+      .as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(back("user1") == (("Locked", true)))
+    assert(back("guest1") == (("Active", false)))
+    assert(back("admin") == (("Active", false)))
+    val until = spark.read.parquet(dir).filter($"username" === "user1")
+      .select(date_format($"locked_until", "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()(0)
+    assert(until == "2024-01-10 12:33:00") // locked_at + 30 min
+    // no-op when nothing matches
+    assert(Mutations.applyLockouts(spark, dir,
+      Detect.lockouts(act.filter($"username" === "nobody"))) == 0)
+  }
+
   test("account lock/unlock") {
     val dir = Files.createTempDirectory("mut2").toString + "/users"
     graft.sources.TableRegistry.seedUsers(spark).write.parquet(dir)

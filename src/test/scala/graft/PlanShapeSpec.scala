@@ -54,4 +54,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(hints(Relational.eventsBySegment(spark, d)) == 0)
     assert(hints(Relational.eventsPivot(spark, d)) == 0)
   }
+
+  test("the planner still broadcasts the small customer side unhinted") {
+    val df = Relational.topRevenueOrders(spark, sf("sf0.001"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "below-threshold customer should broadcast via AQE without a hint")
+  }
 }
