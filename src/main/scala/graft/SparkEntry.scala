@@ -452,16 +452,19 @@ FROM (
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("event_type"))),
-    "doc_top_per_source" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
+    "doc_top_per_source" -> ((s, d) =>
+      // top-1-per-group as a map-side-combinable min_by — source has
+      // FEW distinct values, so a window over it would funnel the
+      // whole corpus into one task per source (the anti-pattern fixed
+      // for the firewall matcher); ordering key (-n_chars, doc_id)
+      // picks longest-then-lowest-id like the previous row_number
       Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .orderBy(col("source"))
-    }),
+        .groupBy(col("source"))
+        .agg(min_by(struct(col("doc_id"), col("n_chars")),
+          struct((-col("n_chars")).as("k1"), col("doc_id").as("k2"))).as("m"))
+        .select(col("source"), col("m.doc_id").as("doc_id"),
+          col("m.n_chars").as("n_chars"))
+        .orderBy(col("source"))),
 
     // ---- agent parse pipeline end-to-end (S1, C1-C3, P9, P10) ----
     "dam_agent_parse" -> ((s, d) => {

@@ -43,6 +43,11 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"))
   }
 
+  test("top-per-source is a partial aggregate, not a low-cardinality window") {
+    val p = executedPlan("doc_top_per_source")
+    assert(p.contains("partial_min_by") && !p.contains("Window"))
+  }
+
   test("only bounded dims carry broadcast hints in the warehouse joins") {
     def hints(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
