@@ -536,6 +536,37 @@ FROM (
     "doc_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardNearDups(Tables.documents(s, d))),
 
+    // ---- training-data curation (redaction, funnel, budgeting) ----
+    "dam_redacted" -> ((s, d) => Tables.activity(s, d)
+      .select(col("activity_id"),
+        TextOps.redactPii(col("operation_details")).as("redacted"),
+        (TextOps.redactPii(col("operation_details")) =!=
+          col("operation_details")).as("was_redacted"))
+      .orderBy(col("activity_id"))),
+    "doc_curation_funnel" -> ((s, d) => {
+      // the curation pipeline as stage counts: corpus → language
+      // filter → quality filter → near-dup canonicalization
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fingerprint"))
+      val en = col("lang_guess") === "en"
+      val q = col("quality_score") >= 0.75
+      TextOps.profile(Tables.documents(s, d))
+        .withColumn("is_canonical",
+          col("doc_id") === min(col("doc_id")).over(w))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(en, 1)).as("n_lang"),
+          count(when(en && q, 1)).as("n_quality"),
+          count(when(en && q && col("is_canonical"), 1)).as("n_kept"))
+    }),
+    "doc_token_budget" -> ((s, d) => Tables.documents(s, d)
+      .select(col("source"), TextOps.langGuess(col("text")).as("lang_guess"),
+        TextOps.tokenCount(col("text")).as("nt"),
+        TextOps.bpeishTokenCount(col("text")).as("bp"))
+      .groupBy(col("source"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("bp")).as("bpeish_tokens"))
+      .orderBy(col("source"), col("lang_guess"))),
+
     // ---- similarity search ----
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
@@ -1112,6 +1143,52 @@ FROM f ORDER BY doc_id""",
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
+
+    "dam_redacted" -> {
+      // same fold order as TextOps.redactPii; DuckDB needs the 'g'
+      // flag (Java regexp_replace is global by default)
+      val chain = TextOps.PiiPatterns.foldLeft("operation_details") {
+        case (expr, (p, tag)) =>
+          s"regexp_replace($expr, '${sqlRe(p)}', '$tag', 'g')"
+      }
+      act(s"""SELECT activity_id, $chain AS redacted,
+  ($chain <> operation_details) AS was_redacted
+FROM activity ORDER BY activity_id""")
+    },
+
+    "doc_curation_funnel" -> ("WITH x AS (SELECT 1)" + DocProfileCte +
+      """
+, lg AS (
+  SELECT doc_id, fingerprint,
+    CAST(q_t1 * 5 + q_t2 * 3 + q_t3 * 2 AS DOUBLE) / 100000.0 AS quality,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN CAST(stop2_i AS DOUBLE) / greatest(ntok_i, 1) >= 0.04 THEN 'en'
+         ELSE 'other' END AS lang_guess,
+    (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS canon
+  FROM profq
+)
+SELECT count(*) AS n_total,
+  count(CASE WHEN lang_guess = 'en' THEN 1 END) AS n_lang,
+  count(CASE WHEN lang_guess = 'en' AND quality >= 0.75 THEN 1 END) AS n_quality,
+  count(CASE WHEN lang_guess = 'en' AND quality >= 0.75 AND canon THEN 1 END) AS n_kept
+FROM lg"""),
+
+    "doc_token_budget" ->
+      """WITH x AS (
+  SELECT source,
+    CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> t IN ('the','a'))) AS DOUBLE)
+              / greatest(len(string_split_regex(trim(text), '\s+')), 1) >= 0.04 THEN 'en'
+         ELSE 'other' END AS lang_guess,
+    len(string_split_regex(trim(text), '\s+')) AS nt,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bp
+  FROM documents
+)
+SELECT source, lang_guess, count(*) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(bp) AS BIGINT) AS bpeish_tokens
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "doc_minhash_neardups" -> {
       // k=16 slots, 4 bands × 4 rows; md5-seeded family (Dedup.md5Seeded)

@@ -76,6 +76,25 @@ object TextOps {
       .otherwise("other")
   }
 
+  /** PII redaction patterns (pattern → tag) for training-data
+    * scrubbing: emails, US-style SSNs, dash/space phone numbers. Kept
+    * to syntax valid AND identical in Java regex and RE2 so the scrub
+    * is oracle-replayable; application order is part of the contract
+    * (applied as a fold).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"))
+
+  /** Scrub PII spans from text — pure Column expression (codegen'd
+    * regexp_replace chain), zero shuffle, linear in corpus bytes.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, t)) =>
+      regexp_replace(c, p, t)
+    }
+
   /** Document fingerprint: md5 over the normalized text (lower-case,
     * strip non-alphanumerics, collapse whitespace) — the batch analog
     * of a rolling-hash fingerprint, stable under trivial edits of

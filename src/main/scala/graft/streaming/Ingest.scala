@@ -208,6 +208,39 @@ object Ingest {
       }
   }
 
+  final case class AuthEvent(username: String, ts_ms: Long, failed: Boolean)
+  final case class LockoutFlag(username: String, ts_ms: Long,
+      failed_attempts: Int, locked_until_ms: Long)
+
+  /** Exact cross-batch lockout detection — the streaming face of
+    * [[graft.operators.Detect.lockouts]] (the reference keeps this
+    * state in users.failed_attempts/locked_until, app.py:205-226).
+    * State per user is ONE int (the consecutive-failure streak):
+    * a success resets it, and the failure that reaches `maxAttempts`
+    * emits a lockout with locked_until = ts + lockoutMs. Bounded
+    * state, append-mode output.
+    */
+  def lockoutFlags(events: Dataset[AuthEvent], maxAttempts: Int = 5,
+                   lockoutMs: Long = 30L * 60 * 1000): Dataset[LockoutFlag] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.username)
+      .flatMapGroupsWithState[Int, LockoutFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, evs: Iterator[AuthEvent], state: GroupState[Int]) =>
+          var streak = state.getOption.getOrElse(0)
+          val out = evs.toSeq.sortBy(_.ts_ms).flatMap { e =>
+            if (e.failed) {
+              streak += 1
+              if (streak == maxAttempts)
+                Some(LockoutFlag(user, e.ts_ms, streak, e.ts_ms + lockoutMs))
+              else None
+            } else { streak = 0; None }
+          }
+          state.update(streak)
+          out.iterator
+      }
+  }
+
   final case class LoginEvent(username: String, ts_ms: Long, ip: String)
   final case class IpSwitch(username: String, ts_ms: Long, ip: String,
       prev_ip: String, gap_ms: Long)

@@ -226,6 +226,35 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateful lockouts: streak crosses batches, success resets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ingest.AuthEvent]
+    val flags = Ingest.lockoutFlags(mem.toDS(), maxAttempts = 3,
+      lockoutMs = 1800000L)
+    val q = flags.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lock_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      val t0 = 1700000000000L
+      // two failures in batch 1 — streak carries into batch 2
+      mem.addData(Ingest.AuthEvent("u1", t0, failed = true),
+        Ingest.AuthEvent("u1", t0 + 1000, failed = true))
+      q.processAllAvailable()
+      // third failure locks; a success then resets; two more failures
+      // do NOT re-lock (streak 1, 2)
+      mem.addData(Ingest.AuthEvent("u1", t0 + 2000, failed = true),
+        Ingest.AuthEvent("u1", t0 + 3000, failed = false),
+        Ingest.AuthEvent("u1", t0 + 4000, failed = true),
+        Ingest.AuthEvent("u1", t0 + 5000, failed = true))
+      q.processAllAvailable()
+      val got = spark.table("lock_out").as[Ingest.LockoutFlag].collect()
+      assert(got.length == 1)
+      assert(got(0).username == "u1" && got(0).ts_ms == t0 + 2000)
+      assert(got(0).failed_attempts == 3)
+      assert(got(0).locked_until_ms == t0 + 2000 + 1800000L)
+    } finally q.stop()
+  }
+
   test("stateful ip-switch flags differ-within-hour across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ingest.LoginEvent]
