@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SimHash64
+import graft.functions.{DotExact, SimHash64}
 
 /** Session extension registering graft's native expressions for SQL
   * use (`spark.sql("SELECT simhash64(...)")`). Install either at
@@ -29,6 +29,13 @@ object GraftExtensions {
         require(exprs.length == 1,
           s"simhash64 expects exactly 1 argument, got ${exprs.length}")
         SimHash64(exprs.head)
+      }),
+    ("dot_exact",
+      new ExpressionInfo(classOf[DotExact].getName, "dot_exact"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_exact expects exactly 2 arguments, got ${exprs.length}")
+        DotExact(exprs.head, exprs(1))
       }))
 
   /** Register on an existing session (temp functions). */

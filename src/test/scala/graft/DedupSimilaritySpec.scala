@@ -73,6 +73,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaSql == viaColumn)
   }
 
+  test("dot_exact is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT dot_exact(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        array(CAST(4.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d""")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 1.5 * 4.0 + -2.0 * 0.25)
+  }
+
   test("native SimHash64 expression matches the compositional formulation") {
     val texts = Seq("a b c d e f", "the quick brown fox", "x",
       (1 to 80).map(i => s"tok$i").mkString(" "))
