@@ -73,6 +73,54 @@ class PropertySpec extends SparkSpecBase {
       Seq((0, "Low"), (1, "Medium"), (2, "High"), (3, "Critical")))
   }
 
+  test("lockouts match a reference fold over random status sequences") {
+    // ground truth: walk the sequence with a counter, reset on success,
+    // record positions where the counter hits exactly maxAttempts
+    def reference(statuses: Seq[Boolean], maxAttempts: Int): Seq[Int] = {
+      var streak = 0
+      statuses.zipWithIndex.flatMap { case (failed, i) =>
+        if (failed) { streak += 1; if (streak == maxAttempts) Some(i) else None }
+        else { streak = 0; None }
+      }
+    }
+    val gen = Gen.listOfN(40, Gen.oneOf(true, false))
+    samples(gen, 30).zipWithIndex.foreach { case (statuses, caseId) =>
+      val df = statuses.zipWithIndex.map { case (f, i) =>
+        (i.toLong + 1, if (f) "Failed" else "Success")
+      }.toDF("activity_id", "operation_status")
+        .withColumn("username", lit(s"u$caseId"))
+        .withColumn("access_timestamp",
+          to_timestamp(lit("2024-01-10 00:00:00")) +
+            expr("INTERVAL 1 MINUTE") * col("activity_id"))
+      val got = Detect.lockouts(df, maxAttempts = 3)
+        .select($"activity_id").as[Long].collect().toSeq.sorted
+      val want = reference(statuses, 3).map(_.toLong + 1)
+      assert(got == want, s"case $caseId: statuses=$statuses")
+    }
+  }
+
+  test("redactPii is idempotent and total over arbitrary strings") {
+    import graft.operators.TextOps
+    val gen = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("mail me at a.b+c@d-e.io now", "ssn 123-45-6789.",
+        "call 555-123-4567 or 555 123 4567", "no pii here", "",
+        "a@b.co x@y.museum", "123-45-678", "1234-56-7890"))
+    val strs = samples(gen, 200)
+    val df = strs.toDF("text")
+      .select($"text",
+        TextOps.redactPii($"text").as("once"))
+      .select($"text", $"once",
+        TextOps.redactPii($"once").as("twice"))
+    df.as[(String, String, String)].collect().foreach { case (in, once, twice) =>
+      assert(once == twice, s"not idempotent on: $in")
+      TextOps.PiiPatterns.foreach { case (p, _) =>
+        assert(!p.r.findFirstIn(once).isDefined || in.contains("<"),
+          s"residual PII match after redaction of: $in")
+      }
+    }
+  }
+
   test("stats invariants on real data: failed ≤ total, Σ by-type ≤ total") {
     val act = graft.sources.Tables.activity(spark, sf("sf0.001"))
     val r = graft.operators.Analytics.stats(act).collect()(0)
