@@ -190,8 +190,11 @@ object SparkEntry {
   private def planeProjSql(p: Int, e: String): String = {
     val plane = Similarity.hyperplane(p, 64)
       .map(_.toString).mkString("[", ", ", "]")
+    // COALESCE mirrors lshBucket's zero-fill for vectors shorter than
+    // the plane (list_zip pads with NULL, which would otherwise poison
+    // the whole fold)
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($e, $plane),
-      s -> CAST(s[1] AS DOUBLE) * s[2])), (a, b) -> a + b)"""
+      s -> COALESCE(CAST(s[1] AS DOUBLE) * s[2], 0.0))), (a, b) -> a + b)"""
   }
 
   /** Sign-LSH bucket id over 8 fixed hyperplanes (Similarity.lshBucket). */
@@ -274,6 +277,15 @@ SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** DuckDB replica of TextOps.langGuess over precomputed sub-exprs —
+    * single-sourced so the three oracles that need language ID cannot
+    * drift from each other.
+    */
+  private def langCaseSql(cjk: String, stop2: String, ntok: String): String =
+    s"""CASE WHEN $cjk > 0 THEN 'zh'
+       WHEN CAST($stop2 AS DOUBLE) / greatest($ntok, 1) >= 0.04 THEN 'en'
+       ELSE 'other' END"""
 
   /** Period-windowed compliance report oracle (Detect.complianceReport):
     * `cond` filters activity against the max-timestamp anchor `m`.
@@ -1157,13 +1169,11 @@ FROM activity ORDER BY activity_id""")
     },
 
     "doc_curation_funnel" -> ("WITH x AS (SELECT 1)" + DocProfileCte +
-      """
+      s"""
 , lg AS (
   SELECT doc_id, fingerprint,
     CAST(q_t1 * 5 + q_t2 * 3 + q_t3 * 2 AS DOUBLE) / 100000.0 AS quality,
-    CASE WHEN cjk > 0 THEN 'zh'
-         WHEN CAST(stop2_i AS DOUBLE) / greatest(ntok_i, 1) >= 0.04 THEN 'en'
-         ELSE 'other' END AS lang_guess,
+    ${langCaseSql("cjk", "stop2_i", "ntok_i")} AS lang_guess,
     (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS canon
   FROM profq
 )
@@ -1174,15 +1184,14 @@ SELECT count(*) AS n_total,
 FROM lg"""),
 
     "doc_token_budget" ->
-      """WITH x AS (
+      s"""WITH x AS (
   SELECT source,
-    CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
-         WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                t -> t IN ('the','a'))) AS DOUBLE)
-              / greatest(len(string_split_regex(trim(text), '\s+')), 1) >= 0.04 THEN 'en'
-         ELSE 'other' END AS lang_guess,
-    len(string_split_regex(trim(text), '\s+')) AS nt,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bp
+    ${langCaseSql(
+        """length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))""",
+        """len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a')))""",
+        """len(string_split_regex(trim(text), '\s+'))""")} AS lang_guess,
+    len(string_split_regex(trim(text), '\\s+')) AS nt,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bp
   FROM documents
 )
 SELECT source, lang_guess, count(*) AS n_docs,

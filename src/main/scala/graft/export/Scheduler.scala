@@ -41,8 +41,10 @@ final class ReportScheduler(
     val ts = clock()
     val act = activity()
     val df = Detect.complianceReport(act, period)
-    val stamp = ts.toInstant.toString.replaceAll("[-:.]", "").take(15)
-    val path = s"$outDir/${period}_compliance_$stamp.txt"
+    // epoch-millis stamp: timezone-free and unique per distinct clock
+    // value (a second-truncated stamp made sub-second runs overwrite
+    // each other's file while report_log recorded them as distinct)
+    val path = s"$outDir/${period}_compliance_${ts.getTime}.txt"
     Report.writeLoggedReport(df, path,
       s"${period.capitalize} Compliance Report", reportLogDir, period, ts)
     notifier.notify("Compliance Report", "Info",

@@ -101,10 +101,12 @@ object Detect {
     // per-(rateKey, minute) counts: pre-aggregated off the raw activity
     // (shuffles just the two keys and a long — a window over the full
     // rows would shuffle every column by (user, minute)), then joined
-    // back; left join so null keys keep their rows either way
+    // back NULL-SAFELY: the window this replaces counted null-key rows
+    // as one group, so the join must too (a plain equi-join would
+    // silently disable the rate rule for null keys)
     val minuteExpr = date_trunc("minute", col("access_timestamp"))
     val rates = activity
-      .groupBy(col(rateKey), minuteExpr.as("__rate_minute"))
+      .groupBy(col(rateKey).as("__rk"), minuteExpr.as("__rm"))
       .agg(count(lit(1)).as("events_per_minute"))
 
     val op = col("operation_type")
@@ -139,9 +141,11 @@ object Detect {
       when(c, lit(r)) }: _*)
 
     withBl
+      .withColumn("__rate_key", col(rateKey))
       .withColumn("__rate_minute", minuteExpr)
-      .join(rates, Seq(rateKey, "__rate_minute"), "left")
-      .drop("__rate_minute")
+      .join(rates, col("__rate_key") <=> col("__rk") &&
+        col("__rate_minute") <=> col("__rm"), "left")
+      .drop("__rate_key", "__rate_minute", "__rk", "__rm")
       .withColumn("severity_ord", ord.cast("long"))
       .withColumn("severity_level", severityName(ord))
       .withColumn("suspicious_reasons", reasons)

@@ -205,11 +205,17 @@ object Similarity {
                      iters: Int = 3): Array[Array[Double]] = {
     // each Lloyd iteration is a full corpus pass — pin the input for
     // the duration of training instead of re-running its lineage
-    // (scan + repartition) iters+1 times
-    val pinned = embeddings
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (scan + repartition) iters+1 times. Spark caching is keyed by
+    // logical plan, so if the caller already cached this frame we must
+    // neither re-persist nor unpersist (that would evict THEIR cache).
+    val alreadyCached =
+      embeddings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned =
+      if (alreadyCached) embeddings
+      else embeddings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try trainCentroidsPinned(pinned, k, iters)
-    finally { pinned.unpersist(); () }
+    finally { if (!alreadyCached) { pinned.unpersist(); () } }
   }
 
   private def trainCentroidsPinned(embeddings: DataFrame, k: Int,

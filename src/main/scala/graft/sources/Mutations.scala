@@ -60,14 +60,44 @@ object Mutations {
     matched
   }
 
+  /** Partition columns of an existing parquet directory, inferred from
+    * the `col=value` directory chain — so a rewrite can preserve the
+    * layout (a mutation must not flatten a table the streaming sink
+    * writes partitioned, or the next micro-batch's dynamic overwrite
+    * meets a conflicting directory structure).
+    */
+  private def partitionColsOf(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    var cur = new org.apache.hadoop.fs.Path(dir)
+    var go = fs.exists(cur)
+    while (go) {
+      go = false
+      val sub = fs.listStatus(cur).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (sub.nonEmpty) {
+        val name = sub.head.getPath.getName
+        buf += name.substring(0, name.indexOf('='))
+        cur = sub.head.getPath
+        go = true
+      }
+    }
+    buf.toSeq
+  }
+
   /** Write `df` to `dir` via the tmp/old rename dance ([[recoverSwap]]
-    * heals a crash inside it).
+    * heals a crash inside it), preserving the directory's partition
+    * layout.
     */
   private def swapWrite(spark: SparkSession, dir: String,
                         df: DataFrame): Unit = {
     val tmp = dir + ".tmp"
     val old = dir + ".old"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val partCols = partitionColsOf(spark, dir)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -92,8 +122,19 @@ object Mutations {
                     lockouts: DataFrame): Long = {
     recoverSwap(spark, usersDir)
     val cur = spark.read.parquet(usersDir)
-    val lk = broadcast(lockouts.groupBy(col("username"))
-      .agg(max(col("locked_until")).as("__locked_until")))
+    // pin the aggregated lockout set (tiny): the lockout lineage is two
+    // window passes over the activity table, and it is consumed twice
+    // (count + merge write)
+    val lk0 = lockouts.groupBy(col("username"))
+      .agg(max(col("locked_until")).as("__locked_until"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyLockoutsPinned(spark, usersDir, cur, lk0)
+    finally { lk0.unpersist(); () }
+  }
+
+  private def applyLockoutsPinned(spark: SparkSession, usersDir: String,
+                                  cur: DataFrame, lk0: DataFrame): Long = {
+    val lk = broadcast(lk0)
     val n = cur.join(lk, Seq("username"), "left_semi").count()
     if (n > 0) {
       val base =

@@ -33,6 +33,11 @@ object TableRegistry {
 
   /** Idempotent bootstrap: writes each control table only if its
     * directory does not exist yet (CREATE TABLE IF NOT EXISTS analog).
+    * NOTE: because existing directories are left untouched, a schema
+    * change to a control table here does NOT migrate warehouses
+    * bootstrapped earlier — drop the table directory (or migrate it
+    * explicitly) before appending with the new schema, or parquet
+    * schema merging will fail on conflicting column types.
     */
   def initWarehouse(spark: SparkSession, rootDir: String): Unit = {
     def writeIfAbsent(name: String, df: => DataFrame): Unit = {

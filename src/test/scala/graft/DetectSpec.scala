@@ -139,6 +139,29 @@ class DetectSpec extends SparkSpecBase {
     assert(!got.contains(4L))
   }
 
+  test("C4 rate rule counts null-key rows as one group (window parity)") {
+    // 4 events in one minute from a null user_id — with threshold 3 the
+    // rate rule must fire for them, as the window formulation did
+    val rows = (1 to 4).map(i => (i.toLong, "SELECT 1")) :+ ((5L, "SELECT 2"))
+    val df = rows.toDF("activity_id", "operation_details")
+      .withColumn("user_id",
+        when(col("activity_id") === 5L, 7L).otherwise(lit(null).cast("long")))
+      .withColumn("username", lit("u"))
+      .withColumn("role", lit("Admin"))
+      .withColumn("operation_type", lit("SELECT"))
+      .withColumn("table_name", lit("products"))
+      .withColumn("ip_address", lit("10.0.0.1"))
+      .withColumn("rows_affected", lit(0L))
+      .withColumn("operation_status", lit("Success"))
+      .withColumn("access_timestamp", to_timestamp(lit("2024-01-10 12:00:10")))
+    val got = Detect.classify(df, Detect.ipBlacklist(spark), rateThreshold = 3)
+      .select($"activity_id", $"suspicious_reasons")
+      .as[(Long, String)].collect().toMap
+    (1L to 4L).foreach(i =>
+      assert(got(i).contains("Rate limit"), s"null-key row $i missed"))
+    assert(!got(5L).contains("Rate limit"))
+  }
+
   private def mkStatusSeq(statuses: Seq[String]): org.apache.spark.sql.DataFrame =
     statuses.zipWithIndex.map { case (st, i) => (i.toLong + 1, st) }
       .toDF("activity_id", "operation_status")

@@ -63,6 +63,30 @@ class MutationsReportSpec extends SparkSpecBase {
       Detect.lockouts(act.filter($"username" === "nobody"))) == 0)
   }
 
+  test("mutations preserve a partitioned table's directory layout") {
+    val dir = Files.createTempDirectory("mutpart").toString + "/alerts"
+    // streaming-sink shape: partitioned by ingest_batch
+    Seq((1L, "New", 0L), (2L, "New", 0L), (3L, "New", 1L))
+      .toDF("activity_id", "status", "ingest_batch")
+      .write.partitionBy("ingest_batch").parquet(dir)
+    assert(Mutations.resolveAlert(spark, dir, 2L,
+      Timestamp.valueOf("2024-01-10 12:00:00")) == 1)
+    // layout survived: still col=value subdirectories
+    val subdirs = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.contains("ingest_batch="))
+    assert(subdirs.nonEmpty, "mutation flattened the partitioned table")
+    // the next micro-batch's dynamic partition overwrite still works
+    Seq((4L, "New", "x", 2L))
+      .toDF("activity_id", "status", "resolved_flag", "ingest_batch")
+      .drop("resolved_flag")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select($"activity_id", $"status").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "New"), (2L, "Resolved"), (3L, "New"),
+      (4L, "New")))
+  }
+
   test("account lock/unlock") {
     val dir = Files.createTempDirectory("mut2").toString + "/users"
     graft.sources.TableRegistry.seedUsers(spark).write.parquet(dir)
