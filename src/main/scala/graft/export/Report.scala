@@ -38,6 +38,25 @@ object Report {
     Files.writeString(Paths.get(outPath), sb.toString)
   }
 
+  /** S9 — PDF export sink (reference ReportExporter/reportlab,
+    * app.py:638-702): the same capped, driver-side row iteration as
+    * [[writeTextReport]], rendered as an actual multi-page PDF via the
+    * dependency-free [[Pdf]] writer (title, column header, one row per
+    * line).
+    */
+  def writePdfReport(df: DataFrame, outPath: String,
+                     title: String, cap: Int = 500): Unit = {
+    val cols = df.columns
+    val lines = scala.collection.mutable.ListBuffer[String](
+      title, "=" * title.length, cols.mkString(" | "))
+    df.limit(cap).toLocalIterator().forEachRemaining { row =>
+      lines += cols.indices.map(i =>
+        Option(row.get(i)).map(_.toString).getOrElse("")).mkString(" | ")
+      ()
+    }
+    Pdf.write(lines.toSeq, outPath)
+  }
+
   /** report_log append (reference app.py:1505-1513 table; the
     * scheduled reporter records every generated report). report_id is
     * content-addressed (type + path + timestamp — AUTO_INCREMENT has

@@ -107,6 +107,26 @@ class MutationsReportSpec extends SparkSpecBase {
     assert(lines.get(3) == "1 | row1")
   }
 
+  test("pdf report: valid structure, multi-page, parseable xref") {
+    val out = Files.createTempDirectory("pdf").toString + "/r/report.pdf"
+    val df = (1 to 130).map(i => (i.toLong, s"row$i (x\\y)")).toDF("id", "label")
+    Report.writePdfReport(df.orderBy($"id"), out, "Test PDF", cap = 130)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(text.startsWith("%PDF-1.4"))
+    assert(text.endsWith("%%EOF\n"))
+    // 3 header lines + 130 rows = 133 lines → 3 pages at 60/page
+    assert(text.contains("/Count 3"))
+    assert(text.split("/Type /Page ", -1).length - 1 == 3)
+    // escaped parens survive; xref offsets actually point at objects
+    assert(text.contains("""(1 | row1 \(x\\y\)) Tj"""))
+    val xrefAt = text.split("startxref\n")(1).split("\n")(0).toLong
+    assert(text.substring(xrefAt.toInt).startsWith("xref"))
+    val firstOff = text.split("\n0000000000 65535 f \n")(1)
+      .split("\n")(0).split(" ")(0).toLong
+    assert(text.substring(firstOff.toInt).startsWith("1 0 obj"))
+  }
+
   test("alert dispatch notifies only High/Critical") {
     val cls = Detect.classify(Tables.activity(spark, sf("sf0.001")),
       Detect.ipBlacklist(spark))
