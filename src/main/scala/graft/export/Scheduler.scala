@@ -34,8 +34,10 @@ final class ReportScheduler(
   }
   private var handles: List[ScheduledFuture[_]] = Nil
 
-  /** One scheduled run: period-windowed compliance report → text file
-    * + report_log row + notification. Returns the report path.
+  /** One scheduled run: period-windowed compliance report → PDF file
+    * (the reference writes reportlab PDFs; [[Pdf]] is the
+    * dependency-free equivalent) + report_log row + notification.
+    * Returns the report path.
     */
   def runOnce(period: String): String = {
     val ts = clock()
@@ -44,9 +46,9 @@ final class ReportScheduler(
     // epoch-millis stamp: timezone-free and unique per distinct clock
     // value (a second-truncated stamp made sub-second runs overwrite
     // each other's file while report_log recorded them as distinct)
-    val path = s"$outDir/${period}_compliance_${ts.getTime}.txt"
-    Report.writeLoggedReport(df, path,
-      s"${period.capitalize} Compliance Report", reportLogDir, period, ts)
+    val path = s"$outDir/${period}_compliance_${ts.getTime}.pdf"
+    Report.writePdfReport(df, path, s"${period.capitalize} Compliance Report")
+    Report.logReport(df.sparkSession, reportLogDir, period, path, ts)
     notifier.notify("Compliance Report", "Info",
       s"type=$period file=$path")
     path

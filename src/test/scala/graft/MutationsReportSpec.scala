@@ -222,6 +222,10 @@ class MutationsReportSpec extends SparkSpecBase {
       val p2 = sched.runOnce("weekly")
       assert(Files.exists(java.nio.file.Paths.get(p1)))
       assert(Files.exists(java.nio.file.Paths.get(p2)))
+      // scheduled reports are real PDFs (reference writes reportlab PDFs)
+      assert(p1.endsWith(".pdf"))
+      assert(new String(Files.readAllBytes(java.nio.file.Paths.get(p1)),
+        java.nio.charset.StandardCharsets.ISO_8859_1).startsWith("%PDF-1.4"))
       val logged = spark.read.parquet(root + "/report_log")
         .select($"report_type", $"file_path").as[(String, String)]
         .collect().toSet
