@@ -111,8 +111,13 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(rejectsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same replay idempotence as the main sinks: overwrite only
+        // this batch's partition on a post-crash replay
+        batch.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(rejectsDir)
         ()
       }
       .start()
