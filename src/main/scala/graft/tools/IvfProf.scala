@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.sources.Tables
+import graft.operators.Similarity
+
+object IvfProf {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, d)
+    var t0 = System.nanoTime()
+    val cents = Similarity.trainCentroids(emb, 16, 3)
+    println(f"[ivfprof] train: ${(System.nanoTime() - t0) / 1e9}%.2f s (k=${cents.length})")
+    t0 = System.nanoTime()
+    Similarity.ivfTopK(emb, Seq(0L, 1L, 2L))
+      .write.format("noop").mode("overwrite").save()
+    println(f"[ivfprof] full query (cached centroids): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
