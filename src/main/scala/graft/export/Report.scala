@@ -17,35 +17,13 @@ import graft.operators.{Analytics, Detect}
   */
 object Report {
 
-  /** Compliance/activity report as plain text (PDF layout stand-in —
-    * no PDF library in this environment; the data path, caps and
-    * column selection match the reference's reportlab flow
-    * app.py:1229-1246, cap 500).
+  /** The shared report layout (reference reportlab flow
+    * app.py:1229-1246, cap 500): title, underline, column header, one
+    * capped row per line — the single source both the text and PDF
+    * renderers consume, so they cannot desynchronize.
     */
-  def writeTextReport(df: DataFrame, outPath: String,
-                      title: String, cap: Int = 500): Unit = {
-    val cols = df.columns
-    val sb = new StringBuilder
-    sb.append(title).append('\n')
-    sb.append("=" * title.length).append('\n')
-    sb.append(cols.mkString(" | ")).append('\n')
-    df.limit(cap).toLocalIterator().forEachRemaining { row =>
-      sb.append(cols.indices.map(i =>
-        Option(row.get(i)).map(_.toString).getOrElse("")).mkString(" | "))
-        .append('\n')
-    }
-    Files.createDirectories(Paths.get(outPath).getParent)
-    Files.writeString(Paths.get(outPath), sb.toString)
-  }
-
-  /** S9 — PDF export sink (reference ReportExporter/reportlab,
-    * app.py:638-702): the same capped, driver-side row iteration as
-    * [[writeTextReport]], rendered as an actual multi-page PDF via the
-    * dependency-free [[Pdf]] writer (title, column header, one row per
-    * line).
-    */
-  def writePdfReport(df: DataFrame, outPath: String,
-                     title: String, cap: Int = 500): Unit = {
+  private def reportLines(df: DataFrame, title: String,
+                          cap: Int): Seq[String] = {
     val cols = df.columns
     val lines = scala.collection.mutable.ListBuffer[String](
       title, "=" * title.length, cols.mkString(" | "))
@@ -54,8 +32,25 @@ object Report {
         Option(row.get(i)).map(_.toString).getOrElse("")).mkString(" | ")
       ()
     }
-    Pdf.write(lines.toSeq, outPath)
+    lines.toSeq
   }
+
+  /** Compliance/activity report as plain text. */
+  def writeTextReport(df: DataFrame, outPath: String,
+                      title: String, cap: Int = 500): Unit = {
+    Files.createDirectories(Paths.get(outPath).getParent)
+    Files.writeString(Paths.get(outPath),
+      reportLines(df, title, cap).mkString("", "\n", "\n"))
+    ()
+  }
+
+  /** S9 — PDF export sink (reference ReportExporter/reportlab,
+    * app.py:638-702): the same layout rendered as an actual
+    * multi-page PDF via the dependency-free [[Pdf]] writer.
+    */
+  def writePdfReport(df: DataFrame, outPath: String,
+                     title: String, cap: Int = 500): Unit =
+    Pdf.write(reportLines(df, title, cap), outPath)
 
   /** report_log append (reference app.py:1505-1513 table; the
     * scheduled reporter records every generated report). report_id is
@@ -76,13 +71,25 @@ object Report {
   }
 
   /** Generate a report file AND record it in report_log — the
-    * scheduled-reporter flow (app.py:891-902) as one call.
+    * scheduled-reporter flow (app.py:891-902) as one call. Text
+    * variant; [[writeLoggedPdfReport]] is what the scheduler runs.
     */
   def writeLoggedReport(df: DataFrame, outPath: String, title: String,
                         reportLogDir: String, reportType: String,
                         createdAt: java.sql.Timestamp,
                         cap: Int = 500): Unit = {
     writeTextReport(df, outPath, title, cap)
+    logReport(df.sparkSession, reportLogDir, reportType, outPath, createdAt)
+  }
+
+  /** PDF flavor of [[writeLoggedReport]] — the reference's scheduled
+    * reporter writes PDFs (app.py:891-895).
+    */
+  def writeLoggedPdfReport(df: DataFrame, outPath: String, title: String,
+                           reportLogDir: String, reportType: String,
+                           createdAt: java.sql.Timestamp,
+                           cap: Int = 500): Unit = {
+    writePdfReport(df, outPath, title, cap)
     logReport(df.sparkSession, reportLogDir, reportType, outPath, createdAt)
   }
 

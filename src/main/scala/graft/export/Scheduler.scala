@@ -47,8 +47,8 @@ final class ReportScheduler(
     // value (a second-truncated stamp made sub-second runs overwrite
     // each other's file while report_log recorded them as distinct)
     val path = s"$outDir/${period}_compliance_${ts.getTime}.pdf"
-    Report.writePdfReport(df, path, s"${period.capitalize} Compliance Report")
-    Report.logReport(df.sparkSession, reportLogDir, period, path, ts)
+    Report.writeLoggedPdfReport(df, path,
+      s"${period.capitalize} Compliance Report", reportLogDir, period, ts)
     notifier.notify("Compliance Report", "Info",
       s"type=$period file=$path")
     path

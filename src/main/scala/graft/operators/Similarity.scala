@@ -246,34 +246,20 @@ object Similarity {
     cents
   }
 
-  /** Trained-centroid cache: k-means is deterministic, so the index
-    * for a given (input plan, nlist, iters) never changes — train once
-    * per session and reuse, the production "build the index once"
-    * story ([[writeIvfIndex]] materializes the same thing durably).
-    * Keyed by the input's semantic plan hash; if the underlying data
-    * is rewritten in place, call [[clearCentroidCache]].
-    */
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, Int), Array[Array[Double]]]
-
-  def clearCentroidCache(): Unit = centroidCache.clear()
-
-  def trainCentroidsCached(embeddings: DataFrame, k: Int = 16,
-                           iters: Int = 3): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(
-      (embeddings.sparkSession,
-        embeddings.queryExecution.logical.semanticHash(), k, iters),
-      _ => trainCentroids(embeddings, k, iters))
-
   /** IVF ANN search: corpus assigned once to inverted lists; each
     * query probes its `nprobe` nearest lists and re-ranks by exact
-    * cosine within them. At scale the corpus would be written
-    * partitioned by `cid`, making each probe a partition-pruned scan.
+    * cosine within them. Training runs per call — deliberately NOT
+    * memoized in-process: a plan-keyed cache silently serves stale
+    * centroids once the underlying files change, and the train-once
+    * production story is the durable [[writeIvfIndex]] /
+    * [[ivfSearchIndexed]] pair, where index freshness is explicit. At
+    * scale the corpus would be written partitioned by `cid`, making
+    * each probe a partition-pruned scan.
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
               nlist: Int = 16, nprobe: Int = 2,
               iters: Int = 3): DataFrame = {
-    val cents = trainCentroidsCached(embeddings, nlist, iters)
+    val cents = trainCentroids(embeddings, nlist, iters)
     val assigned = embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
       .withColumn("norm", l2norm(col("embedding")))

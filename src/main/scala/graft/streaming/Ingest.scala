@@ -103,6 +103,10 @@ object Ingest {
     * from the same raw source (with reasons) so per-row error
     * isolation is an operational property of the deployment, not just
     * a helper. Runs as its own query with its own checkpoint.
+    * NOTE: the sink is ingest_batch-partitioned (replay idempotence);
+    * a rejects directory written by a pre-partitioned (flat append)
+    * layout must be migrated or pointed elsewhere before upgrading —
+    * parquet cannot read a mixed flat/partitioned structure.
     */
   def startRejects(source: DataFrame, rejectsDir: String,
                    checkpointDir: String,

@@ -17,11 +17,11 @@ object IvfProf {
     val emb = Tables.embeddings(spark, d)
     var t0 = System.nanoTime()
     val cents = Similarity.trainCentroids(emb, 16, 3)
-    println(f"[ivfprof] train: ${(System.nanoTime() - t0) / 1e9}%.2f s (k=${cents.length})")
+    println(f"[ivfprof] train (cold JIT): ${(System.nanoTime() - t0) / 1e9}%.2f s (k=${cents.length})")
     t0 = System.nanoTime()
     Similarity.ivfTopK(emb, Seq(0L, 1L, 2L))
       .write.format("noop").mode("overwrite").save()
-    println(f"[ivfprof] full query (cached centroids): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[ivfprof] full query (train + search, warm JIT): ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
