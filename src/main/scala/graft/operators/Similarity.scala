@@ -69,7 +69,7 @@ object Similarity {
     * Ordering: cos_sim descending, ties broken by ascending vec_id —
     * identical to the previous row_number ordering.
     */
-  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     val schema = scored.schema
     val qi = schema.fieldIndex("query_id")

@@ -183,6 +183,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("topKPerQuery: k larger than candidates returns all, ranked") {
+    val scored = Seq(
+      (0L, 10L, 0.9), (0L, 11L, 0.9), (0L, 12L, 0.5),
+      (1L, 10L, 0.3))
+      .toDF("query_id", "vec_id", "cos_sim")
+    val got = Similarity.bruteForceTopK(
+      graft.sources.Tables.embeddings(spark, sf("sf0.001")), Seq(0L), k = 3)
+    assert(got.count() == 3)
+    // direct helper path: ties break by ascending vec_id; short groups
+    // return what exists
+    val ranked = Similarity.topKPerQuery(scored, 10)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ranked == Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 10L, 1L)))
+  }
+
   test("materialized IVF index: pruned probes, same results as one-shot ivf") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))

@@ -205,6 +205,20 @@ class DetectSpec extends SparkSpecBase {
     assert(got == Seq(("u1", "12:00", 3L)))
   }
 
+  test("edge cases: empty inputs yield empty outputs, not errors") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("activity_id", "username", "operation_status")
+      .withColumn("access_timestamp",
+        to_timestamp(lit("2024-01-10 00:00:00")))
+      .filter(lit(false))
+    assert(Detect.lockouts(empty).count() == 0)
+    assert(Detect.failedHourly(empty).count() == 0)
+    assert(Detect.periodFilter(
+      empty.withColumn("table_name", lit("t"))
+        .withColumn("operation_type", lit("SELECT"))
+        .withColumn("rows_affected", lit(0L)), "daily").count() == 0)
+  }
+
   test("periodFilter anchors at max ts: daily=calendar day, weekly/monthly trailing") {
     val rows = Seq(
       (1L, "2024-02-15 10:00:00"), // the anchor (max ts)
