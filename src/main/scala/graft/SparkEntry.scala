@@ -278,6 +278,45 @@ SELECT query_id, vec_id, cos_sim,
 FROM scored QUALIFY rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
+    * the md5-seeded family): shingles → 16-slot signatures → 4-band
+    * bucket join → exact-jaccard-verified pairs in `j`. k=16 slots,
+    * 4 bands × 4 rows.
+    */
+  private val MinhashPairsCtes: String = {
+    val sigCols = (0 until 16).map { seed =>
+      s"min(CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT)) AS h$seed"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val slots = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, $slots FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    s"""base AS (
+  SELECT doc_id, list_distinct(list_transform(range(len($toks) - 2),
+    i -> $toks[i + 1] || ' ' || $toks[i + 2] || ' ' || $toks[i + 3])) AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM base
+), sig AS (
+  SELECT doc_id,
+    $sigCols
+  FROM ex GROUP BY doc_id
+), banded(doc_id, band, s1, s2, s3, s4) AS (
+  $bandRows
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+   AND x.s3 = y.s3 AND x.s4 = y.s4 AND x.doc_id < y.doc_id
+), j AS (
+  SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      greatest(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 4) AS jaccard
+  FROM pairs p JOIN base a ON a.doc_id = p.doc_a JOIN base b ON b.doc_id = p.doc_b
+)"""
+  }
+
   /** DuckDB replica of TextOps.langGuess over precomputed sub-exprs —
     * single-sourced so the three oracles that need language ID cannot
     * drift from each other.
@@ -589,6 +628,12 @@ FROM (
     "doc_minhash_neardups" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)),
+    // the applied dedup: canonical-by-fingerprint minus minhash losers
+    "doc_dedup_apply" -> ((s, d) =>
+      Dedup.dedupedCorpus(Tables.documents(s, d), threshold = 0.3,
+        hashFn = Dedup.md5Seeded)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
 
     // ---- Spark-native sketch (no SQL oracle: the SimHash64 Catalyst
     //      expression is xxhash64-based; rows-only check) ----
@@ -1199,42 +1244,25 @@ SELECT source, lang_guess, count(*) AS n_docs,
   CAST(sum(bp) AS BIGINT) AS bpeish_tokens
 FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "doc_minhash_neardups" -> {
-      // k=16 slots, 4 bands × 4 rows; md5-seeded family (Dedup.md5Seeded)
-      val sigCols = (0 until 16).map { seed =>
-        s"min(CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT)) AS h$seed"
-      }.mkString(",\n    ")
-      val bandRows = (0 until 4).map { b =>
-        val slots = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, $slots FROM sig"
-      }.mkString("\n  UNION ALL ")
-      val toks = """string_split_regex(trim(text), '\s+')"""
-      s"""WITH base AS (
-  SELECT doc_id, list_distinct(list_transform(range(len($toks) - 2),
-    i -> $toks[i + 1] || ' ' || $toks[i + 2] || ' ' || $toks[i + 3])) AS sh
+    "doc_minhash_neardups" -> (s"WITH $MinhashPairsCtes\n" +
+      """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
+ORDER BY doc_a, doc_b"""),
+
+    "doc_dedup_apply" -> (s"WITH $MinhashPairsCtes,\n" +
+      """fp AS (
+  SELECT doc_id, source, n_chars,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
   FROM documents
-), ex AS (
-  SELECT doc_id, unnest(sh) AS s FROM base
-), sig AS (
-  SELECT doc_id,
-    $sigCols
-  FROM ex GROUP BY doc_id
-), banded(doc_id, band, s1, s2, s3, s4) AS (
-  $bandRows
-), pairs AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM banded x JOIN banded y
-    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
-   AND x.s3 = y.s3 AND x.s4 = y.s4 AND x.doc_id < y.doc_id
-), j AS (
-  SELECT p.doc_a, p.doc_b,
-    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      greatest(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 4) AS jaccard
-  FROM pairs p JOIN base a ON a.doc_id = p.doc_a JOIN base b ON b.doc_id = p.doc_b
+), canon AS (
+  SELECT doc_id, source, n_chars FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY f) AS m FROM fp
+  ) WHERE doc_id = m
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM j WHERE jaccard >= 0.3
 )
-SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
-ORDER BY doc_a, doc_b"""
-    },
+SELECT c.doc_id, c.source, c.n_chars FROM canon c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY c.doc_id"""),
 
     "emb_lsh_ann" -> {
       s"""WITH b AS (

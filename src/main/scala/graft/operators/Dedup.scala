@@ -168,6 +168,27 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** The "apply" step of deduplication: the kept corpus. Keeps the
+    * canonical (min doc_id) member of each normalized-fingerprint
+    * group, then drops any document that has a SMALLER near-duplicate
+    * under minhash+LSH (the greedy remove-losers policy standard for
+    * LSH dedup — each near-dup pair (a < b) eliminates b). Both stages
+    * are linear: a fingerprint hash-window and the banded candidate
+    * join; the anti-join right side is only the loser ids.
+    */
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.3,
+                    hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    val canon = docs
+      .withColumn("__fp", TextOps.fingerprint(col("text")))
+      .withColumn("__min", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__min"))
+      .drop("__fp", "__min")
+    val losers = minhashNearDups(docs, threshold, hashFn = hashFn)
+      .select(col("doc_b").as("doc_id")).distinct()
+    canon.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Portable simhash: the same bit-vote semantics as [[simhash]] but
     * over the md5-seeded 60-bit family ([[md5Seeded]]) and computed
     * explode → aggregate, so DuckDB replays it exactly. The shuffle
