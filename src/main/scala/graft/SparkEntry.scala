@@ -87,25 +87,76 @@ object SparkEntry {
 )"""
   }
 
-  private val BlacklistIps =
-    Seq("10.0.3.7", "10.0.11.42", "10.0.21.100", "10.0.33.13", "10.0.47.200")
-  private val blacklistInList = BlacklistIps.map(ip => s"'$ip'").mkString(", ")
+  private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Blacklist dim + temporal-validity filter (Detect.ipBlacklist /
+    * Detect.activeBlacklist), generated from the same seed seq as the
+    * Spark fixture. `abl` holds the ACTIVE entries (expires_at anchored
+    * to the newest activity timestamp, app.py:334).
+    */
+  private val BlacklistCtes: String = {
+    val rows = Detect.BlacklistSeed.map { case (ip, _, exp) =>
+      s"(${sqlQuote(ip)}, TIMESTAMP '$exp')"
+    }.mkString(",\n  ")
+    s""", bl(ip_address, expires_at) AS (VALUES
+  $rows
+), abl AS (
+  SELECT ip_address FROM bl
+  WHERE expires_at > (SELECT max(access_timestamp) FROM activity)
+)"""
+  }
+
+  /** Firewall rule dim + the reference match/scope/first-match
+    * semantics (Detect.firewallMatch), generated from
+    * Detect.FirewallRuleSeed so the two sides cannot drift. `fw` holds
+    * the first-match row per activity in (priority, rule_id) order.
+    */
+  private val FirewallMatchedCte: String = {
+    val rows = Detect.FirewallRuleSeed.map {
+      case (id, pat, desc, mt, action, pri, u, ip, active) =>
+        def opt(v: Option[String]) =
+          v.map(sqlQuote).getOrElse("CAST(NULL AS VARCHAR)")
+        s"($id, ${sqlQuote(pat)}, ${sqlQuote(desc)}, ${sqlQuote(mt)}, " +
+          s"${sqlQuote(action)}, $pri, ${opt(u)}, ${opt(ip)}, $active)"
+    }.mkString(",\n  ")
+    s""", rules(rule_id, pattern, description, match_type, action, priority, applies_to_user, applies_to_ip, is_active) AS (VALUES
+  $rows
+), fw AS (
+  SELECT activity_id, username, ip_address, rule_id, description, action,
+    priority, substr(operation_details, 1, 500) AS query_snippet,
+    access_timestamp AS matched_at
+  FROM (
+    SELECT a.activity_id, a.username, a.ip_address, a.operation_details,
+      a.access_timestamp, r.rule_id, r.description, r.action, r.priority,
+      row_number() OVER (PARTITION BY a.activity_id
+        ORDER BY r.priority, r.rule_id) AS rn
+    FROM activity a JOIN rules r ON r.is_active
+      AND (NULLIF(r.applies_to_user, '') IS NULL OR r.applies_to_user = a.username)
+      AND (NULLIF(r.applies_to_ip, '') IS NULL OR r.applies_to_ip = a.ip_address)
+      AND (
+        (r.match_type = 'contains' AND contains(lower(a.operation_details), lower(r.pattern))) OR
+        (r.match_type = 'starts_with' AND starts_with(lower(a.operation_details), lower(r.pattern))) OR
+        (r.match_type = 'regex' AND regexp_matches(lower(a.operation_details),
+          CASE WHEN r.match_type = 'regex' THEN r.pattern ELSE 'a^' END, 'i')))
+  ) WHERE rn = 1
+)"""
+  }
 
   /** Severity-rule CTE shared by dam_severity / dam_alerts oracles.
-    * Mirrors Detect.classify exactly.
+    * Mirrors Detect.classify exactly (incl. the fused injection
+    * alternation and the expiry-filtered blacklist).
     */
   private val SeverityCte: String = {
-    val inj = Detect.InjectionPatterns
-      .map(p => s"regexp_matches(operation_details, '${sqlRe(p)}')")
-      .mkString("(", " OR ", ")")
+    val inj =
+      s"regexp_matches(operation_details, '${sqlRe(Detect.InjectionAlternation)}')"
     val sens = Detect.SensitiveColumns
       .map(c => s"contains(lower(operation_details), '$c')")
       .mkString("(", " OR ", ")")
     val sensTables = Detect.SensitiveTables.map(t => s"'$t'").mkString(", ")
-    s""", en AS (
+    s"""$BlacklistCtes, en AS (
   SELECT a.*,
     count(*) OVER (PARTITION BY user_id, date_trunc('minute', access_timestamp)) AS events_per_minute,
-    (ip_address IN ($blacklistInList)) AS r1,
+    (ip_address IN (SELECT ip_address FROM abl)) AS r1,
     (role = 'Guest' AND operation_type IN ('INSERT','UPDATE','DELETE','DROP','ALTER')) AS r2,
     (role = 'User' AND table_name IN ($sensTables) AND operation_type IN ('SELECT','INSERT','UPDATE')) AS r3,
     (hour(access_timestamp) < 9 OR hour(access_timestamp) >= 18) AS r4,
@@ -453,9 +504,23 @@ FROM (
 
     "dam_firewall" -> ((s, d) => Detect.firewallMatch(
       Tables.activity(s, d), Detect.firewallRules(s))
+      .select(col("activity_id"), col("username"), col("ip_address"),
+        col("rule_id"), col("description"), col("action"), col("priority"),
+        col("query_snippet"))
+      .orderBy(col("activity_id"))),
+    // the firewall_blocks table feed (app.py:845-848, DDL
+    // app.py:1489-1497): every first-match hit is recorded, whatever
+    // its action — only action='block' additionally suppresses the log
+    // row (the E1 wiring in Ingest.start)
+    "dam_firewall_blocks" -> ((s, d) => Detect.firewallMatch(
+      Tables.activity(s, d), Detect.firewallRules(s))
+      .select(col("activity_id"), col("rule_id"), col("description"),
+        col("username"), col("ip_address"), col("query_snippet"),
+        fmtTs(col("matched_at")).as("blocked_at"))
       .orderBy(col("activity_id"))),
     "dam_blacklist_hits" -> ((s, d) => Tables.activity(s, d)
-      .join(broadcast(Detect.ipBlacklist(s).select("ip_address")),
+      .join(broadcast(Detect.activeBlacklist(Tables.activity(s, d),
+        Detect.ipBlacklist(s)).select("ip_address")),
         Seq("ip_address"), "left_semi")
       .select(col("activity_id"), col("username"), col("ip_address"))
       .orderBy(col("activity_id"))),
@@ -470,7 +535,8 @@ FROM (
       // single severity pass: both feed branches derived with one
       // generator instead of unioning two copies of the classify plan
       val cls = classified(s, d)
-        .join(broadcast(Detect.ipBlacklist(s).select(col("ip_address"),
+        .join(broadcast(Detect.activeBlacklist(Tables.activity(s, d),
+          Detect.ipBlacklist(s)).select(col("ip_address"),
           lit(true).as("is_black"))), Seq("ip_address"), "left")
       cls.select(col("activity_id"), explode(array_compact(array(
           when(col("severity_ord") >= 2, "alert"),
@@ -941,32 +1007,22 @@ FROM (
   ORDER BY access_timestamp DESC, activity_id DESC LIMIT 10
 ) ORDER BY activity_id"""),
 
-    "dam_firewall" -> act(
-      """, rules(rule_id, pattern, match_type, action, priority) AS (VALUES
-  (1, 'union select', 'contains', 'block', 1),
-  (2, 'drop table', 'contains', 'block', 2),
-  (3, 'into outfile', 'contains', 'block', 3),
-  (4, 'xp_', 'contains', 'block', 4),
-  (5, 'sleep(', 'contains', 'block', 5),
-  (6, 'or 1=1', 'contains', 'block', 6),
-  (7, 'delete from sessions', 'starts_with', 'alert', 7),
-  (8, '^select \*', 'regex', 'alert', 8))
-SELECT activity_id, username, ip_address, rule_id, action, priority,
-  substr(operation_details, 1, 500) AS query_snippet
-FROM (
-  SELECT a.activity_id, a.username, a.ip_address, a.operation_details,
-    r.rule_id, r.action, r.priority,
-    row_number() OVER (PARTITION BY a.activity_id ORDER BY r.priority) AS rn
-  FROM activity a JOIN rules r ON (
-    (r.match_type = 'contains' AND contains(lower(a.operation_details), r.pattern)) OR
-    (r.match_type = 'starts_with' AND starts_with(lower(a.operation_details), r.pattern)) OR
-    (r.match_type = 'regex' AND regexp_matches(lower(a.operation_details),
-      CASE WHEN r.match_type = 'regex' THEN r.pattern ELSE 'a^' END)))
-) WHERE rn = 1 ORDER BY activity_id"""),
+    "dam_firewall" -> act(FirewallMatchedCte +
+      """
+SELECT activity_id, username, ip_address, rule_id, description, action,
+  priority, query_snippet
+FROM fw ORDER BY activity_id"""),
 
-    "dam_blacklist_hits" -> act(
-      s"""SELECT activity_id, username, ip_address FROM activity
-WHERE ip_address IN ($blacklistInList) ORDER BY activity_id"""),
+    "dam_firewall_blocks" -> act(FirewallMatchedCte +
+      """
+SELECT activity_id, rule_id, description, username, ip_address,
+  query_snippet, strftime(matched_at, '%Y-%m-%d %H:%M:%S') AS blocked_at
+FROM fw ORDER BY activity_id"""),
+
+    "dam_blacklist_hits" -> act(BlacklistCtes +
+      """
+SELECT activity_id, username, ip_address FROM activity
+WHERE ip_address IN (SELECT ip_address FROM abl) ORDER BY activity_id"""),
 
     "dam_geo_top" -> act(
       """, geo AS (
@@ -990,7 +1046,7 @@ GROUP BY user_id ORDER BY user_id"""),
   SELECT activity_id, 'alert' AS src FROM classified WHERE severity_ord >= 2
   UNION ALL
   SELECT activity_id, 'blacklist' AS src FROM classified
-  WHERE ip_address IN ($blacklistInList)
+  WHERE ip_address IN (SELECT ip_address FROM abl)
 ) ORDER BY activity_id, src"""),
 
     "ev_funnel" ->

@@ -47,37 +47,99 @@ object Detect {
     "(?i)xp_cmdshell", "(?i)sleep\\s*\\(", "(?i)benchmark\\s*\\(",
     "(?i)load_file\\s*\\(")
 
-  /** Static IP blacklist dim (reference ip_blacklist table,
-    * sql/02_create_tables.sql:69-77; loaded as an in-memory set at
-    * app.py:332-337). Stand-in fixture rows over the synthesized IP
-    * space of [[graft.sources.Tables.activity]].
+  /** The injection battery fused into ONE compiled alternation (same
+    * trick as [[graft.functions.Classify.SkipPattern]]): a single
+    * regexp pass per row instead of ten. Valid in both Java regex and
+    * RE2, so the oracle evaluates the identical pattern.
     */
+  val InjectionAlternation: String =
+    InjectionPatterns.map(_.stripPrefix("(?i)"))
+      .mkString("(?i)(?:", "|", ")")
+
+  /** Static IP blacklist dim (reference ip_blacklist table,
+    * sql/02_create_tables.sql:69-77; loaded with temporal validity
+    * `expires_at > NOW()` at app.py:332-337). Stand-in fixture rows
+    * over the synthesized IP space of
+    * [[graft.sources.Tables.activity]]; the last entry is EXPIRED and
+    * must never flag ([[activeBlacklist]] filters it).
+    */
+  /** (ip, reason, expires_at) — single source for both the Spark dim
+    * and the DuckDB oracle VALUES (SparkEntry generates its SQL from
+    * this seq, so the two can never drift).
+    */
+  val BlacklistSeed: Seq[(String, String, String)] = Seq(
+    ("10.0.3.7", "known scanner", "2100-01-01 00:00:00"),
+    ("10.0.11.42", "credential stuffing", "2100-01-01 00:00:00"),
+    ("10.0.21.100", "tor exit", "2100-01-01 00:00:00"),
+    ("10.0.33.13", "abuse report", "2100-01-01 00:00:00"),
+    ("10.0.47.200", "manual block", "2100-01-01 00:00:00"),
+    ("10.0.0.101", "expired probation block", "2000-01-01 00:00:00"))
+
   def ipBlacklist(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("10.0.3.7", "known scanner"),
-      ("10.0.11.42", "credential stuffing"),
-      ("10.0.21.100", "tor exit"),
-      ("10.0.33.13", "abuse report"),
-      ("10.0.47.200", "manual block"))
-      .toDF("ip_address", "reason")
+    BlacklistSeed.toDF("ip_address", "reason", "expires_at")
+      .withColumn("expires_at", col("expires_at").cast("timestamp_ntz"))
   }
 
-  /** Firewall rule dim (reference firewall_rules seed, app.py:1531-1539):
-    * (rule_id, pattern, match_type, action, priority).
+  /** Temporal-validity filter for the blacklist (reference app.py:334:
+    * `WHERE expires_at > NOW()`): batch data has no wall clock, so the
+    * anchor is the newest activity timestamp — the same max-ts
+    * anchoring as [[periodFilter]], via a 1-row broadcast cross-join
+    * (no driver collect). A blacklist without an `expires_at` column
+    * passes through unfiltered (never-expiring entries).
     */
+  def activeBlacklist(activity: DataFrame, blacklist: DataFrame): DataFrame =
+    if (!blacklist.columns.contains("expires_at")) blacklist
+    else {
+      val tsType = activity.schema("access_timestamp").dataType
+      val anchor = broadcast(
+        activity.agg(max(col("access_timestamp")).as("__bl_anchor")))
+      blacklist.crossJoin(anchor)
+        .filter(col("expires_at").cast(tsType) > col("__bl_anchor"))
+        .drop("__bl_anchor")
+    }
+
+  /** Firewall rule dim (reference firewall_rules DDL app.py:1474-1488,
+    * seeds app.py:1529-1541): (rule_id, pattern, description,
+    * match_type, action, priority, applies_to_user, applies_to_ip,
+    * is_active). Rules 9-13 exercise the scoping / case-parity /
+    * is_active / priority-tie semantics the reference matcher honors
+    * (app.py:826-841).
+    */
+  /** Seed rows — single source for the Spark dim AND the DuckDB
+    * oracle VALUES (SparkEntry generates its SQL from this seq).
+    */
+  val FirewallRuleSeed: Seq[(Int, String, String, String, String, Int,
+      Option[String], Option[String], Boolean)] = {
+    val none: Option[String] = None
+    Seq(
+      (1, "union select", "SQL Injection - UNION", "contains", "block", 1, none, none, true),
+      (2, "drop table", "Destructive DROP TABLE", "contains", "block", 2, none, none, true),
+      (3, "into outfile", "File write via SELECT", "contains", "block", 3, none, none, true),
+      (4, "xp_", "SQL Server xp_ procedure", "contains", "block", 4, none, none, true),
+      (5, "sleep(", "Time-based blind injection", "contains", "block", 5, none, none, true),
+      (6, "or 1=1", "Classic boolean injection", "contains", "block", 6, none, none, true),
+      (7, "delete from sessions", "Session table delete", "starts_with", "alert", 7, none, none, true),
+      (8, "^select \\*", "Full-row SELECT *", "regex", "alert", 8, none, none, true),
+      // scoped + mixed-case pattern: beats rule 7 for user_7 only, and
+      // only matches at all because contains lower-cases the PATTERN
+      (9, "DELETE FROM sessions", "Scoped session-delete block", "contains", "block", 5, Some("user_7"), none, true),
+      // priority tie with rule 8 → rule_id breaks the tie (app.py:826
+      // ORDER BY priority ASC is insertion-stable within a priority)
+      (10, "select", "Scoped select monitor", "contains", "alert", 8, Some("user_7"), none, true),
+      (11, "select", "Blacklisted-IP select block", "contains", "block", 6, none, Some("10.0.11.42"), true),
+      // inactive: must never fire despite matching nearly everything
+      (12, "select", "Disabled legacy block", "contains", "block", 0, none, none, false),
+      // upper-case regex over lower-cased text: only matches because
+      // regex match is case-insensitive (re.IGNORECASE, app.py:841)
+      (13, "^SELECT name", "Named-column select monitor", "regex", "alert", 9, none, none, true))
+  }
+
   def firewallRules(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      (1, "union select", "contains", "block", 1),
-      (2, "drop table", "contains", "block", 2),
-      (3, "into outfile", "contains", "block", 3),
-      (4, "xp_", "contains", "block", 4),
-      (5, "sleep(", "contains", "block", 5),
-      (6, "or 1=1", "contains", "block", 6),
-      (7, "delete from sessions", "starts_with", "alert", 7),
-      (8, "^select \\*", "regex", "alert", 8))
-      .toDF("rule_id", "pattern", "match_type", "action", "priority")
+    FirewallRuleSeed
+      .toDF("rule_id", "pattern", "description", "match_type", "action",
+        "priority", "applies_to_user", "applies_to_ip", "is_active")
   }
 
   /** C4 — the severity lattice. Takes the activity view (must carry
@@ -94,8 +156,8 @@ object Detect {
   def classify(activity: DataFrame, blacklist: DataFrame,
                rateThreshold: Int = 100,
                rateKey: String = "user_id"): DataFrame = {
-    val bl = broadcast(blacklist.select(col("ip_address"),
-      lit(true).as("is_blacklisted")))
+    val bl = broadcast(activeBlacklist(activity, blacklist)
+      .select(col("ip_address"), lit(true).as("is_blacklisted")))
     val withBl = activity.join(bl, Seq("ip_address"), "left")
 
     // per-(rateKey, minute) counts: pre-aggregated off the raw activity
@@ -120,7 +182,7 @@ object Detect {
       col("table_name").isin(SensitiveTables: _*) &&
       op.isin("SELECT", "INSERT", "UPDATE")
     val r4 = hr < 9 || hr >= 18
-    val r5 = InjectionPatterns.map(p => sql.rlike(p)).reduce(_ || _)
+    val r5 = sql.rlike(InjectionAlternation)
     val r6 = SensitiveColumns.map(c => lower(sql).contains(c)).reduce(_ || _)
     val r7 = coalesce(col("rows_affected"), lit(0L)) > 1000L
     val r8 = col("events_per_minute") > rateThreshold
@@ -287,12 +349,20 @@ object Detect {
       .orderBy(col("username"), col("hour_bucket"))
 
   /** J4 + W3 — firewall matcher (reference app.py:823-850): every
-    * activity matched against all active rules (contains /
-    * starts_with / regex on lower-cased text), priority order, first
-    * match wins. Broadcast nested-loop join; dedup to first match via
-    * per-activity min-priority (no window shuffle needed — the join
-    * output is grouped back by the unique activity_id with a
-    * map-side-combinable min aggregate).
+    * activity matched against the ACTIVE rules (`is_active=1`,
+    * app.py:826), honoring per-rule `applies_to_user` /
+    * `applies_to_ip` guards (empty string = unscoped, matching the
+    * reference's falsy check, app.py:833-835). Matching is
+    * case-insensitive on BOTH sides: the text is lower-cased and so is
+    * the pattern for contains/starts_with (`pat.lower()`,
+    * app.py:838-840); regex match carries re.IGNORECASE (app.py:841).
+    * First match wins in (priority, rule_id) order — the reference
+    * iterates `ORDER BY priority ASC` over rows inserted in rule_id
+    * order, so ties within a priority resolve to the lowest rule_id.
+    *
+    * Broadcast nested-loop join; dedup to first match via a
+    * min_by aggregate on the unique activity_id (no window shuffle —
+    * partial aggregation collapses to one row per activity map-side).
     */
   def firewallMatch(activity: DataFrame, rules: DataFrame): DataFrame = {
     val txt = lower(col("operation_details"))
@@ -300,27 +370,36 @@ object Detect {
     // the never-matching 'a^' (vectorized engines may evaluate the
     // regexp branch even when match_type guards it — same guard in the
     // DuckDB oracle)
-    val safePat = when(col("match_type") === "regex", col("pattern"))
-      .otherwise(lit("a^"))
-    val matchPred =
-      (col("match_type") === "contains" && txt.contains(col("pattern"))) ||
-      (col("match_type") === "starts_with" && txt.startsWith(col("pattern"))) ||
-      (col("match_type") === "regex" && regexp_like(txt, safePat))
-    val hits = activity.join(broadcast(rules), matchPred, "inner")
-    // first match by priority as a min_by aggregate: partial aggregation
-    // collapses to one row per activity map-side (activity_id is unique,
-    // so the post-shuffle side is already minimal); a window would
-    // instead shuffle the entire join output to rank it
+    val safePat = when(col("match_type") === "regex",
+      concat(lit("(?i)"), col("pattern"))).otherwise(lit("a^"))
+    val scopeOk =
+      (nullif(col("applies_to_user"), lit("")).isNull ||
+        col("applies_to_user") === col("username")) &&
+      (nullif(col("applies_to_ip"), lit("")).isNull ||
+        col("applies_to_ip") === col("ip_address"))
+    val matchPred = scopeOk && (
+      (col("match_type") === "contains" && txt.contains(lower(col("pattern")))) ||
+      (col("match_type") === "starts_with" && txt.startsWith(lower(col("pattern")))) ||
+      (col("match_type") === "regex" && regexp_like(txt, safePat)))
+    val hits = activity.join(broadcast(rules.filter(col("is_active"))),
+      matchPred, "inner")
+    // first match by (priority, rule_id) as a min_by aggregate: partial
+    // aggregation collapses to one row per activity map-side
+    // (activity_id is unique, so the post-shuffle side is already
+    // minimal); a window would instead shuffle the entire join output
     hits
       .groupBy(col("activity_id"))
       .agg(min_by(
         struct(col("username"), col("ip_address"), col("rule_id"),
-          col("action"), col("priority"),
-          substring(col("operation_details"), 1, 500).as("query_snippet")),
-        col("priority")).as("__m"))
+          col("description"), col("action"), col("priority"),
+          substring(col("operation_details"), 1, 500).as("query_snippet"),
+          col("access_timestamp").as("matched_at")),
+        struct(col("priority"), col("rule_id"))).as("__m"))
       .select(col("activity_id"), col("__m.username").as("username"),
         col("__m.ip_address").as("ip_address"), col("__m.rule_id").as("rule_id"),
+        col("__m.description").as("description"),
         col("__m.action").as("action"), col("__m.priority").as("priority"),
-        col("__m.query_snippet").as("query_snippet"))
+        col("__m.query_snippet").as("query_snippet"),
+        col("__m.matched_at").as("matched_at"))
   }
 }

@@ -139,6 +139,51 @@ class DetectSpec extends SparkSpecBase {
     assert(!got.contains(4L))
   }
 
+  test("J4 firewall honors is_active, scoping, case parity, priority ties") {
+    val rows = Seq(
+      // user_7 delete: scoped mixed-case rule 9 (priority 5, pattern
+      // must be lower-cased to match) beats unscoped rule 7
+      (1L, 7L, "user_7", "User", "DELETE", "sessions", "delete from sessions where token = 'x'", "10.0.0.9", 0L),
+      // other user's delete: the scope guard keeps rule 9 out
+      (2L, 8L, "user_8", "User", "DELETE", "sessions", "delete from sessions where token = 'x'", "10.0.0.9", 0L),
+      // user_7 'select *': rules 8 and 10 tie at priority 8 → rule_id
+      (3L, 7L, "user_7", "User", "SELECT", "t", "select * from t", "10.0.0.9", 0L),
+      // user_7 plain select: only scoped rule 10 matches
+      (4L, 7L, "user_7", "User", "SELECT", "t", "select id from t", "10.0.0.9", 0L),
+      // blacklisted-IP select: ip-scoped rule 11 (priority 6) wins
+      (5L, 9L, "user_9", "User", "SELECT", "t", "select name, price from t", "10.0.11.42", 0L),
+      // upper-case regex rule 13 only matches because of IGNORECASE
+      (6L, 9L, "user_9", "User", "SELECT", "t", "SELECT name FROM t", "10.0.0.9", 0L),
+      // plain select, unscoped IP/user: only the INACTIVE rule 12
+      // pattern-matches → no match at all
+      (7L, 9L, "user_9", "User", "SELECT", "t", "select id from t", "10.0.0.9", 0L))
+    val got = Detect.firewallMatch(mkActivity(rows), Detect.firewallRules(spark))
+      .select($"activity_id", $"rule_id", $"action").as[(Long, Int, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((9, "block")))
+    assert(got(2L) == ((7, "alert")))
+    assert(got(3L)._1 == 8)
+    assert(got(4L)._1 == 10)
+    assert(got(5L) == ((11, "block")))
+    assert(got(6L)._1 == 13)
+    assert(!got.contains(7L))
+  }
+
+  test("blacklist temporal validity: expired entries never flag") {
+    val rows = Seq(
+      (1L, 1L, "u1", "User", "SELECT", "products", "SELECT 1", "10.0.3.7", 0L),
+      (2L, 2L, "u2", "User", "SELECT", "products", "SELECT 1", "10.0.0.101", 0L))
+    val got = classify(mkActivity(rows))
+    assert(got(1L)._2 == "Critical" && got(1L)._3.contains("blacklisted"))
+    assert(got(2L)._2 == "Low" && got(2L)._3 == "")
+    // a blacklist without expires_at passes through unfiltered
+    val bare = Seq(("10.0.0.101", "r")).toDF("ip_address", "reason")
+    val got2 = Detect.classify(mkActivity(rows), bare)
+      .select($"activity_id", $"severity_level").as[(Long, String)]
+      .collect().toMap
+    assert(got2(2L) == "Critical")
+  }
+
   test("C4 rate rule counts null-key rows as one group (window parity)") {
     // 4 events in one minute from a null user_id — with threshold 3 the
     // rate rule must fire for them, as the window formulation did
