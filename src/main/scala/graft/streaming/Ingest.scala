@@ -40,7 +40,11 @@ object Ingest {
       checkpointDir: String,
       rateThreshold: Int = 100,
       watermarkDelay: String = "0 seconds",
-      triggerMs: Long = 3000L)
+      triggerMs: Long = 3000L,
+      // when set, every firewall first-match is persisted there in the
+      // firewall_blocks shape (reference app.py:845-848); block-action
+      // hits are excluded from the logs/alerts sinks either way
+      blocksDir: Option[String] = None)
 
   /** Raw general_log rows → activity_logs-shaped frame. Pure column
     * pipeline; works identically on batch and streaming frames
@@ -128,10 +132,20 @@ object Ingest {
 
   /** Start the ingest stream. `source` is a streaming DataFrame with
     * the general_log schema (event_time, user_host, argument); `users`
-    * is the static user dim (username, role).
+    * is the static user dim (username, role); `rules` the firewall
+    * rule dim (defaults to [[Detect.firewallRules]]).
+    *
+    * Firewall semantics follow the reference agent-ingest endpoint
+    * (app.py:1170-1181): every parsed statement is checked first; any
+    * first-match hit is recorded in the firewall_blocks sink (whatever
+    * its action, app.py:843-848), and a hit whose action is 'block'
+    * never reaches the logs or detection — the statement is rejected
+    * before insert.
     */
   def start(spark: SparkSession, source: DataFrame, users: DataFrame,
-            cfg: IngestConfig): StreamingQuery = {
+            cfg: IngestConfig,
+            rules: Option[DataFrame] = None): StreamingQuery = {
+    val fwRules = rules.getOrElse(Detect.firewallRules(spark))
     // dropDuplicatesWithinWatermark (not plain dropDuplicates): the
     // dedup state for an activity_id is evicted once the watermark
     // passes it — plain dropDuplicates on a non-event-time key would
@@ -149,10 +163,17 @@ object Ingest {
             col("role"), col("user_id"))), Seq("username"), "left")
           .withColumn("role", coalesce(col("role"), lit("Guest")))
           .withColumn("rows_affected", lit(null).cast("long"))
+        // E1 firewall gate (app.py:1177-1179): match against the active
+        // rules BEFORE detection; hits are few, so the frame is pinned
+        // for the sink write + the block anti-join
+        val fw = Detect.firewallMatch(enriched, fwRules).persist()
+        val admitted = enriched.join(
+          fw.filter(col("action") === "block").select(col("activity_id")),
+          Seq("activity_id"), "left_anti")
         // rate windows key on username (always present) — user_id is
         // null for any name outside the users dim, and a null key
         // would pool every unknown user into one rate bucket
-        val classified = Detect.classify(enriched,
+        val classified = Detect.classify(admitted,
           Detect.ipBlacklist(batch.sparkSession), cfg.rateThreshold,
           rateKey = "username")
           .withColumn("event_date", to_date(col("access_timestamp")))
@@ -164,6 +185,17 @@ object Ingest {
         // instead of duplicating rows (a plain append would be
         // at-least-once across that window)
         try {
+          // firewall_blocks record shape (app.py:845-848): rule_id,
+          // username, ip, 500-char snippet, blocked_at; same per-batch
+          // dynamic-overwrite idempotence as the main sinks
+          cfg.blocksDir.foreach { bd =>
+            fw.select(col("rule_id"), col("username"), col("ip_address"),
+              col("query_snippet"), col("matched_at").as("blocked_at"))
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(bd)
+          }
           classified.withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -178,7 +210,7 @@ object Ingest {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(cfg.alertsDir)
-        } finally classified.unpersist()
+        } finally { classified.unpersist(); fw.unpersist(); () }
         ()
       }
       .start()

@@ -25,7 +25,8 @@ class IngestSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("ingest").toString
     val cfg = Ingest.IngestConfig(
       logsDir = s"$dir/logs", alertsDir = s"$dir/alerts",
-      checkpointDir = s"$dir/ckpt", triggerMs = 100L)
+      checkpointDir = s"$dir/ckpt", triggerMs = 100L,
+      blocksDir = Some(s"$dir/blocks"))
     val q = Ingest.start(spark, raw, users, cfg)
     val qr = Ingest.startRejects(raw, s"$dir/rejects", s"$dir/ckpt_rej", 100L)
     try {
@@ -35,25 +36,37 @@ class IngestSpec extends SparkSpecBase {
           "0x53454c454354202a2046524f4d207061796d656e7473"), // hex: SELECT * FROM payments
         (ts("2024-01-10 12:00:02"), "app[app] @ 10.0.0.5 []", "SET GLOBAL x=1"), // skipped
         (ts("2024-01-10 12:00:03"), "evil[evil] @ 10.6.6.6 []",
-          "SELECT password FROM users UNION SELECT 1"), // injection → Critical alert
+          "SELECT password FROM users UNION SELECT 1"), // firewall rule 1 → blocked
         (ts("2024-01-10 12:00:03"), "evil[evil] @ 10.6.6.6 []",
-          "SELECT password FROM users UNION SELECT 1")) // duplicate → dropped
+          "SELECT password FROM users UNION SELECT 1"), // duplicate → dropped
+        (ts("2024-01-10 12:00:04"), "evil[evil] @ 10.6.6.6 []",
+          "SELECT salary FROM payments ; --")) // injection (no firewall rule) → Critical alert
       q.processAllAvailable()
 
       val logs = spark.read.parquet(s"$dir/logs")
-      assert(logs.count() == 3) // skip-filter dropped 1, dedup dropped 1
+      assert(logs.count() == 3) // skip dropped 1, dedup dropped 1, firewall blocked 1
       val byUser = logs.select($"username", $"operation_type", $"table_name", $"role")
         .as[(String, String, String, String)].collect().toSet
       assert(byUser == Set(
         ("root", "SELECT", "orders", "Admin"),
         ("app", "SELECT", "payments", "User"),
-        ("evil", "SELECT", "users", "Guest"))) // unknown user → Guest
+        ("evil", "SELECT", "payments", "Guest"))) // unknown user → Guest
+      // the blocked statement reached NEITHER the logs nor detection
+      assert(logs.filter($"operation_details".contains("UNION")).count() == 0)
       // partition pruning structure exists
       assert(new java.io.File(s"$dir/logs/event_date=2024-01-10").exists())
 
       val alerts = spark.read.parquet(s"$dir/alerts")
       val a = alerts.select($"alert_type", $"severity").as[(String, String)].collect()
       assert(a.toSet == Set(("SQL Injection", "Critical")))
+
+      // ...but it IS recorded in firewall_blocks (reference
+      // app.py:845-848, 1177-1179), along with the alert-action hits
+      val blocks = spark.read.parquet(s"$dir/blocks")
+      val b = blocks.select($"rule_id", $"username", $"ip_address", $"query_snippet")
+        .as[(Int, String, String, String)].collect().toSet
+      assert(b.contains(
+        (1, "evil", "10.6.6.6", "SELECT password FROM users UNION SELECT 1")))
 
       qr.processAllAvailable()
       val rejects = spark.read.parquet(s"$dir/rejects")
