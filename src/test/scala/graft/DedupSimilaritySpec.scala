@@ -200,6 +200,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (1L, 10L, 1L)))
   }
 
+  test("topKPerQuery drops NaN scores instead of letting them evict real rows") {
+    // zero-norm embeddings score NaN; under the old per-partition heap
+    // Double.compare ranked NaN best, evicting legitimate rows
+    val scored = Seq((0L, 10L, Double.NaN), (0L, 11L, 0.9), (0L, 12L, 0.5))
+      .toDF("query_id", "vec_id", "cos_sim")
+    val ranked = Similarity.topKPerQuery(scored, 2)
+      .select($"vec_id", $"rank").as[(Long, Long)].collect().toSeq
+    assert(ranked == Seq((11L, 1L), (12L, 2L)))
+  }
+
   test("materialized IVF index: pruned probes, same results as one-shot ivf") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
@@ -216,9 +226,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(filesRead > 0 && filesRead < lists.inputFiles.length,
       s"pruning read $filesRead of ${lists.inputFiles.length} files")
     // probe results are identical to the in-memory ivfTopK (same
-    // deterministic training, same probe + ranking semantics)
+    // deterministic training, same probe + ranking semantics); query
+    // vectors are caller-supplied — fetched from the BASE table, never
+    // by scanning the index lists
+    val qvecs = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
     val viaIndex = Similarity
-      .ivfSearchIndexed(spark, dir, Seq(0L, 1L, 2L), k = 10, nprobe = 2)
+      .ivfSearchIndexed(spark, dir, qvecs, k = 10, nprobe = 2)
       .select($"query_id", $"vec_id", $"cos_sim", $"rank")
       .as[(Long, Long, Double, Long)].collect().toSet
     val oneShot = Similarity

@@ -25,10 +25,16 @@ class PlanShapeSpec extends SparkSpecBase {
       "firewall first-match must not rank with a window")
   }
 
-  test("ANN rankings carry no per-query window funnel") {
+  test("ANN rankings carry no per-query window funnel and stay in the SQL engine") {
     for (q <- Seq("emb_knn_brute", "emb_lsh_ann", "emb_ivf_ann")) {
       val p = executedPlan(q)
-      assert(!p.contains("Window"), s"$q must use two-phase top-k, got a Window")
+      assert(!p.contains("Window"), s"$q must use bounded top-k, got a Window")
+      // the round-2 heap dropped to the RDD layer, severing codegen/AQE
+      // at the scan→heap boundary — the CollectTopK aggregate must not
+      assert(!p.contains("DeserializeToObject") && !p.contains("Scan ExistingRDD"),
+        s"$q rank phase must not leave Tungsten (RDD drop-out)")
+      assert(p.contains("collect_top_k"),
+        s"$q must rank via the bounded-heap CollectTopK aggregate")
     }
   }
 
