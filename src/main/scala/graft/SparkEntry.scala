@@ -330,11 +330,11 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
   }
 
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
-    * the md5-seeded family): shingles → 16-slot signatures → 4-band
-    * bucket join → exact-jaccard-verified pairs in `j`. k=16 slots,
-    * 4 bands × 4 rows.
+    * the md5-seeded family) over source table `src`: shingles →
+    * 16-slot signatures → 4-band bucket join → exact-jaccard-verified
+    * pairs in `j`. k=16 slots, 4 bands × 4 rows.
     */
-  private val MinhashPairsCtes: String = {
+  private def minhashPairsCtes(src: String): String = {
     val sigCols = (0 until 16).map { seed =>
       s"min(CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT)) AS h$seed"
     }.mkString(",\n    ")
@@ -346,7 +346,7 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     s"""base AS (
   SELECT doc_id, list_distinct(list_transform(range(len($toks) - 2),
     i -> $toks[i + 1] || ' ' || $toks[i + 2] || ' ' || $toks[i + 3])) AS sh
-  FROM documents
+  FROM $src
 ), ex AS (
   SELECT doc_id, unnest(sh) AS s FROM base
 ), sig AS (
@@ -1253,21 +1253,36 @@ SELECT doc_id, fp,
   min(doc_id) OVER (PARTITION BY fp) AS canonical_id
 FROM f ORDER BY doc_id""",
 
+    // prefix filtering (Dedup.jaccardCandidates): rarest-first shingle
+    // order, prefix length n − ⌈3n/10⌉ + 1 in exact integer arithmetic;
+    // the filter is lossless, verification makes the answer exact
     "doc_jaccard_pairs" ->
       """WITH sh AS (
   SELECT doc_id,
-    string_split_regex(trim(text), '\s+')[1] AS tok1,
-    len(string_split_regex(trim(text), '\s+')) // 10 AS lenb,
     list_distinct(list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
       i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
            string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
            string_split_regex(trim(text), '\s+')[i + 3])) AS sh
   FROM documents
+), tok AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), dfq AS (
+  SELECT s, count(*) AS df FROM tok GROUP BY s
+), osh AS (
+  SELECT doc_id, list(s ORDER BY df, s) AS osh
+  FROM tok JOIN dfq USING (s) GROUP BY doc_id
+), pre AS (
+  SELECT doc_id,
+    unnest(osh[1:greatest(len(osh) - ((3 * len(osh) + 9) // 10) + 1, 0)]) AS s
+  FROM osh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      greatest(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 4) AS jaccard
-  FROM sh a JOIN sh b ON a.tok1 = b.tok1 AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b,
+    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      greatest(CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE), 1.0), 4) AS jaccard
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
@@ -1315,20 +1330,23 @@ SELECT source, lang_guess, count(*) AS n_docs,
   CAST(sum(bp) AS BIGINT) AS bpeish_tokens
 FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "doc_minhash_neardups" -> (s"WITH $MinhashPairsCtes\n" +
+    "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes("documents")}\n" +
       """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b"""),
 
-    "doc_dedup_apply" -> (s"WITH $MinhashPairsCtes,\n" +
-      """fp AS (
-  SELECT doc_id, source, n_chars,
+    // the minhash loser pass runs over the post-fingerprint SURVIVORS
+    // (Dedup.dedupedCorpus): a doc must not lose to a near-dup the
+    // fingerprint stage already removed
+    "doc_dedup_apply" -> ("""WITH fp AS (
+  SELECT doc_id, source, n_chars, text,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
   FROM documents
 ), canon AS (
-  SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars, text FROM (
     SELECT *, min(doc_id) OVER (PARTITION BY f) AS m FROM fp
   ) WHERE doc_id = m
-), losers AS (
+), """ + minhashPairsCtes("canon") + """,
+losers AS (
   SELECT DISTINCT doc_b AS doc_id FROM j WHERE jaccard >= 0.3
 )
 SELECT c.doc_id, c.source, c.n_chars FROM canon c

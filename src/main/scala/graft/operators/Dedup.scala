@@ -170,11 +170,17 @@ object Dedup {
 
   /** The "apply" step of deduplication: the kept corpus. Keeps the
     * canonical (min doc_id) member of each normalized-fingerprint
-    * group, then drops any document that has a SMALLER near-duplicate
-    * under minhash+LSH (the greedy remove-losers policy standard for
-    * LSH dedup — each near-dup pair (a < b) eliminates b). Both stages
-    * are linear: a fingerprint hash-window and the banded candidate
-    * join; the anti-join right side is only the loser ids.
+    * group, then drops any SURVIVOR that has a smaller near-duplicate
+    * among the survivors under minhash+LSH (the greedy remove-losers
+    * policy standard for LSH dedup — each near-dup pair (a < b)
+    * eliminates b). The minhash pass runs over the post-fingerprint
+    * survivors, not the raw corpus: a doc must not be dropped because
+    * its only smaller near-dup was itself already removed by the
+    * fingerprint stage (round-2 advisor finding — the full-corpus
+    * loser set over-deleted relative to a greedy policy on the
+    * surviving set). Both stages are linear: a fingerprint hash-window
+    * and the banded candidate join; the anti-join right side is only
+    * the loser ids.
     */
   def dedupedCorpus(docs: DataFrame, threshold: Double = 0.3,
                     hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
@@ -184,7 +190,7 @@ object Dedup {
       .withColumn("__min", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("__min"))
       .drop("__fp", "__min")
-    val losers = minhashNearDups(docs, threshold, hashFn = hashFn)
+    val losers = minhashNearDups(canon, threshold, hashFn = hashFn)
       .select(col("doc_b").as("doc_id")).distinct()
     canon.join(losers, Seq("doc_id"), "left_anti")
   }
@@ -212,32 +218,80 @@ object Dedup {
     agg.select(col("doc_id"), sketch.as("simhash")).orderBy(col("doc_id"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with content blocking on
-    * (first token, token-length bucket): near-identical docs agree on
-    * both, so candidate pairs shrink from O(n²) to per-block O(b²)
-    * with b ≈ n / (vocab × lengths). SQL-expressible (oracle-checked),
-    * complementing the minhash path.
+  /** Candidate pairs for [[jaccardNearDups]] via PREFIX FILTERING
+    * (the AllPairs / PPJoin family — Bayardo et al., WWW'07; Xiao et
+    * al., WWW'08): order every document's shingle set by global
+    * document frequency (rarest first, ties by shingle text); if
+    * J(A,B) ≥ t, the first |X| − ⌈t·|X|⌉ + 1 shingles of each side
+    * under that order must intersect, so candidates join only on
+    * PREFIX shingles. The filter is LOSSLESS for any consistent global
+    * order — the verification stage makes the final answer exact
+    * regardless of tie-breaking — and candidate volume tracks
+    * similarity density, not corpus²: a shingle shared by many
+    * documents has maximal df and sorts into the suffixes, so it never
+    * forms pairs (the round-2 blocking on (first token, length bucket)
+    * exploded quadratically on popular first tokens).
+    *
+    * Every stage is linear: shingle-frequency groupBy, a shuffle of
+    * the (shingle, df) stream back to docs, and the prefix self-join
+    * whose fan-out per shingle is bounded by its prefix df.
+    */
+  /** minJaccard as an exact rational (num, den) — ⌈t·n⌉ computed in
+    * integer arithmetic. IEEE `ceil(t * n)` can overshoot the true
+    * ceiling (0.3·10 = 3.0000000000000004 → 4), which would SHORTEN
+    * the prefix below the lossless bound and silently drop true pairs.
+    */
+  private[graft] def asRational(t: Double): (Long, Long) = {
+    val bd = BigDecimal(t.toString)
+    val den = BigDecimal(10).pow(math.max(bd.scale, 0)).toLongExact
+    ((bd * den).toLongExact, den)
+  }
+
+  private[graft] def jaccardCandidates(docs: DataFrame, ngram: Int,
+                                       minJaccard: Double): DataFrame = {
+    val (num, den) = asRational(minJaccard)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), ngram)).as("sh"))
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("osh"))
+    // ⌈num·n/den⌉ = (num·n + den − 1) div den — products are tiny
+    // (≤ num × shingle count), so the double floor-division is exact
+    val nsh = size(col("osh")).cast("long")
+    val ceilT = floor((lit(num) * nsh + lit(den - 1)).cast("double") /
+      lit(den.toDouble)).cast("int")
+    val plen = greatest(size(col("osh")) - ceilT + 1, lit(0))
+    val pre = ranked
+      .select(col("doc_id"), explode(slice(col("osh"), lit(1), plen)).as("e"))
+      .select(col("doc_id"), col("e.s").as("s"))
+    pre.alias("a")
+      .join(pre.alias("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: prefix-filtered candidates
+    * ([[jaccardCandidates]]) verified by exact set Jaccard — the
+    * answer is exact (the prefix filter admits every true pair), and
+    * the pipeline is SQL-expressible (oracle replays the same prefix
+    * join), complementing the probabilistic minhash path.
     */
   def jaccardNearDups(docs: DataFrame, ngram: Int = 3,
                       minJaccard: Double = 0.3): DataFrame = {
-    val blocked = docs
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .withColumn("tok1", element_at(col("toks"), 1))
-      .withColumn("ntok", size(col("toks")).cast("long"))
-      .withColumn("lenb", expr("ntok div 10"))
-      .select(col("doc_id"), col("tok1"), col("lenb"),
-        array_distinct(shingles(col("text"), ngram)).as("sh"))
-      .withColumn("nsh", size(col("sh")).cast("long"))
-    val a = blocked.alias("a")
-    val b = blocked.alias("b")
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), ngram)).as("sh"))
     // |A∪B| = |A| + |B| − |A∩B|: one set op per pair instead of two
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
-    a.join(b, col("a.tok1") === col("b.tok1") &&
-        col("a.lenb") === col("b.lenb") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    jaccardCandidates(docs, ngram, minJaccard)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         round(inter.cast("double") /
-          greatest((col("a.nsh") + col("b.nsh") - inter).cast("double"),
+          greatest((size(col("sh_a")).cast("long") +
+            size(col("sh_b")).cast("long") - inter).cast("double"),
             lit(1.0)), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc_a"), col("doc_b"))

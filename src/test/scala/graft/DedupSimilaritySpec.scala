@@ -200,6 +200,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (1L, 10L, 1L)))
   }
 
+  test("jaccard prefix filtering: a hot shared first token forms no candidates") {
+    // 60 docs share the first token but are otherwise disjoint — the
+    // round-2 (first token, length bucket) blocking put all of them in
+    // ONE block (C(60,2) = 1770 candidate pairs); with prefix filtering
+    // every 3-gram shingle is unique (df = 1), so no candidates at all
+    val docs = (0 until 60).map { i =>
+      (i.toLong, "common " + (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.jaccardCandidates(docs, 3, 0.3).count() == 0)
+    assert(Dedup.jaccardNearDups(docs).count() == 0)
+    // ...while a true near-dup still joins through its shared (rare)
+    // prefix shingles: candidate volume tracks near-dup density
+    val nd = docs.union(Seq(
+      (1000L, "common " + (0 until 12).map(j => s"w0_$j").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.jaccardNearDups(nd)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((0L, 1000L, 1.0)))
+  }
+
+  test("dedupedCorpus: no loss to a near-dup the fingerprint stage removed") {
+    // doc 1 is a normalized-fingerprint dup of doc 0 (case-only diff →
+    // raw shingles disjoint); doc 2 is a raw near-dup of doc 1 ONLY.
+    // Greedy dedup over the SURVIVORS {0, 2} keeps both — the round-2
+    // full-corpus loser pass dropped 2 for losing to the already-removed 1
+    val t = (0 until 30).map(j => s"tok$j").mkString(" ")
+    val docs = Seq(
+      (0L, t.toUpperCase),
+      (1L, t),
+      (2L, t + " extra"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val kept = Dedup.dedupedCorpus(docs, threshold = 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
+
   test("topKPerQuery drops NaN scores instead of letting them evict real rows") {
     // zero-norm embeddings score NaN; under the old per-partition heap
     // Double.compare ranked NaN best, evicting legitimate rows
