@@ -449,6 +449,16 @@ FROM (
           col("table_name"), col("ip_address"),
           fmtTs(col("access_timestamp")).as("access_ts"))
         .orderBy(col("activity_id"))),
+    // the CSV export frame (S8, app.py:626-636 + 1215-1226): latest
+    // 1000 activities, ISO-8601 timestamps — the exact rows
+    // TableRegistry.exportCsv serializes
+    "dam_export_csv" -> ((s, d) =>
+      Analytics.latest(Tables.activity(s, d), 1000)
+        .select(col("activity_id"), col("username"), col("operation_type"),
+          col("table_name"), col("operation_status"), col("ip_address"),
+          date_format(col("access_timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("access_timestamp"))
+        .orderBy(col("activity_id"))),
 
     // ---- DAM detection engines (C4-C6, J3, J4+W3) ----
     "dam_severity" -> ((s, d) => classified(s, d)
@@ -932,6 +942,15 @@ ORDER BY username, activity_id"""),
 FROM (
   SELECT * FROM activity WHERE operation_status = 'Failed'
   ORDER BY access_timestamp DESC, activity_id DESC LIMIT 50
+) ORDER BY activity_id"""),
+
+    "dam_export_csv" -> act(
+      """SELECT activity_id, username, operation_type, table_name,
+  operation_status, ip_address,
+  strftime(access_timestamp, '%Y-%m-%dT%H:%M:%S') AS access_timestamp
+FROM (
+  SELECT * FROM activity
+  ORDER BY access_timestamp DESC, activity_id DESC LIMIT 1000
 ) ORDER BY activity_id"""),
 
     "dam_severity" -> sev(

@@ -62,12 +62,25 @@ object Report {
                 reportLogDir: String, reportType: String, filePath: String,
                 createdAt: java.sql.Timestamp): Unit = {
     import spark.implicits._
-    Seq((reportType, filePath, createdAt))
+    val entry = Seq((reportType, filePath, createdAt))
       .toDF("report_type", "file_path", "created_at")
       .withColumn("report_id",
         xxhash64(col("report_type"), col("file_path"), col("created_at")))
       .select("report_id", "report_type", "file_path", "created_at")
-      .write.mode(SaveMode.Append).parquet(reportLogDir)
+    // fail FAST on a legacy/mismatched layout: appending a different
+    // schema produces a mixed-schema parquet directory that breaks (or
+    // silently drops columns) at read time, long after the write that
+    // caused it — migrate the directory explicitly instead
+    if (Files.exists(Paths.get(reportLogDir))) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val existing = spark.read.parquet(reportLogDir).schema
+      require(shape(existing) == shape(entry.schema),
+        s"report_log at $reportLogDir has schema ${existing.simpleString}; " +
+          s"expected ${entry.schema.simpleString} — migrate the existing " +
+          "directory before appending")
+    }
+    entry.write.mode(SaveMode.Append).parquet(reportLogDir)
   }
 
   /** Generate a report file AND record it in report_log — the

@@ -46,13 +46,14 @@ object TableRegistry {
         df.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
     }
     writeIfAbsent("users", seedUsers(spark))
+    // the seeds already carry is_active / expires_at — persist them
+    // as-is (overwriting here would clobber the inactive rule and the
+    // expired blacklist entry the fixtures deliberately include)
     writeIfAbsent("firewall_rules",
-      graft.operators.Detect.firewallRules(spark)
-        .withColumn("is_active", lit(true)))
+      graft.operators.Detect.firewallRules(spark))
     writeIfAbsent("ip_blacklist",
       graft.operators.Detect.ipBlacklist(spark)
-        .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00")))
-        .withColumn("expires_at", to_timestamp(lit("2099-01-01 00:00:00"))))
+        .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00"))))
     // remaining feature tables (reference app.py:1464-1514): created
     // empty with fixed schemas so the full control-table surface exists
     writeIfAbsent("webhooks", {

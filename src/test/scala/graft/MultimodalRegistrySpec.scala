@@ -52,7 +52,14 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     TableRegistry.initWarehouse(spark, root)
     TableRegistry.initWarehouse(spark, root) // second call must not throw
     assert(spark.read.parquet(s"$root/users").count() == 3)
-    assert(spark.read.parquet(s"$root/firewall_rules").count() == 8)
+    val rules = spark.read.parquet(s"$root/firewall_rules")
+    assert(rules.count() == graft.operators.Detect.FirewallRuleSeed.length)
+    // the persisted dim keeps the seeded flags verbatim — the inactive
+    // rule and the expired blacklist entry must survive bootstrap
+    assert(rules.filter(!$"is_active").count() == 1)
+    assert(spark.read.parquet(s"$root/ip_blacklist")
+      .filter($"expires_at" < to_timestamp(lit("2001-01-01 00:00:00")))
+      .count() == 1)
 
     val acts = Seq((1L, "SELECT 1", "2024-01-10 10:00:00"),
         (2L, "SELECT 2", "2024-01-11 10:00:00"))

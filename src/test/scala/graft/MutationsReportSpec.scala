@@ -164,6 +164,21 @@ class MutationsReportSpec extends SparkSpecBase {
     assert(again.toSet == ids.toSet && again.length == 2)
   }
 
+  test("report_log append fails fast on a legacy (mismatched) schema") {
+    val root = Files.createTempDirectory("replog_legacy").toString
+    val dir = root + "/report_log"
+    // a pre-upgrade layout: Int report_id, no created_at
+    Seq((1, "daily", "/x.txt")).toDF("report_id", "report_type", "file_path")
+      .write.parquet(dir)
+    val t = Timestamp.valueOf("2024-01-10 07:00:00")
+    val e = intercept[IllegalArgumentException] {
+      Report.logReport(spark, dir, "weekly", root + "/w.txt", t)
+    }
+    assert(e.getMessage.contains("migrate"))
+    // the directory was NOT polluted with a second schema
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("alert wire payload: fixed envelope shape, parseable JSON") {
     val cls = Detect.classify(Tables.activity(spark, sf("sf0.001")),
       Detect.ipBlacklist(spark))
