@@ -8,12 +8,18 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The actual codecs are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` produces deterministic fake pixels from
-  * the payload bytes. Everything around the stub — schema, batch
-  * shape, partition-parallel execution, row explosion — is the real
-  * Spark plumbing a production decode would use, so swapping in a
-  * JNI/javacpp codec is a one-function change.
+  * Two codecs are REAL, dependency-free JVM decoders: 24-bit
+  * uncompressed BMP ([[Codecs.decodeBmp24]]) and RIFF/WAVE PCM-16
+  * ([[Codecs.decodeWavPcm16]]) — payloads are sniffed by magic bytes
+  * and decoded to actual pixels/samples, then featurized (4×4
+  * luminance grid / 16-segment RMS) into vectors that feed the
+  * [[Similarity]] operators. Compressed formats (png/opus/av1 …)
+  * remain STUBBED (no media libraries in this environment):
+  * `syntheticFeatures` derives deterministic content-sensitive
+  * features from the raw bytes. The surrounding plumbing — schema,
+  * batch shape, partition-parallel execution, row explosion — is
+  * identical for all three paths, so swapping in a JNI/javacpp codec
+  * is a one-function change.
   *
   * Scale design:
   *  - payloads stay opaque bytes end-to-end; Spark never interprets
@@ -57,14 +63,17 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("codec"))
 
   final case class DecodedAsset(asset_id: Long, media_type: String,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, features: Array[Float], decoder: String)
 
-  /** STUB decode + feature extraction. A real implementation would
-    * initialize a codec per partition and decode `payload`; the stub
-    * derives a deterministic 16-dim feature vector from payload bytes
-    * (content-sensitive, so downstream dedup/ANN behave realistically).
-    * Runs as mapPartitions: batch-shaped, partition-parallel, one
-    * codec init per partition — the mapInPandas execution shape.
+  /** Decode + feature extraction. Payloads are sniffed by magic bytes:
+    * BMP ('BM') and WAVE ('RIFF…WAVE') decode to REAL pixels/samples
+    * via the dependency-free [[Codecs]]; anything else falls back to
+    * the documented deterministic stub featurizer (content-sensitive,
+    * so downstream dedup/ANN behave realistically). For decoded
+    * images, width/height come from the HEADER, not the metadata
+    * columns. Runs as mapPartitions: batch-shaped,
+    * partition-parallel, one codec init per partition — the
+    * mapInPandas execution shape.
     */
   def decodeAndFeaturize(assets: DataFrame): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
@@ -73,23 +82,181 @@ object Multimodal {
         col("height"), col("payload"))
       .as[(Long, String, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec init would happen here, once per partition:
-        // val codec = Codec.open(...)   // ??? (no media libs in env)
+        // per-partition codec init would happen here (the pure-JVM
+        // BMP/WAV decoders are stateless; a JNI codec would not be)
         rows.map { case (id, mt, w, h, payload) =>
-          val feats = new Array[Float](16)
-          if (payload != null) {
-            var i = 0
-            while (i < payload.length) {
-              feats(i % 16) += (payload(i) & 0xff) / 255.0f
-              i += 1
+          Codecs.decodeBmp24(payload) match {
+            case Some((dw, dh, rgb)) =>
+              DecodedAsset(id, mt, dw, dh,
+                Codecs.imageFeatures(dw, dh, rgb), "bmp24")
+            case None => Codecs.decodeWavPcm16(payload) match {
+              case Some((_, _, mono)) =>
+                DecodedAsset(id, mt, w, h,
+                  Codecs.audioFeatures(mono), "wav-pcm16")
+              case None =>
+                DecodedAsset(id, mt, w, h,
+                  Codecs.syntheticFeatures(payload), "synthetic-stub")
             }
-            val n = math.max(1, payload.length / 16)
-            var j = 0
-            while (j < 16) { feats(j) /= n.toFloat; j += 1 }
           }
-          DecodedAsset(id, mt, w, h, feats)
         }
       }
+  }
+
+  /** Dependency-free media decoders over public file formats (the
+    * Windows BMP structure: BITMAPFILEHEADER + BITMAPINFOHEADER; the
+    * RIFF/WAVE container with PCM fmt chunk).
+    */
+  private[graft] object Codecs {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** 24-bit uncompressed BMP → (width, height, row-major RGB values
+      * 0-255, length w·h·3). Handles bottom-up and top-down rows and
+      * 4-byte row padding; rejects anything not 24bpp/BI_RGB.
+      */
+    def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B' || bytes(1) != 'M') return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = bb.getInt(10)
+      if (bb.getInt(14) < 40) return None // header older than BITMAPINFOHEADER
+      val w = bb.getInt(18)
+      val hRaw = bb.getInt(22)
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      if (bb.getShort(28) != 24 || bb.getInt(30) != 0 || w <= 0 || h == 0)
+        return None
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h > bytes.length)
+        return None
+      val out = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOffset + (if (bottomUp) h - 1 - y else y) * rowSize
+        var x = 0
+        while (x < w) {
+          val p = srcRow + x * 3
+          val o = (y * w + x) * 3
+          out(o) = bytes(p + 2) & 0xff // stored BGR
+          out(o + 1) = bytes(p + 1) & 0xff
+          out(o + 2) = bytes(p) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+
+    /** 4×4 grid of mean luminance (Rec.601 weights), normalized to
+      * [0,1] — a 16-dim embedding for the [[Similarity]] operators.
+      */
+    def imageFeatures(w: Int, h: Int, rgb: Array[Int]): Array[Float] = {
+      val feats = new Array[Float](16)
+      val counts = new Array[Int](16)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(3, y * 4 / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(3, x * 4 / w)
+          val o = (y * w + x) * 3
+          val lum = (0.299f * rgb(o) + 0.587f * rgb(o + 1) +
+            0.114f * rgb(o + 2)) / 255f
+          feats(gy * 4 + gx) += lum
+          counts(gy * 4 + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < 16) { if (counts(i) > 0) feats(i) /= counts(i); i += 1 }
+      feats
+    }
+
+    /** RIFF/WAVE with a PCM-16 fmt chunk → (sample_rate, channels,
+      * channel-averaged mono samples). Walks the word-aligned chunk
+      * list; rejects non-PCM / non-16-bit payloads.
+      */
+    def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (bytes == null || bytes.length < 44) return None
+      def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var rate = 0
+      var ch = 0
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = bb.getInt(off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        if (id == "fmt " && sz >= 16) {
+          ch = bb.getShort(off + 10)
+          rate = bb.getInt(off + 12)
+          fmtOk = bb.getShort(off + 8) == 1 && bb.getShort(off + 22) == 16 &&
+            ch >= 1
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || dataOff < 0) return None
+      val n = dataLen / (2 * ch)
+      val mono = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0
+        var c = 0
+        while (c < ch) { acc += bb.getShort(dataOff + (i * ch + c) * 2); c += 1 }
+        mono(i) = (acc / ch).toShort
+        i += 1
+      }
+      Some((rate, ch, mono))
+    }
+
+    /** RMS amplitude of 16 equal segments, each in [0,1] — a 16-dim
+      * audio embedding.
+      */
+    def audioFeatures(samples: Array[Short]): Array[Float] = {
+      val feats = new Array[Float](16)
+      if (samples.isEmpty) return feats
+      val seg = math.max(1, samples.length / 16)
+      var s = 0
+      while (s < 16) {
+        val from = s * seg
+        val to =
+          if (s == 15) samples.length else math.min(samples.length, from + seg)
+        if (to > from) {
+          var acc = 0.0
+          var i = from
+          while (i < to) {
+            val v = samples(i) / 32768.0
+            acc += v * v
+            i += 1
+          }
+          feats(s) = math.sqrt(acc / (to - from)).toFloat
+        }
+        s += 1
+      }
+      feats
+    }
+
+    /** The documented stub for formats without an in-env codec:
+      * deterministic 16-dim features from the payload bytes.
+      */
+    def syntheticFeatures(payload: Array[Byte]): Array[Float] = {
+      val feats = new Array[Float](16)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          feats(i % 16) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+        val n = math.max(1, payload.length / 16)
+        var j = 0
+        while (j < 16) { feats(j) /= n.toFloat; j += 1 }
+      }
+      feats
+    }
   }
 
   /** Resize metadata transform: pure column arithmetic (a real resize
