@@ -377,6 +377,33 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
        WHEN CAST($stop2 AS DOUBLE) / greatest($ntok, 1) >= 0.04 THEN 'en'
        ELSE 'other' END"""
 
+  /** Portable-simhash sketch CTE chain (Dedup.simhashPortable): token
+    * explode → md5-family 60-bit hashes → per-bit votes → sketch in
+    * `sk(doc_id, simhash)`. Shared by the sketch dump and the
+    * Hamming-band near-dup oracles.
+    */
+  private val SimhashSketchCtes: String = {
+    val voteCols = (0 until 60).map { i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n    ")
+    val sketch = (0 until 60).map { i =>
+      s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n  + ", ")")
+    s"""ex AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('0:' || t), 1, 15)) AS BIGINT) AS h
+  FROM ex
+), v AS (
+  SELECT doc_id,
+    $voteCols
+  FROM h GROUP BY doc_id
+), sk AS (
+  SELECT doc_id, CAST($sketch AS BIGINT) AS simhash FROM v
+)"""
+  }
+
   /** Period-windowed compliance report oracle (Detect.complianceReport):
     * `cond` filters activity against the max-timestamp anchor `m`.
     */
@@ -719,6 +746,10 @@ FROM (
     // oracle-replayable variant over the md5-seeded 60-bit family
     "doc_simhash_portable" -> ((s, d) =>
       Dedup.simhashPortable(Tables.documents(s, d))),
+    // Hamming-band near-dup pairs over the portable sketch (Manku-style
+    // blocking — lossless for hamming <= 3 with 4 bands)
+    "doc_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d))),
     "emb_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
     // cold path: per-call training (index-build cost made visible)
@@ -1405,27 +1436,24 @@ WHERE cos_sim >= 0.35 AND NOT isnan(cos_sim)
 ORDER BY vec_a, vec_b"""
     },
 
-    "doc_simhash_portable" -> {
-      val voteCols = (0 until 60).map { i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
-      }.mkString(",\n    ")
-      val sketch = (0 until 60).map { i =>
-        s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", "\n  + ", ")")
-      s"""WITH ex AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-  FROM documents
-), h AS (
-  SELECT doc_id, CAST(('0x' || substr(md5('0:' || t), 1, 15)) AS BIGINT) AS h
-  FROM ex
-), v AS (
-  SELECT doc_id,
-    $voteCols
-  FROM h GROUP BY doc_id
+    "doc_simhash_portable" -> (s"WITH $SimhashSketchCtes\n" +
+      "SELECT doc_id, simhash FROM sk ORDER BY doc_id"),
+
+    // Hamming-band blocking (Dedup.simhashNearDups): 4 blocks of 15
+    // bits; hamming ≤ 3 forces an identical block (pigeonhole), so
+    // candidates join on (band, block value) and verify exactly
+    "doc_simhash_neardups" -> (s"WITH $SimhashSketchCtes,\n" +
+      """banded AS (
+  SELECT doc_id, simhash, t.band, (simhash >> (t.band * 15)) & 32767 AS bv
+  FROM sk, range(4) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 )
-SELECT doc_id, CAST($sketch AS BIGINT) AS simhash
-FROM v ORDER BY doc_id"""
-    },
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY doc_a, doc_b"""),
 
     "emb_ivf_ann" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),

@@ -297,6 +297,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SimHash near-duplicate pairs via Hamming-band blocking (the
+    * Manku/Jain/Sarma WWW'07 construction): split the sketch into
+    * `bands` equal bit blocks; two sketches within Hamming distance
+    * `maxHamming` < `bands` must agree EXACTLY on at least one block
+    * (pigeonhole), so candidates join only on identical (band, block
+    * value) — linear in corpus size — and the Hamming verification
+    * runs on candidates only. Uses the portable md5-family sketch
+    * ([[simhashPortable]]) so the whole pipeline is oracle-replayable;
+    * each returned pair carries its exact Hamming distance.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      bands: Int = 4, bits: Int = 60): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole soundness needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bits % bands == 0, "bands must divide the sketch width")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sk = simhashPortable(docs, bits)
+    val banded = sk.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("bv"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact n-gram Jaccard between all pairs within a caller-supplied
     * blocking key — the verification stage after LSH candidate
     * generation at scale.

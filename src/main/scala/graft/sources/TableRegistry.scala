@@ -68,8 +68,9 @@ object TableRegistry {
     })
     writeIfAbsent("user_2fa", {
       import spark.implicits._
-      Seq.empty[(Int, Long, String, Boolean)]
-        .toDF("id", "user_id", "totp_secret", "enabled")
+      Seq.empty[(Long, String, Boolean, java.sql.Timestamp, java.sql.Timestamp)]
+        .toDF("user_id", "totp_secret", "enabled", "created_at",
+          "confirmed_at")
     })
   }
 

@@ -200,6 +200,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (1L, 10L, 1L)))
   }
 
+  test("simhash near-dups: identical docs pair at hamming 0, unrelated absent") {
+    val base = (0 until 40).map(j => s"w$j").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base), // identical → hamming 0 via every band
+      (2L, base + " extra"), // near — MAY pair, depending on bit flips
+      (3L, (100 until 140).map(j => s"z$j").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNearDups(docs)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(got.find(r => r._1 == 0L && r._2 == 1L).get._3 == 0L)
+    assert(pairs.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L))))
+    assert(got.forall(_._3 <= 3L))
+  }
+
   test("jaccard prefix filtering: a hot shared first token forms no candidates") {
     // 60 docs share the first token but are otherwise disjoint — the
     // round-2 (first token, length bucket) blocking put all of them in
