@@ -688,7 +688,8 @@ FROM (
     "doc_dedup_fingerprint" -> ((s, d) =>
       Dedup.fingerprintDupGroups(Tables.documents(s, d))),
     "doc_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardNearDups(Tables.documents(s, d))),
+      Dedup.jaccardNearDups(Tables.documents(s, d),
+        hashFn = Dedup.md5Seeded)),
 
     // ---- training-data curation (redaction, funnel, budgeting) ----
     "dam_redacted" -> ((s, d) => Tables.activity(s, d)
@@ -1303,36 +1304,55 @@ SELECT doc_id, fp,
   min(doc_id) OVER (PARTITION BY fp) AS canonical_id
 FROM f ORDER BY doc_id""",
 
-    // prefix filtering (Dedup.jaccardCandidates): rarest-first shingle
-    // order, prefix length n − ⌈3n/10⌉ + 1 in exact integer arithmetic;
-    // the filter is lossless, verification makes the answer exact
+    // prefix filtering (Dedup.jaccardCandidates) over md5-hashed
+    // shingles: rarest-first global order, prefix length
+    // n − ⌈3n/10⌉ + 1, size filter, and the PPJoin positional filter
+    // (overlap ≤ min(na − ia, nb − ib) vs α = ⌈3(na+nb)/13⌉) — all in
+    // exact integer arithmetic; every filter is lossless and the
+    // verification makes the answer exact
     "doc_jaccard_pairs" ->
-      """WITH sh AS (
+      """WITH shs AS (
   SELECT doc_id,
     list_distinct(list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
       i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
            string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 3])) AS sh
+           string_split_regex(trim(text), '\s+')[i + 3])) AS shs
   FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(shs, s ->
+    CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT))) AS sh
+  FROM shs
+), szd AS (
+  SELECT doc_id, sh, len(sh) AS nsh,
+    greatest(len(sh) - ((3 * len(sh) + 9) // 10) + 1, 0) AS plen
+  FROM sh
 ), tok AS (
-  SELECT doc_id, unnest(sh) AS s FROM sh
+  SELECT doc_id, unnest(sh) AS h FROM sh
 ), dfq AS (
-  SELECT s, count(*) AS df FROM tok GROUP BY s
+  SELECT h, count(*) AS df FROM tok GROUP BY h
 ), osh AS (
-  SELECT doc_id, list(s ORDER BY df, s) AS osh
-  FROM tok JOIN dfq USING (s) GROUP BY doc_id
+  SELECT doc_id, list(h ORDER BY df, h) AS osh
+  FROM tok JOIN dfq USING (h) GROUP BY doc_id
 ), pre AS (
-  SELECT doc_id,
-    unnest(osh[1:greatest(len(osh) - ((3 * len(osh) + 9) // 10) + 1, 0)]) AS s
-  FROM osh
+  SELECT o.doc_id, z.nsh,
+    unnest(o.osh[1:z.plen]) AS h,
+    generate_subscripts(o.osh[1:z.plen], 1) - 1 AS pos
+  FROM osh o JOIN szd z USING (doc_id)
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+    min(a.pos) AS ia, min(b.pos) AS ib
+  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE greatest(a.nsh, b.nsh) * 3 <= least(a.nsh, b.nsh) * 10
+  GROUP BY a.doc_id, b.doc_id
+), pruned AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE least(na - ia, nb - ib) >= (3 * (na + nb) + 12) // 13
 ), pairs AS (
-  SELECT c.doc_a, c.doc_b,
+  SELECT p.doc_a, p.doc_b,
     round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
       greatest(CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE), 1.0), 4) AS jaccard
-  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+  FROM pruned p JOIN szd x ON x.doc_id = p.doc_a JOIN szd y ON y.doc_id = p.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b""",

@@ -184,15 +184,29 @@ object Dedup {
     */
   def dedupedCorpus(docs: DataFrame, threshold: Double = 0.3,
                     hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
-    val w = Window.partitionBy(col("__fp"))
-    val canon = docs
-      .withColumn("__fp", TextOps.fingerprint(col("text")))
-      .withColumn("__min", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("__min"))
-      .drop("__fp", "__min")
-    val losers = minhashNearDups(canon, threshold, hashFn = hashFn)
+    // canonical ids via a partial-aggregable groupBy-min (not a window:
+    // the id set is consumed three times below, and this lineage is one
+    // cheap md5+groupBy pass per consumption instead of a full-row
+    // fingerprint-partitioned shuffle)
+    val canonIds = docs
+      .groupBy(TextOps.fingerprint(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // near-dup pairs AMONG SURVIVORS ≡ pairs over the full corpus
+    // restricted to canonical endpoints: the band key is a per-doc
+    // function, so (a, b) share a bucket within canon iff they share
+    // one within docs — computing over docs keeps the minhash lineage
+    // on raw scans while the semi-joins (tiny pair set) apply the
+    // restriction exactly
+    val pairs = minhashNearDups(docs, threshold, hashFn = hashFn)
+    val losers = pairs
+      .join(canonIds.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi")
+      .join(canonIds.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_semi")
       .select(col("doc_b").as("doc_id")).distinct()
-    canon.join(losers, Seq("doc_id"), "left_anti")
+    docs.join(canonIds, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Portable simhash: the same bit-vote semantics as [[simhash]] but
@@ -247,45 +261,90 @@ object Dedup {
     ((bd * den).toLongExact, den)
   }
 
-  private[graft] def jaccardCandidates(docs: DataFrame, ngram: Int,
-                                       minJaccard: Double): DataFrame = {
-    val (num, den) = asRational(minJaccard)
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), ngram)).as("sh"))
-    val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = tok.join(dfreq, "s")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("osh"))
-    // ⌈num·n/den⌉ = (num·n + den − 1) div den — products are tiny
-    // (≤ num × shingle count), so the double floor-division is exact
-    val nsh = size(col("osh")).cast("long")
+  /** Distinct shingles HASHED to 64-bit integers (the whole
+    * prefix-join/verify pipeline then runs over longs — ~2.5× less
+    * shuffle than raw shingle strings; the hash family is pluggable so
+    * [[md5Seeded]] keeps it oracle-replayable, and jaccard over the
+    * hashed sets equals jaccard over the raw sets up to 2^-60
+    * collisions, identically on both engines). Carries the set size
+    * and the exact-integer prefix length n − ⌈num·n/den⌉ + 1.
+    */
+  private def hashedShingles(docs: DataFrame, ngram: Int,
+                             num: Long, den: Long,
+                             hashFn: (Int, Column) => Column): DataFrame = {
+    val hashed = array_distinct(
+      transform(array_distinct(shingles(col("text"), ngram)),
+        s => hashFn(0, s)))
+    // ⌈num·n/den⌉ = (num·n + den − 1) div den — products are tiny, so
+    // the double floor-division is exact (IEEE ceil(t·n) can overshoot
+    // the true ceiling and would break losslessness)
+    val nsh = size(col("sh")).cast("long")
     val ceilT = floor((lit(num) * nsh + lit(den - 1)).cast("double") /
       lit(den.toDouble)).cast("int")
-    val plen = greatest(size(col("osh")) - ceilT + 1, lit(0))
-    val pre = ranked
-      .select(col("doc_id"), explode(slice(col("osh"), lit(1), plen)).as("e"))
-      .select(col("doc_id"), col("e.s").as("s"))
-    pre.alias("a")
-      .join(pre.alias("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    docs.select(col("doc_id"), hashed.as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .withColumn("plen", greatest(col("nsh") - ceilT + 1, lit(0)))
+  }
+
+  private[graft] def jaccardCandidates(docs: DataFrame, ngram: Int,
+      minJaccard: Double,
+      hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
+    val (num, den) = asRational(minJaccard)
+    val hsh = hashedShingles(docs, ngram, num, den, hashFn)
+    val tok = hsh.select(col("doc_id"), col("nsh"), col("plen"),
+      explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val osh = tok.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("osh"),
+        min(col("nsh")).as("nsh"), min(col("plen")).as("plen"))
+    val pre = osh
+      .select(col("doc_id"), col("nsh"),
+        posexplode(slice(col("osh"), lit(1), col("plen")))
+          .as(Seq("pos", "e")))
+      .select(col("doc_id"), col("nsh"), col("pos"), col("e.h").as("h"))
+    val a = pre.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+      col("pos").as("pa"), col("h"))
+    val b = pre.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+      col("pos").as("pb"), col("h"))
+    // required overlap α = ⌈num(na+nb)/(den+num)⌉ — from J ≥ t ⟹
+    // |A∩B| ≥ t/(1+t)·(|A|+|B|); exact integer arithmetic again
+    val alpha = floor(
+      (lit(num) * (col("na") + col("nb")) + lit(den + num - 1))
+        .cast("double") / lit((den + num).toDouble)).cast("int")
+    a.join(b, Seq("h"))
+      // size filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("na"), col("nb")) * num <=
+          least(col("na"), col("nb")) * den)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("pa")).as("ia"), min(col("pb")).as("ib"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      // positional filter (PPJoin): prefixes are consistent with ONE
+      // global order, so no shared token precedes the first
+      // prefix-prefix match — overlap ≤ min(na − ia, nb − ib)
+      .filter(least(col("na") - col("ia"), col("nb") - col("ib")) >= alpha)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: prefix-filtered candidates
-    * ([[jaccardCandidates]]) verified by exact set Jaccard — the
-    * answer is exact (the prefix filter admits every true pair), and
-    * the pipeline is SQL-expressible (oracle replays the same prefix
-    * join), complementing the probabilistic minhash path.
+    * ([[jaccardCandidates]] — rarest-first global shingle order plus
+    * the size and positional filters, all LOSSLESS) verified by exact
+    * set Jaccard over the hashed shingle sets. SQL-expressible (the
+    * oracle replays the same pipeline over the portable md5 family),
+    * complementing the probabilistic minhash path — which remains the
+    * preferred route at extreme duplicate density, where even pruned
+    * exact candidates grow with the number of near-identical pairs.
     */
   def jaccardNearDups(docs: DataFrame, ngram: Int = 3,
-                      minJaccard: Double = 0.3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), ngram)).as("sh"))
+                      minJaccard: Double = 0.3,
+                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
+    val (num, den) = asRational(minJaccard)
+    val sh = hashedShingles(docs, ngram, num, den, hashFn)
+      .select(col("doc_id"), col("sh"))
     // |A∪B| = |A| + |B| − |A∩B|: one set op per pair instead of two
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    jaccardCandidates(docs, ngram, minJaccard)
+    jaccardCandidates(docs, ngram, minJaccard, hashFn)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -56,16 +56,15 @@ object Detect {
     InjectionPatterns.map(_.stripPrefix("(?i)"))
       .mkString("(?i)(?:", "|", ")")
 
-  /** Static IP blacklist dim (reference ip_blacklist table,
+  /** Static IP blacklist seed (reference ip_blacklist table,
     * sql/02_create_tables.sql:69-77; loaded with temporal validity
-    * `expires_at > NOW()` at app.py:332-337). Stand-in fixture rows
-    * over the synthesized IP space of
-    * [[graft.sources.Tables.activity]]; the last entry is EXPIRED and
-    * must never flag ([[activeBlacklist]] filters it).
-    */
-  /** (ip, reason, expires_at) — single source for both the Spark dim
-    * and the DuckDB oracle VALUES (SparkEntry generates its SQL from
-    * this seq, so the two can never drift).
+    * `expires_at > NOW()` at app.py:332-337): (ip, reason,
+    * expires_at), the single source for both the Spark dim and the
+    * DuckDB oracle VALUES (SparkEntry generates its SQL from this
+    * seq, so the two can never drift). Stand-in fixture rows over the
+    * synthesized IP space of [[graft.sources.Tables.activity]]; the
+    * last entry is EXPIRED and must never flag ([[activeBlacklist]]
+    * filters it).
     */
   val BlacklistSeed: Seq[(String, String, String)] = Seq(
     ("10.0.3.7", "known scanner", "2100-01-01 00:00:00"),
@@ -99,15 +98,14 @@ object Detect {
         .drop("__bl_anchor")
     }
 
-  /** Firewall rule dim (reference firewall_rules DDL app.py:1474-1488,
-    * seeds app.py:1529-1541): (rule_id, pattern, description,
-    * match_type, action, priority, applies_to_user, applies_to_ip,
-    * is_active). Rules 9-13 exercise the scoping / case-parity /
-    * is_active / priority-tie semantics the reference matcher honors
+  /** Firewall rule seed (reference firewall_rules DDL
+    * app.py:1474-1488, seeds app.py:1529-1541): (rule_id, pattern,
+    * description, match_type, action, priority, applies_to_user,
+    * applies_to_ip, is_active) — single source for the Spark dim AND
+    * the DuckDB oracle VALUES (SparkEntry generates its SQL from this
+    * seq). Rules 9-13 exercise the scoping / case-parity / is_active /
+    * priority-tie semantics the reference matcher honors
     * (app.py:826-841).
-    */
-  /** Seed rows — single source for the Spark dim AND the DuckDB
-    * oracle VALUES (SparkEntry generates its SQL from this seq).
     */
   val FirewallRuleSeed: Seq[(Int, String, String, String, String, Int,
       Option[String], Option[String], Boolean)] = {
