@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotExact, SimHash64}
+import graft.functions.{DotExact, Md5Seeded60, SimHash64}
 
 /** Session extension registering graft's native expressions for SQL
   * use (`spark.sql("SELECT simhash64(...)")`). Install either at
@@ -36,6 +36,18 @@ object GraftExtensions {
         require(exprs.length == 2,
           s"dot_exact expects exactly 2 arguments, got ${exprs.length}")
         DotExact(exprs.head, exprs(1))
+      }),
+    ("md5_seeded60",
+      new ExpressionInfo(classOf[Md5Seeded60].getName, "md5_seeded60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"md5_seeded60 expects (seed, str), got ${exprs.length} args")
+        val seed = exprs.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"md5_seeded60 seed must be an int literal, got $other")
+        }
+        Md5Seeded60(seed, exprs(1))
       }))
 
   /** Register on an existing session (temp functions). */

@@ -69,13 +69,21 @@ object Dedup {
   def xxSeeded(seed: Int, s: Column): Column = xxhash64(lit(seed), s)
 
   /** Portable 60-bit hash family: top 15 hex chars of md5("seed:" ++ s)
-    * as an integer. Identical in Spark (conv base 16) and DuckDB
-    * ('0x…' cast), which makes the whole minhash+LSH pipeline
-    * oracle-replayable — only the (collision-negligible) band-bucket
-    * hashing stays engine-internal. ~2-3× the cost of [[xxSeeded]];
-    * use that when no cross-engine verification is needed.
+    * as an integer. Identical in Spark and DuckDB ('0x…' cast), which
+    * makes the whole minhash+LSH pipeline oracle-replayable — only the
+    * (collision-negligible) band-bucket hashing stays engine-internal.
+    * Computed by the native [[graft.functions.Md5Seeded60]] expression
+    * (digest bytes directly, no hex-string round-trip); still costs
+    * more than [[xxSeeded]] — use that when no cross-engine
+    * verification is needed.
     */
   def md5Seeded(seed: Int, s: Column): Column =
+    graft.functions.Md5Seeded60.md5_seeded60(seed, s)
+
+  /** Compositional reference formulation of [[md5Seeded]] — the exact
+    * SQL the DuckDB oracles replay; kept for the equivalence spec.
+    */
+  private[graft] def md5SeededComposed(seed: Int, s: Column): Column =
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
       .cast("long")
 

@@ -150,6 +150,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("native Md5Seeded60 equals the conv/substring/md5 formulation") {
+    val fixtures = Seq("", "a", "hello world", "naïve café — ünïcode ✓",
+      "0123456789" * 40, "line\nbreak\ttab")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (seed <- Seq(0, 1, 7, 15)) {
+      val rows = df.select(
+        Dedup.md5Seeded(seed, $"s"),
+        Dedup.md5SeededComposed(seed, $"s")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"seed=$seed mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
+      // always in the 60-bit non-negative range
+      rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 60)))
+    }
+  }
+
+  test("Md5Seeded60 survives codegen with fallback disabled") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Seq("x").toDF("s")
+        .select(Dedup.md5Seeded(0, $"s"), Dedup.md5SeededComposed(0, $"s"))
+        .collect()(0)
+      assert(got.getLong(0) == got.getLong(1))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("DotExact survives codegen with fallback disabled") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
