@@ -149,15 +149,18 @@ class IngestSpec extends SparkSpecBase {
     val users = Seq(("root", "Admin", 1L)).toDF("username", "role", "user_id")
     val cfg = Ingest.IngestConfig(
       logsDir = s"$dir/logs", alertsDir = s"$dir/alerts",
-      checkpointDir = s"$dir/ckpt", triggerMs = 100L)
+      checkpointDir = s"$dir/ckpt", triggerMs = 100L,
+      blocksDir = Some(s"$dir/blocks"))
     def startStream() = Ingest.start(spark,
       spark.readStream.schema(graft.sources.Tables.GeneralLogSchema).json(srcDir),
       users, cfg)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$srcDir/b1.json"),
-      """{"event_time":"2024-01-10T12:00:00.000Z","user_host":"root[root] @ h []","argument":"SELECT 1 FROM a"}""".getBytes)
+      ("""{"event_time":"2024-01-10T12:00:00.000Z","user_host":"root[root] @ h []","argument":"SELECT 1 FROM a"}""" + "\n" +
+        """{"event_time":"2024-01-10T12:00:01.000Z","user_host":"root[root] @ h []","argument":"SELECT x FROM t UNION SELECT y"}""").getBytes)
     val q1 = startStream()
     q1.processAllAvailable(); q1.stop()
     assert(spark.read.parquet(s"$dir/logs").count() == 1)
+    assert(spark.read.parquet(s"$dir/blocks").count() == 1)
     // simulate a crash between the sink write and the checkpoint
     // commit: drop the commit marker so the restart replays batch 0
     val commit = java.nio.file.Paths.get(s"$dir/ckpt/commits/0")
@@ -165,9 +168,11 @@ class IngestSpec extends SparkSpecBase {
     val q2 = startStream()
     q2.processAllAvailable(); q2.stop()
     // per-batch dynamic partition overwrite rewrote the same partition
+    // in EVERY sink — logs and firewall_blocks alike
     val logs = spark.read.parquet(s"$dir/logs")
     assert(logs.count() == 1)
     assert(logs.select($"table_name").as[String].collect().toSeq == Seq("a"))
+    assert(spark.read.parquet(s"$dir/blocks").count() == 1)
   }
 
   test("parseWithRejects isolates malformed rows with reasons") {

@@ -38,6 +38,16 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("set-similarity pipelines: no cartesian product, no window funnel") {
+    for (q <- Seq("doc_jaccard_pairs", "doc_simhash_neardups",
+        "doc_minhash_neardups")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must block/prefix-join, not cross-join the corpus")
+      assert(!p.contains("Window"), s"$q must not rank with a window")
+    }
+  }
+
   test("severity classify pre-aggregates rate counts instead of a full-row window") {
     val p = executedPlan("dam_severity")
     assert(!p.contains("Window"),
