@@ -70,15 +70,19 @@ object Report {
     // fail FAST on a legacy/mismatched layout: appending a different
     // schema produces a mixed-schema parquet directory that breaks (or
     // silently drops columns) at read time, long after the write that
-    // caused it — migrate the directory explicitly instead
+    // caused it — migrate the directory explicitly instead. A directory
+    // with no readable parquet footer (pre-created, or a cleaned-up
+    // failed write) counts as absent: the append creates the first file.
     if (Files.exists(Paths.get(reportLogDir))) {
       def shape(s: org.apache.spark.sql.types.StructType) =
         s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      val existing = spark.read.parquet(reportLogDir).schema
-      require(shape(existing) == shape(entry.schema),
-        s"report_log at $reportLogDir has schema ${existing.simpleString}; " +
-          s"expected ${entry.schema.simpleString} — migrate the existing " +
-          "directory before appending")
+      scala.util.Try(spark.read.parquet(reportLogDir).schema).toOption
+        .foreach { existing =>
+          require(shape(existing) == shape(entry.schema),
+            s"report_log at $reportLogDir has schema ${existing.simpleString}; " +
+              s"expected ${entry.schema.simpleString} — migrate the existing " +
+              "directory before appending")
+        }
     }
     entry.write.mode(SaveMode.Append).parquet(reportLogDir)
   }

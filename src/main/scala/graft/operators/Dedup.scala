@@ -298,7 +298,19 @@ object Dedup {
       minJaccard: Double,
       hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
     val (num, den) = asRational(minJaccard)
-    val hsh = hashedShingles(docs, ngram, num, den, hashFn)
+    candidatesFromHashed(hashedShingles(docs, ngram, num, den, hashFn),
+      num, den)
+  }
+
+  /** Candidate stage over an already-hashed shingle frame. The frame's
+    * lineage is re-evaluated once per exchange (df-count side, doc-sort
+    * side, and the two verify joins — the latter share one reused
+    * broadcast); that single-seed hash pass is linear and cheap, and
+    * the candidate self-join dominates the query, so no persist/cache
+    * lifecycle is worth the leak risk here.
+    */
+  private def candidatesFromHashed(hsh: DataFrame, num: Long,
+                                   den: Long): DataFrame = {
     val tok = hsh.select(col("doc_id"), col("nsh"), col("plen"),
       explode(col("sh")).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -348,11 +360,14 @@ object Dedup {
                       minJaccard: Double = 0.3,
                       hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
     val (num, den) = asRational(minJaccard)
-    val sh = hashedShingles(docs, ngram, num, den, hashFn)
-      .select(col("doc_id"), col("sh"))
+    // ONE hashed frame feeds both the candidate stage and the verify
+    // joins (the two verify sides canonicalize to the same broadcast,
+    // which Spark reuses)
+    val hsh = hashedShingles(docs, ngram, num, den, hashFn)
+    val sh = hsh.select(col("doc_id"), col("sh"))
     // |A∪B| = |A| + |B| − |A∩B|: one set op per pair instead of two
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    jaccardCandidates(docs, ngram, minJaccard, hashFn)
+    candidatesFromHashed(hsh, num, den)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

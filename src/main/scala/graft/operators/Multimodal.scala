@@ -85,19 +85,23 @@ object Multimodal {
         // per-partition codec init would happen here (the pure-JVM
         // BMP/WAV decoders are stateless; a JNI codec would not be)
         rows.map { case (id, mt, w, h, payload) =>
-          Codecs.decodeBmp24(payload) match {
-            case Some((dw, dh, rgb)) =>
-              DecodedAsset(id, mt, dw, dh,
-                Codecs.imageFeatures(dw, dh, rgb), "bmp24")
-            case None => Codecs.decodeWavPcm16(payload) match {
-              case Some((_, _, mono)) =>
-                DecodedAsset(id, mt, w, h,
-                  Codecs.audioFeatures(mono), "wav-pcm16")
-              case None =>
-                DecodedAsset(id, mt, w, h,
-                  Codecs.syntheticFeatures(payload), "synthetic-stub")
-            }
-          }
+          // a malformed/hostile payload must degrade to the stub, never
+          // fail the task: decode errors are data, not bugs
+          val decoded =
+            try {
+              Codecs.decodeBmp24(payload) match {
+                case Some((dw, dh, rgb)) =>
+                  Some(DecodedAsset(id, mt, dw, dh,
+                    Codecs.imageFeatures(dw, dh, rgb), "bmp24"))
+                case None => Codecs.decodeWavPcm16(payload).map {
+                  case (_, _, mono) =>
+                    DecodedAsset(id, mt, w, h,
+                      Codecs.audioFeatures(mono), "wav-pcm16")
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          decoded.getOrElse(DecodedAsset(id, mt, w, h,
+            Codecs.syntheticFeatures(payload), "synthetic-stub"))
         }
       }
   }
@@ -122,13 +126,19 @@ object Multimodal {
       val w = bb.getInt(18)
       val hRaw = bb.getInt(22)
       val bottomUp = hRaw > 0
-      val h = math.abs(hRaw)
+      val h = if (hRaw == Int.MinValue) return None else math.abs(hRaw)
       if (bb.getShort(28) != 24 || bb.getInt(30) != 0 || w <= 0 || h == 0)
         return None
-      val rowSize = ((w * 3 + 3) / 4) * 4
-      if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h > bytes.length)
+      // Long arithmetic throughout: crafted headers (w ≈ 2^30) overflow
+      // Int products into negatives that would slip past the bounds
+      // checks and then blow up at allocation
+      val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+      val needL = w.toLong * h * 3
+      if (dataOffset < 54 || needL > Int.MaxValue ||
+        dataOffset.toLong + rowSizeL * h > bytes.length)
         return None
-      val out = new Array[Int](w * h * 3)
+      val rowSize = rowSizeL.toInt
+      val out = new Array[Int](needL.toInt)
       var y = 0
       while (y < h) {
         val srcRow = dataOffset + (if (bottomUp) h - 1 - y else y) * rowSize
@@ -190,7 +200,9 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = tag(off)
         val sz = bb.getInt(off + 4)
-        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        // compare in Long: a huge sz would wrap `off + 8 + sz` negative
+        // and slip past the guard
+        if (sz < 0 || off.toLong + 8 + sz > bytes.length) return None
         if (id == "fmt " && sz >= 16) {
           ch = bb.getShort(off + 10)
           rate = bb.getInt(off + 12)

@@ -410,7 +410,10 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= minCos)
+      // NaN explicitly excluded: Spark's `>=` treats NaN as LARGER
+      // than any number, so a zero-norm pair would otherwise pass the
+      // threshold here while the oracle filters it (same isnan guard)
+      .filter(col("cos_sim") >= minCos && !isnan(col("cos_sim")))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

@@ -24,6 +24,26 @@ object TwoFactor {
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir)) &&
       spark.read.parquet(dir).filter(col("user_id") === userId).count() > 0
 
+  /** Fail fast before APPENDING into a legacy-schema user_2fa
+    * directory (same hazard — and guard — as
+    * [[graft.export.Report.logReport]]): a mixed-schema parquet table
+    * breaks at read time, far from the write that caused it. A
+    * directory with no readable footer counts as absent.
+    */
+  private def requireCompatibleSchema(spark: SparkSession, dir: String,
+                                      incoming: org.apache.spark.sql.DataFrame): Unit =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      scala.util.Try(spark.read.parquet(dir).schema).toOption
+        .foreach { existing =>
+          require(shape(existing) == shape(incoming.schema),
+            s"user_2fa at $dir has schema ${existing.simpleString}; " +
+              s"expected ${incoming.schema.simpleString} — migrate the " +
+              "existing directory before appending")
+        }
+    }
+
   /** Enroll (or re-enroll) a user: stores the secret disabled and
     * returns the otpauth:// provisioning URI (reference app.py:781-793;
     * the QR rasterization of that URI is presentation-side).
@@ -41,11 +61,12 @@ object TwoFactor {
       ()
     } else {
       import spark.implicits._
-      Seq((userId, secret, false, createdAt,
+      val row = Seq((userId, secret, false, createdAt,
         null.asInstanceOf[java.sql.Timestamp]))
         .toDF("user_id", "totp_secret", "enabled", "created_at",
           "confirmed_at")
-        .write.mode(SaveMode.Append).parquet(dir)
+      requireCompatibleSchema(spark, dir, row)
+      row.write.mode(SaveMode.Append).parquet(dir)
     }
     Totp.provisioningUri(secret, username, Issuer)
   }

@@ -118,6 +118,26 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     assert(top1._1 == 2L && top1._2 == 1.0)
   }
 
+  test("crafted/corrupt headers degrade to the stub instead of failing the task") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // BMP whose width overflows Int products (w·3 and w·h·3 go negative
+    // in 32-bit arithmetic)
+    val evilBmp = ByteBuffer.allocate(100).order(ByteOrder.LITTLE_ENDIAN)
+    evilBmp.put('B'.toByte).put('M'.toByte).putInt(100).putInt(0).putInt(54)
+    evilBmp.putInt(40).putInt(0x30000000).putInt(1).putShort(1).putShort(24)
+      .putInt(0)
+    // WAV whose chunk size wraps the Int offset cursor
+    val evilWav = ByteBuffer.allocate(100).order(ByteOrder.LITTLE_ENDIAN)
+    evilWav.put("RIFF".getBytes).putInt(92).put("WAVE".getBytes)
+    evilWav.put("fmt ".getBytes).putInt(0x7FFFFF00)
+    // truncated BMP claiming more pixel data than the payload carries
+    val truncated = bmp24(8, 8)((_, _) => (1, 2, 3)).take(60)
+    val d = Multimodal.decodeAndFeaturize(mediaDf(Seq(
+      (10L, "image", evilBmp.array), (11L, "audio", evilWav.array),
+      (12L, "image", truncated)))).collect()
+    assert(d.length == 3 && d.forall(_.decoder == "synthetic-stub"))
+  }
+
   test("non-media payloads fall back to the documented synthetic stub") {
     val d = Multimodal.decodeAndFeaturize(
       mediaDf(Seq((3L, "video", "not a media file".getBytes)))).collect()(0)

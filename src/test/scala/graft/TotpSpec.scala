@@ -42,8 +42,10 @@ class TotpSpec extends SparkSpecBase {
     assert(Totp.verify(rfcSecret, c, t + 30000L)) // next step, window 1
     assert(Totp.verify(rfcSecret, c, t - 30000L))
     assert(!Totp.verify(rfcSecret, c, t + 61000L)) // two steps out
-    assert(!Totp.verify(rfcSecret, c, t, window = 0, stepSeconds = 30,
-      digits = 6) || c == Totp.code(rfcSecret, t)) // window 0 = exact step
+    // window 0 = exact step only: the same code accepted at t is
+    // rejected one step later
+    assert(Totp.verify(rfcSecret, c, t, window = 0))
+    assert(!Totp.verify(rfcSecret, c, t + 30000L, window = 0))
   }
 
   test("provisioning URI carries issuer, account, and secret") {
