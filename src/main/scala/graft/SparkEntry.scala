@@ -111,7 +111,7 @@ object SparkEntry {
     * Detect.FirewallRuleSeed so the two sides cannot drift. `fw` holds
     * the first-match row per activity in (priority, rule_id) order.
     */
-  private val FirewallMatchedCte: String = {
+  private val FirewallRulesCte: String = {
     val rows = Detect.FirewallRuleSeed.map {
       case (id, pat, desc, mt, action, pri, u, ip, active) =>
         def opt(v: Option[String]) =
@@ -119,9 +119,13 @@ object SparkEntry {
         s"($id, ${sqlQuote(pat)}, ${sqlQuote(desc)}, ${sqlQuote(mt)}, " +
           s"${sqlQuote(action)}, $pri, ${opt(u)}, ${opt(ip)}, $active)"
     }.mkString(",\n  ")
-    s""", rules(rule_id, pattern, description, match_type, action, priority, applies_to_user, applies_to_ip, is_active) AS (VALUES
+    s"""rules(rule_id, pattern, description, match_type, action, priority, applies_to_user, applies_to_ip, is_active) AS (VALUES
   $rows
-), fw AS (
+)"""
+  }
+
+  private val FirewallMatchedCte: String = {
+    s""", $FirewallRulesCte, fw AS (
   SELECT activity_id, username, ip_address, rule_id, description, action,
     priority, substr(operation_details, 1, 500) AS query_snippet,
     access_timestamp AS matched_at
@@ -553,6 +557,20 @@ FROM (
       Tables.activity(s, d), Detect.firewallRules(s))
       .select(col("activity_id"), col("rule_id"), col("description"),
         col("username"), col("ip_address"), col("query_snippet"),
+        fmtTs(col("matched_at")).as("blocked_at"))
+      .orderBy(col("activity_id"))),
+    // the rules-listing endpoint (GET /api/v2/firewall/rules,
+    // app.py:1311-1315: ORDER BY priority ASC)
+    "dam_firewall_rules" -> ((s, d) => Detect.firewallRules(s)
+      .orderBy(col("priority"), col("rule_id"))),
+    // the blocks feed (GET /api/v2/firewall/blocks, app.py:1337-1341:
+    // ORDER BY blocked_at DESC LIMIT 100)
+    "dam_blocks_feed" -> ((s, d) => Detect.firewallMatch(
+      Tables.activity(s, d), Detect.firewallRules(s))
+      .orderBy(col("matched_at").desc, col("activity_id").desc)
+      .limit(100)
+      .select(col("activity_id"), col("rule_id"), col("username"),
+        col("ip_address"), col("query_snippet"),
         fmtTs(col("matched_at")).as("blocked_at"))
       .orderBy(col("activity_id"))),
     "dam_blacklist_hits" -> ((s, d) => Tables.activity(s, d)
@@ -1084,6 +1102,19 @@ FROM fw ORDER BY activity_id"""),
 SELECT activity_id, rule_id, description, username, ip_address,
   query_snippet, strftime(matched_at, '%Y-%m-%d %H:%M:%S') AS blocked_at
 FROM fw ORDER BY activity_id"""),
+
+    "dam_firewall_rules" -> (s"WITH $FirewallRulesCte\n" +
+      """SELECT rule_id, pattern, description, match_type, action, priority,
+  applies_to_user, applies_to_ip, is_active
+FROM rules ORDER BY priority, rule_id"""),
+
+    "dam_blocks_feed" -> act(FirewallMatchedCte +
+      """
+SELECT activity_id, rule_id, username, ip_address, query_snippet,
+  strftime(matched_at, '%Y-%m-%d %H:%M:%S') AS blocked_at
+FROM (
+  SELECT * FROM fw ORDER BY matched_at DESC, activity_id DESC LIMIT 100
+) ORDER BY activity_id"""),
 
     "dam_blacklist_hits" -> act(BlacklistCtes +
       """
