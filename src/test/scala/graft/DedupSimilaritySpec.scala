@@ -226,6 +226,75 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (1L, 10L, 1L)))
   }
 
+  test("prefix-filtered jaccard equals brute force on a random corpus") {
+    // small vocabulary → dense overlap → the prefix/size/positional
+    // filters all get exercised near their bounds; brute force is the
+    // ground truth the lossless-filter claims must match exactly
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val bases = (0 until 15).map { _ =>
+      Seq.fill(10 + rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+    }
+    // each base plus a one-token-mutated variant (true near-dup) plus
+    // independent random docs (true negatives)
+    val texts = bases.flatMap { b =>
+      val mutated = b.updated(rng.nextInt(b.length), vocab(rng.nextInt(vocab.length)))
+      Seq(b.mkString(" "), mutated.mkString(" "))
+    } ++ (0 until 10).map(_ =>
+      Seq.fill(12)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = rows.toDF("doc_id", "text")
+    val fast = Dedup.jaccardNearDups(docs, minJaccard = 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // Scala-side brute force over the same 3-gram shingle definition
+    def shinglesOf(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shinglesOf(t) }
+    val brute = (for {
+      (a, sa) <- sets
+      (b, sb) <- sets
+      if a < b
+      inter = (sa & sb).size.toDouble
+      j = BigDecimal(inter / math.max((sa | sb).size.toDouble, 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.3
+    } yield (a, b, j)).toSet
+    assert(fast == brute, s"fast=${fast.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs — weak test")
+  }
+
+  test("simhash banding finds EVERY pair within the hamming radius (pigeonhole)") {
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 25).map(i => s"t$i")
+    // exact duplicates guarantee hamming-0 ground truth; appended-token
+    // variants sit at small positive distances; the rest are random
+    val texts = (0 until 8).flatMap { _ =>
+      val b = Seq.fill(12 + rng.nextInt(15))(vocab(rng.nextInt(vocab.length)))
+      Seq(b.mkString(" "), b.mkString(" "),
+        (b :+ vocab(rng.nextInt(vocab.length))).mkString(" "))
+    } ++ (0 until 6).map(_ =>
+      Seq.fill(15)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = rows.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sk = Dedup.simhashPortable(docs)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sk.keys; b <- sk.keys
+      if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)).toLong
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture produced no close sketches — weak test")
+  }
+
   test("simhash near-dups: identical docs pair at hamming 0, unrelated absent") {
     val base = (0 until 40).map(j => s"w$j").mkString(" ")
     val docs = Seq(
