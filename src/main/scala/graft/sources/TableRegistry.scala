@@ -58,8 +58,8 @@ object TableRegistry {
     // empty with fixed schemas so the full control-table surface exists
     writeIfAbsent("webhooks", {
       import spark.implicits._
-      Seq.empty[(Int, String, Boolean)]
-        .toDF("webhook_id", "url", "is_active")
+      Seq.empty[(Long, String, Boolean, java.sql.Timestamp)]
+        .toDF("webhook_id", "url", "is_active", "created_at")
     })
     writeIfAbsent("report_log", {
       import spark.implicits._

@@ -164,6 +164,33 @@ class MutationsReportSpec extends SparkSpecBase {
     assert(again.toSet == ids.toSet && again.length == 2)
   }
 
+  test("webhook registry: https-only, upsert reactivates, fireAll fans out") {
+    import graft.sources.Webhooks
+    val root = Files.createTempDirectory("webhooks").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    val t = Timestamp.valueOf("2024-01-10 07:00:00")
+    intercept[IllegalArgumentException](
+      Webhooks.register(spark, root, "http://insecure.example/h", t))
+    val id1 = Webhooks.register(spark, root, "https://a.example/hook", t)
+    Webhooks.register(spark, root, "https://b.example/hook", t)
+    assert(Webhooks.list(spark, root).count() == 2)
+    // deactivate, then re-register: reactivated in place, no duplicate
+    assert(Webhooks.deactivate(spark, root, "https://a.example/hook") == 1)
+    assert(Webhooks.list(spark, root).count() == 1)
+    assert(Webhooks.register(spark, root, "https://a.example/hook", t) == id1)
+    assert(Webhooks.list(spark, root).count() == 2)
+    assert(spark.read.parquet(root + "/webhooks").count() == 2)
+    // fireAll: every High/Critical alert's envelope to every active URL
+    val cls = Detect.classify(Tables.activity(spark, sf("sf0.001")),
+      Detect.ipBlacklist(spark))
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val n = Webhooks.fireAll(spark, root, cls,
+      (u, j) => { sent.add((u, j)); () })
+    val nAlerts = Detect.deriveAlerts(cls).count()
+    assert(n == nAlerts * 2 && sent.size.toLong == n)
+    assert(sent.peek()._2.contains("\"source\":\"DAM-v3\""))
+  }
+
   test("report_log append fails fast on a legacy (mismatched) schema") {
     val root = Files.createTempDirectory("replog_legacy").toString
     val dir = root + "/report_log"
