@@ -108,6 +108,23 @@ object Mutations {
     ()
   }
 
+  /** DELETE FROM … WHERE predicate (reference firewall-rule delete,
+    * app.py:1329-1334) as a read-filter-rewrite over the same swap
+    * machinery. Rows where the predicate evaluates NULL are KEPT — a
+    * plain `filter(!predicate)` would silently delete them under
+    * three-valued logic. Returns rows removed.
+    */
+  def deleteRows(spark: SparkSession, dir: String,
+                 predicate: Column): Long = {
+    recoverSwap(spark, dir)
+    val current = spark.read.parquet(dir)
+    val matched = current.filter(predicate).count()
+    if (matched > 0)
+      swapWrite(spark, dir,
+        current.filter(coalesce(predicate, lit(false)) === false))
+    matched
+  }
+
   /** Bulk lockout application — the write half of the reference's
     * lockout flow (authenticate refuses while locked_until is future,
     * app.py:215-216; update_status app.py:246): every username in

@@ -164,6 +164,38 @@ class MutationsReportSpec extends SparkSpecBase {
     assert(again.toSet == ids.toSet && again.length == 2)
   }
 
+  test("firewall admin: add/deactivate/delete rules drive the matcher") {
+    import graft.sources.FirewallAdmin
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val root = Files.createTempDirectory("fwadmin").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    val seeded = graft.operators.Detect.FirewallRuleSeed.length
+    assert(FirewallAdmin.listRules(spark, root).count() == seeded)
+    // new rule gets the next insertion-ordered id (tie-break contract)
+    val id = FirewallAdmin.addRule(spark, root, "truncate table",
+      "Truncate block", "contains", "block", 1)
+    assert(id == seeded + 1)
+    val activity = Seq((1L, "u", "TRUNCATE TABLE audit_log", "10.0.0.1"))
+      .toDF("activity_id", "username", "operation_details", "ip_address")
+      .withColumn("access_timestamp", to_timestamp(lit("2024-01-10 12:00:00")))
+    def matchedRule(): Option[Int] = graft.operators.Detect
+      .firewallMatch(activity, FirewallAdmin.listRules(spark, root))
+      .select($"rule_id").as[Int].collect().headOption
+    assert(matchedRule().contains(id))
+    // deactivation stops matching without removing history
+    assert(FirewallAdmin.deactivateRule(spark, root, id) == 1)
+    assert(matchedRule().isEmpty)
+    assert(FirewallAdmin.listRules(spark, root).count() == seeded + 1)
+    // hard delete removes the row entirely
+    assert(FirewallAdmin.deleteRule(spark, root, id) == 1)
+    assert(FirewallAdmin.listRules(spark, root).count() == seeded)
+    // null-predicate rows survive deleteRows (three-valued logic)
+    val n = graft.sources.Mutations.deleteRows(spark,
+      root + "/firewall_rules", col("applies_to_user") === "nobody")
+    assert(n == 0)
+    assert(FirewallAdmin.listRules(spark, root).count() == seeded)
+  }
+
   test("webhook registry: https-only, upsert reactivates, fireAll fans out") {
     import graft.sources.Webhooks
     val root = Files.createTempDirectory("webhooks").toString
