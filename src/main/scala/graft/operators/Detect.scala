@@ -362,6 +362,22 @@ object Detect {
     * min_by aggregate on the unique activity_id (no window shuffle —
     * partial aggregation collapses to one row per activity map-side).
     */
+  /** One-off interactive check (POST /api/v2/firewall/check,
+    * app.py:1305-1308 → QueryFirewall.check): the same matcher over a
+    * single statement, driver-side. Returns the first-match
+    * (rule_id, action, description) or None when nothing fires.
+    */
+  def firewallCheck(spark: SparkSession, query: String, username: String,
+                    ip: String, rules: DataFrame): Option[(Int, String, String)] = {
+    import spark.implicits._
+    val one = Seq((1L, username, query, ip))
+      .toDF("activity_id", "username", "operation_details", "ip_address")
+      .withColumn("access_timestamp", current_timestamp())
+    firewallMatch(one, rules)
+      .select(col("rule_id"), col("action"), col("description"))
+      .as[(Int, String, String)].collect().headOption
+  }
+
   def firewallMatch(activity: DataFrame, rules: DataFrame): DataFrame = {
     val txt = lower(col("operation_details"))
     // regexp only ever sees a valid pattern: non-regex rules substitute

@@ -169,6 +169,15 @@ class DetectSpec extends SparkSpecBase {
     assert(!got.contains(7L))
   }
 
+  test("firewallCheck: one-off statement check returns the first match") {
+    val rules = Detect.firewallRules(spark)
+    assert(Detect.firewallCheck(spark,
+      "SELECT * FROM t UNION SELECT password", "u", "10.0.0.1", rules)
+      .contains((1, "block", "SQL Injection - UNION")))
+    assert(Detect.firewallCheck(spark,
+      "with x as (select 1) select 2", "u", "10.0.0.1", rules).isEmpty)
+  }
+
   test("blacklist temporal validity: expired entries never flag") {
     val rows = Seq(
       (1L, 1L, "u1", "User", "SELECT", "products", "SELECT 1", "10.0.3.7", 0L),
