@@ -789,7 +789,11 @@ FROM (
       Similarity.ivfSearchIndexed(s, idx, qvecs)
     }),
     "emb_near_dups" -> ((s, d) =>
-      Similarity.embeddingNearDups(Tables.embeddings(s, d), minCos = 0.35)))
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), minCos = 0.35)),
+    // int8 scalar quantization error profile (embedding compression
+    // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
+    "emb_quant_error" -> ((s, d) =>
+      Similarity.quantizationError(Tables.embeddings(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash/LSH sketch ops →
@@ -1513,6 +1517,31 @@ ORDER BY doc_a, doc_b"""),
     // (durable lists + pruned probe), not the answer
     "emb_ivf_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
+
+    "emb_quant_error" ->
+      """WITH q AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_prepend(0.0, list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b)) / 127.0 AS scale
+  FROM embeddings
+), c AS (
+  SELECT vec_id, scale, embedding,
+    list_transform(embedding, x ->
+      CASE WHEN scale = 0.0 THEN 0
+           ELSE CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER) END) AS codes
+  FROM q
+), e AS (
+  SELECT vec_id, scale, len(embedding) AS dim,
+    list_transform(list_zip(embedding, codes),
+      s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) * scale) AS err
+  FROM c
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  round(list_reduce(list_prepend(0.0, list_transform(err, x -> abs(x))),
+    (a, b) -> greatest(a, b)), 6) AS max_abs_err,
+  round(CAST(list_sum(list_transform(err,
+    x -> CAST(x * x AS DECIMAL(30,15)))) AS DOUBLE) / dim, 9) AS mse
+FROM e ORDER BY vec_id""",
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

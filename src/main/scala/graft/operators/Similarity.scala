@@ -394,6 +394,52 @@ object Similarity {
       .map("%02x".format(_)).mkString
   }
 
+  // ----------------------------------------------------------------
+  // Scalar (int8) quantization: the standard 4× compression step for
+  // embedding storage/ANN at scale — per-vector symmetric scale
+  // s = max|x|/127, q_i = round(x_i/s) ∈ [-127, 127].
+  // ----------------------------------------------------------------
+
+  /** Quantize `embedding` to int8 codes + per-vector scale. Pure
+    * per-row column math (scan-local, codegen'd); reconstruction is
+    * `q_i * scale`.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val s = (aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0).as("scale")
+    embeddings
+      .withColumn("scale", s)
+      .withColumn("codes",
+        transform(col("embedding"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x.cast("double") / col("scale"), 0))
+            .cast("int")))
+  }
+
+  /** Per-vector quantization error profile (exact-decimal MSE — the
+    * same scale-15 decimal accumulation as [[dotComposed]], so the
+    * oracle agrees bit-for-bit): how much cosine-relevant signal the
+    * int8 codes lose. The reconstruction and error folds are per-row
+    * sequential (deterministic IEEE order on both engines).
+    */
+  def quantizationError(embeddings: DataFrame): DataFrame = {
+    val acc38 = org.apache.spark.sql.types.DecimalType(38, 15)
+    val err = zip_with(col("embedding"), col("codes"),
+      (x, q) => x.cast("double") - q.cast("double") * col("scale"))
+    quantizeInt8(embeddings)
+      .withColumn("__err", err)
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(aggregate(col("__err"), lit(0.0),
+          (a, e) => greatest(a, abs(e))), 6).as("max_abs_err"),
+        round(
+          aggregate(col("__err"),
+            lit(java.math.BigDecimal.ZERO).cast(acc38),
+            (a, e) => (a + (e * e).cast(
+              org.apache.spark.sql.types.DecimalType(30, 15))).cast(acc38))
+            .cast("double") / size(col("embedding")), 9).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
     * exceeds a threshold, blocked by LSH bucket to avoid O(n²).
     */

@@ -362,6 +362,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ranked == Seq((11L, 1L), (12L, 2L)))
   }
 
+  test("int8 quantization: codes bounded, zero vectors safe, error within half-step") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.003f), 0),
+      (1L, Array(0f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeInt8(vecs)
+      .select($"vec_id", $"scale", $"codes")
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(q(0L)._3.forall(c => c >= -127 && c <= 127))
+    assert(q(0L)._3(1) == -127) // the max-magnitude component saturates
+    assert(q(1L)._2 == 0.0 && q(1L)._3.forall(_ == 0)) // zero vector
+    val e = Similarity.quantizationError(vecs)
+      .select($"vec_id", $"scale", $"max_abs_err", $"mse")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // symmetric rounding: reconstruction error ≤ scale/2 per component
+    assert(e(0L)._3 <= e(0L)._2 / 2 + 1e-9)
+    assert(e(1L)._3 == 0.0 && e(1L)._4 == 0.0)
+  }
+
   test("materialized IVF index: pruned probes, same results as one-shot ivf") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
