@@ -56,16 +56,39 @@ object SparkEntry {
     s"""COALESCE(NULLIF(trim(regexp_extract($c, '^([^\\[]+)\\[', 1)), ''),
       NULLIF(trim(regexp_extract($c, '^([^@\\[]+)@', 1)), ''), 'SYSTEM')"""
 
-  private val ActivityPrelude: String = {
-    val tblExtract = tblExtractSql("sql_text")
-    s"""WITH ev AS (
-  SELECT *, CASE
+  /** DuckDB replica of Tables.sqlTextFromEvent — the deterministic
+    * event→statement synthesis incl. the % 199 attack/compliance
+    * fixture battery. Shared by ActivityPrelude and dam_agent_parse.
+    */
+  private val SqlTextCaseSql: String = """CASE
+    WHEN event_id % 199 = 0 THEN 'TRUNCATE TABLE audit_log'
+    WHEN event_id % 199 = 1 THEN 'ALTER TABLE schema_migrations ADD COLUMN patched INT'
+    WHEN event_id % 199 = 2 THEN 'CREATE USER intruder IDENTIFIED BY ''p4ss'''
+    WHEN event_id % 199 = 3 THEN 'GRANT ALL PRIVILEGES ON secrets TO intruder'
+    WHEN event_id % 199 = 4 THEN 'SELECT id FROM sessions WHERE 1=1; WAITFOR DELAY ''0:0:5'''
+    WHEN event_id % 199 = 5 THEN 'SELECT 0x4445414442454546303132 AS payload'
+    WHEN event_id % 199 = 6 THEN 'SELECT table_name FROM information_schema.tables'
+    WHEN event_id % 199 = 7 THEN 'SELECT pg_sleep(5)'
+    WHEN event_id % 199 = 8 THEN 'SELECT benchmark(500000, md5(''x''))'
+    WHEN event_id % 199 = 9 THEN 'SELECT bank_account, salary FROM employees WHERE emp_id = ' || event_id
+    WHEN event_id % 199 = 10 THEN 'SELECT credit_card FROM payments WHERE order_id = ' || event_id
+    WHEN event_id % 199 = 11 THEN 'SELECT ssn FROM customers WHERE customer_id = ' || event_id
+    WHEN event_id % 199 = 12 THEN 'DROP TABLE temp_sessions'
+    WHEN event_id % 199 = 13 THEN 'EXEC xp_cmdshell ''dir'''
+    WHEN event_id % 199 = 14 THEN 'SELECT * FROM orders INTO OUTFILE ''/tmp/exfil.csv'''
+    WHEN event_id % 199 = 15 THEN 'UPDATE transactions SET status = ''void'' WHERE tx_id = ' || event_id
+    WHEN event_id % 199 = 16 THEN 'DELETE FROM financial WHERE fiscal_year = 1999'
     WHEN event_type = 'click' THEN 'SELECT * FROM products WHERE id = ' || event_id
     WHEN event_type = 'view' THEN 'SELECT name, price FROM products WHERE id = ' || event_id
     WHEN event_type = 'signup' THEN 'INSERT INTO users (name, email) VALUES (''u' || user_id || ''', ''u' || user_id || '@example.com'')'
     WHEN event_type = 'purchase' AND value > 190 THEN 'SELECT * FROM accounts WHERE 1=1 UNION SELECT password FROM users'
     WHEN event_type = 'purchase' THEN 'UPDATE accounts SET balance = balance - 1 WHERE user_id = ' || user_id
-    ELSE 'DELETE FROM sessions WHERE token = ''' || md5(props) || '''' END AS sql_text
+    ELSE 'DELETE FROM sessions WHERE token = ''' || md5(props) || '''' END"""
+
+  private val ActivityPrelude: String = {
+    val tblExtract = tblExtractSql("sql_text")
+    s"""WITH ev AS (
+  SELECT *, $SqlTextCaseSql AS sql_text
   FROM events
 ), activity AS (
   SELECT
@@ -147,50 +170,67 @@ object SparkEntry {
   }
 
   /** Severity-rule CTE shared by dam_severity / dam_alerts oracles.
-    * Mirrors Detect.classify exactly (incl. the fused injection
-    * alternation and the expiry-filtered blacklist).
+    * Mirrors Detect.classify exactly: the fused injection alternation
+    * gate + first-matching pattern label (generated from the same
+    * InjectionPatterns seq, so the two sides cannot drift), one reason
+    * per matched sensitive column, the truthy-user_id rate guard, the
+    * expiry-filtered blacklist, and the flattened sequential severity
+    * fold (Detect.severityOrdinal — proven ≡ app.py:339-403's loop in
+    * DetectSpec). Non-suspicious rows carry NULL reasons (DDL default).
     */
   private val SeverityCte: String = {
-    val inj =
-      s"regexp_matches(operation_details, '${sqlRe(Detect.InjectionAlternation)}')"
-    val sens = Detect.SensitiveColumns
-      .map(c => s"contains(lower(operation_details), '$c')")
-      .mkString("(", " OR ", ")")
+    val inj = s"regexp_matches(ql, '${sqlRe(Detect.InjectionAlternation)}')"
+    val injLabel = Detect.InjectionPatterns.map { case (p, l) =>
+      s"WHEN regexp_matches(ql, '${sqlRe(p)}') THEN '${l.replace("'", "''")}'"
+    }.mkString("CASE ", "\n      ", " END")
+    val sensHit = Detect.SensitiveColumns
+      .map(c => s"contains(ql, '$c')").mkString("(", " OR ", ")")
+    val sensReasons = Detect.SensitiveColumns.map(c =>
+      s"CASE WHEN contains(ql, '$c') THEN 'Access to sensitive column: $c' END")
+      .mkString(",\n      ")
     val sensTables = Detect.SensitiveTables.map(t => s"'$t'").mkString(", ")
     s"""$BlacklistCtes, en AS (
-  SELECT a.*,
+  SELECT a.*, lower(operation_details) AS ql,
     count(*) OVER (PARTITION BY user_id, date_trunc('minute', access_timestamp)) AS events_per_minute,
     (ip_address IN (SELECT ip_address FROM abl)) AS r1,
     (role = 'Guest' AND operation_type IN ('INSERT','UPDATE','DELETE','DROP','ALTER')) AS r2,
     (role = 'User' AND table_name IN ($sensTables) AND operation_type IN ('SELECT','INSERT','UPDATE')) AS r3,
-    (hour(access_timestamp) < 9 OR hour(access_timestamp) >= 18) AS r4,
-    $inj AS r5,
-    $sens AS r6,
+    (hour(access_timestamp) < ${Detect.WorkingHoursStart} OR hour(access_timestamp) >= ${Detect.WorkingHoursEnd}) AS r4,
     (COALESCE(rows_affected, 0) > 1000) AS r7
   FROM activity a
-), sev AS (
-  SELECT *, (events_per_minute > 100) AS r8,
-    greatest(0,
-      CASE WHEN r1 THEN 3 ELSE 0 END, CASE WHEN r2 THEN 2 ELSE 0 END,
-      CASE WHEN r3 THEN 1 ELSE 0 END, CASE WHEN r4 THEN 1 ELSE 0 END,
-      CASE WHEN r5 THEN 3 ELSE 0 END, CASE WHEN r6 THEN 2 ELSE 0 END,
-      CASE WHEN r7 THEN 2 ELSE 0 END,
-      CASE WHEN events_per_minute > 100 THEN 1 ELSE 0 END) AS ord
+), en2 AS (
+  SELECT *, $inj AS r5,
+    $sensHit AS r6,
+    (user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '0'
+      AND events_per_minute > 100) AS r8,
+    $injLabel AS inj_label
   FROM en
+), sev AS (
+  SELECT *,
+    CASE WHEN r5 OR (r1 AND NOT r2) THEN 3
+         WHEN r6 THEN 2
+         WHEN r2 THEN 2
+         WHEN r3 OR r4 THEN 1
+         WHEN r7 THEN 2
+         WHEN r8 THEN 1
+         ELSE 0 END AS ord,
+    (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8) AS fired
+  FROM en2
 ), classified AS (
   SELECT *, CAST(ord AS BIGINT) AS severity_ord,
     CASE WHEN ord >= 3 THEN 'Critical' WHEN ord = 2 THEN 'High'
          WHEN ord = 1 THEN 'Medium' ELSE 'Low' END AS severity_level,
-    (ord > 0) AS is_suspicious,
-    concat_ws('; ',
-      CASE WHEN r1 THEN 'IP address blacklisted' END,
-      CASE WHEN r2 THEN 'Guest role write operation' END,
-      CASE WHEN r3 THEN 'User access to sensitive table' END,
-      CASE WHEN r4 THEN 'Off-hours access' END,
-      CASE WHEN r5 THEN 'SQL Injection pattern' END,
-      CASE WHEN r6 THEN 'Sensitive column access' END,
-      CASE WHEN r7 THEN 'Large extraction' END,
-      CASE WHEN r8 THEN 'Rate limit exceeded' END) AS suspicious_reasons
+    fired AS is_suspicious,
+    CASE WHEN fired THEN concat_ws('; ',
+      CASE WHEN r1 THEN 'IP address is blacklisted' END,
+      CASE WHEN r2 THEN 'Guest attempting write operation' END,
+      CASE WHEN r3 THEN 'User accessing sensitive table: ' || table_name END,
+      CASE WHEN r4 THEN 'Access outside working hours' END,
+      CASE WHEN r5 THEN 'Suspicious pattern: ' || inj_label END,
+      $sensReasons,
+      CASE WHEN r7 THEN 'Large data extraction: ' || rows_affected || ' rows' END,
+      CASE WHEN r8 THEN 'Rate limit exceeded: ' || events_per_minute || ' queries/min' END)
+    END AS suspicious_reasons
   FROM sev
 )"""
   }
@@ -408,6 +448,33 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
 )"""
   }
 
+  /** DuckDB replica of Detect.complianceFindings over source relation
+    * `src` — generated from the same table-set constants as the Spark
+    * side (reference app.py:477-485: GDPR = sensitive table ∧ falsy
+    * user_id; SOX = accounts/financial/transactions UPDATE/DELETE with
+    * rows_affected truthiness; PCI_DSS = payments/credit_cards).
+    */
+  private def complianceFindingsSql(src: String): String = {
+    val sensTables = Detect.SensitiveTables.map(t => s"'$t'").mkString(", ")
+    val soxTables = Detect.SoxTables.map(t => s"'$t'").mkString(", ")
+    val pciTables = Detect.PciTables.map(t => s"'$t'").mkString(", ")
+    s"""SELECT activity_id, username, 'GDPR' AS standard,
+    'Personal data access without user identification' AS finding,
+    'Non-compliant' AS status
+  FROM $src WHERE table_name IN ($sensTables)
+    AND (user_id IS NULL OR CAST(user_id AS VARCHAR) = '0')
+  UNION ALL
+  SELECT activity_id, username, 'SOX', 'Financial data modification',
+    CASE WHEN rows_affected IS NOT NULL AND rows_affected <> 0
+         THEN 'Compliant' ELSE 'Review needed' END
+  FROM $src WHERE table_name IN ($soxTables)
+    AND operation_type IN ('UPDATE', 'DELETE')
+  UNION ALL
+  SELECT activity_id, username, 'PCI_DSS', 'Cardholder data access detected',
+    'Monitored'
+  FROM $src WHERE table_name IN ($pciTables)"""
+  }
+
   /** Period-windowed compliance report oracle (Detect.complianceReport):
     * `cond` filters activity against the max-timestamp anchor `m`.
     */
@@ -416,15 +483,7 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
 win AS (SELECT a.* FROM activity a, mx WHERE $cond)
 SELECT standard, status, count(*) AS n, count(DISTINCT username) AS distinct_users
 FROM (
-  SELECT activity_id, username, 'GDPR' AS standard, 'Non-compliant' AS status
-  FROM win WHERE table_name = 'users' AND operation_type = 'SELECT'
-  UNION ALL
-  SELECT activity_id, username, 'SOX',
-    CASE WHEN COALESCE(rows_affected, 0) > 0 THEN 'Compliant' ELSE 'Review needed' END
-  FROM win WHERE table_name = 'accounts' AND operation_type IN ('UPDATE', 'DELETE')
-  UNION ALL
-  SELECT activity_id, username, 'PCI_DSS', 'Monitored'
-  FROM win WHERE table_name IN ('payments', 'sessions')
+  ${complianceFindingsSql("win")}
 ) GROUP BY 1, 2 ORDER BY 1, 2""")
 
   // ---------------------------------------------------------------- //
@@ -517,6 +576,10 @@ FROM (
       Detect.complianceReport(Tables.activity(s, d), "weekly")),
     "dam_compliance_monthly" -> ((s, d) =>
       Detect.complianceReport(Tables.activity(s, d), "monthly")),
+    // the generate_report statistics envelope (app.py:497-509):
+    // total_activities / non_compliant_count / standards_covered
+    "dam_compliance_envelope" -> ((s, d) =>
+      Detect.complianceEnvelope(Tables.activity(s, d), "monthly")),
 
     // ---- failed-login lockouts + hourly failure feed ----
     // maxAttempts/threshold tightened vs the reference defaults (5 /
@@ -1015,39 +1078,22 @@ FROM classified ORDER BY activity_id"""),
     "dam_alerts" -> sev(
       """SELECT activity_id, username,
   CASE WHEN contains(suspicious_reasons, 'SQL Injection') THEN 'SQL Injection'
-       WHEN contains(suspicious_reasons, 'Sensitive') THEN 'Data Leakage'
-       WHEN contains(suspicious_reasons, 'Rate limit') THEN 'DoS Attempt'
+       WHEN contains(suspicious_reasons, 'sensitive') THEN 'Data Leakage'
+       WHEN contains(suspicious_reasons, 'rate limit') THEN 'DoS Attempt'
        ELSE 'Security Violation' END AS alert_type,
   severity_level, 'New' AS alert_status
 FROM classified WHERE severity_ord >= 2 ORDER BY activity_id"""),
 
     "dam_compliance" -> act(
-      """SELECT activity_id, username, standard, finding, status FROM (
-  SELECT activity_id, username, 'GDPR' AS standard, 'PII read access' AS finding,
-    'Non-compliant' AS status
-  FROM activity WHERE table_name = 'users' AND operation_type = 'SELECT'
-  UNION ALL
-  SELECT activity_id, username, 'SOX', 'Financial data modification',
-    CASE WHEN COALESCE(rows_affected, 0) > 0 THEN 'Compliant' ELSE 'Review needed' END
-  FROM activity WHERE table_name = 'accounts' AND operation_type IN ('UPDATE', 'DELETE')
-  UNION ALL
-  SELECT activity_id, username, 'PCI_DSS', 'Cardholder data environment touched', 'Monitored'
-  FROM activity WHERE table_name IN ('payments', 'sessions')
+      s"""SELECT activity_id, username, standard, finding, status FROM (
+  ${complianceFindingsSql("activity")}
 ) ORDER BY activity_id, standard"""),
 
     "dam_compliance_summary" -> act(
-      """SELECT standard, status, count(*) AS n,
+      s"""SELECT standard, status, count(*) AS n,
   count(DISTINCT username) AS distinct_users
 FROM (
-  SELECT activity_id, username, 'GDPR' AS standard, 'Non-compliant' AS status
-  FROM activity WHERE table_name = 'users' AND operation_type = 'SELECT'
-  UNION ALL
-  SELECT activity_id, username, 'SOX',
-    CASE WHEN COALESCE(rows_affected, 0) > 0 THEN 'Compliant' ELSE 'Review needed' END
-  FROM activity WHERE table_name = 'accounts' AND operation_type IN ('UPDATE', 'DELETE')
-  UNION ALL
-  SELECT activity_id, username, 'PCI_DSS', 'Monitored'
-  FROM activity WHERE table_name IN ('payments', 'sessions')
+  ${complianceFindingsSql("activity")}
 ) GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "dam_compliance_daily" -> complianceReportSql(
@@ -1056,6 +1102,16 @@ FROM (
       "access_timestamp >= m - INTERVAL 7 DAY"),
     "dam_compliance_monthly" -> complianceReportSql(
       "access_timestamp >= m - INTERVAL 30 DAY"),
+    "dam_compliance_envelope" -> act(
+      s""", mx AS (SELECT max(access_timestamp) AS m FROM activity),
+win AS (SELECT a.* FROM activity a, mx WHERE access_timestamp >= m - INTERVAL 30 DAY),
+f AS (
+  ${complianceFindingsSql("win")}
+)
+SELECT 'monthly' AS report_type,
+  (SELECT count(*) FROM win) AS total_activities,
+  (SELECT count(*) FROM f) AS non_compliant_count,
+  '${Detect.ComplianceStandards.mkString(",")}' AS standards_covered"""),
 
     "dam_lockouts" -> act(
       """, w1 AS (
@@ -1240,13 +1296,7 @@ FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "dam_agent_parse" -> {
       val skipRe = sqlRe(graft.functions.Classify.SkipPattern)
       s"""WITH ev AS (
-  SELECT *, CASE
-    WHEN event_type = 'click' THEN 'SELECT * FROM products WHERE id = ' || event_id
-    WHEN event_type = 'view' THEN 'SELECT name, price FROM products WHERE id = ' || event_id
-    WHEN event_type = 'signup' THEN 'INSERT INTO users (name, email) VALUES (''u' || user_id || ''', ''u' || user_id || '@example.com'')'
-    WHEN event_type = 'purchase' AND value > 190 THEN 'SELECT * FROM accounts WHERE 1=1 UNION SELECT password FROM users'
-    WHEN event_type = 'purchase' THEN 'UPDATE accounts SET balance = balance - 1 WHERE user_id = ' || user_id
-    ELSE 'DELETE FROM sessions WHERE token = ''' || md5(props) || '''' END AS sql_text
+  SELECT *, $SqlTextCaseSql AS sql_text
   FROM events
 ), raw AS (
   SELECT ts AS event_time,

@@ -32,29 +32,51 @@ object Detect {
       .when(ordinal === 1, "Medium")
       .otherwise("Low")
 
-  /** Sensitive tables / columns (reference app.py:82-83). */
+  /** Working hours window (reference app.py:76-77). */
+  val WorkingHoursStart = 9
+  val WorkingHoursEnd = 18
+
+  /** Sensitive tables / columns, verbatim from reference app.py:82-83. */
   val SensitiveTables: Seq[String] =
     Seq("users", "customers", "accounts", "payments", "credit_cards")
   val SensitiveColumns: Seq[String] =
-    Seq("password", "ssn", "credit", "salary", "email")
+    Seq("password", "ssn", "credit_card", "bank_account", "salary")
 
-  /** SQL-injection signatures (reference app.py:86-102, condensed to
-    * patterns valid in both Java regex and RE2 so the oracle agrees).
+  /** The 15-entry injection battery, (pattern, reason label) verbatim
+    * from reference app.py:86-102 (SUSPICIOUS_QUERY_PATTERNS). The
+    * reference breaks on the FIRST matching pattern (app.py:376-381),
+    * so order is semantics: `sleep\s*\(` precedes `pg_sleep\s*\(`,
+    * which makes the "PostgreSQL Sleep Attack" label unreachable —
+    * preserved here exactly. All patterns are valid in both Java regex
+    * and RE2/DuckDB, applied to the lower-cased statement (the
+    * reference lowercases AND passes re.IGNORECASE — the flag is
+    * redundant for these all-lowercase patterns).
     */
-  val InjectionPatterns: Seq[String] = Seq(
-    "(?i)union\\s+select", "(?i)or\\s+1\\s*=\\s*1", "(?i)'\\s*or\\s*'1'\\s*=\\s*'1",
-    "(?i);\\s*--", "(?i)drop\\s+table", "(?i)into\\s+outfile",
-    "(?i)xp_cmdshell", "(?i)sleep\\s*\\(", "(?i)benchmark\\s*\\(",
-    "(?i)load_file\\s*\\(")
+  val InjectionPatterns: Seq[(String, String)] = Seq(
+    ("union.*select", "SQL Injection - UNION"),
+    ("select.*from.*information_schema", "Schema Enumeration"),
+    ("drop\\s+table", "DROP Table Attempt"),
+    ("truncate\\s+table", "TRUNCATE Attempt"),
+    ("alter\\s+table", "ALTER Table Attempt"),
+    ("create\\s+user", "CREATE User Attempt"),
+    ("grant\\s+.*\\s+to", "Privilege Escalation"),
+    ("exec\\s+xp_cmdshell", "xp_cmdshell Attempt"),
+    ("waitfor\\s+delay", "Time-based Injection"),
+    ("load_file\\s*\\(", "File Read Attempt"),
+    ("into\\s+outfile", "File Write Attempt"),
+    ("0x[0-9a-f]{10,}", "Hex Encoding Evasion"),
+    ("sleep\\s*\\(", "Time-based Attack"),
+    ("benchmark\\s*\\(", "Benchmark Attack"),
+    ("pg_sleep\\s*\\(", "PostgreSQL Sleep Attack"))
 
-  /** The injection battery fused into ONE compiled alternation (same
-    * trick as [[graft.functions.Classify.SkipPattern]]): a single
-    * regexp pass per row instead of ten. Valid in both Java regex and
-    * RE2, so the oracle evaluates the identical pattern.
+  /** The battery fused into ONE compiled alternation (same trick as
+    * [[graft.functions.Classify.SkipPattern]]): the common no-match row
+    * pays a single regexp pass instead of fifteen; only rows that hit
+    * run the per-pattern label chain. Valid in both Java regex and RE2,
+    * so the oracle evaluates the identical pattern.
     */
   val InjectionAlternation: String =
-    InjectionPatterns.map(_.stripPrefix("(?i)"))
-      .mkString("(?i)(?:", "|", ")")
+    InjectionPatterns.map { case (p, _) => s"(?:$p)" }.mkString("|")
 
   /** Static IP blacklist seed (reference ip_blacklist table,
     * sql/02_create_tables.sql:69-77; loaded with temporal validity
@@ -140,16 +162,41 @@ object Detect {
         "priority", "applies_to_user", "applies_to_ip", "is_active")
   }
 
-  /** C4 — the severity lattice. Takes the activity view (must carry
-    * role, operation_type, table_name, operation_details, ip_address,
+  /** The reference's SEQUENTIAL severity fold (app.py:339-403),
+    * flattened to one CASE. The Python loop mutates `severity` rule by
+    * rule: blacklist ASSIGNS Critical; guest-write ASSIGNS High (it can
+    * DOWNGRADE a blacklist Critical, app.py:357-358); sensitive-table /
+    * off-hours raise only from Low; injection ASSIGNS Critical;
+    * sensitive-column sets High unless already Critical; large
+    * extraction / rate-limit raise only from Low (so off-hours +
+    * rows>1000 stays Medium, app.py:390-391). The closed form below is
+    * proven ≡ the sequential fold over all 2^8 rule combinations in
+    * DetectSpec, including those two non-lattice interactions.
+    */
+  def severityOrdinal(r1: Column, r2: Column, r3: Column, r4: Column,
+                      r5: Column, r6: Column, r7: Column, r8: Column): Column =
+    when(r5 || (r1 && !r2), lit(3))
+      .when(r6, lit(2))
+      .when(r2, lit(2))
+      .when(r3 || r4, lit(1))
+      .when(r7, lit(2))
+      .when(r8, lit(1))
+      .otherwise(lit(0))
+
+  /** C4 — threat detection. Takes the activity view (must carry role,
+    * operation_type, table_name, operation_details, ip_address,
     * access_timestamp, rows_affected, user_id) and returns it with
     * is_suspicious / suspicious_reasons / severity_level / severity_ord.
     *
-    * Reference rules app.py:339-411; the "raise only if currently Low"
-    * caps are equivalent to greatest() over fixed per-rule ordinals
-    * (each rule's contribution is a constant — SURVEY §7 equivalence).
-    * Rate-limit rule (app.py:396-403, >100 events/min) is evaluated as
-    * a per-(user, minute) windowed count, threshold parameterized.
+    * Faithful to reference app.py:339-411: sequential severity fold
+    * ([[severityOrdinal]]), reference reason strings with interpolated
+    * table/column/count values, first-matching injection label
+    * (app.py:376-381 breaks on first hit), one reason PER matched
+    * sensitive column (app.py:383-387), and the rate rule guarded on a
+    * truthy user key (app.py:396 `if a["user_id"]` — Python
+    * truthiness, so 0 / '' / NULL skip it). Rate-limit counts are
+    * per-(user, minute) pre-aggregates, threshold parameterized
+    * (>100 events/min in the reference).
     */
   def classify(activity: DataFrame, blacklist: DataFrame,
                rateThreshold: Int = 100,
@@ -170,7 +217,7 @@ object Detect {
       .agg(count(lit(1)).as("events_per_minute"))
 
     val op = col("operation_type")
-    val sql = col("operation_details")
+    val ql = lower(col("operation_details"))
     val writeOps = Seq("INSERT", "UPDATE", "DELETE", "DROP", "ALTER")
     val hr = hour(col("access_timestamp"))
 
@@ -179,26 +226,46 @@ object Detect {
     val r3 = col("role") === "User" &&
       col("table_name").isin(SensitiveTables: _*) &&
       op.isin("SELECT", "INSERT", "UPDATE")
-    val r4 = hr < 9 || hr >= 18
-    val r5 = sql.rlike(InjectionAlternation)
-    val r6 = SensitiveColumns.map(c => lower(sql).contains(c)).reduce(_ || _)
+    val r4 = hr < WorkingHoursStart || hr >= WorkingHoursEnd
+    // cheap fused-alternation gate first; the 15-pattern label chain
+    // (first match = the reference's break) runs only on rows that hit
+    val r5 = ql.rlike(InjectionAlternation)
+    val injLabel = InjectionPatterns.foldRight(lit(null).cast("string")) {
+      case ((p, label), rest) => when(ql.rlike(p), lit(label)).otherwise(rest)
+    }
+    val colHits = SensitiveColumns.map(c => ql.contains(c) -> c)
+    val r6 = colHits.map(_._1).reduce(_ || _)
     val r7 = coalesce(col("rows_affected"), lit(0L)) > 1000L
-    val r8 = col("events_per_minute") > rateThreshold
+    // truthy-key guard: NULL, 0 and '' all skip the rate rule — the
+    // reference's Python-truthiness check on user_id
+    val keyTruthy = col(rateKey).isNotNull &&
+      col(rateKey).cast("string") =!= "0" && col(rateKey).cast("string") =!= ""
+    val r8 = keyTruthy && col("events_per_minute") > rateThreshold
 
-    val rules: Seq[(Column, Int, String)] = Seq(
-      (r1, 3, "IP address blacklisted"),
-      (r2, 2, "Guest role write operation"),
-      (r3, 1, "User access to sensitive table"),
-      (r4, 1, "Off-hours access"),
-      (r5, 3, "SQL Injection pattern"),
-      (r6, 2, "Sensitive column access"),
-      (r7, 2, "Large extraction"),
-      (r8, 1, "Rate limit exceeded"))
-
-    val ord = greatest(lit(0) +: rules.map { case (c, o, _) =>
-      when(c, lit(o)).otherwise(lit(0)) }: _*)
-    val reasons = concat_ws("; ", rules.map { case (c, _, r) =>
-      when(c, lit(r)) }: _*)
+    val ord = severityOrdinal(r1, r2, r3, r4, r5, r6, r7, r8)
+    val anyFired = Seq(r1, r2, r3, r4, r5, r6, r7, r8).reduce(_ || _)
+    // reference reason strings in rule order (app.py:354-403); the
+    // sensitive-column rule appends one reason per matched column in
+    // SENSITIVE_COLUMNS order
+    val reasonCols: Seq[Column] =
+      Seq(
+        when(r1, lit("IP address is blacklisted")),
+        when(r2, lit("Guest attempting write operation")),
+        when(r3, concat(lit("User accessing sensitive table: "),
+          col("table_name"))),
+        when(r4, lit("Access outside working hours")),
+        when(r5, concat(lit("Suspicious pattern: "), injLabel))) ++
+      colHits.map { case (hit, c) =>
+        when(hit, lit(s"Access to sensitive column: $c")) } ++
+      Seq(
+        when(r7, concat(lit("Large data extraction: "),
+          col("rows_affected"), lit(" rows"))),
+        when(r8, concat(lit("Rate limit exceeded: "),
+          col("events_per_minute"), lit(" queries/min"))))
+    // non-suspicious rows keep the DDL defaults: NULL reasons, 'Low'
+    // (sql/02_create_tables.sql:39-41 — the reference only UPDATEs
+    // flagged rows, app.py:405-409)
+    val reasons = when(anyFired, concat_ws("; ", reasonCols: _*))
 
     withBl
       .withColumn("__rate_key", col(rateKey))
@@ -209,13 +276,19 @@ object Detect {
       .withColumn("severity_ord", ord.cast("long"))
       .withColumn("severity_level", severityName(ord))
       .withColumn("suspicious_reasons", reasons)
-      .withColumn("is_suspicious", ord > 0)
+      .withColumn("is_suspicious", anyFired)
       .drop("is_blacklisted")
   }
 
   /** C5 — alert derivation (reference app.py:410-433): only
     * High/Critical activities raise alerts; alert_type is the first
-    * match over the joined reason string.
+    * CASE-SENSITIVE substring match over the joined reason string
+    * (app.py:415-420). With the reference labels, "SQL Injection"
+    * appears only in the UNION pattern's label — a drop-table hit maps
+    * to Security Violation, not SQL Injection. And the "rate limit"
+    * arm can never fire (the emitted reason reads "Rate limit
+    * exceeded"), so DoS Attempt is dead code in the reference; both
+    * quirks preserved verbatim.
     */
   def deriveAlerts(classified: DataFrame): DataFrame = {
     val reasons = col("suspicious_reasons")
@@ -223,38 +296,73 @@ object Detect {
       .filter(col("severity_ord") >= 2)
       .withColumn("alert_type",
         when(reasons.contains("SQL Injection"), "SQL Injection")
-          .when(reasons.contains("Sensitive"), "Data Leakage")
-          .when(reasons.contains("Rate limit"), "DoS Attempt")
+          .when(reasons.contains("sensitive"), "Data Leakage")
+          .when(reasons.contains("rate limit"), "DoS Attempt")
           .otherwise("Security Violation"))
       .withColumn("alert_status", lit("New"))
   }
 
-  /** C6 — compliance classifier (reference app.py:468-486): per
-    * activity, zero..three findings (GDPR / SOX / PCI_DSS), exploded
-    * into a findings stream. Generator-shaped (explode) per SURVEY
-    * §2.7; no shuffle — explode runs inside the scan stage.
+  /** SOX tables / PCI tables (reference app.py:479, 483). */
+  val SoxTables: Seq[String] = Seq("accounts", "financial", "transactions")
+  val PciTables: Seq[String] = Seq("payments", "credit_cards")
+
+  /** The reference's static standards catalog (app.py:469-474) — HIPAA
+    * is listed but has no predicate; it appears only in the report
+    * envelope's standards_covered.
+    */
+  val ComplianceStandards: Seq[String] = Seq("GDPR", "SOX", "HIPAA", "PCI_DSS")
+
+  /** C6 — compliance classifier, verbatim from reference
+    * app.py:477-485: GDPR fires on a sensitive table touched without a
+    * truthy user_id (Python falsy: NULL or 0); SOX on
+    * accounts/financial/transactions UPDATE/DELETE, Compliant iff
+    * rows_affected is truthy (non-null, non-zero); PCI_DSS monitors
+    * every payments/credit_cards touch. Zero..two findings per row
+    * (GDPR+PCI can co-fire on payments/credit_cards), exploded into a
+    * findings stream. Generator-shaped (explode) per SURVEY §2.7; no
+    * shuffle — explode runs inside the scan stage.
     */
   def complianceFindings(activity: DataFrame): DataFrame = {
     val tbl = col("table_name")
     val op = col("operation_type")
-    val gdpr = when(tbl === "users" && op === "SELECT",
+    val noUser = col("user_id").isNull || col("user_id").cast("string") === "0"
+    val gdpr = when(tbl.isin(SensitiveTables: _*) && noUser,
       struct(lit("GDPR").as("standard"),
-        lit("PII read access").as("finding"),
+        lit("Personal data access without user identification").as("finding"),
         lit("Non-compliant").as("status")))
-    val sox = when(tbl === "accounts" && op.isin("UPDATE", "DELETE"),
+    val sox = when(tbl.isin(SoxTables: _*) && op.isin("UPDATE", "DELETE"),
       struct(lit("SOX").as("standard"),
         lit("Financial data modification").as("finding"),
-        when(coalesce(col("rows_affected"), lit(0L)) > 0L, "Compliant")
-          .otherwise("Review needed").as("status")))
-    val pci = when(tbl.isin("payments", "sessions"),
+        when(col("rows_affected").isNotNull && col("rows_affected") =!= 0L,
+          "Compliant").otherwise("Review needed").as("status")))
+    val pci = when(tbl.isin(PciTables: _*),
       struct(lit("PCI_DSS").as("standard"),
-        lit("Cardholder data environment touched").as("finding"),
+        lit("Cardholder data access detected").as("finding"),
         lit("Monitored").as("status")))
     activity
       .withColumn("f", explode(array_compact(array(gdpr, sox, pci))))
       .select(col("activity_id"), col("username"),
         col("f.standard").as("standard"), col("f.finding").as("finding"),
         col("f.status").as("status"))
+  }
+
+  /** The generate_report statistics envelope (reference app.py:497-509):
+    * one row per report with total_activities, non_compliant_count —
+    * the reference counts ALL findings under that name, Monitored and
+    * Compliant included — and the static standards catalog (HIPAA
+    * included despite having no predicate). Two 1-row aggregates
+    * cross-joined; no data leaves the executors until the final
+    * 1×1 exchange.
+    */
+  def complianceEnvelope(activity: DataFrame, period: String): DataFrame = {
+    val win = periodFilter(activity, period)
+    val totals = win.agg(count(lit(1)).as("total_activities"))
+    val findings = complianceFindings(win)
+      .agg(count(lit(1)).as("non_compliant_count"))
+    totals.crossJoin(findings)
+      .select(lit(period).as("report_type"), col("total_activities"),
+        col("non_compliant_count"),
+        lit(ComplianceStandards.mkString(",")).as("standards_covered"))
   }
 
   /** Anchored period filter for report windows (reference

@@ -102,10 +102,40 @@ object Tables {
     * mysql.general_log (dam_agent.py:184-213); the mapping is fixed so
     * the DuckDB oracle can reconstruct byte-identical text.
     * Doubles are never embedded (engine-dependent float formatting).
+    *
+    * An `event_id % 199` slot (~8.5% of rows) injects the attack /
+    * compliance fixture battery so every entry of the reference's
+    * 15-pattern SUSPICIOUS_QUERY_PATTERNS (app.py:86-102), each
+    * sensitive column (app.py:83), and the SOX/PCI compliance tables
+    * (app.py:479-484) occurs in the synthetic stream — including the
+    * first-match shadowing case (`pg_sleep(` is caught by the earlier
+    * `sleep\s*\(` pattern).
     */
   def sqlTextFromEvent(): org.apache.spark.sql.Column = {
     val et = col("event_type")
-    when(et === "click",
+    val slot = col("event_id") % 199
+    when(slot === 0, lit("TRUNCATE TABLE audit_log"))
+      .when(slot === 1, lit("ALTER TABLE schema_migrations ADD COLUMN patched INT"))
+      .when(slot === 2, lit("CREATE USER intruder IDENTIFIED BY 'p4ss'"))
+      .when(slot === 3, lit("GRANT ALL PRIVILEGES ON secrets TO intruder"))
+      .when(slot === 4, lit("SELECT id FROM sessions WHERE 1=1; WAITFOR DELAY '0:0:5'"))
+      .when(slot === 5, lit("SELECT 0x4445414442454546303132 AS payload"))
+      .when(slot === 6, lit("SELECT table_name FROM information_schema.tables"))
+      .when(slot === 7, lit("SELECT pg_sleep(5)"))
+      .when(slot === 8, lit("SELECT benchmark(500000, md5('x'))"))
+      .when(slot === 9,
+        concat(lit("SELECT bank_account, salary FROM employees WHERE emp_id = "), col("event_id")))
+      .when(slot === 10,
+        concat(lit("SELECT credit_card FROM payments WHERE order_id = "), col("event_id")))
+      .when(slot === 11,
+        concat(lit("SELECT ssn FROM customers WHERE customer_id = "), col("event_id")))
+      .when(slot === 12, lit("DROP TABLE temp_sessions"))
+      .when(slot === 13, lit("EXEC xp_cmdshell 'dir'"))
+      .when(slot === 14, lit("SELECT * FROM orders INTO OUTFILE '/tmp/exfil.csv'"))
+      .when(slot === 15,
+        concat(lit("UPDATE transactions SET status = 'void' WHERE tx_id = "), col("event_id")))
+      .when(slot === 16, lit("DELETE FROM financial WHERE fiscal_year = 1999"))
+      .when(et === "click",
         concat(lit("SELECT * FROM products WHERE id = "), col("event_id")))
       .when(et === "view",
         concat(lit("SELECT name, price FROM products WHERE id = "), col("event_id")))

@@ -28,41 +28,135 @@ class DetectSpec extends SparkSpecBase {
       .as[(Long, Long, String, String)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
-  test("C4 rules fire with their fixed ordinals") {
+  test("C4 rules fire with the reference severities and reason strings") {
     val rows = Seq(
       // blacklisted IP → Critical
       (1L, 1L, "u1", "User", "SELECT", "products", "SELECT 1", "10.0.3.7", 0L),
       // Guest write → High
       (2L, 2L, "u2", "Guest", "DELETE", "products", "DELETE FROM products", "10.0.0.1", 0L),
-      // User on sensitive table → Medium
+      // User on sensitive table → Medium, table name interpolated
       (3L, 3L, "u3", "User", "SELECT", "accounts", "SELECT 1 FROM accounts", "10.0.0.1", 0L),
-      // injection → Critical
+      // injection → Critical, per-pattern label
       (4L, 4L, "u4", "User", "SELECT", "products", "SELECT * FROM t UNION SELECT secret", "10.0.0.1", 0L),
-      // sensitive column → High
+      // sensitive column → High, column name interpolated
       (5L, 5L, "u5", "Admin", "SELECT", "products", "SELECT password FROM t", "10.0.0.1", 0L),
-      // large extraction → High
+      // large extraction → High, count interpolated (app.py:389-393)
       (6L, 6L, "u6", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 5000L),
-      // benign (Admin, working hours, normal table) → Low
+      // benign (Admin, working hours, normal table) → Low, NULL reasons
       (7L, 7L, "u7", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 1L))
     val got = classify(mkActivity(rows))
-    assert(got(1L)._2 == "Critical" && got(1L)._3.contains("blacklisted"))
-    assert(got(2L)._2 == "High" && got(2L)._3.contains("Guest"))
-    assert(got(3L)._2 == "Medium" && got(3L)._3.contains("sensitive table"))
-    assert(got(4L)._2 == "Critical" && got(4L)._3.contains("Injection"))
-    assert(got(5L)._2 == "High" && got(5L)._3.contains("Sensitive column"))
-    assert(got(6L)._2 == "High" && got(6L)._3.contains("Large extraction"))
-    assert(got(7L)._2 == "Low" && got(7L)._3 == "")
+    assert(got(1L)._2 == "Critical" && got(1L)._3 == "IP address is blacklisted")
+    assert(got(2L)._2 == "High" && got(2L)._3 == "Guest attempting write operation")
+    assert(got(3L)._2 == "Medium" &&
+      got(3L)._3 == "User accessing sensitive table: accounts")
+    assert(got(4L)._2 == "Critical" &&
+      got(4L)._3 == "Suspicious pattern: SQL Injection - UNION")
+    assert(got(5L)._2 == "High" &&
+      got(5L)._3 == "Access to sensitive column: password")
+    assert(got(6L)._2 == "High" &&
+      got(6L)._3 == "Large data extraction: 5000 rows")
+    assert(got(7L)._2 == "Low" && got(7L)._3 == null)
   }
 
-  test("C4 severity is max of contributions, not order-dependent") {
-    // Guest (High) + sensitive table (Medium) + injection (Critical)
+  test("C4 severity chain ≡ the reference's sequential fold on all 256 combos") {
+    // the Python loop from app.py:339-403, verbatim
+    def sequential(r: Int => Boolean): Int = {
+      var sev = 0
+      if (r(1)) sev = 3                 // blacklist assigns Critical
+      if (r(2)) sev = 2                 // guest-write ASSIGNS High
+      if (r(3) && sev == 0) sev = 1
+      if (r(4) && sev == 0) sev = 1
+      if (r(5)) sev = 3                 // injection assigns Critical
+      if (r(6) && sev != 3) sev = 2
+      if (r(7) && sev == 0) sev = 2
+      if (r(8) && sev == 0) sev = 1
+      sev
+    }
+    val rows = (0 until 256).map { m =>
+      (m.toLong, (m & 1) != 0, (m & 2) != 0, (m & 4) != 0, (m & 8) != 0,
+        (m & 16) != 0, (m & 32) != 0, (m & 64) != 0, (m & 128) != 0,
+        sequential(i => (m & (1 << (i - 1))) != 0).toLong)
+    }.toDF("mask", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8", "expected")
+    val bad = rows.withColumn("got", Detect.severityOrdinal(
+        $"b1", $"b2", $"b3", $"b4", $"b5", $"b6", $"b7", $"b8").cast("long"))
+      .filter($"got" =!= $"expected")
+      .select($"mask", $"expected", $"got").as[(Long, Long, Long)].collect()
+    assert(bad.isEmpty, s"flat form diverges from sequential fold: ${bad.toSeq}")
+  }
+
+  test("C4 sequential (non-lattice) interactions match the reference") {
     val rows = Seq(
-      (1L, 2L, "u", "Guest", "UPDATE", "accounts",
-        "UPDATE accounts SET x=1 WHERE '1'='1' OR 1=1", "10.0.0.1", 0L))
+      // off-hours (Medium) + rows>1000: large-extraction fires only
+      // from Low (app.py:390-391) → stays Medium, NOT High
+      (1L, 1L, "u", "Admin", "SELECT", "products", "SELECT 1", "10.0.0.1", 5000L),
+      // blacklisted (Critical) + Guest write: rule 2 ASSIGNS High
+      // (app.py:357-358) → the Critical is DOWNGRADED to High
+      (2L, 2L, "u2", "Guest", "DELETE", "products", "DELETE FROM products", "10.0.3.7", 0L),
+      // ... but blacklisted + injection stays Critical (step 5 re-assigns)
+      (3L, 3L, "u3", "Guest", "DELETE", "products", "DELETE FROM x; DROP TABLE x", "10.0.3.7", 0L))
+    val offHours = mkActivity(rows).withColumn("access_timestamp",
+      to_timestamp(lit("2024-01-10 22:00:00")) + expr("INTERVAL 1 MINUTE") * col("activity_id"))
+    val got = Detect.classify(offHours, Detect.ipBlacklist(spark))
+      .select($"activity_id", $"severity_level", $"suspicious_reasons")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == "Medium",
+      s"off-hours + large extraction must stay Medium, got ${got(1L)}")
+    assert(got(1L)._2 ==
+      "Access outside working hours; Large data extraction: 5000 rows")
+    assert(got(2L)._1 == "High",
+      s"guest-write must downgrade the blacklist Critical, got ${got(2L)}")
+    assert(got(3L)._1 == "Critical")
+  }
+
+  test("C4 injection battery: all 15 labels, first-match break order") {
+    val statements = Seq(
+      1L -> ("SELECT a FROM t UNION SELECT b", "SQL Injection - UNION"),
+      2L -> ("SELECT x FROM information_schema.columns", "Schema Enumeration"),
+      3L -> ("DROP TABLE users_backup", "DROP Table Attempt"),
+      4L -> ("TRUNCATE TABLE logs", "TRUNCATE Attempt"),
+      5L -> ("ALTER TABLE t ADD c INT", "ALTER Table Attempt"),
+      6L -> ("CREATE USER bob", "CREATE User Attempt"),
+      7L -> ("GRANT select ON t TO bob", "Privilege Escalation"),
+      8L -> ("EXEC xp_cmdshell 'dir'", "xp_cmdshell Attempt"),
+      9L -> ("SELECT 1; WAITFOR DELAY '0:0:5'", "Time-based Injection"),
+      10L -> ("SELECT load_file('/etc/passwd')", "File Read Attempt"),
+      11L -> ("SELECT x FROM t INTO OUTFILE '/tmp/f'", "File Write Attempt"),
+      12L -> ("SELECT 0xdeadbeefcafebabe12", "Hex Encoding Evasion"),
+      13L -> ("SELECT sleep(10)", "Time-based Attack"),
+      14L -> ("SELECT benchmark(1000, 'x')", "Benchmark Attack"),
+      // pg_sleep( is SHADOWED by the earlier sleep\s*\( pattern — the
+      // reference's first-match break makes its label unreachable
+      15L -> ("SELECT pg_sleep(10)", "Time-based Attack"))
+    val rows = statements.map { case (id, (stmt, _)) =>
+      (id, id, s"u$id", "Admin", "SELECT", "t_$id", stmt, "10.0.0.1", 0L) }
     val got = classify(mkActivity(rows))
-    assert(got(1L)._1 == 3L && got(1L)._2 == "Critical")
-    val reasons = got(1L)._3
-    assert(reasons.contains("Guest") && reasons.contains("Injection"))
+    statements.foreach { case (id, (stmt, label)) =>
+      assert(got(id)._2 == "Critical", s"$stmt must be Critical")
+      assert(got(id)._3.contains(s"Suspicious pattern: $label"),
+        s"$stmt: expected label '$label', got '${got(id)._3}'")
+    }
+    assert(!got(15L)._3.contains("PostgreSQL"),
+      "pg_sleep label must be shadowed by the sleep pattern")
+  }
+
+  test("C4 sensitive columns: reference set, one reason per match, in order") {
+    val rows = Seq(
+      (1L, 1L, "u", "Admin", "SELECT", "t",
+        "SELECT salary, bank_account, ssn FROM employees", "10.0.0.1", 0L),
+      // 'credit' alone (the repo's former over-broad token) must NOT match
+      (2L, 2L, "u", "Admin", "SELECT", "t",
+        "SELECT credit FROM scores", "10.0.0.1", 0L),
+      // 'email' (the repo's former invented token) must NOT match
+      (3L, 3L, "u", "Admin", "SELECT", "t",
+        "SELECT email FROM contacts", "10.0.0.1", 0L))
+    val got = classify(mkActivity(rows))
+    // reasons follow SENSITIVE_COLUMNS order (ssn, bank_account, salary),
+    // not statement order
+    assert(got(1L)._3 == "Access to sensitive column: ssn; " +
+      "Access to sensitive column: bank_account; Access to sensitive column: salary")
+    assert(got(1L)._2 == "High")
+    assert(got(2L)._2 == "Low" && got(2L)._3 == null)
+    assert(got(3L)._2 == "Low" && got(3L)._3 == null)
   }
 
   test("C4 off-hours rule respects working-hours boundaries [9,18)") {
@@ -104,21 +198,75 @@ class DetectSpec extends SparkSpecBase {
     assert(!alerts.contains(4L)) // Low severity → no alert
   }
 
-  test("C6 compliance findings per rule branch") {
+  test("C5 alert-type quirks preserved: non-UNION injection is not " +
+    "'SQL Injection'; the DoS arm is dead (case-sensitive match)") {
     val rows = Seq(
-      (1L, 1L, "u", "User", "SELECT", "users", "SELECT * FROM users", "ip", 0L),
-      (2L, 1L, "u", "User", "UPDATE", "accounts", "UPDATE accounts", "ip", 5L),
-      (3L, 1L, "u", "User", "DELETE", "accounts", "DELETE FROM accounts", "ip", 0L),
-      (4L, 1L, "u", "User", "SELECT", "payments", "SELECT 1 FROM payments", "ip", 0L),
-      (5L, 1L, "u", "User", "SELECT", "products", "SELECT 1", "ip", 0L))
-    val got = Detect.complianceFindings(mkActivity(rows))
-      .select($"activity_id", $"standard", $"status")
-      .as[(Long, String, String)].collect().toSet
+      // drop-table hit: label 'DROP Table Attempt' does NOT contain
+      // 'SQL Injection' → Security Violation (app.py:415-420)
+      (1L, 1L, "u", "Admin", "DROP", "t", "DROP TABLE t", "10.0.0.1", 0L),
+      // guest-write (High) + over-threshold rate: reasons carry
+      // 'Rate limit exceeded' but the reference matches lowercase
+      // 'rate limit' → falls through to Security Violation
+      (2L, 2L, "u2", "Guest", "DELETE", "t", "DELETE FROM t", "10.0.0.1", 0L),
+      (3L, 2L, "u2", "Guest", "DELETE", "t", "DELETE FROM t", "10.0.0.1", 0L))
+    val sameMinute = mkActivity(rows).withColumn("access_timestamp",
+      to_timestamp(lit("2024-01-10 12:00:05")))
+    val out = Detect.deriveAlerts(
+      Detect.classify(sameMinute, Detect.ipBlacklist(spark), rateThreshold = 1))
+      .select($"activity_id", $"alert_type", $"suspicious_reasons")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == "Security Violation")
+    assert(out(2L)._2.contains("Rate limit exceeded"))
+    assert(out(2L)._1 == "Security Violation",
+      "the reference's 'rate limit' arm is case-sensitively dead")
+  }
+
+  test("C6 compliance findings match app.py:477-485 per branch") {
+    val rows = Seq(
+      // GDPR: sensitive table + FALSY user_id (0 here) — any operation
+      (1L, 0L, "u0", "User", "SELECT", "users", "SELECT * FROM users", "ip", 0L),
+      // identified access to a sensitive table: NO GDPR finding
+      (2L, 1L, "u", "User", "SELECT", "users", "SELECT * FROM users", "ip", 0L),
+      // SOX over all three tables; rows_affected truthy → Compliant
+      (3L, 1L, "u", "User", "UPDATE", "accounts", "UPDATE accounts", "ip", 5L),
+      (4L, 1L, "u", "User", "DELETE", "financial", "DELETE FROM financial", "ip", 0L),
+      (5L, 1L, "u", "User", "UPDATE", "transactions", "UPDATE transactions", "ip", 2L),
+      // SOX tables on a read: no finding
+      (6L, 1L, "u", "User", "SELECT", "financial", "SELECT 1 FROM financial", "ip", 0L),
+      // PCI over both tables, any operation
+      (7L, 1L, "u", "User", "SELECT", "payments", "SELECT 1 FROM payments", "ip", 0L),
+      (8L, 1L, "u", "User", "INSERT", "credit_cards", "INSERT INTO credit_cards", "ip", 1L),
+      // the repo's former PCI 'sessions' drift must be gone
+      (9L, 1L, "u", "User", "SELECT", "sessions", "SELECT 1 FROM sessions", "ip", 0L),
+      // payments + user_id NULL → GDPR AND PCI co-fire
+      (10L, 1L, "u", "User", "SELECT", "payments", "SELECT 1 FROM payments", "ip", 0L),
+      (11L, 1L, "u", "User", "SELECT", "products", "SELECT 1", "ip", 0L))
+    val df = mkActivity(rows).withColumn("user_id",
+      when(col("activity_id") === 10L, lit(null).cast("long"))
+        .otherwise(col("user_id")))
+    val got = Detect.complianceFindings(df)
+      .select($"activity_id", $"standard", $"status", $"finding")
+      .as[(Long, String, String, String)].collect().toSet
     assert(got == Set(
-      (1L, "GDPR", "Non-compliant"),
-      (2L, "SOX", "Compliant"),
-      (3L, "SOX", "Review needed"),
-      (4L, "PCI_DSS", "Monitored")))
+      (1L, "GDPR", "Non-compliant", "Personal data access without user identification"),
+      (3L, "SOX", "Compliant", "Financial data modification"),
+      (4L, "SOX", "Review needed", "Financial data modification"),
+      (5L, "SOX", "Compliant", "Financial data modification"),
+      (7L, "PCI_DSS", "Monitored", "Cardholder data access detected"),
+      (8L, "PCI_DSS", "Monitored", "Cardholder data access detected"),
+      (10L, "GDPR", "Non-compliant", "Personal data access without user identification"),
+      (10L, "PCI_DSS", "Monitored", "Cardholder data access detected")))
+  }
+
+  test("C6 report envelope carries the reference statistics block") {
+    val rows = Seq(
+      (1L, 0L, "u0", "User", "SELECT", "users", "SELECT * FROM users", "ip", 0L),
+      (2L, 1L, "u", "User", "UPDATE", "accounts", "UPDATE accounts", "ip", 5L),
+      (3L, 1L, "u", "User", "SELECT", "payments", "SELECT 1", "ip", 0L),
+      (4L, 1L, "u", "User", "SELECT", "products", "SELECT 1", "ip", 0L))
+    val got = Detect.complianceEnvelope(mkActivity(rows), "monthly")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(("monthly", 4L, 3L, "GDPR,SOX,HIPAA,PCI_DSS")))
   }
 
   test("J4+W3 firewall: priority first-match wins; regex/starts_with dispatch") {
@@ -184,7 +332,7 @@ class DetectSpec extends SparkSpecBase {
       (2L, 2L, "u2", "User", "SELECT", "products", "SELECT 1", "10.0.0.101", 0L))
     val got = classify(mkActivity(rows))
     assert(got(1L)._2 == "Critical" && got(1L)._3.contains("blacklisted"))
-    assert(got(2L)._2 == "Low" && got(2L)._3 == "")
+    assert(got(2L)._2 == "Low" && got(2L)._3 == null)
     // a blacklist without expires_at passes through unfiltered
     val bare = Seq(("10.0.0.101", "r")).toDF("ip_address", "reason")
     val got2 = Detect.classify(mkActivity(rows), bare)
@@ -193,13 +341,19 @@ class DetectSpec extends SparkSpecBase {
     assert(got2(2L) == "Critical")
   }
 
-  test("C4 rate rule counts null-key rows as one group (window parity)") {
-    // 4 events in one minute from a null user_id — with threshold 3 the
-    // rate rule must fire for them, as the window formulation did
-    val rows = (1 to 4).map(i => (i.toLong, "SELECT 1")) :+ ((5L, "SELECT 2"))
+  test("C4 rate rule skips falsy keys (reference truthiness, app.py:396)") {
+    // 4 events in one minute from a NULL user_id and 4 from user_id=0:
+    // the reference's `if a["user_id"]` guard skips both, however far
+    // over threshold; a truthy key over threshold fires
+    val rows =
+      (1 to 4).map(i => (i.toLong, "SELECT 1")) ++
+      (5 to 8).map(i => (i.toLong, "SELECT 1")) ++
+      Seq((9L, "SELECT 2"), (10L, "SELECT 2"))
     val df = rows.toDF("activity_id", "operation_details")
       .withColumn("user_id",
-        when(col("activity_id") === 5L, 7L).otherwise(lit(null).cast("long")))
+        when(col("activity_id") <= 4L, lit(null).cast("long"))
+          .when(col("activity_id") <= 8L, 0L)
+          .otherwise(7L))
       .withColumn("username", lit("u"))
       .withColumn("role", lit("Admin"))
       .withColumn("operation_type", lit("SELECT"))
@@ -208,12 +362,13 @@ class DetectSpec extends SparkSpecBase {
       .withColumn("rows_affected", lit(0L))
       .withColumn("operation_status", lit("Success"))
       .withColumn("access_timestamp", to_timestamp(lit("2024-01-10 12:00:10")))
-    val got = Detect.classify(df, Detect.ipBlacklist(spark), rateThreshold = 3)
+    val got = Detect.classify(df, Detect.ipBlacklist(spark), rateThreshold = 1)
       .select($"activity_id", $"suspicious_reasons")
       .as[(Long, String)].collect().toMap
-    (1L to 4L).foreach(i =>
-      assert(got(i).contains("Rate limit"), s"null-key row $i missed"))
-    assert(!got(5L).contains("Rate limit"))
+    (1L to 8L).foreach(i =>
+      assert(got(i) == null, s"falsy-key row $i must not be rate-flagged"))
+    assert(got(9L) == "Rate limit exceeded: 2 queries/min")
+    assert(got(10L) == "Rate limit exceeded: 2 queries/min")
   }
 
   private def mkStatusSeq(statuses: Seq[String]): org.apache.spark.sql.DataFrame =

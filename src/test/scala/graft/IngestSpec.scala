@@ -40,7 +40,7 @@ class IngestSpec extends SparkSpecBase {
         (ts("2024-01-10 12:00:03"), "evil[evil] @ 10.6.6.6 []",
           "SELECT password FROM users UNION SELECT 1"), // duplicate → dropped
         (ts("2024-01-10 12:00:04"), "evil[evil] @ 10.6.6.6 []",
-          "SELECT salary FROM payments ; --")) // injection (no firewall rule) → Critical alert
+          "SELECT salary FROM payments")) // sensitive column (no firewall rule) → High alert
       q.processAllAvailable()
 
       val logs = spark.read.parquet(s"$dir/logs")
@@ -58,7 +58,7 @@ class IngestSpec extends SparkSpecBase {
 
       val alerts = spark.read.parquet(s"$dir/alerts")
       val a = alerts.select($"alert_type", $"severity").as[(String, String)].collect()
-      assert(a.toSet == Set(("SQL Injection", "Critical")))
+      assert(a.toSet == Set(("Data Leakage", "High")))
 
       // ...but it IS recorded in firewall_blocks (reference
       // app.py:845-848, 1177-1179), along with the alert-action hits

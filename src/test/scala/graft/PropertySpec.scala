@@ -41,7 +41,11 @@ class PropertySpec extends SparkSpecBase {
     got.foreach(t => assert(t != null && t.nonEmpty))
   }
 
-  test("C4 monotonicity: adding a triggered rule never lowers severity") {
+  // NOTE: the reference's sequential fold is NOT globally monotone
+  // (guest-write ASSIGNS High over a blacklist Critical; DetectSpec
+  // proves the full 2^8 table) — these pairs exercise axes where
+  // escalation does hold
+  test("C4: adding a triggered rule never lowers severity on these axes") {
     def ordOf(rows: Seq[(Long, Long, String, String, String, String, String, String, Long)]): Map[Long, Long] = {
       val df = rows.toDF("activity_id", "user_id", "username", "role",
           "operation_type", "table_name", "operation_details", "ip_address",
