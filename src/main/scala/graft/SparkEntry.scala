@@ -130,12 +130,13 @@ object SparkEntry {
   }
 
   /** Firewall rule dim + the reference match/scope/first-match
-    * semantics (Detect.firewallMatch), generated from
-    * Detect.FirewallRuleSeed so the two sides cannot drift. `fw` holds
-    * the first-match row per activity in (priority, rule_id) order.
+    * semantics (Detect.firewallMatch), generated from the seed seqs in
+    * Detect so the two sides cannot drift. `fw` holds the first-match
+    * row per activity in (priority, rule_id) order.
     */
-  private val FirewallRulesCte: String = {
-    val rows = Detect.FirewallRuleSeed.map {
+  private def rulesCteOf(seed: Seq[(Int, String, String, String, String,
+      Int, Option[String], Option[String], Boolean)]): String = {
+    val rows = seed.map {
       case (id, pat, desc, mt, action, pri, u, ip, active) =>
         def opt(v: Option[String]) =
           v.map(sqlQuote).getOrElse("CAST(NULL AS VARCHAR)")
@@ -147,8 +148,12 @@ object SparkEntry {
 )"""
   }
 
-  private val FirewallMatchedCte: String = {
-    s""", $FirewallRulesCte, fw AS (
+  private val FirewallRulesCte: String = rulesCteOf(Detect.FirewallRuleSeed)
+  private val ReferenceRulesCte: String =
+    rulesCteOf(Detect.ReferenceFirewallSeed)
+
+  private def matchedCteOf(rulesCte: String): String = {
+    s""", $rulesCte, fw AS (
   SELECT activity_id, username, ip_address, rule_id, description, action,
     priority, substr(operation_details, 1, 500) AS query_snippet,
     access_timestamp AS matched_at
@@ -168,6 +173,9 @@ object SparkEntry {
   ) WHERE rn = 1
 )"""
   }
+
+  private val FirewallMatchedCte: String = matchedCteOf(FirewallRulesCte)
+  private val ReferenceMatchedCte: String = matchedCteOf(ReferenceRulesCte)
 
   /** Severity-rule CTE shared by dam_severity / dam_alerts oracles.
     * Mirrors Detect.classify exactly: the fused injection alternation
@@ -626,6 +634,20 @@ FROM (
     // app.py:1311-1315: ORDER BY priority ASC)
     "dam_firewall_rules" -> ((s, d) => Detect.firewallRules(s)
       .orderBy(col("priority"), col("rule_id"))),
+    // the same endpoint over the PRODUCTION profile: the reference's 7
+    // verbatim regex seeds (app.py:1531-1539) a fresh warehouse ships
+    "dam_firewall_rules_reference" -> ((s, d) =>
+      Detect.firewallRules(s, "reference")
+        .orderBy(col("priority"), col("rule_id"))),
+    // first-match over the production seeds — exercises the regex-only
+    // battery (e.g. `union.*select` catches UNION ALL SELECT, which the
+    // fixture's contains-rule misses)
+    "dam_firewall_reference" -> ((s, d) => Detect.firewallMatch(
+      Tables.activity(s, d), Detect.firewallRules(s, "reference"))
+      .select(col("activity_id"), col("username"), col("ip_address"),
+        col("rule_id"), col("description"), col("action"), col("priority"),
+        col("query_snippet"))
+      .orderBy(col("activity_id"))),
     // the blocks feed (GET /api/v2/firewall/blocks, app.py:1337-1341:
     // ORDER BY blocked_at DESC LIMIT 100)
     "dam_blocks_feed" -> ((s, d) => Detect.firewallMatch(
@@ -1167,6 +1189,17 @@ FROM fw ORDER BY activity_id"""),
       """SELECT rule_id, pattern, description, match_type, action, priority,
   applies_to_user, applies_to_ip, is_active
 FROM rules ORDER BY priority, rule_id"""),
+
+    "dam_firewall_rules_reference" -> (s"WITH $ReferenceRulesCte\n" +
+      """SELECT rule_id, pattern, description, match_type, action, priority,
+  applies_to_user, applies_to_ip, is_active
+FROM rules ORDER BY priority, rule_id"""),
+
+    "dam_firewall_reference" -> act(ReferenceMatchedCte +
+      """
+SELECT activity_id, username, ip_address, rule_id, description, action,
+  priority, query_snippet
+FROM fw ORDER BY activity_id"""),
 
     "dam_blocks_feed" -> act(FirewallMatchedCte +
       """

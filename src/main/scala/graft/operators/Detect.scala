@@ -155,11 +155,43 @@ object Detect {
       (13, "^SELECT name", "Named-column select monitor", "regex", "alert", 9, none, none, true))
   }
 
-  def firewallRules(spark: SparkSession): DataFrame = {
+  /** The reference's PRODUCTION seed set, verbatim from
+    * app.py:1531-1539: 7 regex block rules at priorities 10/20,
+    * rule_ids in insertion order. This is what a fresh warehouse
+    * bootstrap ships ([[graft.sources.TableRegistry.initWarehouse]]);
+    * the 13-rule [[FirewallRuleSeed]] fixture stays as the
+    * scoping/case/tie-break semantics oracle.
+    */
+  val ReferenceFirewallSeed: Seq[(Int, String, String, String, String, Int,
+      Option[String], Option[String], Boolean)] = {
+    val none: Option[String] = None
+    Seq(
+      (1, "union.*select", "SQL Injection - UNION", "regex", "block", 10, none, none, true),
+      (2, "drop\\s+table", "Destructive DROP TABLE", "regex", "block", 10, none, none, true),
+      (3, "into\\s+outfile", "File Write via SELECT", "regex", "block", 10, none, none, true),
+      (4, "exec\\s+xp_", "SQL Server xp_ procedure", "regex", "block", 10, none, none, true),
+      (5, "sleep\\s*\\(", "Time-based Blind Injection", "regex", "block", 20, none, none, true),
+      (6, "or\\s+1=1", "Classic Boolean Injection", "regex", "block", 20, none, none, true),
+      (7, "'\\s*or\\s*'1'='1", "String Boolean Injection", "regex", "block", 20, none, none, true))
+  }
+
+  private def seedToDf(spark: SparkSession,
+      seed: Seq[(Int, String, String, String, String, Int,
+        Option[String], Option[String], Boolean)]): DataFrame = {
     import spark.implicits._
-    FirewallRuleSeed
-      .toDF("rule_id", "pattern", "description", "match_type", "action",
-        "priority", "applies_to_user", "applies_to_ip", "is_active")
+    seed.toDF("rule_id", "pattern", "description", "match_type", "action",
+      "priority", "applies_to_user", "applies_to_ip", "is_active")
+  }
+
+  /** Firewall rule dim: `profile = "fixture"` (default — the 13-rule
+    * semantics battery) or `"reference"` (the 7 reference seeds).
+    */
+  def firewallRules(spark: SparkSession,
+                    profile: String = "fixture"): DataFrame = profile match {
+    case "fixture" => seedToDf(spark, FirewallRuleSeed)
+    case "reference" => seedToDf(spark, ReferenceFirewallSeed)
+    case other =>
+      throw new IllegalArgumentException(s"unknown seed profile: $other")
   }
 
   /** The reference's SEQUENTIAL severity fold (app.py:339-403),

@@ -46,11 +46,11 @@ object TableRegistry {
         df.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
     }
     writeIfAbsent("users", seedUsers(spark))
-    // the seeds already carry is_active / expires_at — persist them
-    // as-is (overwriting here would clobber the inactive rule and the
-    // expired blacklist entry the fixtures deliberately include)
+    // a fresh warehouse ships the reference's 7 production seed rules
+    // (app.py:1531-1539); the 13-rule fixture profile stays available
+    // for the semantics oracle via firewallRules(spark, "fixture")
     writeIfAbsent("firewall_rules",
-      graft.operators.Detect.firewallRules(spark))
+      graft.operators.Detect.firewallRules(spark, "reference"))
     writeIfAbsent("ip_blacklist",
       graft.operators.Detect.ipBlacklist(spark)
         .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00"))))

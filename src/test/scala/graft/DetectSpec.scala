@@ -317,6 +317,36 @@ class DetectSpec extends SparkSpecBase {
     assert(!got.contains(7L))
   }
 
+  test("C8 reference seed profile: verbatim regexes, regex-only reach") {
+    val ref = Detect.firewallRules(spark, "reference")
+    assert(ref.count() == 7)
+    val rows = Seq(
+      // the production regex catches UNION ALL SELECT — the fixture's
+      // contains-"union select" rule cannot (the r3 VERDICT example)
+      (1L, 1L, "u", "User", "SELECT", "t", "SELECT a FROM t UNION ALL SELECT password FROM users", "ip", 0L),
+      // whitespace-tolerant DROP   TABLE
+      (2L, 1L, "u", "User", "DROP", "t", "DROP   TABLE audit_log", "ip", 0L),
+      // string-boolean injection: quoted '1'='1 with padding
+      (3L, 1L, "u", "User", "SELECT", "t", "SELECT * FROM t WHERE name = '' or '1'='1'", "ip", 0L),
+      // priority 20 vs 10: sleep( (20) loses to union.*select (10)
+      (4L, 1L, "u", "User", "SELECT", "t", "SELECT sleep(5) UNION SELECT 1", "ip", 0L),
+      (5L, 1L, "u", "User", "SELECT", "t", "SELECT id FROM t WHERE x = 1 OR  1=1", "ip", 0L))
+    val got = Detect.firewallMatch(mkActivity(rows), ref)
+      .select($"activity_id", $"rule_id", $"action").as[(Long, Int, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1, "block")))
+    assert(got(2L) == ((2, "block")))
+    assert(got(3L) == ((7, "block")))
+    assert(got(4L) == ((1, "block")))
+    assert(got(5L) == ((6, "block")))
+    // the fixture profile indeed misses the UNION ALL form
+    val fixtureGot = Detect.firewallMatch(
+      mkActivity(rows.take(1)), Detect.firewallRules(spark))
+      .select($"activity_id").as[Long].collect()
+    assert(fixtureGot.isEmpty)
+    intercept[IllegalArgumentException](Detect.firewallRules(spark, "nope"))
+  }
+
   test("firewallCheck: one-off statement check returns the first match") {
     val rules = Detect.firewallRules(spark)
     assert(Detect.firewallCheck(spark,

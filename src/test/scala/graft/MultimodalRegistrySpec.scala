@@ -168,10 +168,13 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     TableRegistry.initWarehouse(spark, root) // second call must not throw
     assert(spark.read.parquet(s"$root/users").count() == 3)
     val rules = spark.read.parquet(s"$root/firewall_rules")
-    assert(rules.count() == graft.operators.Detect.FirewallRuleSeed.length)
-    // the persisted dim keeps the seeded flags verbatim — the inactive
-    // rule and the expired blacklist entry must survive bootstrap
-    assert(rules.filter(!$"is_active").count() == 1)
+    // a fresh warehouse ships the reference's production seed profile
+    // (7 regex rules, app.py:1531-1539), all active
+    assert(rules.count() ==
+      graft.operators.Detect.ReferenceFirewallSeed.length)
+    assert(rules.filter(!$"is_active").count() == 0)
+    assert(rules.filter($"match_type" =!= "regex").count() == 0)
+    // the expired blacklist entry must survive bootstrap verbatim
     assert(spark.read.parquet(s"$root/ip_blacklist")
       .filter($"expires_at" < to_timestamp(lit("2001-01-01 00:00:00")))
       .count() == 1)

@@ -169,7 +169,8 @@ class MutationsReportSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}
     val root = Files.createTempDirectory("fwadmin").toString
     graft.sources.TableRegistry.initWarehouse(spark, root)
-    val seeded = graft.operators.Detect.FirewallRuleSeed.length
+    // a fresh warehouse ships the reference's 7 production seed rules
+    val seeded = graft.operators.Detect.ReferenceFirewallSeed.length
     assert(FirewallAdmin.listRules(spark, root).count() == seeded)
     // new rule gets the next insertion-ordered id (tie-break contract)
     val id = FirewallAdmin.addRule(spark, root, "truncate table",
