@@ -17,9 +17,11 @@ import graft.operators.Detect
   *  - All per-row classification is Column expressions inside the
   *    scan stage of each micro-batch — no state, no shuffle.
   *  - The enrichment joins (users, blacklist, firewall rules) are
-  *    stream-static broadcast joins; Spark re-reads the static side
-  *    per micro-batch, which reproduces the reference's 60 s rule
-  *    cache TTL behavior for free (app.py:819-827).
+  *    stream-static broadcast joins. The firewall rule dim is
+  *    re-resolved from the warehouse per micro-batch when
+  *    `IngestConfig.rulesDir` is set, reproducing the reference's
+  *    60 s rule-cache TTL (app.py:819-827) at micro-batch cadence —
+  *    an in-memory fixture frame (the `rules` argument) stays static.
   *  - Detection runs inside foreachBatch, where the micro-batch is a
   *    plain DataFrame, so the batch severity pipeline (incl. its
   *    per-minute window) is reused verbatim. Cross-batch rate
@@ -44,7 +46,14 @@ object Ingest {
       // when set, every firewall first-match is persisted there in the
       // firewall_blocks shape (reference app.py:845-848); block-action
       // hits are excluded from the logs/alerts sinks either way
-      blocksDir: Option[String] = None)
+      blocksDir: Option[String] = None,
+      // when set, the firewall rule dim is RE-READ from this warehouse
+      // directory at the start of every micro-batch, so FirewallAdmin
+      // changes take effect mid-stream — the micro-batch cadence plays
+      // the role of the reference's 60 s rule-cache TTL
+      // (app.py:819-827). Takes precedence over the static `rules`
+      // argument of [[start]].
+      rulesDir: Option[String] = None)
 
   /** Raw general_log rows → activity_logs-shaped frame. Pure column
     * pipeline; works identically on batch and streaming frames
@@ -132,8 +141,10 @@ object Ingest {
 
   /** Start the ingest stream. `source` is a streaming DataFrame with
     * the general_log schema (event_time, user_host, argument); `users`
-    * is the static user dim (username, role); `rules` the firewall
-    * rule dim (defaults to [[Detect.firewallRules]]).
+    * is the static user dim (username, role); `rules` a fixed
+    * in-memory firewall rule dim (defaults to
+    * [[Detect.firewallRules]]) — superseded by `cfg.rulesDir`, which
+    * re-reads the warehouse rules table every micro-batch.
     *
     * Firewall semantics follow the reference agent-ingest endpoint
     * (app.py:1170-1181): every parsed statement is checked first; any
@@ -145,7 +156,18 @@ object Ingest {
   def start(spark: SparkSession, source: DataFrame, users: DataFrame,
             cfg: IngestConfig,
             rules: Option[DataFrame] = None): StreamingQuery = {
-    val fwRules = rules.getOrElse(Detect.firewallRules(spark))
+    val staticRules = rules.getOrElse(Detect.firewallRules(spark))
+    // cfg.rulesDir: re-resolve the dim per micro-batch with a FRESH
+    // read (a captured DataFrame pins its file listing at creation, so
+    // a swap-rewrite by FirewallAdmin would dangle); recoverSwap first
+    // in case an admin mutation crashed mid-swap
+    def rulesFor(batchSession: SparkSession): DataFrame =
+      cfg.rulesDir match {
+        case Some(dir) =>
+          graft.sources.Mutations.recoverSwap(batchSession, dir)
+          batchSession.read.parquet(dir)
+        case None => staticRules
+      }
     // dropDuplicatesWithinWatermark (not plain dropDuplicates): the
     // dedup state for an activity_id is evicted once the watermark
     // passes it — plain dropDuplicates on a non-event-time key would
@@ -166,7 +188,8 @@ object Ingest {
         // E1 firewall gate (app.py:1177-1179): match against the active
         // rules BEFORE detection; hits are few, so the frame is pinned
         // for the sink write + the block anti-join
-        val fw = Detect.firewallMatch(enriched, fwRules).persist()
+        val fw = Detect.firewallMatch(enriched,
+          rulesFor(batch.sparkSession)).persist()
         val admitted = enriched.join(
           fw.filter(col("action") === "block").select(col("activity_id")),
           Seq("activity_id"), "left_anti")

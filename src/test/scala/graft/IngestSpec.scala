@@ -76,6 +76,53 @@ class IngestSpec extends SparkSpecBase {
     } finally { q.stop(); qr.stop() }
   }
 
+  test("cfg.rulesDir: FirewallAdmin changes take effect on the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val raw = mem.toDF().toDF("event_time", "user_host", "argument")
+    val users = Seq(("app", "User", 2L)).toDF("username", "role", "user_id")
+    val root = Files.createTempDirectory("ingest_ttl").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    val cfg = Ingest.IngestConfig(
+      logsDir = s"$root/logs", alertsDir = s"$root/alerts",
+      checkpointDir = s"$root/ckpt", triggerMs = 100L,
+      blocksDir = Some(s"$root/blocks"),
+      rulesDir = Some(s"$root/firewall_rules"))
+    val q = Ingest.start(spark, raw, users, cfg)
+    try {
+      // batch 1: no production seed rule matches TRUNCATE → admitted
+      mem.addData((ts("2024-01-10 12:00:00"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE audit_log"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/logs").count() == 1)
+
+      // the admin ships a block rule between micro-batches — the
+      // stream must pick it up without a restart (the reference's
+      // 60 s rule-cache TTL, app.py:819-827)
+      val id = graft.sources.FirewallAdmin.addRule(spark, root,
+        "truncate\\s+table", "Truncate block", "regex", "block", 1)
+      mem.addData((ts("2024-01-10 12:00:05"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE audit_trail"))
+      q.processAllAvailable()
+      val logs2 = spark.read.parquet(s"$root/logs")
+      assert(logs2.count() == 1) // the second statement was blocked
+      assert(logs2.filter($"operation_details".contains("audit_trail"))
+        .count() == 0)
+      val blocks = spark.read.parquet(s"$root/blocks")
+      assert(blocks.filter($"query_snippet".contains("audit_trail"))
+        .select($"rule_id").as[Int].collect().toSeq == Seq(id))
+
+      // deactivating the rule reopens the gate on the following batch
+      assert(graft.sources.FirewallAdmin
+        .deactivateRule(spark, root, id) == 1)
+      mem.addData((ts("2024-01-10 12:00:10"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE audit_archive"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/logs")
+        .filter($"operation_details".contains("audit_archive")).count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming classification equals the batch pipeline on the same input") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
