@@ -456,6 +456,97 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
 )"""
   }
 
+  /** Hamming-band blocking over the portable sketch
+    * (Dedup.simhashNearDups): 4 blocks of 15 bits; hamming ≤ 3 forces
+    * an identical block (pigeonhole). `pairs` holds candidates with
+    * exact Hamming distance.
+    */
+  private val SimhashPairsCtes: String = s"""$SimhashSketchCtes,
+banded AS (
+  SELECT doc_id, simhash, t.band, (simhash >> (t.band * 15)) & 32767 AS bv
+  FROM sk, range(4) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)"""
+
+  /** Prefix filtering (Dedup.jaccardCandidates) over md5-hashed
+    * shingles: rarest-first global order, prefix length
+    * n − ⌈3n/10⌉ + 1, size filter, and the PPJoin positional filter
+    * (overlap ≤ min(na − ia, nb − ib) vs α = ⌈3(na+nb)/13⌉) — all in
+    * exact integer arithmetic; every filter is lossless and the
+    * verification in `pairs` makes the answer exact.
+    */
+  private val JaccardPairsCtes: String =
+    """shs AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
+      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 3])) AS shs
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(shs, s ->
+    CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT))) AS sh
+  FROM shs
+), szd AS (
+  SELECT doc_id, sh, len(sh) AS nsh,
+    greatest(len(sh) - ((3 * len(sh) + 9) // 10) + 1, 0) AS plen
+  FROM sh
+), tok AS (
+  SELECT doc_id, unnest(sh) AS h FROM sh
+), dfq AS (
+  SELECT h, count(*) AS df FROM tok GROUP BY h
+), osh AS (
+  SELECT doc_id, list(h ORDER BY df, h) AS osh
+  FROM tok JOIN dfq USING (h) GROUP BY doc_id
+), pre AS (
+  SELECT o.doc_id, z.nsh,
+    unnest(o.osh[1:z.plen]) AS h,
+    generate_subscripts(o.osh[1:z.plen], 1) - 1 AS pos
+  FROM osh o JOIN szd z USING (doc_id)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+    min(a.pos) AS ia, min(b.pos) AS ib
+  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE greatest(a.nsh, b.nsh) * 3 <= least(a.nsh, b.nsh) * 10
+  GROUP BY a.doc_id, b.doc_id
+), pruned AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE least(na - ia, nb - ib) >= (3 * (na + nb) + 12) // 13
+), pairs AS (
+  SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      greatest(CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE), 1.0), 4) AS jaccard
+  FROM pruned p JOIN szd x ON x.doc_id = p.doc_a JOIN szd y ON y.doc_id = p.doc_b
+)"""
+
+  /** Connected components over a (doc_a, doc_b) pair relation —
+    * the DuckDB replica of Dedup.clusterMembership. `pairSel` selects
+    * the verified pairs; label = min reachable doc id via a recursive
+    * reachability CTE (the caller's WITH must be RECURSIVE).
+    */
+  private def clusterMembershipSql(pairSel: String): String =
+    s""", fpx AS (
+  $pairSel
+), ccedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM fpx
+  UNION ALL
+  SELECT doc_b, doc_a FROM fpx
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM ccedges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN ccedges e ON e.src = reach.id
+), ccomp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM ccomp ORDER BY doc_id"""
+
   /** DuckDB replica of Detect.complianceFindings over source relation
     * `src` — generated from the same table-set constants as the Spark
     * side (reference app.py:477-485: GDPR = sensitive table ∧ falsy
@@ -793,6 +884,11 @@ FROM (
     "doc_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardNearDups(Tables.documents(s, d),
         hashFn = Dedup.md5Seeded)),
+    // cluster-representative mode (the 100 TB answer to pair-output
+    // density): doc→canonical membership, one row per clustered doc
+    "doc_jaccard_clusters" -> ((s, d) =>
+      Dedup.jaccardClusters(Tables.documents(s, d),
+        hashFn = Dedup.md5Seeded)),
 
     // ---- training-data curation (redaction, funnel, budgeting) ----
     "dam_redacted" -> ((s, d) => Tables.activity(s, d)
@@ -854,6 +950,8 @@ FROM (
     // blocking — lossless for hamming <= 3 with 4 bands)
     "doc_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d))),
+    "doc_simhash_clusters" -> ((s, d) =>
+      Dedup.simhashClusters(Tables.documents(s, d))),
     "emb_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
     // cold path: per-call training (index-build cost made visible)
@@ -1422,58 +1520,16 @@ SELECT doc_id, fp,
   min(doc_id) OVER (PARTITION BY fp) AS canonical_id
 FROM f ORDER BY doc_id""",
 
-    // prefix filtering (Dedup.jaccardCandidates) over md5-hashed
-    // shingles: rarest-first global order, prefix length
-    // n − ⌈3n/10⌉ + 1, size filter, and the PPJoin positional filter
-    // (overlap ≤ min(na − ia, nb − ib) vs α = ⌈3(na+nb)/13⌉) — all in
-    // exact integer arithmetic; every filter is lossless and the
-    // verification makes the answer exact
-    "doc_jaccard_pairs" ->
-      """WITH shs AS (
-  SELECT doc_id,
-    list_distinct(list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
-      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 3])) AS shs
-  FROM documents
-), sh AS (
-  SELECT doc_id, list_distinct(list_transform(shs, s ->
-    CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT))) AS sh
-  FROM shs
-), szd AS (
-  SELECT doc_id, sh, len(sh) AS nsh,
-    greatest(len(sh) - ((3 * len(sh) + 9) // 10) + 1, 0) AS plen
-  FROM sh
-), tok AS (
-  SELECT doc_id, unnest(sh) AS h FROM sh
-), dfq AS (
-  SELECT h, count(*) AS df FROM tok GROUP BY h
-), osh AS (
-  SELECT doc_id, list(h ORDER BY df, h) AS osh
-  FROM tok JOIN dfq USING (h) GROUP BY doc_id
-), pre AS (
-  SELECT o.doc_id, z.nsh,
-    unnest(o.osh[1:z.plen]) AS h,
-    generate_subscripts(o.osh[1:z.plen], 1) - 1 AS pos
-  FROM osh o JOIN szd z USING (doc_id)
-), cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
-    min(a.pos) AS ia, min(b.pos) AS ib
-  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
-  WHERE greatest(a.nsh, b.nsh) * 3 <= least(a.nsh, b.nsh) * 10
-  GROUP BY a.doc_id, b.doc_id
-), pruned AS (
-  SELECT doc_a, doc_b FROM cand
-  WHERE least(na - ia, nb - ib) >= (3 * (na + nb) + 12) // 13
-), pairs AS (
-  SELECT p.doc_a, p.doc_b,
-    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      greatest(CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE), 1.0), 4) AS jaccard
-  FROM pruned p JOIN szd x ON x.doc_id = p.doc_a JOIN szd y ON y.doc_id = p.doc_b
-)
-SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
-ORDER BY doc_a, doc_b""",
+    "doc_jaccard_pairs" -> (s"WITH $JaccardPairsCtes\n" +
+      """SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3
+ORDER BY doc_a, doc_b"""),
+
+    // cluster-representative mode: connected components of the pair
+    // graph (Dedup.clusterMembership) — output one membership row per
+    // clustered doc, not O(m²) pairs
+    "doc_jaccard_clusters" -> (s"WITH RECURSIVE $JaccardPairsCtes" +
+      clusterMembershipSql(
+        "SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.3")),
 
     "dam_redacted" -> {
       // same fold order as TextOps.redactPii; DuckDB needs the 'g'
@@ -1580,18 +1636,13 @@ ORDER BY vec_a, vec_b"""
     // Hamming-band blocking (Dedup.simhashNearDups): 4 blocks of 15
     // bits; hamming ≤ 3 forces an identical block (pigeonhole), so
     // candidates join on (band, block value) and verify exactly
-    "doc_simhash_neardups" -> (s"WITH $SimhashSketchCtes,\n" +
-      """banded AS (
-  SELECT doc_id, simhash, t.band, (simhash >> (t.band * 15)) & 32767 AS bv
-  FROM sk, range(4) t(band)
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    "doc_simhash_neardups" -> (s"WITH $SimhashPairsCtes\n" +
+      """SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 ORDER BY doc_a, doc_b"""),
+
+    "doc_simhash_clusters" -> (s"WITH RECURSIVE $SimhashPairsCtes" +
+      clusterMembershipSql(
+        "SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3")),
 
     "emb_ivf_ann" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),

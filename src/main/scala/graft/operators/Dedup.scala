@@ -416,6 +416,86 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cluster-representative mode for the near-dup pair operators:
+    * connected components of the (undirected) pair graph, emitting ONE
+    * membership row per clustered doc — `(doc_id, cluster_id,
+    * cluster_size)` with `cluster_id` = the component's minimum doc id
+    * — instead of the O(m²) pairs a duplicate cluster of m docs
+    * produces. At 100 TB template-heavy corpora the pair OUTPUT is the
+    * bottleneck even with lossless candidate filtering (the round-3
+    * `weak-watch`): downstream dedup only needs doc→canonical, which
+    * this bounds to O(docs). The pair stream still exists as a shuffle
+    * intermediate (connectivity needs the verified edges), but is
+    * never collected, persisted, or emitted.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (comp := comp(comp)), the standard large-graph CC shape (cf.
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — labels are monotonically non-increasing, so the
+    * fixpoint is exact; the jump step makes convergence O(log
+    * diameter) rounds rather than O(diameter). Each round is two hash
+    * shuffles on doc ids; lineage is truncated per round
+    * (localCheckpoint) so plan size stays constant across iterations.
+    */
+  def clusterMembership(pairs: DataFrame, aCol: String = "doc_a",
+                        bCol: String = "doc_b",
+                        maxIter: Int = 40): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // the pair lineage (prefix join / banding) is heavy — cut it once
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: comp := min(comp, min over neighbors' comp)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+      val prop = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump: comp := comp(comp) — every comp value is itself a
+      // labeled node (labels originate from node ids), so the lookup is
+      // total; left+coalesce only guards the final converged rounds
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count() == 0L
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    val sizes = labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[jaccardNearDups]] in cluster-representative mode. */
+  def jaccardClusters(docs: DataFrame, ngram: Int = 3,
+                      minJaccard: Double = 0.3,
+                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
+    clusterMembership(jaccardNearDups(docs, ngram, minJaccard, hashFn))
+
+  /** [[simhashNearDups]] in cluster-representative mode. */
+  def simhashClusters(docs: DataFrame, maxHamming: Int = 3,
+                      bands: Int = 4, bits: Int = 60): DataFrame =
+    clusterMembership(simhashNearDups(docs, maxHamming, bands, bits))
+
   /** Exact n-gram Jaccard between all pairs within a caller-supplied
     * blocking key — the verification stage after LSH candidate
     * generation at scale.

@@ -52,6 +52,48 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("clusterMembership: transitive closure, min-id canonical, linear output") {
+    // two components: a 20-long chain (exercises pointer jumping over
+    // many rounds) and a triangle; ids deliberately interleaved
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val tri = Seq((100L, 103L), (103L, 107L), (100L, 107L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterMembership(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = (1L to 20L).map(i => (i, 1L, 20L)) ++
+      Seq((100L, 100L, 3L), (103L, 100L, 3L), (107L, 100L, 3L))
+    assert(got == expected)
+    // output is linear in cluster size: 23 membership rows for a graph
+    // whose full pair closure would be C(20,2) + C(3,2) = 193 pairs
+    assert(got.size == 23)
+  }
+
+  test("jaccardClusters: chains merge via transitivity; pairs stay quadratic") {
+    // A~B and B~C are near-dups but A~C falls below the threshold —
+    // the cluster mode must still place all three in one cluster
+    // J(a,b) = 18/38 ≈ 0.47, J(b,c) = 18/38 ≈ 0.47, J(a,c) = 8/48 ≈ 0.17
+    val base = (1 to 30).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.drop(10) ++ (100 to 109).map(i => s"x$i")).mkString(" ")
+    val c = (base.drop(20) ++ (100 to 119).map(i => s"x$i")).mkString(" ")
+    val clique = (1 to 4).map(k => (10L + k, (1 to 25).map(i => s"q$i").mkString(" ")))
+    val docs = (Seq((1L, a), (2L, b), (3L, c), (7L, "solitary unique doc entirely")) ++
+      clique).toDF("doc_id", "text")
+    val pairSet = Dedup.jaccardNearDups(docs, minJaccard = 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 3L)))
+    assert(!pairSet.contains((1L, 3L)), "fixture must rely on transitivity")
+    val got = Dedup.jaccardClusters(docs, minJaccard = 0.3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val chainRows = got.filter(_._2 == 1L)
+    assert(chainRows == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+    // identical 4-doc clique: 4 membership rows vs 6 pairs
+    assert(got.filter(_._2 == 11L).map(_._1) == Seq(11L, 12L, 13L, 14L))
+    assert(pairSet.count { case (x, y) => x >= 11L && y <= 14L } == 6)
+    // the singleton never appears
+    assert(!got.exists(_._1 == 7L))
+  }
+
   test("simhash: identical text → identical sketch; hamming near for near-dups") {
     val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
     val t2 = (1 to 50).map(i => if (i % 25 == 0) "x" else s"tok$i").mkString(" ")
