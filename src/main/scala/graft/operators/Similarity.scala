@@ -357,24 +357,40 @@ object Similarity {
     * fingerprint changes. Explicit freshness — no in-process cache to
     * serve stale centroids after the source is rewritten (the reason
     * round 2 dropped the plan-keyed memoization).
+    *
+    * The index lives under `indexRoot` when given, else the
+    * `spark.graft.ivf.indexRoot` session conf, else
+    * `<spark.sql.warehouse.dir>/graft-ivf-index` — a production index
+    * is warehouse data, not a tmpdir artifact (round-3 verdict), and
+    * all marker I/O goes through the Hadoop FileSystem so the root may
+    * be any warehouse scheme (HDFS/S3/local).
     */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      sourcePath: String, embeddings: DataFrame,
-                     nlist: Int = 16, iters: Int = 3): String = synchronized {
+                     nlist: Int = 16, iters: Int = 3,
+                     indexRoot: Option[String] = None): String = synchronized {
     val fp = sourceFingerprint(spark, sourcePath)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sourcePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft-ivf-index"), key)
-    val marker = new java.io.File(dir, "_source_fingerprint")
-    val fresh = marker.exists() && {
-      val s = new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    val root = indexRoot
+      .orElse(spark.conf.getOption("spark.graft.ivf.indexRoot"))
+      .getOrElse(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-ivf-index")
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root), key)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, "_source_fingerprint")
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
       s.trim == fp
     }
     if (!fresh) {
       writeIvfIndex(embeddings, dir.toString, nlist, iters)
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      val out = fs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
     dir.toString
   }

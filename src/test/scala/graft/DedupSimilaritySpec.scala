@@ -456,6 +456,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaIndex == oneShot && viaIndex.nonEmpty)
   }
 
+  test("ensureIvfIndex: warehouse-rooted default, custom root, build-once guard") {
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val src = sf("sf0.001") + "/embeddings.parquet"
+    // default root: under the session warehouse, never java.io.tmpdir
+    val byDefault = Similarity.ensureIvfIndex(spark, src, emb)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    assert(byDefault.stripPrefix("file:").startsWith(wh),
+      s"index $byDefault not under warehouse $wh")
+    assert(byDefault.contains("graft-ivf-index"))
+    // explicit root is honored
+    val root = java.nio.file.Files.createTempDirectory("ivfroot").toString
+    val dir = Similarity.ensureIvfIndex(spark, src, emb,
+      indexRoot = Some(root))
+    assert(dir.startsWith(root))
+    val marker = new java.io.File(dir, "_source_fingerprint")
+    assert(marker.exists())
+    // unchanged source fingerprint → second call must NOT rebuild
+    val stamp = marker.lastModified()
+    val again = Similarity.ensureIvfIndex(spark, src, emb,
+      indexRoot = Some(root))
+    assert(again == dir && marker.lastModified() == stamp)
+    // the relocated index serves probes
+    val qvecs = emb.filter($"vec_id" === 0L)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq
+    assert(Similarity.ivfSearchIndexed(spark, dir, qvecs).count() > 0)
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)
