@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * Two codecs are REAL, dependency-free JVM decoders: 24-bit
-  * uncompressed BMP ([[Codecs.decodeBmp24]]) and RIFF/WAVE PCM-16
-  * ([[Codecs.decodeWavPcm16]]) — payloads are sniffed by magic bytes
-  * and decoded to actual pixels/samples, then featurized (4×4
-  * luminance grid / 16-segment RMS) into vectors that feed the
-  * [[Similarity]] operators. Compressed formats (png/opus/av1 …)
-  * remain STUBBED (no media libraries in this environment):
+  * Three codecs are REAL, dependency-free JVM decoders: PNG
+  * ([[Codecs.decodePng]] — Inflater + per-spec scanline
+  * de-filtering), 24-bit uncompressed BMP ([[Codecs.decodeBmp24]])
+  * and RIFF/WAVE PCM-16 ([[Codecs.decodeWavPcm16]]) — payloads are
+  * sniffed by magic bytes and decoded to actual pixels/samples, then
+  * featurized (4×4 luminance grid / 16-segment RMS) into vectors
+  * that feed the [[Similarity]] operators. Codec-bound formats
+  * (opus/av1 …) remain STUBBED (no media libraries in this
+  * environment):
   * `syntheticFeatures` derives deterministic content-sensitive
   * features from the raw bytes. The surrounding plumbing — schema,
   * batch shape, partition-parallel execution, row explosion — is
@@ -66,8 +68,9 @@ object Multimodal {
       width: Int, height: Int, features: Array[Float], decoder: String)
 
   /** Decode + feature extraction. Payloads are sniffed by magic bytes:
-    * BMP ('BM') and WAVE ('RIFF…WAVE') decode to REAL pixels/samples
-    * via the dependency-free [[Codecs]]; anything else falls back to
+    * PNG (\x89PNG), BMP ('BM') and WAVE ('RIFF…WAVE') decode to REAL
+    * pixels/samples via the dependency-free [[Codecs]]; anything else
+    * falls back to
     * the documented deterministic stub featurizer (content-sensitive,
     * so downstream dedup/ANN behave realistically). For decoded
     * images, width/height come from the HEADER, not the metadata
@@ -89,16 +92,21 @@ object Multimodal {
           // fail the task: decode errors are data, not bugs
           val decoded =
             try {
-              Codecs.decodeBmp24(payload) match {
-                case Some((dw, dh, rgb)) =>
-                  Some(DecodedAsset(id, mt, dw, dh,
-                    Codecs.imageFeatures(dw, dh, rgb), "bmp24"))
-                case None => Codecs.decodeWavPcm16(payload).map {
+              Codecs.decodePng(payload)
+                .map { case (dw, dh, rgb) =>
+                  DecodedAsset(id, mt, dw, dh,
+                    Codecs.imageFeatures(dw, dh, rgb), "png")
+                }
+                .orElse(Codecs.decodeBmp24(payload).map {
+                  case (dw, dh, rgb) =>
+                    DecodedAsset(id, mt, dw, dh,
+                      Codecs.imageFeatures(dw, dh, rgb), "bmp24")
+                })
+                .orElse(Codecs.decodeWavPcm16(payload).map {
                   case (_, _, mono) =>
                     DecodedAsset(id, mt, w, h,
                       Codecs.audioFeatures(mono), "wav-pcm16")
-                }
-              }
+                })
             } catch { case scala.util.control.NonFatal(_) => None }
           decoded.getOrElse(DecodedAsset(id, mt, w, h,
             Codecs.syntheticFeatures(payload), "synthetic-stub"))
@@ -180,6 +188,153 @@ object Multimodal {
       var i = 0
       while (i < 16) { if (counts(i) > 0) feats(i) /= counts(i); i += 1 }
       feats
+    }
+
+    /** PNG (ISO/IEC 15948) → (width, height, row-major RGB 0-255).
+      * Dependency-free: IDAT streams inflate through
+      * `java.util.zip.Inflater`, then scanlines de-filter per the spec
+      * (None/Sub/Up/Average/Paeth). Supports the common web profile —
+      * 8-bit, color types 0 (grayscale, replicated to RGB), 2
+      * (truecolor), 6 (truecolor+alpha, alpha dropped), non-interlaced.
+      * Indexed/16-bit/interlaced payloads return None (→ stub).
+      *
+      * Hardening mirrors the BMP path: Long arithmetic on all size
+      * products, and the raw-buffer allocation is bounded by the
+      * deflate maximum ratio (~1032:1) so a crafted 1 KB header cannot
+      * force a multi-GB allocation.
+      */
+    def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (bytes == null || bytes.length < 45) return None
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      var s = 0
+      while (s < 8) {
+        if ((bytes(s) & 0xff) != sig(s)) return None
+        s += 1
+      }
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var off = 8
+      var w = 0
+      var h = 0
+      var colorType = -1
+      var headerOk = false
+      var sawEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawEnd && off + 8 <= bytes.length) {
+        val len = bb.getInt(off)
+        if (len < 0 || off.toLong + 12 + len > bytes.length) return None
+        new String(bytes, off + 4, 4, "US-ASCII") match {
+          case "IHDR" =>
+            if (len < 13) return None
+            w = bb.getInt(off + 8)
+            h = bb.getInt(off + 12)
+            colorType = bytes(off + 17) & 0xff
+            headerOk = w > 0 && h > 0 && (bytes(off + 16) & 0xff) == 8 &&
+              (colorType == 0 || colorType == 2 || colorType == 6) &&
+              bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+              bytes(off + 20) == 0
+            if (!headerOk) return None
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      if (!headerOk || idat.size == 0) return None
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val strideL = w.toLong * bpp
+      val rawLenL = (strideL + 1) * h
+      val needL = w.toLong * h * 3
+      if (rawLenL > Int.MaxValue || needL > Int.MaxValue ||
+        rawLenL > idat.size.toLong * 1032 + 64) return None
+      val stride = strideL.toInt
+      val raw = new Array[Byte](rawLenL.toInt)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated or preset-dictionary stream
+          got += n
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      if (got < raw.length) return None
+      // de-filter scanlines in place (spec §9: a/b/c are the decoded
+      // left / up / up-left bytes at the same byte offset within the
+      // pixel)
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (stride + 1)
+        val cur = rowOff + 1
+        val prev = cur - (stride + 1)
+        (raw(rowOff) & 0xff) match {
+          case 0 => ()
+          case 1 =>
+            var x = bpp
+            while (x < stride) {
+              raw(cur + x) = (raw(cur + x) + raw(cur + x - bpp)).toByte
+              x += 1
+            }
+          case 2 =>
+            if (y > 0) {
+              var x = 0
+              while (x < stride) {
+                raw(cur + x) = (raw(cur + x) + raw(prev + x)).toByte
+                x += 1
+              }
+            }
+          case 3 =>
+            var x = 0
+            while (x < stride) {
+              val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+              val b = if (y > 0) raw(prev + x) & 0xff else 0
+              raw(cur + x) = (raw(cur + x) + ((a + b) >> 1)).toByte
+              x += 1
+            }
+          case 4 =>
+            var x = 0
+            while (x < stride) {
+              val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+              val b = if (y > 0) raw(prev + x) & 0xff else 0
+              val c = if (x >= bpp && y > 0) raw(prev + x - bpp) & 0xff else 0
+              val p = a + b - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              raw(cur + x) = (raw(cur + x) + pred).toByte
+              x += 1
+            }
+          case _ => return None
+        }
+        y += 1
+      }
+      val out = new Array[Int](needL.toInt)
+      y = 0
+      while (y < h) {
+        val rowOff = y * (stride + 1) + 1
+        var x = 0
+        while (x < w) {
+          val p = rowOff + x * bpp
+          val o = (y * w + x) * 3
+          if (colorType == 0) {
+            val g = raw(p) & 0xff
+            out(o) = g
+            out(o + 1) = g
+            out(o + 2) = g
+          } else {
+            out(o) = raw(p) & 0xff
+            out(o + 1) = raw(p + 1) & 0xff
+            out(o + 2) = raw(p + 2) & 0xff
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
     }
 
     /** RIFF/WAVE with a PCM-16 fmt chunk → (sample_rate, channels,

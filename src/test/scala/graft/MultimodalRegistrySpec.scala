@@ -62,6 +62,70 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     buf.array
   }
 
+  /** Hand-rolled PNG encoder (8-bit RGB, per-row filter selection) —
+    * exercises every scanline filter type deterministically.
+    */
+  private def pngRgb(w: Int, h: Int, filterOf: Int => Int)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    val stride = w * 3
+    val plain = Array.tabulate(h, stride) { (y, i) =>
+      val (r, g, b) = px(i / 3, y)
+      (i % 3 match { case 0 => r; case 1 => g; case _ => b }).toByte
+    }
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val ft = filterOf(y)
+      raw(y * (stride + 1)) = ft.toByte
+      for (i <- 0 until stride) {
+        val cur = plain(y)(i) & 0xff
+        val a = if (i >= 3) plain(y)(i - 3) & 0xff else 0
+        val b = if (y > 0) plain(y - 1)(i) & 0xff else 0
+        val c = if (i >= 3 && y > 0) plain(y - 1)(i - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case _ =>
+            val p = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + i) = v.toByte
+      }
+    }
+    val defl = new Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def pngVia(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def mediaDf(rows: Seq[(Long, String, Array[Byte])]) =
     rows.toDF("asset_id", "media_type", "payload")
       .withColumn("width", lit(0)).withColumn("height", lit(0))
@@ -103,13 +167,83 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     assert(d.decoder == "wav-pcm16")
   }
 
+  test("PNG codec: every filter type de-filters to exact pixels") {
+    def gradient(x: Int, y: Int) =
+      ((x * 11) % 256, (y * 23) % 256, (x ^ y) % 256)
+    // rows cycle through None/Sub/Up/Average/Paeth
+    val bytes = pngRgb(23, 11, y => y % 5)(gradient)
+    val (w, h, rgb) = Multimodal.Codecs.decodePng(bytes).get
+    assert((w, h) == ((23, 11)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (er, eg, eb) = gradient(x, y)
+      val o = (y * w + x) * 3
+      assert(rgb(o) == er && rgb(o + 1) == eg && rgb(o + 2) == eb,
+        s"pixel ($x,$y)")
+    }
+    // dims + decoder surface through the Dataset operator
+    val d = Multimodal.decodeAndFeaturize(
+      mediaDf(Seq((20L, "image", bytes)))).collect()(0)
+    assert(d.decoder == "png" && d.width == 23 && d.height == 11)
+  }
+
+  test("PNG codec agrees with the JDK's independent encoder (RGB/RGBA/gray)") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 9, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 28) << 8) | ((x * y) % 256))
+    val (w, h, rgb) = Multimodal.Codecs.decodePng(pngVia(img)).get
+    assert((w, h) == ((16, 9)))
+    for (y <- 0 until 9; x <- 0 until 16) {
+      val e = img.getRGB(x, y)
+      val o = (y * 16 + x) * 3
+      assert(rgb(o) == ((e >> 16) & 0xff) && rgb(o + 1) == ((e >> 8) & 0xff)
+        && rgb(o + 2) == (e & 0xff))
+    }
+    // color type 6: alpha dropped, RGB kept verbatim
+    val argb = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      argb.setRGB(x, y, (0x80 << 24) | ((x * 32) << 16) | ((y * 32) << 8) | 5)
+    val (aw, ah, apx) = Multimodal.Codecs.decodePng(pngVia(argb)).get
+    assert((aw, ah) == ((8, 8)))
+    assert(apx((3 * 8 + 2) * 3) == 64 && apx(2) == 5)
+    // color type 0: grayscale replicated across RGB
+    val gray = new BufferedImage(6, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6)
+      gray.getRaster.setSample(x, y, 0, x * 40 + y)
+    val (gw, gh, gpx) = Multimodal.Codecs.decodePng(pngVia(gray)).get
+    assert((gw, gh) == ((6, 4)))
+    val o = (2 * 6 + 3) * 3
+    assert(gpx(o) == 122 && gpx(o + 1) == 122 && gpx(o + 2) == 122)
+  }
+
+  test("hostile/unsupported PNGs degrade to the stub") {
+    val good = pngRgb(12, 12, _ => 4)((x, y) => (x * 20, y * 20, 0))
+    // truncated IDAT: chop the tail off the file
+    val truncated = good.take(good.length - 24)
+    // interlaced flag set (Adam7 unsupported → None)
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
+    // zip-bomb shape: huge declared dims over a tiny IDAT must be
+    // rejected by the deflate-ratio bound before allocation
+    val bomb = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 20000)
+    bb.putInt(20, 20000)
+    val d = Multimodal.decodeAndFeaturize(mediaDf(Seq(
+      (30L, "image", truncated), (31L, "image", interlaced),
+      (32L, "image", bomb)))).collect()
+    assert(d.length == 3 && d.forall(_.decoder == "synthetic-stub"))
+  }
+
   test("decoded features feed the Similarity operators end-to-end") {
-    // two identical gradient images + one inverted: ANN over the
-    // DECODED features must pair the identical ones
-    val grad = bmp24(16, 16)((x, y) => (x * 16, y * 16, 0))
+    // the same gradient as a PNG and as a BMP + one inverted BMP: ANN
+    // over the DECODED features must pair the two encodings of the
+    // same image (the luminance grid is codec-independent)
+    val gradPng = pngRgb(16, 16, y => y % 5)((x, y) => (x * 16, y * 16, 0))
+    val gradBmp = bmp24(16, 16)((x, y) => (x * 16, y * 16, 0))
     val inv = bmp24(16, 16)((x, y) => (255 - x * 16, 255 - y * 16, 128))
-    val assets = mediaDf(Seq((0L, "image", grad), (1L, "image", inv),
-      (2L, "image", grad.clone())))
+    val assets = mediaDf(Seq((0L, "image", gradPng), (1L, "image", inv),
+      (2L, "image", gradBmp)))
     val emb = Multimodal.decodeAndFeaturize(assets)
       .map(d => (d.asset_id, d.features, "img"))
       .toDF("vec_id", "embedding", "label")
