@@ -795,10 +795,20 @@ FROM (
       .agg(count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))),
-    // approx sketch (HLL) — engine-specific, rows-only check
+    // approx sketch (HLL++): the raw estimate is engine-specific, so
+    // the checkable surface is the CONTRACT — the estimate must land
+    // within 3×rsd of the exact count (HLL standard error = rsd;
+    // typical observed error ≪ rsd). The oracle replays the exact
+    // counts with within_bound ≡ TRUE: an estimate drifting past the
+    // bound flips the flag and fails the hash gate.
     "ev_user_reach_approx" -> ((s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") /
+          greatest(col("exact_users").cast("double"), lit(1.0)) <= 0.15)
+          .as("within_bound"))
       .orderBy(col("event_type"))),
     "doc_top_per_source" -> ((s, d) =>
       // top-1-per-group as a map-side-combinable min_by — source has
@@ -1393,6 +1403,11 @@ FROM events GROUP BY event_type ORDER BY event_type""",
     "ev_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
   count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "ev_user_reach_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  TRUE AS within_bound
 FROM events GROUP BY event_type ORDER BY event_type""",
 
     "ev_sessions" ->
