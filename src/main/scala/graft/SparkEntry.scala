@@ -941,6 +941,10 @@ FROM (
     "doc_minhash_neardups" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)),
+    "doc_minhash_clusters" -> ((s, d) =>
+      Dedup.clusterMembership(
+        Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
+          hashFn = Dedup.md5Seeded))),
     // the applied dedup: canonical-by-fingerprint minus minhash losers
     "doc_dedup_apply" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), threshold = 0.3,
@@ -1592,6 +1596,11 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes("documents")}\n" +
       """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b"""),
+
+    "doc_minhash_clusters" ->
+      (s"WITH RECURSIVE ${minhashPairsCtes("documents")}" +
+        clusterMembershipSql(
+          "SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3")),
 
     // the minhash loser pass runs over the post-fingerprint SURVIVORS
     // (Dedup.dedupedCorpus): a doc must not lose to a near-dup the
