@@ -922,6 +922,16 @@ FROM (
           count(when(en && q, 1)).as("n_quality"),
           count(when(en && q && col("is_canonical"), 1)).as("n_kept"))
     }),
+    // benchmark decontamination: training docs sharing any 8-gram with
+    // the (broadcast) eval slice — doc_id % 29 plays the benchmark set
+    // (wide enough that template near-dups cross the split)
+    "doc_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.contamination(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        n = 8, hashFn = Dedup.md5Seeded)
+    }),
     "doc_token_budget" -> ((s, d) => Tables.documents(s, d)
       .select(col("source"), TextOps.langGuess(col("text")).as("lang_guess"),
         TextOps.tokenCount(col("text")).as("nt"),
@@ -1576,6 +1586,32 @@ SELECT count(*) AS n_total,
   count(CASE WHEN lang_guess = 'en' AND quality >= 0.75 THEN 1 END) AS n_quality,
   count(CASE WHEN lang_guess = 'en' AND quality >= 0.75 AND canon THEN 1 END) AS n_kept
 FROM lg"""),
+
+    "doc_decontam" -> {
+      val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 7), i -> $g8)) AS gs
+  FROM tok
+), hashed AS (
+  SELECT doc_id, list_distinct(list_transform(gs, g ->
+    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
+  FROM grams
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 29 = 0
+), train AS (
+  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
+  FROM hashed WHERE doc_id % 29 <> 0
+)
+SELECT doc_id, count(*) AS matched_ngrams,
+  CAST(min(n_ngrams) AS BIGINT) AS n_ngrams,
+  round(CAST(count(*) AS DOUBLE) / greatest(min(n_ngrams), 1), 4)
+    AS contamination_rate
+FROM train WHERE h IN (SELECT h FROM bench)
+GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "doc_token_budget" ->
       s"""WITH x AS (

@@ -146,6 +146,46 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Benchmark decontamination — the standard LLM-pipeline check that
+    * no training document leaks an evaluation set's content (cf. the
+    * 13-gram overlap filters of GPT-3 §5 / PaLM App. C): flag every
+    * training doc sharing at least one word n-gram with the benchmark
+    * corpus. Returns (doc_id, matched_ngrams, n_ngrams,
+    * contamination_rate) for flagged docs only.
+    *
+    * Scale shape: the benchmark is the SMALL side by construction
+    * (eval sets are KB-MB vs a 100 TB corpus) — its distinct n-gram
+    * hashes broadcast, so the training side is one linear scan +
+    * broadcast semi-probe; the only shuffle is the per-doc count
+    * aggregation over MATCHED grams (tracks contamination density,
+    * not corpus size). The gram domain is hashed 64-bit
+    * ([[Dedup.md5Seeded]] keeps it oracle-replayable; [[Dedup.xxSeeded]]
+    * is the engine-only fast path).
+    */
+  def contamination(training: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(array_distinct(Dedup.shingles(col("text"), n))).as("g"))
+      .select(hashFn(0, col("g")).as("h"))
+      .distinct()
+    val tGrams = training
+      .select(col("doc_id"),
+        array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"), n)),
+          g => hashFn(0, g))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"),
+        explode(col("hs")).as("h"))
+    tGrams
+      .join(broadcast(bGrams), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_ngrams"), min(col("n_ngrams")).as("n_ngrams"))
+      .select(col("doc_id"), col("matched_ngrams"), col("n_ngrams"),
+        round(col("matched_ngrams").cast("double") /
+          greatest(col("n_ngrams"), lit(1)).cast("double"), 4)
+          .as("contamination_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

@@ -485,6 +485,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Similarity.ivfSearchIndexed(spark, dir, qvecs).count() > 0)
   }
 
+  test("contamination flags training docs sharing an n-gram with the benchmark") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    // 11 tokens → four 8-grams, exactly one copied from the benchmark
+    val leaked = "pre1 pre2 pre3 alpha beta gamma delta epsilon zeta eta theta"
+    val clean = (1 to 12).map(i => s"clean$i").mkString(" ")
+    val training = Seq((1L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val got = TextOps.contamination(training, bench, n = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 4L, 0.25)))
+    // a shorter overlap (7 shared tokens) must NOT flag at n=8
+    val sub = "alpha beta gamma delta epsilon zeta eta other tail words here"
+    val got2 = TextOps.contamination(
+      Seq((3L, sub)).toDF("doc_id", "text"), bench, n = 8)
+    assert(got2.isEmpty)
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)
