@@ -524,28 +524,66 @@ banded AS (
   FROM pruned p JOIN szd x ON x.doc_id = p.doc_a JOIN szd y ON y.doc_id = p.doc_b
 )"""
 
-  /** Connected components over a (doc_a, doc_b) pair relation —
-    * the DuckDB replica of Dedup.clusterMembership. `pairSel` selects
-    * the verified pairs; label = min reachable doc id via a recursive
-    * reachability CTE (the caller's WITH must be RECURSIVE).
+  /** Connected components over a (doc_a, doc_b) pair relation — the
+    * DuckDB replica of Dedup.clusterMembership, as UNROLLED min-label
+    * propagation + pointer jumping (`rounds` rounds — the same
+    * algorithm the Spark side iterates). A full-reachability recursive
+    * CTE is exact but quadratic in component size (a 3.5k-doc template
+    * component at sf0.1 costs ~10^10 join tuples — measured ~28 min);
+    * each unrolled round here is linear in edges, and `rounds` = 9
+    * covers diameters far beyond any observed similarity cluster.
+    * Exactness is guarded, not assumed: the final round must equal the
+    * previous one (fixpoint ⟹ labels constant per component ⟹ the
+    * component min), else the guard emits ZERO rows and the parity
+    * gate fails loudly rather than passing an unconverged labeling.
+    * Ends with `ccm(id, comp)` — the converged membership CTE.
     */
-  private def clusterMembershipSql(pairSel: String): String =
-    s""", fpx AS (
+  private def clusterCtesSql(pairSel: String,
+                             rounds: Int = 9): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, so an
+    // un-materialized ccedges would re-expand the whole pair pipeline
+    // (including the parquet scan) once per reference across the
+    // unrolled rounds
+    val sb = new StringBuilder
+    sb.append(s""", fpx AS MATERIALIZED (
   $pairSel
-), ccedges AS (
+), ccedges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM fpx
   UNION ALL
   SELECT doc_b, doc_a FROM fpx
-), reach(id, r) AS (
-  SELECT DISTINCT src, src FROM ccedges
-  UNION
-  SELECT e.dst, reach.r FROM reach JOIN ccedges e ON e.src = reach.id
-), ccomp AS (
-  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-)
-SELECT doc_id, cluster_id,
-  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM ccomp ORDER BY doc_id"""
+), j0 AS MATERIALIZED (
+  SELECT src AS id, least(src, min(dst)) AS comp FROM ccedges GROUP BY src
+)""")
+    for (k <- 1 to rounds) {
+      sb.append(s""", p$k AS MATERIALIZED (
+  SELECT l.id, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM j${k - 1} l LEFT JOIN (
+    SELECT e.dst AS id, min(l2.comp) AS mn
+    FROM ccedges e JOIN j${k - 1} l2 ON l2.id = e.src
+    GROUP BY e.dst) m USING (id)
+), j$k AS MATERIALIZED (
+  SELECT l.id, least(l.comp, coalesce(c.comp, l.comp)) AS comp
+  FROM p$k l LEFT JOIN p$k c ON c.id = l.comp
+)""")
+    }
+    sb.append(s""", ccm AS (
+  SELECT id, comp FROM j$rounds
+  WHERE NOT EXISTS (
+    SELECT 1 FROM j${rounds - 1} a JOIN j$rounds b USING (id)
+    WHERE a.comp <> b.comp)
+)""")
+    sb.toString
+  }
+
+  /** [[clusterCtesSql]] + the membership projection — the oracle for
+    * the `doc_*_clusters` queries.
+    */
+  private def clusterMembershipSql(pairSel: String,
+                                   rounds: Int = 9): String =
+    clusterCtesSql(pairSel, rounds) + """
+SELECT id AS doc_id, comp AS cluster_id,
+  count(*) OVER (PARTITION BY comp) AS cluster_size
+FROM ccm ORDER BY doc_id"""
 
   /** DuckDB replica of Detect.complianceFindings over source relation
     * `src` — generated from the same table-set constants as the Spark
@@ -976,6 +1014,14 @@ FROM (
       Dedup.simhashNearDups(Tables.documents(s, d))),
     "doc_simhash_clusters" -> ((s, d) =>
       Dedup.simhashClusters(Tables.documents(s, d))),
+    // the cluster-mode apply step: one canonical survivor per simhash
+    // component, unclustered docs untouched
+    "doc_cluster_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupByClusters(docs, Dedup.simhashClusters(docs))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "emb_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
     // cold path: per-call training (index-build cost made visible)
@@ -1556,7 +1602,7 @@ ORDER BY doc_a, doc_b"""),
     // cluster-representative mode: connected components of the pair
     // graph (Dedup.clusterMembership) — output one membership row per
     // clustered doc, not O(m²) pairs
-    "doc_jaccard_clusters" -> (s"WITH RECURSIVE $JaccardPairsCtes" +
+    "doc_jaccard_clusters" -> (s"WITH $JaccardPairsCtes" +
       clusterMembershipSql(
         "SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.3")),
 
@@ -1634,7 +1680,7 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 ORDER BY doc_a, doc_b"""),
 
     "doc_minhash_clusters" ->
-      (s"WITH RECURSIVE ${minhashPairsCtes("documents")}" +
+      (s"WITH ${minhashPairsCtes("documents")}" +
         clusterMembershipSql(
           "SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3")),
 
@@ -1700,9 +1746,16 @@ ORDER BY vec_a, vec_b"""
       """SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 ORDER BY doc_a, doc_b"""),
 
-    "doc_simhash_clusters" -> (s"WITH RECURSIVE $SimhashPairsCtes" +
+    "doc_simhash_clusters" -> (s"WITH $SimhashPairsCtes" +
       clusterMembershipSql(
         "SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3")),
+
+    "doc_cluster_dedup" -> (s"WITH $SimhashPairsCtes" +
+      clusterCtesSql("SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3") +
+      """
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM ccm WHERE id <> comp)
+ORDER BY d.doc_id"""),
 
     "emb_ivf_ann" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),

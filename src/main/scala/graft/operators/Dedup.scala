@@ -485,6 +485,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The apply step over cluster membership: drop every non-canonical
+    * cluster member (doc_id ≠ cluster_id), keep canonicals and
+    * unclustered docs. The anti-join right side is only the loser ids —
+    * O(clustered docs), the cluster mode's whole point: at 100 TB the
+    * kept-corpus materialization never touches the O(m²) pair stream.
+    */
+  def dedupByClusters(docs: DataFrame, membership: DataFrame): DataFrame =
+    docs.join(
+      membership.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** [[jaccardNearDups]] in cluster-representative mode. */
   def jaccardClusters(docs: DataFrame, ngram: Int = 3,
                       minJaccard: Double = 0.3,

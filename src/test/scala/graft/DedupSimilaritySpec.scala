@@ -92,6 +92,10 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairSet.count { case (x, y) => x >= 11L && y <= 14L } == 6)
     // the singleton never appears
     assert(!got.exists(_._1 == 7L))
+    // apply step: one canonical per cluster, singleton untouched
+    val kept = Dedup.dedupByClusters(docs, Dedup.jaccardClusters(docs,
+        minJaccard = 0.3)).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L, 11L))
   }
 
   test("simhash: identical text → identical sketch; hamming near for near-dups") {

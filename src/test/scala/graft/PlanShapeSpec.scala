@@ -48,6 +48,15 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("decontamination probes the corpus with a broadcast benchmark, no cartesian") {
+    val p = executedPlan("doc_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark gram set must broadcast — a shuffled semi-join " +
+        "would repartition the full training gram stream")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "contamination probe must not shuffle the corpus side")
+  }
+
   test("severity classify pre-aggregates rate counts instead of a full-row window") {
     val p = executedPlan("dam_severity")
     assert(!p.contains("Window"),
