@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Analytics, Dedup, Detect, Relational, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, Detect, Relational, Sampling, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY §2
   * plus the training-data-pipeline surface, each with an equivalent
@@ -84,6 +84,12 @@ object SparkEntry {
     WHEN event_type = 'purchase' AND value > 190 THEN 'SELECT * FROM accounts WHERE 1=1 UNION SELECT password FROM users'
     WHEN event_type = 'purchase' THEN 'UPDATE accounts SET balance = balance - 1 WHERE user_id = ' || user_id
     ELSE 'DELETE FROM sessions WHERE token = ''' || md5(props) || '''' END"""
+
+  /** Mixture rates for the stratified-sampling fixture — shared by the
+    * Spark query and the generated oracle SQL.
+    */
+  private val SampleRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
 
   private val ActivityPrelude: String = {
     val tblExtract = tblExtractSql("sql_text")
@@ -970,6 +976,17 @@ FROM (
         docs.filter(col("doc_id") % 29 === 0),
         n = 8, hashFn = Dedup.md5Seeded)
     }),
+    // deterministic hash-threshold splits / mixture sampling — the
+    // same rows every run, any partitioning, replayed by the oracle
+    "doc_split_assign" -> ((s, d) =>
+      Sampling.withSplit(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))),
+    "doc_sample_mix" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "source",
+        "doc_id", SampleRates)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     "doc_token_budget" -> ((s, d) => Tables.documents(s, d)
       .select(col("source"), TextOps.langGuess(col("text")).as("lang_guess"),
         TextOps.tokenCount(col("text")).as("nt"),
@@ -1657,6 +1674,27 @@ SELECT doc_id, count(*) AS matched_ngrams,
     AS contamination_rate
 FROM train WHERE h IN (SELECT h FROM bench)
 GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    "doc_split_assign" -> {
+      val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+      val tVal = Sampling.thresholdFor(0.01)
+      val tTest = tVal + Sampling.thresholdFor(0.01)
+      s"""SELECT doc_id, source,
+  CASE WHEN $h < $tVal THEN 'val'
+       WHEN $h < $tTest THEN 'test'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id"""
+    },
+
+    "doc_sample_mix" -> {
+      val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+      val keep = SampleRates.toSeq.sortBy(_._1).map { case (src, p) =>
+        s"(source = '$src' AND $h < ${Sampling.thresholdFor(p)})"
+      }.mkString("\n   OR ")
+      s"""SELECT doc_id, source FROM documents
+WHERE $keep
+ORDER BY doc_id"""
     },
 
     "doc_token_budget" ->

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic hash-threshold sampling tests. */
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val rows = (0L until 10000L).map(i => (i, s"s${i % 4}"))
+    .toDF("doc_id", "source")
+
+  test("splits are disjoint, exhaustive, and near the requested fractions") {
+    val split = Sampling.withSplit(rows, "doc_id", valFrac = 0.05,
+      testFrac = 0.05)
+    val counts = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 10k keys, p=0.05 → ~500 ± a generous 5σ (~±77)
+    assert(math.abs(counts("val") - 500L) < 80, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 500L) < 80, s"test=${counts("test")}")
+  }
+
+  test("sampling is reproducible and partitioning-invariant") {
+    val a = Sampling.sampleByHash(rows, "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleByHash(rows.repartition(13), "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // a doc's membership is stable as the corpus grows: the sample of a
+    // subset is exactly the sample restricted to it (rand() lacks this)
+    val sub = Sampling.sampleByHash(rows.filter($"doc_id" < 5000), "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sub == a.filter(_ < 5000L))
+    // different seeds draw different samples
+    val seeded = Sampling.sampleByHash(rows, "doc_id", 0.2, seed = 7)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(seeded != a)
+  }
+
+  test("stratified rates: full stratum kept, unlisted dropped, rate honored") {
+    val got = Sampling.stratifiedSample(rows, "source", "doc_id",
+      Map("s0" -> 1.0, "s1" -> 0.3))
+    val bySrc = got.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc("s0") == 2500L) // rate 1.0 keeps every row
+    assert(!bySrc.contains("s2") && !bySrc.contains("s3"))
+    assert(math.abs(bySrc("s1") - 750L) < 120, s"s1=${bySrc("s1")}")
+    // the kept s1 subset is the threshold set, not an arbitrary sample
+    val s1 = got.filter($"source" === "s1").select($"doc_id").as[Long]
+      .collect().toSet
+    val thr = Sampling.thresholdFor(0.3)
+    val expected = rows.filter($"source" === "s1")
+      .filter(Sampling.sampleHash($"doc_id") < thr)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 == expected)
+  }
+}
