@@ -1007,9 +1007,8 @@ FROM (
       Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)),
     "doc_minhash_clusters" -> ((s, d) =>
-      Dedup.clusterMembership(
-        Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
-          hashFn = Dedup.md5Seeded))),
+      Dedup.minhashClusters(Tables.documents(s, d), threshold = 0.3,
+        hashFn = Dedup.md5Seeded)),
     // the applied dedup: canonical-by-fingerprint minus minhash losers
     "doc_dedup_apply" -> ((s, d) =>
       Dedup.dedupedCorpus(Tables.documents(s, d), threshold = 0.3,

@@ -106,7 +106,16 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
                       k: Int = 16, bands: Int = 4, ngram: Int = 3,
-                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
+                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
+    minhashPairsRaw(docs, threshold, k, bands, ngram, hashFn)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashNearDups]] without the presentation sort (cluster-mode
+    * and dedup-apply input — see [[simhashPairsRaw]]).
+    */
+  private def minhashPairsRaw(docs: DataFrame, threshold: Double,
+      k: Int, bands: Int, ngram: Int,
+      hashFn: (Int, Column) => Column): DataFrame = {
     val rowsPerBand = k / bands
     // Stage 1: signatures via explode + hash-aggregate — one pass over
     // the shingle stream with map-side partial min() per seed. This
@@ -144,7 +153,6 @@ object Dedup {
             lit(1.0)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash: 64-bit sketch — per token-hash bit, sum +1/-1 weights,
@@ -206,7 +214,8 @@ object Dedup {
     // one within docs — computing over docs keeps the minhash lineage
     // on raw scans while the semi-joins (tiny pair set) apply the
     // restriction exactly
-    val pairs = minhashNearDups(docs, threshold, hashFn = hashFn)
+    val pairs = minhashPairsRaw(docs, threshold, k = 16, bands = 4,
+      ngram = 3, hashFn = hashFn)
     val losers = pairs
       .join(canonIds.withColumnRenamed("doc_id", "doc_a"),
         Seq("doc_a"), "left_semi")
@@ -358,7 +367,16 @@ object Dedup {
     */
   def jaccardNearDups(docs: DataFrame, ngram: Int = 3,
                       minJaccard: Double = 0.3,
-                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame = {
+                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
+    jaccardPairsRaw(docs, ngram, minJaccard, hashFn)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[jaccardNearDups]] without the presentation sort (cluster-mode
+    * input — see [[simhashPairsRaw]]).
+    */
+  private def jaccardPairsRaw(docs: DataFrame, ngram: Int,
+      minJaccard: Double,
+      hashFn: (Int, Column) => Column): DataFrame = {
     val (num, den) = asRational(minJaccard)
     // ONE hashed frame feeds both the candidate stage and the verify
     // joins (the two verify sides canonicalize to the same broadcast,
@@ -376,7 +394,6 @@ object Dedup {
             size(col("sh_b")).cast("long") - inter).cast("double"),
             lit(1.0)), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-duplicate pairs via Hamming-band blocking (the
@@ -390,7 +407,18 @@ object Dedup {
     * each returned pair carries its exact Hamming distance.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-                      bands: Int = 4, bits: Int = 60): DataFrame = {
+                      bands: Int = 4, bits: Int = 60): DataFrame =
+    simhashPairsRaw(docs, maxHamming, bands, bits)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[simhashNearDups]] without the presentation sort — the form the
+    * cluster mode consumes (a global range-sort of the pair stream
+    * would be pure waste ahead of the CC shuffle). The Hamming filter
+    * runs BEFORE the pair dedup so the dedup shuffle carries only true
+    * pairs (×bands multiplicity), not every candidate.
+    */
+  private def simhashPairsRaw(docs: DataFrame, maxHamming: Int,
+                              bands: Int, bits: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole soundness needs maxHamming ($maxHamming) < bands ($bands)")
     require(bits % bands == 0, "bands must divide the sketch width")
@@ -411,9 +439,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Cluster-representative mode for the near-dup pair operators:
@@ -440,9 +467,12 @@ object Dedup {
   def clusterMembership(pairs: DataFrame, aCol: String = "doc_a",
                         bCol: String = "doc_b",
                         maxIter: Int = 40): DataFrame = {
+    // no distinct(): min-label propagation is insensitive to duplicate
+    // edges (min over repeats is the same min), and the pair operators
+    // already emit deduplicated pairs — a dedup here would only add a
+    // full shuffle of the edge stream
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .localCheckpoint(true) // the pair lineage (prefix join / banding) is heavy — cut it once
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
@@ -501,12 +531,19 @@ object Dedup {
   def jaccardClusters(docs: DataFrame, ngram: Int = 3,
                       minJaccard: Double = 0.3,
                       hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
-    clusterMembership(jaccardNearDups(docs, ngram, minJaccard, hashFn))
+    clusterMembership(jaccardPairsRaw(docs, ngram, minJaccard, hashFn))
 
   /** [[simhashNearDups]] in cluster-representative mode. */
   def simhashClusters(docs: DataFrame, maxHamming: Int = 3,
                       bands: Int = 4, bits: Int = 60): DataFrame =
-    clusterMembership(simhashNearDups(docs, maxHamming, bands, bits))
+    clusterMembership(simhashPairsRaw(docs, maxHamming, bands, bits))
+
+  /** [[minhashNearDups]] in cluster-representative mode. */
+  def minhashClusters(docs: DataFrame, threshold: Double = 0.5,
+                      k: Int = 16, bands: Int = 4, ngram: Int = 3,
+                      hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
+    clusterMembership(
+      minhashPairsRaw(docs, threshold, k, bands, ngram, hashFn))
 
   /** Exact n-gram Jaccard between all pairs within a caller-supplied
     * blocking key — the verification stage after LSH candidate

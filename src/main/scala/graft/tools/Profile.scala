@@ -27,6 +27,14 @@ object Profile {
     val ev = Tables.events(spark, d)
     time("events scan")(ev)
     time("events + sqlText")(ev.withColumn("sql", Tables.sqlTextFromEvent()))
+    if (args.nonEmpty) {
+      // time named SparkEntry queries instead of the fixed battery
+      args.foreach { name =>
+        time(name)(graft.SparkEntry.queries(name)(spark, d))
+      }
+      spark.stop()
+      return
+    }
     val act = Tables.activity(spark, d)
     time("activity view")(act)
     time("activity no-hash")(act.drop("query_hash"))
