@@ -1040,6 +1040,13 @@ FROM (
     }),
     "emb_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // ANN quality dial: recall@10 of the LSH result vs brute force
+    "emb_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.lshTopK(emb, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // cold path: per-call training (index-build cost made visible)
     "emb_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
@@ -1756,6 +1763,46 @@ ORDER BY c.doc_id"""),
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""
+    },
+
+    // recall@10 — the LSH and brute-force top-10 CTEs replayed with
+    // the same scoring/ranking as their own oracles, intersected
+    "emb_lsh_recall" -> {
+      s"""WITH b AS (
+  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+    ${normSql("embedding")} AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm, bucket
+  FROM b WHERE vec_id IN (0, 1, 2)
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM (
+      SELECT q.query_id, e.vec_id,
+        round(${dotSql("e.embedding", "q.qe")} / (e.norm * q.qnorm), 4) AS cos_sim
+      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ) WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM (
+      SELECT q.query_id, e.vec_id,
+        round(${dotSql("e.embedding", "q.qe")} / (e.norm * q.qnorm), 4) AS cos_sim
+      FROM b e, q WHERE e.vec_id <> q.query_id
+    ) WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+  CAST(count(l.vec_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM brute x LEFT JOIN lsh l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id"""
     },
 
     "emb_near_dups" -> {

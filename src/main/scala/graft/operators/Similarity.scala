@@ -456,6 +456,27 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Recall@k of an approximate kNN result against the exact one —
+    * the quality dial for tuning LSH planes / IVF nprobe in
+    * production. Both inputs carry (query_id, vec_id) rows (ranks
+    * beyond the caller's k already cut); per query, `recall` =
+    * |approx ∩ exact| / |exact|. Pure composition: a semi-join on the
+    * (small) result sets plus two tiny aggregations.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select(col("query_id"), col("vec_id"))
+      .join(exact.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("expected"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("expected"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("expected"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
     * exceeds a threshold, blocked by LSH bucket to avoid O(n²).
     */

@@ -460,6 +460,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaIndex == oneShot && viaIndex.nonEmpty)
   }
 
+  test("recallAtK: intersection over exact size; missing queries recall 0") {
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((0L, 1L), (0L, 3L), (0L, 9L), (1L, 4L))
+      .toDF("query_id", "vec_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 3L, 0.6667), (1L, 1L, 1L, 1.0)))
+    val none = Similarity.recallAtK(
+      Seq((0L, 9L)).toDF("query_id", "vec_id"), exact)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(none == Seq((0L, 0L, 3L, 0.0), (1L, 0L, 1L, 0.0)))
+  }
+
   test("ensureIvfIndex: warehouse-rooted default, custom root, build-once guard") {
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val src = sf("sf0.001") + "/embeddings.parquet"
