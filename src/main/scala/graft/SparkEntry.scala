@@ -976,6 +976,9 @@ FROM (
         docs.filter(col("doc_id") % 29 === 0),
         n = 8, hashFn = Dedup.md5Seeded)
     }),
+    // Gopher-style within-doc n-gram repetition (quality filter)
+    "doc_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(Tables.documents(s, d))),
     // deterministic hash-threshold splits / mixture sampling — the
     // same rows every run, any partitioning, replayed by the oracle
     "doc_split_assign" -> ((s, d) =>
@@ -1681,6 +1684,22 @@ SELECT doc_id, count(*) AS matched_ngrams,
 FROM train WHERE h IN (SELECT h FROM bench)
 GROUP BY doc_id ORDER BY doc_id"""
     },
+
+    "doc_repetition" ->
+      """WITH g AS (
+  SELECT doc_id,
+    list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
+      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 3]) AS gs
+  FROM documents
+)
+SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
+  CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_ngrams,
+  CASE WHEN len(gs) = 0 THEN 0.0
+       ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 4)
+  END AS repetition_ratio
+FROM g ORDER BY doc_id""",
 
     "doc_split_assign" -> {
       val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"

@@ -146,6 +146,28 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Within-document n-gram repetition — the Gopher-style quality
+    * signal (Rae et al. 2021, App. A1.1: "fraction of duplicate
+    * n-grams") that catches boilerplate/listicle/keyword-stuffed docs
+    * exact-dedup cannot: `repetition_ratio` = 1 − distinct/total
+    * n-grams (0 = no repetition). Pure per-row Column math — scales
+    * like the rest of the profile (scan-local, zero shuffle).
+    */
+  def repetitionSignals(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = Dedup.shingles(col("text"), n)
+    docs
+      .withColumn("n_ngrams", size(grams).cast("long"))
+      .withColumn("distinct_ngrams",
+        size(array_distinct(grams)).cast("long"))
+      .select(col("doc_id"), col("n_ngrams"), col("distinct_ngrams"),
+        when(col("n_ngrams") === 0L, lit(0.0)) // too short to repeat
+          .otherwise(round(lit(1.0) -
+            col("distinct_ngrams").cast("double") /
+              col("n_ngrams").cast("double"), 4))
+          .as("repetition_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the standard LLM-pipeline check that
     * no training document leaks an evaluation set's content (cf. the
     * 13-gram overlap filters of GPT-3 §5 / PaLM App. C): flag every

@@ -503,6 +503,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Similarity.ivfSearchIndexed(spark, dir, qvecs).count() > 0)
   }
 
+  test("repetitionSignals: periodic text scores high, unique text 0, short text 0") {
+    val periodic = Seq.fill(5)("spam spam spam wow").mkString(" ") // 20 toks, 18 grams, 4 distinct
+    val unique = (1 to 20).map(i => s"u$i").mkString(" ")
+    val got = TextOps.repetitionSignals(
+      Seq((1L, periodic), (2L, unique), (3L, "a b")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 18L, 4L, 0.7778),
+      (2L, 18L, 18L, 0.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
   test("contamination flags training docs sharing an n-gram with the benchmark") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
