@@ -140,8 +140,7 @@ object SparkEntry {
     * Detect so the two sides cannot drift. `fw` holds the first-match
     * row per activity in (priority, rule_id) order.
     */
-  private def rulesCteOf(seed: Seq[(Int, String, String, String, String,
-      Int, Option[String], Option[String], Boolean)]): String = {
+  private def rulesCteOf(seed: Seq[Detect.RuleSeed]): String = {
     val rows = seed.map {
       case (id, pat, desc, mt, action, pri, u, ip, active) =>
         def opt(v: Option[String]) =
@@ -1037,7 +1036,7 @@ FROM (
     // component, unclustered docs untouched
     "doc_cluster_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.dedupByClusters(docs, Dedup.simhashClusters(docs))
+      Dedup.dedupByClusters(docs, Dedup.simhashClustersRaw(docs))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),

@@ -466,7 +466,17 @@ object Dedup {
     */
   def clusterMembership(pairs: DataFrame, aCol: String = "doc_a",
                         bCol: String = "doc_b",
-                        maxIter: Int = 40): DataFrame = {
+                        maxIter: Int = 40): DataFrame =
+    clusterMembershipRaw(pairs, aCol, bCol, maxIter)
+      .orderBy(col("doc_id"))
+
+  /** [[clusterMembership]] without the presentation sort — the form
+    * consumers like [[dedupByClusters]] should join against (the sort
+    * would be discarded by the very next shuffle).
+    */
+  private[graft] def clusterMembershipRaw(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 40): DataFrame = {
     // no distinct(): min-label propagation is insensitive to duplicate
     // edges (min over repeats is the same min), and the pair operators
     // already emit deduplicated pairs — a dedup here would only add a
@@ -512,8 +522,14 @@ object Dedup {
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
+
+  /** [[simhashClusters]] membership without the presentation sort —
+    * the apply-step ([[dedupByClusters]]) input.
+    */
+  private[graft] def simhashClustersRaw(docs: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4, bits: Int = 60): DataFrame =
+    clusterMembershipRaw(simhashPairsRaw(docs, maxHamming, bands, bits))
 
   /** The apply step over cluster membership: drop every non-canonical
     * cluster member (doc_id ≠ cluster_id), keep canonicals and

@@ -129,8 +129,13 @@ object Detect {
     * priority-tie semantics the reference matcher honors
     * (app.py:826-841).
     */
-  val FirewallRuleSeed: Seq[(Int, String, String, String, String, Int,
-      Option[String], Option[String], Boolean)] = {
+  /** One firewall seed row: (rule_id, pattern, description, match_type,
+    * action, priority, applies_to_user, applies_to_ip, is_active).
+    */
+  type RuleSeed = (Int, String, String, String, String, Int,
+      Option[String], Option[String], Boolean)
+
+  val FirewallRuleSeed: Seq[RuleSeed] = {
     val none: Option[String] = None
     Seq(
       (1, "union select", "SQL Injection - UNION", "contains", "block", 1, none, none, true),
@@ -162,8 +167,7 @@ object Detect {
     * the 13-rule [[FirewallRuleSeed]] fixture stays as the
     * scoping/case/tie-break semantics oracle.
     */
-  val ReferenceFirewallSeed: Seq[(Int, String, String, String, String, Int,
-      Option[String], Option[String], Boolean)] = {
+  val ReferenceFirewallSeed: Seq[RuleSeed] = {
     val none: Option[String] = None
     Seq(
       (1, "union.*select", "SQL Injection - UNION", "regex", "block", 10, none, none, true),
@@ -176,8 +180,7 @@ object Detect {
   }
 
   private def seedToDf(spark: SparkSession,
-      seed: Seq[(Int, String, String, String, String, Int,
-        Option[String], Option[String], Boolean)]): DataFrame = {
+      seed: Seq[RuleSeed]): DataFrame = {
     import spark.implicits._
     seed.toDF("rule_id", "pattern", "description", "match_type", "action",
       "priority", "applies_to_user", "applies_to_ip", "is_active")

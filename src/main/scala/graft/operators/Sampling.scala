@@ -49,6 +49,9 @@ object Sampling {
     */
   def withSplit(df: DataFrame, keyCol: String, valFrac: Double = 0.01,
                 testFrac: Double = 0.01, seed: Int = 0): DataFrame = {
+    require(valFrac + testFrac <= 1.0,
+      s"val + test fractions exceed 1.0 ($valFrac + $testFrac) — " +
+        "the train split would be silently empty")
     val h = sampleHash(col(keyCol), seed)
     val tVal = thresholdFor(valFrac)
     val tTest = tVal + thresholdFor(testFrac)

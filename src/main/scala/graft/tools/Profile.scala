@@ -24,9 +24,6 @@ object Profile {
       f.write.format("noop").mode("overwrite").save()
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val ev = Tables.events(spark, d)
-    time("events scan")(ev)
-    time("events + sqlText")(ev.withColumn("sql", Tables.sqlTextFromEvent()))
     if (args.nonEmpty) {
       // time named SparkEntry queries instead of the fixed battery
       args.foreach { name =>
@@ -35,6 +32,9 @@ object Profile {
       spark.stop()
       return
     }
+    val ev = Tables.events(spark, d)
+    time("events scan")(ev)
+    time("events + sqlText")(ev.withColumn("sql", Tables.sqlTextFromEvent()))
     val act = Tables.activity(spark, d)
     time("activity view")(act)
     time("activity no-hash")(act.drop("query_hash"))
