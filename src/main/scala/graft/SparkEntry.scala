@@ -324,8 +324,13 @@ object SparkEntry {
     * same centroids with unrolled iteration CTEs and replays the
     * nprobe search — nothing about IVF stays engine-specific.
     */
-  private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
-                           dim: Int, queryIds: Seq[Long]): String = {
+  /** The deterministic-k-means IVF replay up to the probe-scored CTE
+    * `scored(query_id, vec_id, cos_sim)`; `nn(vec_id, embedding,
+    * norm)` is also exposed for consumers needing the exact norms
+    * (the recall oracle's brute-force side).
+    */
+  private def ivfScoredCtes(nlist: Int, nprobe: Int, iters: Int,
+                            dim: Int, queryIds: Seq[Long]): String = {
     val qIn = queryIds.mkString(", ")
     val init =
       s"""c0 AS (
@@ -380,11 +385,15 @@ nn AS (
     round(${dotSql("nn.embedding", "qp.qe")} / (nn.norm * qp.qnorm), 4) AS cos_sim
   FROM nn JOIN af ON af.vec_id = nn.vec_id
   JOIN qp ON qp.cid = af.cid AND nn.vec_id <> qp.query_id
-)
+)"""
+  }
+
+  private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
+                           dim: Int, queryIds: Seq[Long]): String =
+    ivfScoredCtes(nlist, nprobe, iters, dim, queryIds) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"""
-  }
 
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
@@ -1052,6 +1061,13 @@ FROM (
     // cold path: per-call training (index-build cost made visible)
     "emb_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // quality dial for nprobe: recall@10 of the pruned probe vs exact
+    "emb_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(emb, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // production read path: durable fingerprint-guarded index (built
     // once per source version), probed with caller-supplied query
     // vectors — here fetched from the BASE table (3 rows, pushed-down
@@ -1866,6 +1882,39 @@ ORDER BY d.doc_id"""),
     // (durable lists + pruned probe), not the answer
     "emb_ivf_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
+
+    // recall@10 of the pruned IVF probe vs exact brute force — the
+    // brute side reuses the same nn norms, so the only difference
+    // under measurement is the nprobe pruning
+    "emb_ivf_recall" -> (ivfScoredCtes(nlist = 16, nprobe = 2, iters = 3,
+      dim = 64, queryIds = Seq(0L, 1L, 2L)) + s"""
+, ivfk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+), bq AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm
+  FROM nn WHERE vec_id IN (0, 1, 2)
+), bscored AS (
+  SELECT bq.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "bq.qe")} / (nn.norm * bq.qnorm), 4) AS cos_sim
+  FROM nn, bq WHERE nn.vec_id <> bq.query_id
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM bscored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+  CAST(count(l.vec_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM brute x LEFT JOIN ivfk l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id"""),
 
     "emb_quant_error" ->
       """WITH q AS (
