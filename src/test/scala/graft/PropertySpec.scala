@@ -125,6 +125,47 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("clusterMembership equals reference union-find on random graphs") {
+    // reference: textbook union-find with path compression
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = min member: roots are minimal by the union rule
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(2, 40) // node-id domain
+      m <- Gen.choose(1, 60) // edge count (dups + self-pairs possible)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.filter(e => e._1 != e._2).distinct
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { edges =>
+      val expected = ufComponents(edges)
+      val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val got = graft.operators.Dedup.clusterMembership(
+        edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, cid, sz) => id -> ((cid, sz)) }.toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (id, root) =>
+        assert(got(id) == ((root, sizes(root))),
+          s"node $id: got ${got(id)}, want ($root, ${sizes(root)}) " +
+            s"on edges $edges")
+      }
+    }
+  }
+
   test("stats invariants on real data: failed ≤ total, Σ by-type ≤ total") {
     val act = graft.sources.Tables.activity(spark, sf("sf0.001"))
     val r = graft.operators.Analytics.stats(act).collect()(0)
