@@ -22,6 +22,14 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(counts("test") - 500L) < 80, s"test=${counts("test")}")
   }
 
+  test("withSplit rejects fractions that would empty the train split") {
+    intercept[IllegalArgumentException](
+      Sampling.withSplit(rows, "doc_id", valFrac = 0.6, testFrac = 0.6))
+    intercept[IllegalArgumentException](Sampling.thresholdFor(1.5))
+    assert(Sampling.thresholdFor(1.0) == Sampling.HashDomain)
+    assert(Sampling.thresholdFor(0.0) == 0L)
+  }
+
   test("sampling is reproducible and partitioning-invariant") {
     val a = Sampling.sampleByHash(rows, "doc_id", 0.2)
       .select($"doc_id").as[Long].collect().toSet
