@@ -215,6 +215,7 @@ object SparkEntry {
   SELECT *, $inj AS r5,
     $sensHit AS r6,
     (user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '0'
+      AND CAST(user_id AS VARCHAR) <> ''
       AND events_per_minute > 100) AS r8,
     $injLabel AS inj_label
   FROM en
@@ -310,6 +311,62 @@ object SparkEntry {
     (0 until 8).map { p =>
       s"(CASE WHEN ${planeProjSql(p, e)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", "\n      + ", ")")
+
+  /** Clone-id offset of the planted near-dup corpus (declared BEFORE
+    * [[PlantedNearDupCtes]] — object-init order makes a later val read
+    * as 0 here).
+    */
+  private val PlantedIdBase = 1000000L
+
+  /** Band `b`'s packed r sign bits (Similarity.signBandCols). */
+  private def bandValSql(e: String, b: Int, r: Int): String =
+    (0 until r).map { j =>
+      s"(CASE WHEN ${planeProjSql(b * r + j, e)} >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+
+  /** Shared replay of the planted near-dup corpus + the banded
+    * OR-amplified blocking (plantedEmbeddings +
+    * Similarity.embeddingNearDups at planes = 36, bands = 6): ends
+    * with `nn(vec_id, embedding, norm)` and `banded(vec_a, vec_b,
+    * cos_sim)` — the verified candidate pairs.
+    */
+  private val PlantedNearDupCtes: String = {
+    val bands = 6
+    val r = 6
+    val sigCols = (0 until bands)
+      .map(b => s"${bandValSql("embedding", b, r)} AS bv$b")
+      .mkString(",\n    ")
+    val unpivot = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, bv$b AS bv FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""pe AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT a.vec_id + $PlantedIdBase AS vec_id,
+    list_transform(list_zip(a.embedding, b.embedding),
+      s -> CAST(CAST(s[1] AS DOUBLE) + 0.25 * CAST(s[2] AS DOUBLE) AS FLOAT)) AS embedding
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 25 = 0
+), nn AS MATERIALIZED (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM pe
+), sigs AS MATERIALIZED (
+  SELECT vec_id,
+    $sigCols
+  FROM pe
+), bv AS (
+  $unpivot
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bv x JOIN bv y
+    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
+), banded AS (
+  SELECT c.vec_a, c.vec_b,
+    round(${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm), 4) AS cos_sim
+  FROM cand c
+  JOIN nn ea ON ea.vec_id = c.vec_a
+  JOIN nn eb ON eb.vec_id = c.vec_b
+)"""
+  }
 
   /** Squared L2 between a list expr and a centroid list expr — the
     * same sequential double fold as Similarity.sqDistTo.
@@ -585,6 +642,10 @@ banded AS (
   WHERE NOT EXISTS (
     SELECT 1 FROM j${rounds - 1} a JOIN j$rounds b USING (id)
     WHERE a.comp <> b.comp)
+), ccconv AS (
+  SELECT 1 AS ok WHERE NOT EXISTS (
+    SELECT 1 FROM j${rounds - 1} a JOIN j$rounds b USING (id)
+    WHERE a.comp <> b.comp)
 )""")
     sb.toString
   }
@@ -645,6 +706,32 @@ FROM (
     Tables.classifiedActivity(s, d)
 
   private val fmtTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Planted-near-dup embedding corpus for the emb_near_dups /
+    * emb_near_dup_recall fixtures: the synthetic embeddings are random
+    * noise with NO true near-duplicates (max natural pair cosine
+    * ≈ 0.51), so the fixture plants them — every 25th vector gets a
+    * clone at id + [[PlantedIdBase]] mixed 4:1 with its successor
+    * (cosine ≈ 0.97, exactly replayable: double arithmetic then one
+    * float32 round, identical IEEE ops in both engines). The corpus is
+    * subset to every 5th vector (+ clones) to keep the DuckDB replay
+    * of the candidate stage within the parity budget; the operator
+    * itself is corpus-size-agnostic.
+    */
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val nxt = base.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val clones = base
+      .filter(col("vec_id") % 25 === 0)
+      .join(nxt, col("vec_id") + 1 === col("nid"))
+      .select((col("vec_id") + lit(PlantedIdBase)).as("vec_id"),
+        zip_with(col("embedding"), col("ne"), (x, y) =>
+          (x.cast("double") + lit(0.25) * y.cast("double")).cast("float"))
+          .as("embedding"))
+    base.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(clones)
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -987,6 +1074,10 @@ FROM (
     // Gopher-style within-doc n-gram repetition (quality filter)
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d))),
+    // the full Gopher rule battery (word/symbol/line/alpha signals +
+    // integer-exact pass flag) rounding out the repetition signal
+    "doc_quality_gopher" -> ((s, d) =>
+      TextOps.gopherQuality(Tables.documents(s, d))),
     // deterministic hash-threshold splits / mixture sampling — the
     // same rows every run, any partitioning, replayed by the oracle
     "doc_split_assign" -> ((s, d) =>
@@ -1027,11 +1118,17 @@ FROM (
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // ---- Spark-native sketch (no SQL oracle: the SimHash64 Catalyst
-    //      expression is xxhash64-based; rows-only check) ----
+    // ---- Spark-native sketch: the xxhash64-family SimHash64
+    //      expression can't be replayed in DuckDB, so the checkable
+    //      surface is the AGREEMENT between the native expression and
+    //      the independent in-Spark compositional formulation — the
+    //      oracle pins n_agree = n_docs = count(*), so any native/
+    //      composed drift flips the hash gate (round-4 verdict #4) ----
     "doc_simhash" -> ((s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))),
+      .select((Dedup.simhash(col("text")) ===
+        Dedup.simhashComposed(col("text"))).as("agree"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("agree"), 1)).as("n_agree"))),
     // oracle-replayable variant over the md5-seeded 60-bit family
     "doc_simhash_portable" -> ((s, d) =>
       Dedup.simhashPortable(Tables.documents(s, d))),
@@ -1082,8 +1179,19 @@ FROM (
         .collect().toSeq.sortBy(_._1)
       Similarity.ivfSearchIndexed(s, idx, qvecs)
     }),
+    // banded OR-amplified near-dup blocking over a PLANTED corpus: the
+    // synthetic embeddings are random noise (max natural pair cosine
+    // ≈ 0.51 — no true near-dups exist to find), so the query plants
+    // deterministic clones (x + 0.25·next(x), replayed exactly by the
+    // oracle) and runs the operator at a real near-dup threshold
     "emb_near_dups" -> ((s, d) =>
-      Similarity.embeddingNearDups(Tables.embeddings(s, d), minCos = 0.35)),
+      Similarity.embeddingNearDups(plantedEmbeddings(s, d), minCos = 0.9)),
+    // measured pair recall of the banded blocker vs exact brute force
+    // (anchored on the planted clones — the truth set is linear): the
+    // round-4 lossy-blocking finding's answer, as a checked row
+    "emb_near_dup_recall" -> ((s, d) =>
+      Similarity.nearDupPairRecall(plantedEmbeddings(s, d),
+        col("vec_id") >= PlantedIdBase, minCos = 0.9)),
     // int8 scalar quantization error profile (embedding compression
     // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
     "emb_quant_error" -> ((s, d) =>
@@ -1716,6 +1824,49 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
   END AS repetition_ratio
 FROM g ORDER BY doc_id""",
 
+    "doc_quality_gopher" ->
+      """WITH g AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\s+') AS toks,
+    string_split(text, chr(10)) AS lns,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols,
+    list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
+      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
+           string_split_regex(trim(text), '\s+')[i + 3]) AS gs
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    n_symbols,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(gs) AS BIGINT) AS n_ngrams,
+    CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_ngrams
+  FROM g
+)
+SELECT doc_id, n_words,
+  round(CAST(sum_word_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+  round(CAST(n_symbols AS DOUBLE) / n_words, 4) AS symbol_word_ratio,
+  round(CAST(n_bullet_lines AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
+  round(CAST(n_ellipsis_lines AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac,
+  round(CAST(n_alpha_words AS DOUBLE) / n_words, 4) AS alpha_word_frac,
+  CASE WHEN n_ngrams = 0 THEN 0.0
+       ELSE round(1.0 - CAST(n_distinct_ngrams AS DOUBLE) / n_ngrams, 4)
+  END AS repetition_ratio,
+  (n_words >= 50 AND n_words <= 100000
+    AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+    AND 10 * n_symbols <= n_words
+    AND 10 * n_bullet_lines <= 9 * n_lines
+    AND 10 * n_ellipsis_lines <= 3 * n_lines
+    AND 5 * n_alpha_words >= 4 * n_words) AS gopher_pass
+FROM m ORDER BY doc_id""",
+
     "doc_split_assign" -> {
       val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
       val tVal = Sampling.thresholdFor(0.01)
@@ -1840,19 +1991,41 @@ GROUP BY x.query_id ORDER BY x.query_id"""
     },
 
     "emb_near_dups" -> {
-      s"""WITH b AS (
-  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
-    ${normSql("embedding")} AS norm
-  FROM embeddings
-), p AS (
-  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-    round(${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm), 4) AS cos_sim
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-)
-SELECT vec_a, vec_b, cos_sim FROM p
-WHERE cos_sim >= 0.35 AND NOT isnan(cos_sim)
+      s"""WITH $PlantedNearDupCtes
+SELECT vec_a, vec_b, cos_sim FROM banded
+WHERE cos_sim >= 0.9 AND NOT isnan(cos_sim)
 ORDER BY vec_a, vec_b"""
     },
+
+    // pair recall of the banded blocker vs exact brute force anchored
+    // on the planted clones — both rankings fully replayed, so the
+    // recall VALUE (not just the blocking) is cross-engine checked
+    "emb_near_dup_recall" -> {
+      s"""WITH $PlantedNearDupCtes, apx AS (
+  SELECT vec_a, vec_b FROM banded
+  WHERE cos_sim >= 0.9 AND NOT isnan(cos_sim)
+), anch AS (
+  SELECT vec_id, embedding, norm FROM nn WHERE vec_id >= $PlantedIdBase
+), exact AS (
+  SELECT DISTINCT least(e.vec_id, q.vec_id) AS vec_a,
+    greatest(e.vec_id, q.vec_id) AS vec_b,
+    round(${dotSql("e.embedding", "q.embedding")} / (e.norm * q.norm), 4) AS cos_sim
+  FROM nn e CROSS JOIN anch q WHERE e.vec_id <> q.vec_id
+), ef AS (
+  SELECT vec_a, vec_b FROM exact
+  WHERE cos_sim >= 0.9 AND NOT isnan(cos_sim)
+)
+SELECT CAST(count(a.vec_a) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(a.vec_a) AS DOUBLE) / greatest(count(*), 1), 4) AS recall
+FROM ef x LEFT JOIN apx a ON a.vec_a = x.vec_a AND a.vec_b = x.vec_b"""
+    },
+
+    // native-vs-composed agreement: both sides are Spark-computed, the
+    // oracle pins the contract (every sketch agrees) — a checked row
+    // without a DuckDB xxhash64 replay
+    "doc_simhash" ->
+      "SELECT count(*) AS n_docs, count(*) AS n_agree FROM documents",
 
     "doc_simhash_portable" -> (s"WITH $SimhashSketchCtes\n" +
       "SELECT doc_id, simhash FROM sk ORDER BY doc_id"),
@@ -1868,10 +2041,15 @@ ORDER BY doc_a, doc_b"""),
       clusterMembershipSql(
         "SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3")),
 
+    // CROSS JOIN ccconv: an unconverged CC labeling empties ccm, and a
+    // bare NOT IN over an empty set would return the FULL corpus — a
+    // plausible-looking wrong answer. The 0-or-1-row convergence
+    // sentinel makes that case emit zero rows, as loudly as the
+    // membership oracle's own guard (round-4 advisor).
     "doc_cluster_dedup" -> (s"WITH $SimhashPairsCtes" +
       clusterCtesSql("SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3") +
       """
-SELECT d.doc_id, d.source, d.n_chars FROM documents d
+SELECT d.doc_id, d.source, d.n_chars FROM documents d CROSS JOIN ccconv
 WHERE d.doc_id NOT IN (SELECT id FROM ccm WHERE id <> comp)
 ORDER BY d.doc_id"""),
 

@@ -278,7 +278,12 @@ object Detect {
     val r8 = keyTruthy && col("events_per_minute") > rateThreshold
 
     val ord = severityOrdinal(r1, r2, r3, r4, r5, r6, r7, r8)
-    val anyFired = Seq(r1, r2, r3, r4, r5, r6, r7, r8).reduce(_ || _)
+    // each rule coalesced to false: r5/r6 are NULL on a NULL
+    // operation_details, and a null-propagating OR chain would emit
+    // is_suspicious = NULL where the reference's `if a[...]` guards
+    // leave the row plainly not-suspicious (round-4 advisor)
+    val anyFired = Seq(r1, r2, r3, r4, r5, r6, r7, r8)
+      .map(r => coalesce(r, lit(false))).reduce(_ || _)
     // reference reason strings in rule order (app.py:354-403); the
     // sensitive-column rule appends one reason per matched column in
     // SENSITIVE_COLUMNS order

@@ -477,26 +477,116 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
-    * exceeds a threshold, blocked by LSH bucket to avoid O(n²).
+  /** Per-band sign-bit values for OR-amplified LSH blocking: `planes`
+    * fixed hyperplanes ([[hyperplane]]) split into `bands` groups of
+    * r = planes/bands sign bits; band b's value packs its r bits into
+    * one int. Scan-local per-row column math.
     */
-  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.95,
-                        planes: Int = 8): DataFrame = {
-    val bucketed = embeddings
-      .withColumn("bucket", lshBucket(col("embedding"), planes))
-      .select(col("vec_id"), col("embedding"), col("bucket"),
-        l2norm(col("embedding")).as("norm"))
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
+  private[graft] def signBandCols(vec: Column, planes: Int, bands: Int,
+                                  dim: Int = 64): Seq[Column] = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    (0 until bands).map { b =>
+      (0 until r).map { j =>
+        val plane = hyperplane(b * r + j, dim)
+        val proj = aggregate(
+          zip_with(vec, typedlit(plane), (x, w) =>
+            coalesce(x.cast("double") * w, lit(0.0))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
+    * exceeds a threshold, candidate-blocked by BANDED sign-LSH with
+    * OR-amplification — the same AND-then-OR construction as the
+    * minhash/simhash dedup paths ([[Dedup.minhashNearDups]] /
+    * [[Dedup.simhashNearDups]]): a pair is a candidate iff it agrees
+    * EXACTLY on at least one of `bands` bands of r = planes/bands sign
+    * bits, then candidates (deduped BEFORE the expensive exact-cosine
+    * verification) are verified exactly.
+    *
+    * Recall model (sign-LSH: per-plane agreement p = 1 − θ/π): a pair
+    * at cosine c is found with probability 1 − (1 − p^r)^bands. At the
+    * defaults (r = 6, bands = 6) that is ≈ 0.95 at c = 0.90 and
+    * ≈ 0.997 at c = 0.97, while an uncorrelated pair (p ≈ ½) survives
+    * a band with probability 2^−6 — candidate volume ≈
+    * bands/2^r ≈ 9% of the pair space on worst-case (fully random)
+    * data, and proportionally less on real corpora where near-dup
+    * mass is concentrated. The round-4 single-bucket blocker (ALL 8
+    * planes must agree, no OR) found ≈ p^8 of true pairs — ~2% at the
+    * old 0.35 threshold — with no way to trade candidates for recall;
+    * raising `bands` (at fixed r) now buys recall linearly in
+    * candidate volume. Measured recall: [[nearDupPairRecall]] (the
+    * production dial) and the planted-corpus brute-force spec.
+    *
+    * All stages are linear in corpus size + candidate volume: the band
+    * signature is scan-local, the candidate join is an equi-join on
+    * (band, value), and verification touches candidates only.
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.9,
+                        planes: Int = 36, bands: Int = 6): DataFrame = {
+    val bvs = signBandCols(col("embedding"), planes, bands)
+    val banded = embeddings.select(col("vec_id"),
+      explode(array(bvs.zipWithIndex.map { case (bv, b) =>
+        struct(lit(b).as("band"), bv.as("bv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    // candidate ids deduped FIRST (×bands multiplicity collapses on two
+    // longs), so the 64-dim exact cosine runs once per candidate pair
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val sides = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    cand
+      .join(sides.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm").as("na")), "vec_a")
+      .join(sides.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
       // NaN explicitly excluded: Spark's `>=` treats NaN as LARGER
       // than any number, so a zero-norm pair would otherwise pass the
       // threshold here while the oracle filters it (same isnan guard)
       .filter(col("cos_sim") >= minCos && !isnan(col("cos_sim")))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Measured pair recall of [[embeddingNearDups]] against exact brute
+    * force, restricted to pairs touching an anchor subset
+    * (`anchorPred`) so the exact side stays LINEAR (|anchors| ×
+    * corpus, never corpus²) — the production dial for tuning
+    * planes/bands, the pair-space analog of [[recallAtK]]. One summary
+    * row: (hits, expected, recall).
+    */
+  def nearDupPairRecall(embeddings: DataFrame, anchorPred: Column,
+                        minCos: Double = 0.9, planes: Int = 36,
+                        bands: Int = 6): DataFrame = {
+    val approx = embeddingNearDups(embeddings, minCos, planes, bands)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("__hit"))
+    val sides = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val anchors = sides.filter(anchorPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val exact = sides.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(least(col("vec_id"), col("qid")).as("vec_a"),
+        greatest(col("vec_id"), col("qid")).as("vec_b"),
+        round(dot(col("embedding"), col("qe")) /
+          (col("norm") * col("qn")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos && !isnan(col("cos_sim")))
+      .dropDuplicates("vec_a", "vec_b")
+    exact.join(approx, Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("expected"), count(col("__hit")).as("hits"))
+      .select(col("hits"), col("expected"),
+        round(col("hits").cast("double") /
+          greatest(col("expected"), lit(1L)).cast("double"), 4).as("recall"))
   }
 }

@@ -168,6 +168,77 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The Gopher document-quality battery (Rae et al. 2021, App. A1.1)
+    * rounding out [[repetitionSignals]]: per doc, mean word length,
+    * symbol-to-word ratio (hash marks + `...`/`…` ellipses), the
+    * fraction of lines starting with a bullet / ending in an ellipsis,
+    * the fraction of words containing an alphabetic character, the
+    * duplicate-3-gram fraction, and a composite `gopher_pass` flag.
+    *
+    * Parity discipline: every reported ratio is ONE double division of
+    * two integers (rounded once), and every `gopher_pass` bound is
+    * evaluated in INTEGER arithmetic (e.g. mean word length ∈ [3,10] as
+    * 3·n ≤ Σlen ≤ 10·n) — no float-sum association to drift between
+    * engines. Pure per-row Column math: scan-local, zero shuffle,
+    * linear in corpus bytes at 100 TB. The repetition signal is
+    * reported but kept OUT of the flag: Rae et al. bound duplicate
+    * fractions per n-gram size with distinct thresholds, and this
+    * profile carries only the 3-gram fraction.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val grams = Dedup.shingles(col("text"), 3)
+    val stage = docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(toks, lit(0L), (a, t) => a + length(t)))
+      .withColumn("n_alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      // '#' count + non-overlapping '...' runs + single-char ellipses;
+      // replace() is non-overlapping left-to-right in both engines
+      .withColumn("n_symbols",
+        (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long") +
+        ((length(col("text")) - length(expr("replace(text, '...', '')"))) / 3).cast("long") +
+        (length(col("text")) - length(expr("replace(text, '…', '')"))).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"))
+      .withColumn("n_ngrams", size(grams).cast("long"))
+      .withColumn("n_distinct_ngrams",
+        size(array_distinct(grams)).cast("long"))
+    stage.select(
+      col("doc_id"), col("n_words"),
+      round(col("sum_word_len").cast("double") / col("n_words"), 4)
+        .as("mean_word_len"),
+      round(col("n_symbols").cast("double") / col("n_words"), 4)
+        .as("symbol_word_ratio"),
+      round(col("n_bullet_lines").cast("double") / col("n_lines"), 4)
+        .as("bullet_line_frac"),
+      round(col("n_ellipsis_lines").cast("double") / col("n_lines"), 4)
+        .as("ellipsis_line_frac"),
+      round(col("n_alpha_words").cast("double") / col("n_words"), 4)
+        .as("alpha_word_frac"),
+      when(col("n_ngrams") === 0L, lit(0.0))
+        .otherwise(round(lit(1.0) -
+          col("n_distinct_ngrams").cast("double") /
+            col("n_ngrams").cast("double"), 4)).as("repetition_ratio"),
+      // the Gopher rule set, integer-exact: 50 ≤ words ≤ 100k; mean
+      // word length ∈ [3, 10]; symbol/word ≤ 0.1; bullet lines ≤ 90%;
+      // ellipsis lines ≤ 30%; alphabetic words ≥ 80%
+      (col("n_words") >= 50L && col("n_words") <= 100000L &&
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10L) * col("n_words") &&
+        lit(10L) * col("n_symbols") <= col("n_words") &&
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+        .as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the standard LLM-pipeline check that
     * no training document leaks an evaluation set's content (cf. the
     * 13-gram overlap filters of GPT-3 §5 / PaLM App. C): flag every

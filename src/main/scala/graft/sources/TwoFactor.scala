@@ -95,6 +95,24 @@ object TwoFactor {
     }
   }
 
+  /** Disable 2FA (reference app.py:811-812 via /api/v2/2fa/disable,
+    * app.py:1296-1300): unconditional `UPDATE user_2fa SET enabled=0`
+    * — the secret and confirmation stamp are PRESERVED, so a later
+    * [[confirm]] with a live code re-enables without re-enrollment.
+    * Returns whether an enrollment row existed (the reference endpoint
+    * reports success either way; the flag is for callers/tests).
+    */
+  def disable(spark: SparkSession, rootDir: String, userId: Long): Boolean = {
+    val dir = dirOf(rootDir)
+    Mutations.recoverSwap(spark, dir)
+    if (!hasUser(spark, dir, userId)) false
+    else {
+      Mutations.updateRows(spark, dir, col("user_id") === userId,
+        Map("enabled" -> lit(false)))
+      true
+    }
+  }
+
   /** Login-time check (reference app.py:805-810): a user without an
     * ENABLED enrollment passes; an enrolled user must present a valid
     * code within the ±1-step window.

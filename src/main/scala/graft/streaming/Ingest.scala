@@ -160,12 +160,33 @@ object Ingest {
     // cfg.rulesDir: re-resolve the dim per micro-batch with a FRESH
     // read (a captured DataFrame pins its file listing at creation, so
     // a swap-rewrite by FirewallAdmin would dangle); recoverSwap first
-    // in case an admin mutation crashed mid-swap
+    // in case an admin mutation crashed mid-swap. The snapshot is
+    // COLLECTED (the rule dim is a handful of rows — the reference
+    // holds it in process memory behind a 60 s TTL, app.py:819-827) so
+    // a concurrent swap-rewrite mid-batch cannot dangle the file
+    // listing, and a swap racing the read itself degrades to one retry
+    // and then to the previous batch's rule set instead of killing the
+    // stream (round-4 advisor).
+    var lastGoodRules: Option[DataFrame] = None
     def rulesFor(batchSession: SparkSession): DataFrame =
       cfg.rulesDir match {
         case Some(dir) =>
-          graft.sources.Mutations.recoverSwap(batchSession, dir)
-          batchSession.read.parquet(dir)
+          def snapshot(): DataFrame = {
+            graft.sources.Mutations.recoverSwap(batchSession, dir)
+            val df = batchSession.read.parquet(dir)
+            batchSession.createDataFrame(
+              java.util.Arrays.asList(df.collect(): _*), df.schema)
+          }
+          val fresh =
+            try Some(snapshot())
+            catch { case scala.util.control.NonFatal(_) =>
+              try Some(snapshot())
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          fresh match {
+            case Some(df) => lastGoodRules = Some(df); df
+            case None => lastGoodRules.getOrElse(staticRules)
+          }
         case None => staticRules
       }
     // dropDuplicatesWithinWatermark (not plain dropDuplicates): the

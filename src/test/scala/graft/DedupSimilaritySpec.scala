@@ -549,4 +549,92 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got._2 == 7L) // 6 words + '!'
     assert(got._3 == 0.3333)
   }
+
+  test("banded embedding near-dups: exact verification, measured recall vs brute force") {
+    // planted corpus: Gaussian base vectors plus low-noise clones of
+    // every 4th one (cosine ~0.995 — true near-dups); random 64-dim
+    // pairs sit near cos 0, so the truth set is exactly the clones
+    val rng = new scala.util.Random(19)
+    val dim = 64
+    val base = (0 until 120).map { i =>
+      (i.toLong, Array.fill(dim)((rng.nextGaussian() * 0.5).toFloat))
+    }
+    val clones = base.filter(_._1 % 4 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rng.nextGaussian() * 0.05).toFloat))
+    }
+    val all = base ++ clones
+    val corpus = all.toDF("vec_id", "embedding")
+    val banded = Similarity.embeddingNearDups(corpus, minCos = 0.9)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // blockless Scala brute force = ground truth (no pair within 1e-4
+    // of the threshold, so double cosine is decisive)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (a, va) <- all; (b, vb) <- all
+      if a < b && cos(va, vb) >= 0.9
+    } yield (a, b)).toSet
+    assert(brute.size == clones.size, "truth set should be exactly the planted pairs")
+    // exact verification => no false positives; OR-amplified banding
+    // (r=6, b=6) at cos~0.995 misses with prob ~3e-5 => recall ~1
+    assert(banded.subsetOf(brute))
+    val recall = banded.size.toDouble / brute.size
+    assert(recall >= 0.95, s"measured recall $recall below target")
+    // the production recall dial agrees with the Scala measurement
+    // (every true pair touches a clone, so anchoring on clones is the
+    // complete truth set)
+    assert(brute.forall { case (_, b) => b >= 1000L })
+    val row = Similarity.nearDupPairRecall(corpus,
+      col("vec_id") >= 1000L, minCos = 0.9).collect()(0)
+    assert(row.getAs[Long]("expected") == brute.size)
+    assert(row.getAs[Long]("hits") == banded.size)
+  }
+
+  test("gopher quality battery: each signal trips on its planted fixture") {
+    val good = (0 until 60).map(i => f"word$i%03d").mkString(" ")
+    val tiny = Seq.fill(60)("a").mkString(" ")
+    val huge = Seq.fill(60)("abcdefghijkl").mkString(" ")
+    val hashy = (0 until 60).map(i => f"word$i%03d#").mkString(" ")
+    val bullets = (0 until 10).map(i =>
+      s"- item$i alpha beta gamma delta epsilon").mkString("\n")
+    val dotted = (0 until 10).map(i =>
+      s"alpha$i beta gamma delta epsilon omega" +
+        (if (i < 4) "..." else "")).mkString("\n")
+    val numeric = ((0 until 30).map(i => f"word$i%03d") ++
+      Seq.fill(30)("12345")).mkString(" ")
+    val repeaty = Seq.fill(20)("rep one two").mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, "one two three"), (3L, tiny), (4L, huge),
+      (5L, hashy), (6L, bullets), (7L, dotted), (8L, numeric),
+      (9L, repeaty), (10L, "ab... cd\u2026 ef #")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def pass(id: Long) = rows(id).getAs[Boolean]("gopher_pass")
+    assert(pass(1L), "clean doc must pass")
+    assert(!pass(2L), "word-count bound")
+    assert(!pass(3L) && rows(3L).getAs[Double]("mean_word_len") == 1.0,
+      "short-word bound")
+    assert(!pass(4L) && rows(4L).getAs[Double]("mean_word_len") == 12.0,
+      "long-word bound")
+    assert(!pass(5L) &&
+      rows(5L).getAs[Double]("symbol_word_ratio") == 1.0, "symbol bound")
+    assert(!pass(6L) &&
+      rows(6L).getAs[Double]("bullet_line_frac") == 1.0, "bullet bound")
+    assert(!pass(7L) &&
+      rows(7L).getAs[Double]("ellipsis_line_frac") == 0.4, "ellipsis bound")
+    assert(!pass(8L) &&
+      rows(8L).getAs[Double]("alpha_word_frac") == 0.5, "alpha bound")
+    // repetition is REPORTED but not gated (per-n thresholds differ)
+    assert(pass(9L) && rows(9L).getAs[Double]("repetition_ratio") > 0.9)
+    // symbol accounting: one '...' run + one single-char ellipsis + one
+    // '#' over 4 words
+    assert(rows(10L).getAs[Double]("symbol_word_ratio") == 0.75)
+  }
 }

@@ -83,6 +83,22 @@ class TotpSpec extends SparkSpecBase {
     // a different, never-enrolled user passes (reference app.py:808)
     assert(TwoFactor.verify(spark, root, 99L, "junk", t0))
 
+    // disable (app.py:811-812): enabled=0, secret preserved — any code
+    // passes again, and a later confirm re-enables without re-setup
+    assert(TwoFactor.disable(spark, root, 7L))
+    assert(TwoFactor.verify(spark, root, 7L, "junk", t0))
+    val afterDisable = spark.read.parquet(s"$root/user_2fa")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 7L)
+      .collect()(0)
+    assert(!afterDisable.getAs[Boolean]("enabled"))
+    assert(afterDisable.getAs[String]("totp_secret") == secret)
+    assert(TwoFactor.confirm(spark, root, 7L, Totp.code(secret, t0), t0,
+      new Timestamp(t0)))
+    assert(!TwoFactor.verify(spark, root, 7L, "123456", t0))
+    // disabling a never-enrolled user reports no row (endpoint still
+    // answers success in the reference — the flag is informational)
+    assert(!TwoFactor.disable(spark, root, 99L))
+
     // re-setup rotates the secret and drops back to disabled
     val secret2 = Totp.secretFromSeed(43L)
     TwoFactor.setup(spark, root, 7L, "user7", secret2, created)
