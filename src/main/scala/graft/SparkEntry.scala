@@ -123,7 +123,12 @@ object SparkEntry {
     * Spark fixture. `abl` holds the ACTIVE entries (expires_at anchored
     * to the newest activity timestamp, app.py:334).
     */
-  private val BlacklistCtes: String = {
+  /** `src` = the activity-shaped relation the expiry filter anchors on
+    * (Detect.activeBlacklist anchors on the frame classify receives —
+    * `activity` for the batch oracles, the admitted micro-batch for
+    * the stream replay).
+    */
+  private def blacklistCtesOver(src: String): String = {
     val rows = Detect.BlacklistSeed.map { case (ip, _, exp) =>
       s"(${sqlQuote(ip)}, TIMESTAMP '$exp')"
     }.mkString(",\n  ")
@@ -131,9 +136,11 @@ object SparkEntry {
   $rows
 ), abl AS (
   SELECT ip_address FROM bl
-  WHERE expires_at > (SELECT max(access_timestamp) FROM activity)
+  WHERE expires_at > (SELECT max(access_timestamp) FROM $src)
 )"""
   }
+
+  private val BlacklistCtes: String = blacklistCtesOver("activity")
 
   /** Firewall rule dim + the reference match/scope/first-match
     * semantics (Detect.firewallMatch), generated from the seed seqs in
@@ -157,17 +164,23 @@ object SparkEntry {
   private val ReferenceRulesCte: String =
     rulesCteOf(Detect.ReferenceFirewallSeed)
 
-  private def matchedCteOf(rulesCte: String): String = {
+  /** `src`/`idCol`: the activity-shaped relation and its per-row key
+    * (the stream replay has no cross-engine activity_id — xxhash64 is
+    * engine-internal — so it partitions first-match on a synthesized
+    * row id instead).
+    */
+  private def matchedCteOf(rulesCte: String, src: String = "activity",
+                           idCol: String = "activity_id"): String = {
     s""", $rulesCte, fw AS (
   SELECT activity_id, username, ip_address, rule_id, description, action,
     priority, substr(operation_details, 1, 500) AS query_snippet,
     access_timestamp AS matched_at
   FROM (
-    SELECT a.activity_id, a.username, a.ip_address, a.operation_details,
+    SELECT a.$idCol AS activity_id, a.username, a.ip_address, a.operation_details,
       a.access_timestamp, r.rule_id, r.description, r.action, r.priority,
-      row_number() OVER (PARTITION BY a.activity_id
+      row_number() OVER (PARTITION BY a.$idCol
         ORDER BY r.priority, r.rule_id) AS rn
-    FROM activity a JOIN rules r ON r.is_active
+    FROM $src a JOIN rules r ON r.is_active
       AND (NULLIF(r.applies_to_user, '') IS NULL OR r.applies_to_user = a.username)
       AND (NULLIF(r.applies_to_ip, '') IS NULL OR r.applies_to_ip = a.ip_address)
       AND (
@@ -191,7 +204,12 @@ object SparkEntry {
     * fold (Detect.severityOrdinal — proven ≡ app.py:339-403's loop in
     * DetectSpec). Non-suspicious rows carry NULL reasons (DDL default).
     */
-  private val SeverityCte: String = {
+  /** `src` = the activity-shaped input relation; `rateKey` = the
+    * rate-limit window/truthiness key (user_id for the batch view;
+    * username for the ingest pipeline — Ingest.start rate-keys on
+    * username so unknown users don't pool into one NULL bucket).
+    */
+  private def severityCtesOver(src: String, rateKey: String): String = {
     val inj = s"regexp_matches(ql, '${sqlRe(Detect.InjectionAlternation)}')"
     val injLabel = Detect.InjectionPatterns.map { case (p, l) =>
       s"WHEN regexp_matches(ql, '${sqlRe(p)}') THEN '${l.replace("'", "''")}'"
@@ -202,20 +220,20 @@ object SparkEntry {
       s"CASE WHEN contains(ql, '$c') THEN 'Access to sensitive column: $c' END")
       .mkString(",\n      ")
     val sensTables = Detect.SensitiveTables.map(t => s"'$t'").mkString(", ")
-    s"""$BlacklistCtes, en AS (
+    s"""${blacklistCtesOver(src)}, en AS (
   SELECT a.*, lower(operation_details) AS ql,
-    count(*) OVER (PARTITION BY user_id, date_trunc('minute', access_timestamp)) AS events_per_minute,
+    count(*) OVER (PARTITION BY $rateKey, date_trunc('minute', access_timestamp)) AS events_per_minute,
     (ip_address IN (SELECT ip_address FROM abl)) AS r1,
     (role = 'Guest' AND operation_type IN ('INSERT','UPDATE','DELETE','DROP','ALTER')) AS r2,
     (role = 'User' AND table_name IN ($sensTables) AND operation_type IN ('SELECT','INSERT','UPDATE')) AS r3,
     (hour(access_timestamp) < ${Detect.WorkingHoursStart} OR hour(access_timestamp) >= ${Detect.WorkingHoursEnd}) AS r4,
     (COALESCE(rows_affected, 0) > 1000) AS r7
-  FROM activity a
+  FROM $src a
 ), en2 AS (
   SELECT *, $inj AS r5,
     $sensHit AS r6,
-    (user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '0'
-      AND CAST(user_id AS VARCHAR) <> ''
+    ($rateKey IS NOT NULL AND CAST($rateKey AS VARCHAR) <> '0'
+      AND CAST($rateKey AS VARCHAR) <> ''
       AND events_per_minute > 100) AS r8,
     $injLabel AS inj_label
   FROM en
@@ -247,6 +265,94 @@ object SparkEntry {
     END AS suspicious_reasons
   FROM sev
 )"""
+  }
+
+  private val SeverityCte: String = severityCtesOver("activity", "user_id")
+
+  /** Batch replay of the full E1 streaming pipeline (dam_stream_replay):
+    * feed synthesis → skip filter → DISTINCT-triple dedup (≡ the
+    * stream's activity_id dedup — the id is xxhash64 of the triple) →
+    * hex decode → classifiers → user-dim enrichment → firewall
+    * first-match gate (fixture rules; block-action hits excluded from
+    * logs/alerts, ALL hits in the blocks sink) → severity lattice
+    * rate-keyed on USERNAME (Ingest.start's key) → the three sinks as
+    * one normalized union. First-match needs a per-row key and
+    * xxhash64 is engine-internal, so a synthesized row_number stands
+    * in (never emitted).
+    */
+  private val StreamReplayOracle: String = {
+    val skipRe = sqlRe(graft.functions.Classify.SkipPattern)
+    val fmt = "%Y-%m-%d %H:%M:%S"
+    s"""WITH ev AS (
+  SELECT *, $SqlTextCaseSql AS sql_text
+  FROM events
+), raw AS (
+  SELECT CAST(ts AS TIMESTAMP) AS event_time,
+    'user_' || user_id || '[user_' || user_id || '] @ 10.0.' || (user_id % 50) || '.99 []' AS user_host,
+    CASE WHEN event_id % 7 = 0 THEN 'SET GLOBAL slow_query_log = 1'
+         WHEN event_id % 5 = 0 THEN '0x' || hex(sql_text)
+         ELSE sql_text END AS argument
+  FROM ev
+), kept AS (
+  SELECT DISTINCT event_time, user_host, argument FROM raw
+  WHERE argument IS NOT NULL AND NOT regexp_matches(argument, '$skipRe')
+), decoded AS (
+  SELECT row_number() OVER (ORDER BY event_time, user_host, argument) AS rid,
+    event_time, user_host,
+    substr(CASE WHEN regexp_matches(argument, '^0x(?:[0-9a-fA-F]{2})+$$')
+                THEN decode(unhex(substr(argument, 3)))
+                ELSE argument END, 1, 1000) AS operation_details
+  FROM kept
+), udim AS (
+  SELECT DISTINCT user_id, 'user_' || user_id AS username,
+    CASE WHEN user_id % 7 = 0 THEN 'Admin'
+         WHEN user_id % 3 = 0 THEN 'Guest'
+         ELSE 'User' END AS role
+  FROM events
+), parsed AS (
+  SELECT rid,
+    ${usernameSql("user_host")} AS username,
+    ${opCaseSql("operation_details")} AS operation_type,
+    ${tblExtractSql("operation_details")} AS table_name,
+    CASE WHEN contains(lower(operation_details), 'error')
+           OR contains(lower(operation_details), 'failed')
+         THEN 'Failed' ELSE 'Success' END AS operation_status,
+    operation_details,
+    COALESCE(NULLIF(regexp_extract(user_host, '@\\s*([0-9a-fA-F:.]+)', 1), ''), '127.0.0.1') AS ip_address,
+    event_time AS access_timestamp,
+    md5(operation_details) AS query_hash
+  FROM decoded
+), sen AS (
+  SELECT p.*, u.user_id, COALESCE(u.role, 'Guest') AS role,
+    CAST(NULL AS BIGINT) AS rows_affected
+  FROM parsed p LEFT JOIN udim u USING (username)
+)${matchedCteOf(FirewallRulesCte, "sen", "rid")}, admitted AS (
+  SELECT s.* FROM sen s
+  WHERE NOT EXISTS (SELECT 1 FROM fw
+    WHERE fw.activity_id = s.rid AND fw.action = 'block')
+)${severityCtesOver("admitted", "username")}
+SELECT 'log' AS sink, username, ip_address, role, operation_type,
+  table_name, operation_status, operation_details AS detail, query_hash,
+  severity_ord, severity_level, is_suspicious, suspicious_reasons,
+  CAST(events_per_minute AS BIGINT) AS events_per_minute,
+  '' AS alert_type, '' AS alert_status, CAST(-1 AS BIGINT) AS rule_id,
+  strftime(access_timestamp, '$fmt') AS ts
+FROM classified
+UNION ALL
+SELECT 'alert', '', '', '', '', '', '', suspicious_reasons, '',
+  CAST(-1 AS BIGINT), severity_level, FALSE, '', CAST(-1 AS BIGINT),
+  CASE WHEN contains(suspicious_reasons, 'SQL Injection') THEN 'SQL Injection'
+       WHEN contains(suspicious_reasons, 'sensitive') THEN 'Data Leakage'
+       WHEN contains(suspicious_reasons, 'rate limit') THEN 'DoS Attempt'
+       ELSE 'Security Violation' END,
+  'New', CAST(-1 AS BIGINT), strftime(access_timestamp, '$fmt')
+FROM classified WHERE severity_ord >= 2
+UNION ALL
+SELECT 'block', username, ip_address, '', '', '', '', query_snippet, '',
+  CAST(-1 AS BIGINT), '', FALSE, '', CAST(-1 AS BIGINT), '', '',
+  CAST(rule_id AS BIGINT), strftime(matched_at, '$fmt')
+FROM fw
+ORDER BY sink, ts, username, detail"""
   }
 
   /** DuckDB replica of the document-profile column formulas. */
@@ -981,6 +1087,82 @@ FROM (
         .orderBy(col("event_ts"), col("query_hash"))
     }),
 
+    // ---- E1 ingest pipeline END-TO-END as a checked row (round-4
+    //      verdict #2): the deterministic general_log feed (same
+    //      synthesis as dam_agent_parse) is written to a spool, run
+    //      through the REAL streaming pipeline (Ingest.start: watermark
+    //      dedup → parse → role enrichment → firewall gate → classify →
+    //      logs/alerts/blocks sinks) to completion, and the three sink
+    //      tables are read back as one normalized union that the oracle
+    //      replays with batch SQL. One micro-batch (single spool file +
+    //      AvailableNow-equivalent processAllAvailable), so the
+    //      per-batch rate window and blacklist anchor equal their batch
+    //      formulations. Cross-engine content only: the xxhash64
+    //      activity_id is engine-internal, so the oracle dedups on the
+    //      raw (event_time, user_host, argument) triple — equivalent by
+    //      construction (the id is a function of the triple) — and
+    //      sentinel values ('' / -1 / false) stand in for
+    //      sink-inapplicable columns to keep dtypes NULL-free.
+    "dam_stream_replay" -> ((s, d) => {
+      import graft.streaming.Ingest
+      val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
+        .toString
+      val sqlText = Tables.sqlTextFromEvent()
+      val raw = Tables.events(s, d).select(
+        col("ts").cast("timestamp").as("event_time"),
+        concat(lit("user_"), col("user_id"), lit("[user_"), col("user_id"),
+          lit("] @ 10.0."), col("user_id") % 50, lit(".99 []")).as("user_host"),
+        when(col("event_id") % 7 === 0, lit("SET GLOBAL slow_query_log = 1"))
+          .when(col("event_id") % 5 === 0, concat(lit("0x"), hex(sqlText)))
+          .otherwise(sqlText).as("argument"))
+      raw.coalesce(1).write.mode("overwrite").parquet(s"$tmp/feed")
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"),
+          concat(lit("user_"), col("user_id")).as("username"),
+          when(col("user_id") % 7 === 0, "Admin")
+            .when(col("user_id") % 3 === 0, "Guest")
+            .otherwise("User").as("role"))
+      val source = s.readStream.schema(Tables.GeneralLogSchema)
+        .parquet(s"$tmp/feed")
+      val q = Ingest.start(s, source, users,
+        Ingest.IngestConfig(s"$tmp/logs", s"$tmp/alerts", s"$tmp/ckpt",
+          triggerMs = 0L, blocksDir = Some(s"$tmp/blocks")))
+      try q.processAllAvailable() finally q.stop()
+      val eS = lit("").cast("string")
+      val eL = lit(-1L)
+      val eB = lit(false)
+      val logs = s.read.parquet(s"$tmp/logs").select(
+        lit("log").as("sink"), col("username"), col("ip_address"),
+        col("role"), col("operation_type"), col("table_name"),
+        col("operation_status"), col("operation_details").as("detail"),
+        col("query_hash"), col("severity_ord"), col("severity_level"),
+        col("is_suspicious"), col("suspicious_reasons"),
+        col("events_per_minute").cast("long").as("events_per_minute"),
+        eS.as("alert_type"), eS.as("alert_status"), eL.as("rule_id"),
+        fmtTs(col("access_timestamp")).as("ts"))
+      val alerts = s.read.parquet(s"$tmp/alerts").select(
+        lit("alert").as("sink"), eS.as("username"), eS.as("ip_address"),
+        eS.as("role"), eS.as("operation_type"), eS.as("table_name"),
+        eS.as("operation_status"), col("description").as("detail"),
+        eS.as("query_hash"), eL.as("severity_ord"),
+        col("severity").as("severity_level"), eB.as("is_suspicious"),
+        eS.as("suspicious_reasons"), eL.as("events_per_minute"),
+        col("alert_type"), col("status").as("alert_status"),
+        eL.as("rule_id"), fmtTs(col("created_at")).as("ts"))
+      val blocks = s.read.parquet(s"$tmp/blocks").select(
+        lit("block").as("sink"), col("username"), col("ip_address"),
+        eS.as("role"), eS.as("operation_type"), eS.as("table_name"),
+        eS.as("operation_status"), col("query_snippet").as("detail"),
+        eS.as("query_hash"), eL.as("severity_ord"),
+        eS.as("severity_level"), eB.as("is_suspicious"),
+        eS.as("suspicious_reasons"), eL.as("events_per_minute"),
+        eS.as("alert_type"), eS.as("alert_status"),
+        col("rule_id").cast("long").as("rule_id"),
+        fmtTs(col("blocked_at")).as("ts"))
+      logs.unionByName(alerts).unionByName(blocks)
+        .orderBy(col("sink"), col("ts"), col("username"), col("detail"))
+    }),
+
     // ---- E3 charts: severity histogram with integer-exact shares ----
     "dam_rollup" -> ((s, d) => classified(s, d)
       .rollup(col("operation_type"), col("severity_level"))
@@ -1683,6 +1865,8 @@ SELECT
   strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_ts
 FROM decoded ORDER BY event_ts, query_hash"""
     },
+
+    "dam_stream_replay" -> StreamReplayOracle,
 
     "dam_rollup" -> sev(
       """SELECT COALESCE(operation_type, 'ALL') AS operation_type,
