@@ -1260,6 +1260,18 @@ FROM (
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
       TextOps.gopherQuality(Tables.documents(s, d))),
+    // multimodal → dedup loop as a checked row (round-4 verdict #8):
+    // planted PNG/BMP images whose dHash is a replication code of
+    // id % 40 (intra-group Hamming 0, inter-group ≥ 9) run the REAL
+    // pipeline — encode → codec decode → dHash over pixels → banded
+    // Hamming pairs → connected components — and must reproduce the
+    // arithmetic cluster structure the oracle states in SQL
+    "media_phash_clusters" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.phashClusters(Multimodal.plantedImageAssets(
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)))
+    }),
     // deterministic hash-threshold splits / mixture sampling — the
     // same rows every run, any partitioning, replayed by the oracle
     "doc_split_assign" -> ((s, d) =>
@@ -2007,6 +2019,25 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
        ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 4)
   END AS repetition_ratio
 FROM g ORDER BY doc_id""",
+
+    // the planted truth set is arithmetic BY CONSTRUCTION (replication
+    // code: distinct groups sit ≥ 9 Hamming bits apart, members 0),
+    // so the oracle derives clusters from id arithmetic while the
+    // Spark side must earn them through the codec/hash/banding/CC
+    // pipeline — any pixel, hash, or clustering bug breaks the match
+    "media_phash_clusters" ->
+      """WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 40 AS grp
+  FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT grp, min(asset_id) AS cluster_id,
+    CAST(count(*) AS BIGINT) AS cluster_size
+  FROM a GROUP BY grp
+)
+SELECT a.asset_id, g.cluster_id, g.cluster_size
+FROM a JOIN g USING (grp)
+WHERE g.cluster_size > 1
+ORDER BY asset_id""",
 
     "doc_quality_gopher" ->
       """WITH g AS (

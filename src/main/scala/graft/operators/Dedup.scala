@@ -411,37 +411,50 @@ object Dedup {
     simhashPairsRaw(docs, maxHamming, bands, bits)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** [[simhashNearDups]] without the presentation sort — the form the
-    * cluster mode consumes (a global range-sort of the pair stream
-    * would be pure waste ahead of the CC shuffle). The Hamming filter
-    * runs BEFORE the pair dedup so the dedup shuffle carries only true
-    * pairs (×bands multiplicity), not every candidate.
+  /** Generic Manku-banded Hamming pair join over an arbitrary 64-bit
+    * sketch frame `(doc_id, <sketchCol>)` — the construction behind
+    * [[simhashNearDups]], reused by the image perceptual-hash dedup
+    * ([[Multimodal]]): sketches within `maxHamming` < `bands` must
+    * agree exactly on one of `bands` blocks (pigeonhole), candidates
+    * join on identical (band, block value), Hamming verifies. The
+    * Hamming filter runs BEFORE the pair dedup so the dedup shuffle
+    * carries only true pairs (×bands multiplicity), not every
+    * candidate. Returns (doc_a, doc_b, hamming), unsorted.
     */
-  private def simhashPairsRaw(docs: DataFrame, maxHamming: Int,
-                              bands: Int, bits: Int): DataFrame = {
+  private[graft] def bandedHammingPairs(sk: DataFrame, sketchCol: String,
+      maxHamming: Int, bands: Int, bits: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole soundness needs maxHamming ($maxHamming) < bands ($bands)")
     require(bits % bands == 0, "bands must divide the sketch width")
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val sk = simhashPortable(docs, bits)
-    val banded = sk.select(col("doc_id"), col("simhash"),
+    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+    val banded = sk.select(col("doc_id"), col(sketchCol).as("__sk"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+          shiftright(col(sketchCol), b * bandBits).bitwiseAND(mask)
             .as("bv"))
       }: _*)).as("e"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("__sk"),
         col("e.band").as("band"), col("e.bv").as("bv"))
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+        hamming64(col("a.__sk"), col("b.__sk")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** [[simhashNearDups]] without the presentation sort — the form the
+    * cluster mode consumes (a global range-sort of the pair stream
+    * would be pure waste ahead of the CC shuffle).
+    */
+  private def simhashPairsRaw(docs: DataFrame, maxHamming: Int,
+                              bands: Int, bits: Int): DataFrame =
+    bandedHammingPairs(
+      simhashPortable(docs, bits).select(col("doc_id"), col("simhash")),
+      "simhash", maxHamming, bands, bits)
 
   /** Cluster-representative mode for the near-dup pair operators:
     * connected components of the (undirected) pair graph, emitting ONE

@@ -407,6 +407,120 @@ object Multimodal {
       feats
     }
 
+    /** 64-bit difference hash (dHash — the standard perceptual image
+      * fingerprint): mean Rec.601 luminance over a 9×8 grid; bit
+      * r·8+c = grid(r, c+1) > grid(r, c). Row-adjacent comparisons
+      * make it invariant to global brightness/contrast shifts and
+      * robust to resizing — near-duplicate images land within a small
+      * Hamming radius.
+      */
+    def dhash64(w: Int, h: Int, rgb: Array[Int]): Long = {
+      val sums = new Array[Double](72)
+      val counts = new Array[Int](72)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(8, x * 9 / w)
+          val o = (y * w + x) * 3
+          val cell = gy * 9 + gx
+          sums(cell) += 0.299 * rgb(o) + 0.587 * rgb(o + 1) +
+            0.114 * rgb(o + 2)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val i = r * 9 + c
+          val cur = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+          val nxt = if (counts(i + 1) > 0) sums(i + 1) / counts(i + 1) else 0.0
+          if (nxt > cur) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+    /** 24-bit BMP encoder (bottom-up rows, BGR, 4-byte padding) for
+      * RGB row-major pixel arrays — the fixture-generation inverse of
+      * [[decodeBmp24]].
+      */
+    def encodeBmp24(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "rgb must be w*h*3 row-major")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val buf = ByteBuffer.allocate(54 + rowSize * h)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var y = h - 1
+      while (y >= 0) { // bottom-up, BGR
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          buf.put(rgb(o + 2).toByte).put(rgb(o + 1).toByte)
+            .put(rgb(o).toByte)
+          x += 1
+        }
+        var p = rowSize - w * 3
+        while (p > 0) { buf.put(0.toByte); p -= 1 }
+        y -= 1
+      }
+      buf.array
+    }
+
+    /** Minimal PNG encoder (8-bit truecolor, filter-0 scanlines,
+      * single deflated IDAT) — the fixture-generation inverse of
+      * [[decodePng]].
+      */
+    def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "rgb must be w*h*3 row-major")
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (stride + 1)
+        raw(rowOff) = 0 // filter None
+        var i = 0
+        while (i < stride) {
+          raw(rowOff + 1 + i) = rgb(y * w * 3 + i).toByte
+          i += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw)
+      defl.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(12 + data.length)
+        bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII"))
+        crc.update(data)
+        bb.putInt(crc.getValue.toInt)
+        bb.array
+      }
+      val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).array
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     /** The documented stub for formats without an in-env codec:
       * deterministic 16-dim features from the payload bytes.
       */
@@ -424,6 +538,107 @@ object Multimodal {
       }
       feats
     }
+  }
+
+  final case class PhashedAsset(asset_id: Long, phash: Long, decoder: String)
+
+  /** Perceptual hashes over REAL decoded pixels: every payload that
+    * decodes through the PNG/BMP codecs is reduced to its 64-bit dHash
+    * ([[Codecs.dhash64]]); undecodable payloads are dropped (a
+    * perceptual hash of undecoded bytes would be a content hash in
+    * disguise). Same mapPartitions batch shape as
+    * [[decodeAndFeaturize]].
+    */
+  def phashes(assets: DataFrame): Dataset[PhashedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          try {
+            Codecs.decodePng(payload)
+              .map { case (w, h, rgb) =>
+                PhashedAsset(id, Codecs.dhash64(w, h, rgb), "png") }
+              .orElse(Codecs.decodeBmp24(payload).map { case (w, h, rgb) =>
+                PhashedAsset(id, Codecs.dhash64(w, h, rgb), "bmp24") })
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
+  /** Image near-duplicate clusters over the decoded-pixel dHash: the
+    * [[Dedup.bandedHammingPairs]] pigeonhole blocking (identical to
+    * the simhash dedup path) feeds [[Dedup.clusterMembership]] — the
+    * full multimodal→dedup loop: bytes → codec → pixels → perceptual
+    * hash → banded candidate join → connected components. Linear at
+    * every stage; output O(clustered assets).
+    */
+  def phashClusters(assets: DataFrame, maxHamming: Int = 3,
+                    bands: Int = 4): DataFrame = {
+    val sk = phashes(assets).toDF()
+      .select(col("asset_id").as("doc_id"), col("phash"))
+    Dedup.clusterMembershipRaw(
+      Dedup.bandedHammingPairs(sk, "phash", maxHamming, bands, bits = 64))
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Planted image corpus for the phash-dedup oracle: one 36×32
+    * grayscale image per id, its dHash a REPLICATION CODE of the
+    * id's group (`id % groups`): dHash bit b tracks source bit
+    * b/11 of the group id via a ±15 staircase of 4×4 constant cells,
+    * so images in one group share an exact dHash while any two groups
+    * differ in ≥ 9 of 64 bits — far past the Hamming radius, making
+    * the TRUE cluster structure pure arithmetic (the oracle states
+    * it in SQL; the engine must reproduce it through real
+    * encode→decode→hash→band→cluster work). A per-id global
+    * brightness shift (id % 5 − 2) varies the bytes without moving
+    * any cell comparison — the brightness-invariance dHash is
+    * designed for. Ids alternate PNG / BMP payloads so both codecs
+    * sit on the verified path.
+    */
+  def plantedImageAssets(ids: DataFrame, groups: Int = 40): DataFrame = {
+    import ids.sparkSession.implicits._
+    require(groups <= 64, "group id must fit 6 replication-code bits")
+    val idsDs = ids.select(col(ids.columns.head).cast("long")).as[Long]
+    idsDs.map { id =>
+      val g = (id % groups).toInt
+      val delta = (id % 5).toInt - 2
+      val w = 36
+      val h = 32
+      val cells = Array.ofDim[Int](8, 9)
+      var r = 0
+      while (r < 8) {
+        cells(r)(0) = 128
+        var c = 0
+        while (c < 8) {
+          val bit = ((g >> ((r * 8 + c) / 11)) & 1) == 1
+          cells(r)(c + 1) = cells(r)(c) + (if (bit) 15 else -15)
+          c += 1
+        }
+        r += 1
+      }
+      val rgb = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = cells(y / 4)(x / 4) + delta
+          val o = (y * w + x) * 3
+          rgb(o) = v
+          rgb(o + 1) = v
+          rgb(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      val png = id % 2 == 0
+      val payload =
+        if (png) Codecs.encodePng(w, h, rgb) else Codecs.encodeBmp24(w, h, rgb)
+      (id, "image", payload, w, h, 0L, if (png) "png" else "bmp")
+    }.toDF("asset_id", "media_type", "payload", "width", "height",
+      "duration_ms", "codec")
   }
 
   /** Resize metadata transform: pure column arithmetic (a real resize

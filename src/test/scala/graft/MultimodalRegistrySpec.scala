@@ -344,4 +344,35 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     val ts = back.select("access_timestamp").as[String].collect()(0)
     assert(ts.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"""))
   }
+
+  test("dHash: brightness-invariant, codec-agnostic, separates planted groups") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.Codecs
+    // known value: a pure left-to-right brightening ramp sets every bit
+    val w = 36; val h = 32
+    val ramp = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w
+      math.min(255, x * 7)
+    }
+    assert(Codecs.dhash64(w, h, ramp) == -1L) // all 64 comparison bits set
+    // brightness shift moves every cell equally -> identical hash
+    val brighter = ramp.map(v => math.min(255, v + 2))
+    assert(Codecs.dhash64(w, h, brighter) == Codecs.dhash64(w, h, ramp))
+    // the same pixels through BOTH encoders and BOTH decoders agree
+    val viaPng = Codecs.decodePng(Codecs.encodePng(w, h, ramp)).get
+    val viaBmp = Codecs.decodeBmp24(Codecs.encodeBmp24(w, h, ramp)).get
+    assert(viaPng._3.toSeq == ramp.toSeq && viaBmp._3.toSeq == ramp.toSeq)
+    // planted corpus: clusters recovered exactly = id % groups structure
+    val ids = (0L until 60L).toDF("doc_id")
+    val got = Multimodal.phashClusters(Multimodal.plantedImageAssets(ids, groups = 20))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (0L until 60L).map(id => (id, id % 20, 3L)).toSet
+    assert(got == expected)
+    // hashes: one distinct value per group, >= 9 bits apart across groups
+    val hs = Multimodal.phashes(Multimodal.plantedImageAssets(ids, groups = 20))
+      .collect().map(p => (p.asset_id % 20, p.phash)).distinct
+    assert(hs.length == 20)
+    for (Seq((ga, ha), (gb, hb)) <- hs.toSeq.combinations(2))
+      assert(java.lang.Long.bitCount(ha ^ hb) >= 9, s"groups $ga/$gb too close")
+  }
 }
