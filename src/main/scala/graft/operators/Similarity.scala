@@ -173,13 +173,52 @@ object Similarity {
       }),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Above this nlist the coarse quantizer switches from the unrolled
+    * per-centroid expression tree (fully codegen'd — fastest when
+    * small) to the data-driven [[centroidDistArray]] form: an unrolled
+    * tree grows the generated code linearly in nlist and blows the
+    * 64 KB JVM method / codegen limits somewhere in the hundreds,
+    * while a 100 TB corpus wants nlist in the thousands (round-4
+    * verdict #6).
+    */
+  private[graft] val UnrollNlistMax = 64
+
+  /** Array of (squared-distance, centroid-id) structs for a vector
+    * column. `unrolled = false` carries the centroid table as ONE
+    * array-of-arrays literal — DATA, not code — traversed by
+    * higher-order functions (sequence → transform → zip_with fold), so
+    * plan and codegen size are O(1) in nlist; the arithmetic (same
+    * per-element sequential double fold) is bit-identical to the
+    * unrolled form, proven in DedupSimilaritySpec.
+    */
+  private[graft] def centroidDistArray(vec: Column,
+      cents: Array[Array[Double]], unrolled: Boolean): Column =
+    if (unrolled)
+      array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDistTo(vec, c).as("d"), lit(i).as("cid"))
+      }: _*)
+    else {
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      transform(sequence(lit(0), lit(cents.length - 1)), i =>
+        struct(
+          aggregate(
+            zip_with(vec, element_at(centsLit, i + 1), (x, w) => {
+              val dlt = x.cast("double") - w
+              dlt * dlt
+            }),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          i.as("cid")))
+    }
+
+  private def centroidDistArray(vec: Column,
+      cents: Array[Array[Double]]): Column =
+    centroidDistArray(vec, cents, cents.length <= UnrollNlistMax)
+
   /** Nearest-centroid id for a vector column (argmin via array_min
     * over (dist, id) structs — struct ordering compares dist first).
     */
   private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(sqDistTo(vec, c).as("d"), lit(i).as("cid"))
-    }: _*)).getField("cid")
+    array_min(centroidDistArray(vec, cents)).getField("cid")
 
   /** Deterministic k-means training: init = the k lowest vec_ids,
     * fixed Lloyd iterations, decimal-exact means (bit-reproducible
@@ -252,9 +291,8 @@ object Similarity {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"),
-        explode(slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-          struct(sqDistTo(col("embedding"), c).as("d"), lit(i).as("cid"))
-        }: _*)), 1, nprobe)).as("probe"))
+        explode(slice(array_sort(
+          centroidDistArray(col("embedding"), cents)), 1, nprobe)).as("probe"))
       .select(col("query_id"), col("qvec"), col("qnorm"),
         col("probe.cid").as("cid"))
     val scored = assigned.join(broadcast(queries), Seq("cid"))

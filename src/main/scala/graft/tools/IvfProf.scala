@@ -22,6 +22,16 @@ object IvfProf {
     Similarity.ivfTopK(emb, Seq(0L, 1L, 2L))
       .write.format("noop").mode("overwrite").save()
     println(f"[ivfprof] full query (train + search, warm JIT): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // nlist sweep across the unrolled→data-driven quantizer switch
+    // (UnrollNlistMax): the large-nlist path must neither blow codegen
+    // nor change the answer (same nprobe fraction probed)
+    for (nlist <- Seq(16, 64, 256, 1024)) {
+      val t = System.nanoTime()
+      Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), k = 10, nlist = nlist,
+        nprobe = math.max(2, nlist / 8), iters = 1)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[ivfprof] nlist=$nlist%4d nprobe=${math.max(2, nlist / 8)}%3d: ${(System.nanoTime() - t) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -637,4 +637,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // '#' over 4 words
     assert(rows(10L).getAs[Double]("symbol_word_ratio") == 0.75)
   }
+
+  test("IVF quantizer: data-driven assignment == unrolled, and works past the unroll ceiling") {
+    // the two centroidDistArray forms must be BIT-identical (same
+    // sequential double fold over the same literals)
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    val cents = Array.fill(100)(Array.fill(dim)(rng.nextGaussian()))
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val both = vecs.select(
+      array_min(Similarity.centroidDistArray($"embedding", cents,
+        unrolled = true)).as("u"),
+      array_min(Similarity.centroidDistArray($"embedding", cents,
+        unrolled = false)).as("dd"))
+      .select($"u.d", $"u.cid", $"dd.d".as("d2"), $"dd.cid".as("cid2"))
+      .as[(Double, Int, Double, Int)].collect()
+    both.foreach { case (d, cid, d2, cid2) =>
+      assert(d == d2 && cid == cid2)
+    }
+    // end-to-end at nlist far past UnrollNlistMax: with a full probe,
+    // IVF must return exactly the brute-force ranking (any assignment
+    // or plan-size failure would surface here)
+    assert(100 > Similarity.UnrollNlistMax)
+    val labeled = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ivf = Similarity.ivfTopK(labeled, Seq(0L, 1L), k = 5, nlist = 96,
+      nprobe = 96, iters = 1)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(labeled, Seq(0L, 1L), k = 5)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(ivf == brute)
+  }
 }
