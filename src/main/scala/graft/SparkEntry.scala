@@ -571,11 +571,13 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
       val slots = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, $slots FROM sig"
     }.mkString("\n  UNION ALL ")
-    val toks = """string_split_regex(trim(text), '\s+')"""
-    s"""base AS (
-  SELECT doc_id, list_distinct(list_transform(range(len($toks) - 2),
-    i -> $toks[i + 1] || ' ' || $toks[i + 2] || ' ' || $toks[i + 3])) AS sh
+    s"""mtok AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
   FROM $src
+), base AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS sh
+  FROM mtok
 ), ex AS (
   SELECT doc_id, unnest(sh) AS s FROM base
 ), sig AS (
@@ -657,13 +659,14 @@ banded AS (
     * verification in `pairs` makes the answer exact.
     */
   private val JaccardPairsCtes: String =
-    """shs AS (
+    s"""jtok AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM $ScopedDocsSql sdocs
+), shs AS MATERIALIZED (
   SELECT doc_id,
-    list_distinct(list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
-      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 3])) AS shs
-  FROM documents
+    list_distinct(list_transform(range(len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shs
+  FROM jtok
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(shs, s ->
     CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT))) AS sh
@@ -810,6 +813,35 @@ FROM (
 
   private def classified(s: SparkSession, d: String): DataFrame =
     Tables.classifiedActivity(s, d)
+
+  /** Parity-budget scope for the quadratic pair-fixture families
+    * (jaccard/minhash pairs, clusters, dedup-apply): the FULL corpus
+    * at the sf0.01 correctness gate, every [[ScopeMod]]-th doc once
+    * the corpus exceeds [[ScopeThreshold]]. Candidate/pair volume on
+    * the template-heavy fixture grows ~quadratically with corpus
+    * size, and these five oracles dominated the sf0.1 parity wall
+    * (~250 of 345 DuckDB seconds, round-4 verdict #9); the operators
+    * are corpus-agnostic and keep identical sf0.01 gate coverage.
+    * [[ScopedDocsSql]] encodes the same rule for the oracle via a
+    * corpus-count CASE, so the two sides cannot diverge on scope.
+    */
+  // defs, not vals: the oracle CTE builders earlier in the object read
+  // these during THEIR val initialization — a later val would still be
+  // null/0 at that point
+  private def ScopeThreshold = 1000L
+  private def ScopeMod = 4
+
+  private def scopedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    if (docs.count() > ScopeThreshold)
+      docs.filter(col("doc_id") % ScopeMod === 0)
+    else docs
+  }
+
+  private def ScopedDocsSql: String =
+    s"""(SELECT * FROM documents
+  WHERE doc_id % (CASE WHEN (SELECT count(*) FROM documents) > $ScopeThreshold
+                       THEN $ScopeMod ELSE 1 END) = 0)"""
 
   private val fmtTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
 
@@ -1212,13 +1244,14 @@ FROM (
       Dedup.exactDupGroups(Tables.documents(s, d))),
     "doc_dedup_fingerprint" -> ((s, d) =>
       Dedup.fingerprintDupGroups(Tables.documents(s, d))),
+    // scopedDocs: parity-budget corpus scope (full at sf0.01 gate)
     "doc_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardNearDups(Tables.documents(s, d),
+      Dedup.jaccardNearDups(scopedDocs(s, d),
         hashFn = Dedup.md5Seeded)),
     // cluster-representative mode (the 100 TB answer to pair-output
     // density): doc→canonical membership, one row per clustered doc
     "doc_jaccard_clusters" -> ((s, d) =>
-      Dedup.jaccardClusters(Tables.documents(s, d),
+      Dedup.jaccardClusters(scopedDocs(s, d),
         hashFn = Dedup.md5Seeded)),
 
     // ---- training-data curation (redaction, funnel, budgeting) ----
@@ -1300,14 +1333,14 @@ FROM (
     // is oracle-replayable (Dedup.md5Seeded; xxSeeded is the
     // engine-only fast path)
     "doc_minhash_neardups" -> ((s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3,
+      Dedup.minhashNearDups(scopedDocs(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)),
     "doc_minhash_clusters" -> ((s, d) =>
-      Dedup.minhashClusters(Tables.documents(s, d), threshold = 0.3,
+      Dedup.minhashClusters(scopedDocs(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)),
     // the applied dedup: canonical-by-fingerprint minus minhash losers
     "doc_dedup_apply" -> ((s, d) =>
-      Dedup.dedupedCorpus(Tables.documents(s, d), threshold = 0.3,
+      Dedup.dedupedCorpus(scopedDocs(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
@@ -2005,13 +2038,14 @@ GROUP BY doc_id ORDER BY doc_id"""
     },
 
     "doc_repetition" ->
-      """WITH g AS (
-  SELECT doc_id,
-    list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
-      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 3]) AS gs
+      """WITH rt AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
   FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS gs
+  FROM rt
 )
 SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
   CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_ngrams,
@@ -2040,18 +2074,19 @@ WHERE g.cluster_size > 1
 ORDER BY asset_id""",
 
     "doc_quality_gopher" ->
-      """WITH g AS (
+      """WITH gt AS MATERIALIZED (
   SELECT doc_id,
     string_split_regex(trim(text), '\s+') AS toks,
     string_split(text, chr(10)) AS lns,
     CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
       + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
-      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols,
-    list_transform(range(len(string_split_regex(trim(text), '\s+')) - 2),
-      i -> string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 2] || ' ' ||
-           string_split_regex(trim(text), '\s+')[i + 3]) AS gs
+      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols
   FROM documents
+), g AS (
+  SELECT doc_id, toks, lns, n_symbols,
+    list_transform(range(len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS gs
+  FROM gt
 ), m AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_words,
@@ -2119,22 +2154,22 @@ SELECT source, lang_guess, count(*) AS n_docs,
   CAST(sum(bp) AS BIGINT) AS bpeish_tokens
 FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes("documents")}\n" +
+    "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}\n" +
       """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
 ORDER BY doc_a, doc_b"""),
 
     "doc_minhash_clusters" ->
-      (s"WITH ${minhashPairsCtes("documents")}" +
+      (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}" +
         clusterMembershipSql(
           "SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3")),
 
     // the minhash loser pass runs over the post-fingerprint SURVIVORS
     // (Dedup.dedupedCorpus): a doc must not lose to a near-dup the
     // fingerprint stage already removed
-    "doc_dedup_apply" -> ("""WITH fp AS (
+    "doc_dedup_apply" -> (s"""WITH fp AS (
   SELECT doc_id, source, n_chars, text,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
-  FROM documents
+  FROM $ScopedDocsSql sdocs
 ), canon AS (
   SELECT doc_id, source, n_chars, text FROM (
     SELECT *, min(doc_id) OVER (PARTITION BY f) AS m FROM fp
