@@ -82,7 +82,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"cold_classify_build_sec":$coldBuild,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs"}""")
+    // headline totals appear at BOTH ends of the line: the round-4
+    // artifact captured only the tail of the output and lost the
+    // leading total + first ~28 queries — the trailing copy makes any
+    // suffix of the line self-contained
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"cold_classify_build_sec":$coldBuild,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs","n_queries":${results.size},"total_sec_tail":$total}""")
     spark.stop()
   }
 }
