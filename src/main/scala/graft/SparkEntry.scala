@@ -1419,6 +1419,10 @@ FROM (
     "emb_near_dup_recall" -> ((s, d) =>
       Similarity.nearDupPairRecall(plantedEmbeddings(s, d),
         col("vec_id") >= PlantedIdBase, minCos = 0.9)),
+    // cluster-representative mode over the banded pair graph — the
+    // O(corpus)-output answer for embedding dedup at scale
+    "emb_near_dup_clusters" -> ((s, d) =>
+      Similarity.embeddingNearDupClusters(plantedEmbeddings(s, d))),
     // int8 scalar quantization error profile (embedding compression
     // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
     "emb_quant_error" -> ((s, d) =>
@@ -2246,6 +2250,13 @@ SELECT vec_a, vec_b, cos_sim FROM banded
 WHERE cos_sim >= 0.9 AND NOT isnan(cos_sim)
 ORDER BY vec_a, vec_b"""
     },
+
+    "emb_near_dup_clusters" -> (s"WITH $PlantedNearDupCtes" +
+      clusterCtesSql("SELECT vec_a AS doc_a, vec_b AS doc_b FROM banded " +
+        "WHERE cos_sim >= 0.9 AND NOT isnan(cos_sim)") + """
+SELECT id AS vec_id, comp AS cluster_id,
+  count(*) OVER (PARTITION BY comp) AS cluster_size
+FROM ccm ORDER BY vec_id"""),
 
     // pair recall of the banded blocker vs exact brute force anchored
     // on the planted clones — both rankings fully replayed, so the

@@ -596,6 +596,22 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** [[embeddingNearDups]] in cluster-representative mode: connected
+    * components of the verified pair graph, one membership row per
+    * clustered vector — the same O(corpus) output bound the text dedup
+    * paths get from [[Dedup.clusterMembership]] (at 100 TB the pair
+    * stream of a template-heavy embedding corpus is the bottleneck,
+    * exactly as it was for documents).
+    */
+  def embeddingNearDupClusters(embeddings: DataFrame, minCos: Double = 0.9,
+                               planes: Int = 36, bands: Int = 6): DataFrame =
+    Dedup.clusterMembershipRaw(
+      embeddingNearDups(embeddings, minCos, planes, bands),
+      aCol = "vec_a", bCol = "vec_b")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+
   /** Measured pair recall of [[embeddingNearDups]] against exact brute
     * force, restricted to pairs touching an anchor subset
     * (`anchorPred`) so the exact side stays LINEAR (|anchors| ×

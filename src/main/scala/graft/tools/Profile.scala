@@ -25,9 +25,31 @@ object Profile {
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (args.nonEmpty) {
-      // time named SparkEntry queries instead of the fixed battery
-      args.foreach { name =>
-        time(name)(graft.SparkEntry.queries(name)(spark, d))
+      // time named SparkEntry queries instead of the fixed battery;
+      // the special name "agentparse" decomposes the dam_agent_parse
+      // pipeline into stages (round-4 bench regression triage)
+      args.foreach {
+        case "agentparse" =>
+          import graft.functions.Classify
+          val sqlText = Tables.sqlTextFromEvent()
+          val raw = Tables.events(spark, d).select(
+            col("ts").cast("timestamp").as("event_time"),
+            concat(lit("user_"), col("user_id"), lit("[user_"), col("user_id"),
+              lit("] @ 10.0."), col("user_id") % 50, lit(".99 []")).as("user_host"),
+            when(col("event_id") % 7 === 0, lit("SET GLOBAL slow_query_log = 1"))
+              .when(col("event_id") % 5 === 0, concat(lit("0x"), hex(sqlText)))
+              .otherwise(sqlText).as("argument"))
+          time("raw synth")(raw)
+          time("+ skip filter")(raw.filter(Classify.keepQuery(col("argument"))))
+          time("+ hex decode")(raw.filter(Classify.keepQuery(col("argument")))
+            .withColumn("od",
+              substring(Classify.lenientHexDecode(col("argument")), 1, 1000)))
+          time("full parse (no sort)")(
+            graft.streaming.Ingest.parseGeneralLog(raw))
+          time("dam_agent_parse (with sort)")(
+            graft.SparkEntry.queries("dam_agent_parse")(spark, d))
+        case name =>
+          time(name)(graft.SparkEntry.queries(name)(spark, d))
       }
       spark.stop()
       return

@@ -123,6 +123,44 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cfg.rulesDir: a vanished rules dir degrades to the last good snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val raw = mem.toDF().toDF("event_time", "user_host", "argument")
+    val users = Seq(("app", "User", 2L)).toDF("username", "role", "user_id")
+    val root = Files.createTempDirectory("ingest_race").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    graft.sources.FirewallAdmin.addRule(spark, root,
+      "truncate\\s+table", "Truncate block", "regex", "block", 1)
+    val cfg = Ingest.IngestConfig(
+      logsDir = s"$root/logs", alertsDir = s"$root/alerts",
+      checkpointDir = s"$root/ckpt", triggerMs = 100L,
+      blocksDir = Some(s"$root/blocks"),
+      rulesDir = Some(s"$root/firewall_rules"))
+    val q = Ingest.start(spark, raw, users, cfg)
+    try {
+      mem.addData((ts("2024-01-10 12:00:00"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE one"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/blocks").count() == 1)
+      // an admin rewrite crashes so badly the rules directory is gone:
+      // the per-batch re-read must fall back to the previous batch's
+      // collected snapshot instead of failing the stream (round-4
+      // advisor: a mid-swap race killed the batch)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete(); ()
+      }
+      deleteRec(new java.io.File(s"$root/firewall_rules"))
+      mem.addData((ts("2024-01-10 12:00:05"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE two"))
+      q.processAllAvailable()
+      assert(q.isActive, "stream must survive the vanished rules dir")
+      // still blocked by the retained snapshot (rule cache semantics)
+      assert(spark.read.parquet(s"$root/blocks").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming classification equals the batch pipeline on the same input") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
