@@ -564,7 +564,17 @@ object Similarity {
     * (band, value), and verification touches candidates only.
     */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.9,
-                        planes: Int = 36, bands: Int = 6): DataFrame = {
+                        planes: Int = 36, bands: Int = 6): DataFrame =
+    embeddingNearDupsRaw(embeddings, minCos, planes, bands)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[embeddingNearDups]] without the presentation sort — the form
+    * the cluster mode and the recall dial consume (a global range-sort
+    * of the pair stream ahead of the next shuffle is pure waste; same
+    * convention as [[Dedup]]'s `*PairsRaw`).
+    */
+  private[graft] def embeddingNearDupsRaw(embeddings: DataFrame,
+      minCos: Double, planes: Int, bands: Int): DataFrame = {
     val bvs = signBandCols(col("embedding"), planes, bands)
     val banded = embeddings.select(col("vec_id"),
       explode(array(bvs.zipWithIndex.map { case (bv, b) =>
@@ -593,7 +603,6 @@ object Similarity {
       // than any number, so a zero-norm pair would otherwise pass the
       // threshold here while the oracle filters it (same isnan guard)
       .filter(col("cos_sim") >= minCos && !isnan(col("cos_sim")))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** [[embeddingNearDups]] in cluster-representative mode: connected
@@ -606,7 +615,7 @@ object Similarity {
   def embeddingNearDupClusters(embeddings: DataFrame, minCos: Double = 0.9,
                                planes: Int = 36, bands: Int = 6): DataFrame =
     Dedup.clusterMembershipRaw(
-      embeddingNearDups(embeddings, minCos, planes, bands),
+      embeddingNearDupsRaw(embeddings, minCos, planes, bands),
       aCol = "vec_a", bCol = "vec_b")
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"))
@@ -622,7 +631,7 @@ object Similarity {
   def nearDupPairRecall(embeddings: DataFrame, anchorPred: Column,
                         minCos: Double = 0.9, planes: Int = 36,
                         bands: Int = 6): DataFrame = {
-    val approx = embeddingNearDups(embeddings, minCos, planes, bands)
+    val approx = embeddingNearDupsRaw(embeddings, minCos, planes, bands)
       .select(col("vec_a"), col("vec_b"), lit(1).as("__hit"))
     val sides = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))

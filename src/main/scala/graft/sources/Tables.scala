@@ -149,6 +149,25 @@ object Tables {
         concat(lit("DELETE FROM sessions WHERE token = '"), md5(col("props")), lit("'")))
   }
 
+  /** The deterministic general_log WIRE feed synthesized from the
+    * events table — what the reference agent would read off
+    * mysql.general_log: every 7th statement is a system query the
+    * skip-filter must drop, every 5th arrives hex-encoded
+    * (dam_agent.py:120-134). ONE definition shared by dam_agent_parse,
+    * dam_stream_replay and the profiler; the DuckDB `raw` oracle CTEs
+    * replay it byte-for-byte.
+    */
+  def generalLogFeed(s: SparkSession, d: String): DataFrame = {
+    val sqlText = sqlTextFromEvent()
+    events(s, d).select(
+      col("ts").cast("timestamp").as("event_time"),
+      concat(lit("user_"), col("user_id"), lit("[user_"), col("user_id"),
+        lit("] @ 10.0."), col("user_id") % 50, lit(".99 []")).as("user_host"),
+      when(col("event_id") % 7 === 0, lit("SET GLOBAL slow_query_log = 1"))
+        .when(col("event_id") % 5 === 0, concat(lit("0x"), hex(sqlText)))
+        .otherwise(sqlText).as("argument"))
+  }
+
   /** The DAM activity view: events → activity_logs analog.
     * Classification columns (operation_type / table_name / status /
     * query_hash) are computed by the real classifier pipelines in

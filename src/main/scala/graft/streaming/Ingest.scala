@@ -185,7 +185,14 @@ object Ingest {
             }
           fresh match {
             case Some(df) => lastGoodRules = Some(df); df
-            case None => lastGoodRules.getOrElse(staticRules)
+            case None => lastGoodRules.getOrElse(
+              // no prior snapshot to degrade to: fail the batch loudly
+              // rather than silently gating with the DEFAULT rule set —
+              // substituting fixture rules for the configured warehouse
+              // rules would be fail-open for a security gate
+              throw new IllegalStateException(
+                s"firewall rules unreadable at ${cfg.rulesDir.get} and no " +
+                  "prior snapshot exists — refusing to gate with default rules"))
           }
         case None => staticRules
       }

@@ -31,14 +31,7 @@ object Profile {
       args.foreach {
         case "agentparse" =>
           import graft.functions.Classify
-          val sqlText = Tables.sqlTextFromEvent()
-          val raw = Tables.events(spark, d).select(
-            col("ts").cast("timestamp").as("event_time"),
-            concat(lit("user_"), col("user_id"), lit("[user_"), col("user_id"),
-              lit("] @ 10.0."), col("user_id") % 50, lit(".99 []")).as("user_host"),
-            when(col("event_id") % 7 === 0, lit("SET GLOBAL slow_query_log = 1"))
-              .when(col("event_id") % 5 === 0, concat(lit("0x"), hex(sqlText)))
-              .otherwise(sqlText).as("argument"))
+          val raw = Tables.generalLogFeed(spark, d)
           time("raw synth")(raw)
           time("+ skip filter")(raw.filter(Classify.keepQuery(col("argument"))))
           time("+ hex decode")(raw.filter(Classify.keepQuery(col("argument")))
