@@ -1333,6 +1333,14 @@ FROM (
         Tables.documents(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)))
     }),
+    // the WAV leg of the same loop: real RIFF/PCM decode → RMS-delta
+    // hash → banded Hamming → CC, against an arithmetic planted truth
+    "media_ahash_clusters" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.audioHashClusters(Multimodal.plantedAudioAssets(
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)))
+    }),
     // deterministic hash-threshold splits / mixture sampling — the
     // same rows every run, any partitioning, replayed by the oracle
     "doc_split_assign" -> ((s, d) =>
@@ -2092,6 +2100,22 @@ FROM g ORDER BY doc_id""",
     // Spark side must earn them through the codec/hash/banding/CC
     // pipeline — any pixel, hash, or clustering bug breaks the match
     "media_phash_clusters" ->
+      """WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 40 AS grp
+  FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT grp, min(asset_id) AS cluster_id,
+    CAST(count(*) AS BIGINT) AS cluster_size
+  FROM a GROUP BY grp
+)
+SELECT a.asset_id, g.cluster_id, g.cluster_size
+FROM a JOIN g USING (grp)
+WHERE g.cluster_size > 1
+ORDER BY asset_id""",
+
+    // same arithmetic planted truth as media_phash_clusters, earned
+    // through the WAV codec / RMS-delta hash instead of the image path
+    "media_ahash_clusters" ->
       """WITH a AS (
   SELECT doc_id AS asset_id, doc_id % 40 AS grp
   FROM documents WHERE doc_id < 200

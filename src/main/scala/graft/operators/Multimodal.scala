@@ -521,6 +521,58 @@ object Multimodal {
         chunk("IEND", Array.emptyByteArray)
     }
 
+    /** 64-bit audio difference hash — the audio analog of [[dhash64]]:
+      * RMS amplitude over 65 equal segments; bit b = rms(b+1) >
+      * rms(b). Adjacent-segment comparisons make it invariant to
+      * global gain (any monotone scaling) and robust to resampling —
+      * re-encoded/volume-normalized copies land within a small
+      * Hamming radius.
+      */
+    def audioHash64(samples: Array[Short]): Long = {
+      if (samples.isEmpty) return 0L
+      val segs = 65
+      val rms = new Array[Double](segs)
+      var s = 0
+      while (s < segs) {
+        val from = s.toLong * samples.length / segs
+        val to = (s + 1).toLong * samples.length / segs
+        if (to > from) {
+          var acc = 0.0
+          var i = from.toInt
+          while (i < to) {
+            val v = samples(i).toDouble
+            acc += v * v
+            i += 1
+          }
+          rms(s) = math.sqrt(acc / (to - from))
+        }
+        s += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (rms(b + 1) > rms(b)) hash |= 1L << b
+        b += 1
+      }
+      hash
+    }
+
+    /** RIFF/WAVE PCM-16 mono encoder — the fixture-generation inverse
+      * of [[decodeWavPcm16]].
+      */
+    def encodeWavPcm16(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array
+    }
+
     /** The documented stub for formats without an in-env codec:
       * deterministic 16-dim features from the payload bytes.
       */
@@ -582,6 +634,82 @@ object Multimodal {
       .select(col("doc_id").as("asset_id"), col("cluster_id"),
         col("cluster_size"))
       .orderBy(col("asset_id"))
+  }
+
+  final case class AudioHashedAsset(asset_id: Long, ahash: Long)
+
+  /** Audio fingerprints over REAL decoded samples: every payload that
+    * decodes through the WAV codec is reduced to its 64-bit RMS-delta
+    * hash ([[Codecs.audioHash64]]); non-audio payloads are dropped.
+    */
+  def audioHashes(assets: DataFrame): Dataset[AudioHashedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          try Codecs.decodeWavPcm16(payload).map { case (_, _, mono) =>
+            AudioHashedAsset(id, Codecs.audioHash64(mono))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
+  /** Audio near-duplicate clusters — the WAV leg of the multimodal
+    * dedup loop, same shape as [[phashClusters]]: bytes → codec →
+    * samples → RMS-delta hash → banded Hamming pairs → connected
+    * components.
+    */
+  def audioHashClusters(assets: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    val sk = audioHashes(assets).toDF()
+      .select(col("asset_id").as("doc_id"), col("ahash"))
+    Dedup.clusterMembershipRaw(
+      Dedup.bandedHammingPairs(sk, "ahash", maxHamming, bands, bits = 64))
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Planted WAV corpus for the audio-hash dedup oracle — the audio
+    * twin of [[plantedImageAssets]]: 65 constant-RMS segments whose
+    * amplitudes staircase ±200 from 16000 by the group id's
+    * replication code (bit b of the hash tracks source bit b/11 of
+    * id % groups), so intra-group Hamming is 0 while any two groups
+    * differ in ≥ 9 of 64 bits. A per-id global gain factor
+    * (1 + (id % 5 − 2)/100) varies the bytes without moving any RMS
+    * comparison — the gain-invariance the RMS-delta hash is designed
+    * for. The true cluster structure is id arithmetic; the engine
+    * must reproduce it through real encode→decode→hash→band→CC work.
+    */
+  def plantedAudioAssets(ids: DataFrame, groups: Int = 40): DataFrame = {
+    import ids.sparkSession.implicits._
+    require(groups <= 64, "group id must fit 6 replication-code bits")
+    val idsDs = ids.select(col(ids.columns.head).cast("long")).as[Long]
+    idsDs.map { id =>
+      val g = (id % groups).toInt
+      val gain = 1.0 + (id % 5 - 2) / 100.0
+      val segs = 65
+      val perSeg = 64
+      val amp = new Array[Int](segs)
+      amp(0) = 16000
+      var s = 0
+      while (s < segs - 1) {
+        val bit = ((g >> (s / 11)) & 1) == 1
+        amp(s + 1) = amp(s) + (if (bit) 200 else -200)
+        s += 1
+      }
+      val samples = new Array[Short](segs * perSeg)
+      var i = 0
+      while (i < samples.length) {
+        val a = (amp(i / perSeg) * gain).toInt
+        samples(i) = (if (i % 2 == 0) a else -a).toShort
+        i += 1
+      }
+      (id, "audio", Codecs.encodeWavPcm16(8000, samples), 0, 0,
+        samples.length * 1000L / 8000L, "wav")
+    }.toDF("asset_id", "media_type", "payload", "width", "height",
+      "duration_ms", "codec")
   }
 
   /** Planted image corpus for the phash-dedup oracle: one 36×32

@@ -375,4 +375,27 @@ class MultimodalRegistrySpec extends SparkSpecBase {
     for (Seq((ga, ha), (gb, hb)) <- hs.toSeq.combinations(2))
       assert(java.lang.Long.bitCount(ha ^ hb) >= 9, s"groups $ga/$gb too close")
   }
+
+  test("audio hash: gain-invariant, separates planted groups via the real codec") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.Codecs
+    // rising-RMS staircase sets every comparison bit
+    val rising = Array.tabulate[Short](65 * 64) { i =>
+      val a = 1000 + (i / 64) * 300
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    assert(Codecs.audioHash64(rising) == -1L)
+    // global gain scales every segment RMS equally -> identical hash
+    val louder = rising.map(s => (s * 1.5).toInt.toShort)
+    assert(Codecs.audioHash64(louder) == Codecs.audioHash64(rising))
+    // encoder/decoder round-trip preserves samples
+    val back = Codecs.decodeWavPcm16(Codecs.encodeWavPcm16(8000, rising)).get
+    assert(back._1 == 8000 && back._3.toSeq == rising.toSeq)
+    // planted corpus: clusters recovered exactly = id % groups
+    val ids = (0L until 60L).toDF("doc_id")
+    val got = Multimodal.audioHashClusters(
+      Multimodal.plantedAudioAssets(ids, groups = 20))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (0L until 60L).map(id => (id, id % 20, 3L)).toSet)
+  }
 }
