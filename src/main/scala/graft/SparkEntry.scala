@@ -1341,6 +1341,15 @@ FROM (
         Tables.documents(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)))
     }),
+    // and the video leg: motion-PNG container split → per-frame PNG
+    // decode → frame dHash → frame-set Jaccard → CC, same arithmetic
+    // planted truth (6-frame windows over a per-group 8-frame pool)
+    "media_video_clusters" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.videoClusters(Multimodal.plantedVideoAssets(
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 120)))
+    }),
     // deterministic hash-threshold splits / mixture sampling — the
     // same rows every run, any partitioning, replayed by the oracle
     "doc_split_assign" -> ((s, d) =>
@@ -2119,6 +2128,22 @@ ORDER BY asset_id""",
       """WITH a AS (
   SELECT doc_id AS asset_id, doc_id % 40 AS grp
   FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT grp, min(asset_id) AS cluster_id,
+    CAST(count(*) AS BIGINT) AS cluster_size
+  FROM a GROUP BY grp
+)
+SELECT a.asset_id, g.cluster_id, g.cluster_size
+FROM a JOIN g USING (grp)
+WHERE g.cluster_size > 1
+ORDER BY asset_id""",
+
+    // arithmetic planted truth again: group pools of 8 frames, member
+    // windows overlap >= 0.5 within a group and 0 across
+    "media_video_clusters" ->
+      """WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 16 AS grp
+  FROM documents WHERE doc_id < 120
 ), g AS (
   SELECT grp, min(asset_id) AS cluster_id,
     CAST(count(*) AS BIGINT) AS cluster_size

@@ -573,6 +573,48 @@ object Multimodal {
       buf.array
     }
 
+    /** Split a motion-PNG container (back-to-back complete PNG
+      * streams — the trivial frame container used where no real video
+      * codec exists in-env) into its frame byte slices by walking the
+      * chunk structure of each stream to its IEND. Stops at the first
+      * malformed frame (frames so far are returned) — truncation is
+      * data, not a bug.
+      */
+    def splitPngFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      if (bytes == null) return Seq.empty
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = 0
+      var ok = true
+      while (ok && off + 8 <= bytes.length) {
+        var s = 0
+        while (s < 8 && ok) {
+          if ((bytes(off + s) & 0xff) != sig(s)) ok = false
+          s += 1
+        }
+        if (ok) {
+          var p = off + 8
+          var end = -1
+          while (end < 0 && p + 8 <= bytes.length) {
+            val len = bb.getInt(p)
+            if (len < 0 || p.toLong + 12 + len > bytes.length) { p = bytes.length; }
+            else {
+              if (new String(bytes, p + 4, 4, "US-ASCII") == "IEND")
+                end = p + 12 + len
+              p += 12 + len
+            }
+          }
+          if (end < 0) ok = false
+          else {
+            out += java.util.Arrays.copyOfRange(bytes, off, end)
+            off = end
+          }
+        }
+      }
+      out.toSeq
+    }
+
     /** The documented stub for formats without an in-env codec:
       * deterministic 16-dim features from the payload bytes.
       */
@@ -669,6 +711,125 @@ object Multimodal {
       .select(col("doc_id").as("asset_id"), col("cluster_id"),
         col("cluster_size"))
       .orderBy(col("asset_id"))
+  }
+
+  final case class VideoFrameHash(asset_id: Long, frame_idx: Int, phash: Long)
+
+  /** Per-frame perceptual hashes for motion-PNG video payloads: split
+    * the container ([[Codecs.splitPngFrames]]), decode each frame
+    * through the real PNG codec, dHash the pixels. One row per frame —
+    * a generator (linear in frames), mapPartitions batch shape.
+    */
+  def videoFrameHashes(assets: DataFrame): Dataset[VideoFrameHash] = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        try Codecs.splitPngFrames(payload).zipWithIndex.flatMap {
+          case (frame, i) => Codecs.decodePng(frame).map { case (w, h, rgb) =>
+            VideoFrameHash(id, i, Codecs.dhash64(w, h, rgb))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+  }
+
+  /** Video near-duplicate pairs: two videos are near-dups when the
+    * Jaccard similarity of their frame-dHash SETS clears `minJaccard`
+    * — robust to frame drops/inserts and re-containering, the standard
+    * set-overlap treatment of frame fingerprints. Candidates block on
+    * sharing at least one EXACT frame hash (an equi-join on the
+    * 8-byte hash — linear; near-dup videos by this definition always
+    * share a frame, so the blocking is lossless for any
+    * minJaccard > 0); for fuzzier per-frame matching the frame hashes
+    * would be banded first, exactly like [[phashClusters]].
+    */
+  def videoNearDups(assets: DataFrame, minJaccard: Double = 0.45): DataFrame = {
+    val sets = videoFrameHashes(assets).toDF()
+      .groupBy(col("asset_id"))
+      .agg(collect_set(col("phash")).as("fs"))
+    val ex = sets.select(col("asset_id"), explode(col("fs")).as("h"))
+    val cand = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.h") === col("b.h") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("vid_a"), col("b.asset_id").as("vid_b"))
+      .dropDuplicates("vid_a", "vid_b")
+    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+    cand
+      .join(sets.select(col("asset_id").as("vid_a"), col("fs").as("fa")), "vid_a")
+      .join(sets.select(col("asset_id").as("vid_b"), col("fs").as("fb")), "vid_b")
+      .select(col("vid_a"), col("vid_b"),
+        round(inter.cast("double") /
+          greatest((size(col("fa")).cast("long") +
+            size(col("fb")).cast("long") - inter).cast("double"),
+            lit(1.0)), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Video near-dup clusters — connected components over
+    * [[videoNearDups]] pairs, completing the image/audio/video dedup
+    * trio.
+    */
+  def videoClusters(assets: DataFrame, minJaccard: Double = 0.45): DataFrame =
+    Dedup.clusterMembershipRaw(videoNearDups(assets, minJaccard),
+      aCol = "vid_a", bCol = "vid_b")
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("asset_id"))
+
+  /** Planted motion-PNG corpus for the video dedup oracle: each group
+    * (`id % groups`) owns a pool of 8 frames whose dHashes are
+    * replication codes of (group, frame) — distinct (g, k) pairs sit
+    * ≥ 8 Hamming bits apart, so frame hashes collide exactly when
+    * frames are planted equal. Member m of a group keeps the 6-frame
+    * window starting at m % 3, giving within-group frame-set Jaccard
+    * ≥ 0.5 (windows {0-5}/{1-6}/{2-7}) and zero overlap across
+    * groups: the true cluster structure is again pure id arithmetic,
+    * earned through real container-split → PNG decode → dHash →
+    * set-Jaccard → CC work.
+    */
+  def plantedVideoAssets(ids: DataFrame, groups: Int = 16): DataFrame = {
+    import ids.sparkSession.implicits._
+    require(groups <= 16, "group+frame id must fit 8 replication-code bits")
+    val idsDs = ids.select(col(ids.columns.head).cast("long")).as[Long]
+    idsDs.map { id =>
+      val g = (id % groups).toInt
+      val start = (id % 3).toInt
+      val frames = (start until start + 6).map { k =>
+        // frame code: 8 source bits (g in 0..15, k in 0..7) replicated
+        // 8× across the 64 dHash bits via the image staircase
+        val code = (g << 3) | k
+        val w = 36
+        val h = 32
+        val cells = Array.ofDim[Int](8, 9)
+        var r = 0
+        while (r < 8) {
+          cells(r)(0) = 128
+          var c = 0
+          while (c < 8) {
+            val bit = ((code >> ((r * 8 + c) / 8)) & 1) == 1
+            cells(r)(c + 1) = cells(r)(c) + (if (bit) 15 else -15)
+            c += 1
+          }
+          r += 1
+        }
+        val rgb = new Array[Int](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = cells(y / 4)(x / 4)
+            val o = (y * w + x) * 3
+            rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        Codecs.encodePng(w, h, rgb)
+      }
+      val payload = frames.reduce(_ ++ _)
+      (id, "video", payload, 36, 32, frames.length * 1000L, "mpng")
+    }.toDF("asset_id", "media_type", "payload", "width", "height",
+      "duration_ms", "codec")
   }
 
   /** Planted WAV corpus for the audio-hash dedup oracle — the audio

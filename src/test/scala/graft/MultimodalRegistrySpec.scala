@@ -398,4 +398,30 @@ class MultimodalRegistrySpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == (0L until 60L).map(id => (id, id % 20, 3L)).toSet)
   }
+
+  test("video frames: container split, per-frame decode, planted clusters") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.Codecs
+    // two distinct frames concatenated round-trip through the splitter
+    val f1 = Codecs.encodePng(8, 8, Array.fill(8 * 8 * 3)(10))
+    val f2 = Codecs.encodePng(8, 8, Array.fill(8 * 8 * 3)(240))
+    val split = Codecs.splitPngFrames(f1 ++ f2)
+    assert(split.length == 2)
+    assert(split(0).toSeq == f1.toSeq && split(1).toSeq == f2.toSeq)
+    // truncated tail: the complete leading frames are still returned
+    assert(Codecs.splitPngFrames((f1 ++ f2).dropRight(7)).length == 1)
+    assert(Codecs.splitPngFrames(Array[Byte](1, 2, 3)).isEmpty)
+    // planted corpus: frame hashes recover the window-overlap clusters
+    val ids = (0L until 60L).toDF("doc_id")
+    val assets = Multimodal.plantedVideoAssets(ids, groups = 12)
+    val nFrames = Multimodal.videoFrameHashes(assets).count()
+    assert(nFrames == 60L * 6, "every member carries its 6-frame window")
+    val got = Multimodal.videoClusters(assets)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (0L until 60L).map(id => (id, id % 12, 5L)).toSet)
+    // distinct groups share no frames at all
+    val pairs = Multimodal.videoNearDups(assets)
+      .select($"vid_a", $"vid_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a % 12 == b % 12 })
+  }
 }
