@@ -92,4 +92,22 @@ class PlanShapeSpec extends SparkSpecBase {
       .contains("BroadcastHashJoin"),
       "below-threshold customer should broadcast via AQE without a hint")
   }
+
+  test("round-5 surface: gopher stays scan-local, perceptual dedup has no cartesian or window") {
+    // the quality battery is pure per-row column math — any join or
+    // window means a regression into shuffling the corpus
+    val g = executedPlan("doc_quality_gopher")
+    assert(!g.contains("Join") && !g.contains("Window"),
+      "gopher battery must stay scan-local")
+    // banded embedding near-dups and the media dedup pipelines must
+    // candidate-block on equi-join keys, never cross-join, and never
+    // rank with a window
+    for (q <- Seq("emb_near_dups", "media_phash_clusters",
+        "media_ahash_clusters", "media_video_clusters")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must block on band/hash keys, not cross-join")
+      assert(!p.contains("Window"), s"$q must not rank with a window")
+    }
+  }
 }
