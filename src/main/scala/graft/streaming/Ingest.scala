@@ -208,11 +208,16 @@ object Ingest {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the enriched micro-batch is consumed by THREE lineages (the
+        // firewall match, the block anti-join, and classify's rate
+        // branch reading the admitted frame twice) — without a pin each
+        // re-reads and re-parses the source batch
         val enriched = batch
           .join(broadcast(users.select(col("username"),
             col("role"), col("user_id"))), Seq("username"), "left")
           .withColumn("role", coalesce(col("role"), lit("Guest")))
           .withColumn("rows_affected", lit(null).cast("long"))
+          .persist()
         // E1 firewall gate (app.py:1177-1179): match against the active
         // rules BEFORE detection; hits are few, so the frame is pinned
         // for the sink write + the block anti-join
@@ -261,7 +266,9 @@ object Ingest {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(cfg.alertsDir)
-        } finally { classified.unpersist(); fw.unpersist(); () }
+        } finally {
+          classified.unpersist(); fw.unpersist(); enriched.unpersist(); ()
+        }
         ()
       }
       .start()
