@@ -426,27 +426,43 @@ ORDER BY sink, ts, username, detail"""
     */
   private val PlantedIdBase = 1000000L
 
-  /** Band `b`'s packed r sign bits (Similarity.signBandCols). */
-  private def bandValSql(e: String, b: Int, r: Int): String =
-    (0 until r).map { j =>
-      s"(CASE WHEN ${planeProjSql(b * r + j, e)} >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("(", "\n      + ", ")")
+  /** Rungs of Similarity.GeometryLadder the oracle replays. Three
+    * rungs cover corpora to 4,096 vectors — 8× headroom over sf0.1's
+    * planted 480; a larger fixture selects NULL geometry, emptying the
+    * blocking and failing the row LOUDLY rather than silently
+    * replaying the wrong rung. Extending is mechanical: append the
+    * rung and the plane VALUES rows grow to the new r · bands.
+    */
+  private val OracleGeometryRungs: Seq[(Long, Int, Int)] =
+    Seq((256L, 6, 6), (1024L, 8, 9), (4096L, 10, 13))
 
   /** Shared replay of the planted near-dup corpus + the banded
     * OR-amplified blocking (plantedEmbeddings +
-    * Similarity.embeddingNearDups at planes = 36, bands = 6): ends
-    * with `nn(vec_id, embedding, norm)` and `banded(vec_a, vec_b,
-    * cos_sim)` — the verified candidate pairs.
+    * Similarity.embeddingNearDups at the corpus-size-selected
+    * GeometryLadder rung): ends with `nn(vec_id, embedding, norm)`
+    * and `banded(vec_a, vec_b, cos_sim)` — the verified candidate
+    * pairs. The geometry is data-dependent on BOTH sides from the
+    * same input (the planted corpus count), so the engines cannot
+    * diverge on rung selection; the plane matrix is a VALUES table
+    * joined under `idx < r · bands`, so only the selected rung's
+    * projections are computed.
     */
   private val PlantedNearDupCtes: String = {
-    val bands = 6
-    val r = 6
-    val sigCols = (0 until bands)
-      .map(b => s"${bandValSql("embedding", b, r)} AS bv$b")
-      .mkString(",\n    ")
-    val unpivot = (0 until bands)
-      .map(b => s"SELECT vec_id, $b AS band, bv$b AS bv FROM sigs")
-      .mkString("\n  UNION ALL\n  ")
+    val maxPlanes = OracleGeometryRungs.map { case (_, r, b) => r * b }.max
+    val planeRows = (0 until maxPlanes).map { p =>
+      val w = Similarity.hyperplane(p, 64).map(_.toString)
+        .mkString("[", ", ", "]")
+      s"($p, $w)"
+    }.mkString(",\n    ")
+    def caseOver(pick: ((Long, Int, Int)) => Int): String =
+      OracleGeometryRungs.map { case t @ (hi, _, _) =>
+        s"WHEN n <= $hi THEN ${pick(t)}"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+    // same sequential double fold as planeProjSql, with the plane
+    // carried as a column instead of an inlined literal
+    val proj =
+      """list_reduce(list_prepend(0.0, list_transform(list_zip(p.embedding, pl.w),
+      s -> COALESCE(CAST(s[1] AS DOUBLE) * s[2], 0.0))), (a, b) -> a + b)"""
     s"""pe AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
   UNION ALL
@@ -457,15 +473,22 @@ ORDER BY sink, ts, username, detail"""
   WHERE a.vec_id % 25 = 0
 ), nn AS MATERIALIZED (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM pe
-), sigs AS MATERIALIZED (
-  SELECT vec_id,
-    $sigCols
-  FROM pe
-), bv AS (
-  $unpivot
+), geo AS (
+  SELECT ${caseOver(_._2)} AS r,
+         ${caseOver(_._3)} AS bands
+  FROM (SELECT count(*) AS n FROM pe)
+), pl(idx, w) AS (
+  VALUES
+    $planeRows
+), bvt AS MATERIALIZED (
+  SELECT p.vec_id, pl.idx // g.r AS band,
+    sum(CASE WHEN $proj >= 0
+             THEN CAST(1 AS BIGINT) << (pl.idx % g.r) ELSE 0 END) AS bv
+  FROM pe p CROSS JOIN geo g JOIN pl ON pl.idx < g.r * g.bands
+  GROUP BY p.vec_id, pl.idx // g.r
 ), cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-  FROM bv x JOIN bv y
+  FROM bvt x JOIN bvt y
     ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
 ), banded AS (
   SELECT c.vec_a, c.vec_b,
@@ -833,15 +856,26 @@ FROM (
   private def ScopeThreshold = 1000L
   private def ScopeMod = 4
 
-  // corpus size memoized per (session, dir): five scoped queries ×
+  // corpus size memoized per canonical dir: five scoped queries ×
   // several bench runs would otherwise re-scan the corpus to re-learn
-  // the same constant
+  // the same constant. Keyed on the path only (no SparkSession in the
+  // key — a session reference would be strongly retained for the
+  // process lifetime) and bounded LRU. Fixture dirs are immutable for
+  // the life of a process by contract (TESTDATA.md corpora are
+  // driver-generated once); a rewrite straddling ScopeThreshold within
+  // one process would require dropping the cache.
   private val docsCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 64
+      })
 
   private def scopedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docsCountCache.computeIfAbsent((s, d), _ => docs.count())
+    val key = new java.io.File(d).getCanonicalPath
+    val n = docsCountCache.computeIfAbsent(key, _ => docs.count())
     if (n > ScopeThreshold)
       docs.filter(col("doc_id") % ScopeMod === 0)
     else docs

@@ -413,8 +413,33 @@ object Multimodal {
       * make it invariant to global brightness/contrast shifts and
       * robust to resizing — near-duplicate images land within a small
       * Hamming radius.
+      *
+      * Images smaller than the 9×8 grid would leave cells unpopulated
+      * (the integer x·9/w mapping skips columns), so bits would compare
+      * an arbitrary 0.0 against content; such images are first
+      * nearest-neighbor upscaled to the grid floor so every cell owns
+      * at least one pixel.
       */
-    def dhash64(w: Int, h: Int, rgb: Array[Int]): Long = {
+    def dhash64(w: Int, h: Int, rgb: Array[Int]): Long =
+      if (w > 0 && h > 0 && (w < 9 || h < 8)) {
+        val sw = math.max(w, 9)
+        val sh = math.max(h, 8)
+        val up = new Array[Int](sw * sh * 3)
+        var y = 0
+        while (y < sh) {
+          val sy = y * h / sh
+          var x = 0
+          while (x < sw) {
+            val sx = x * w / sw
+            val so = (sy * w + sx) * 3
+            val d = (y * sw + x) * 3
+            up(d) = rgb(so); up(d + 1) = rgb(so + 1); up(d + 2) = rgb(so + 2)
+            x += 1
+          }
+          y += 1
+        }
+        dhash64(sw, sh, up)
+      } else {
       val sums = new Array[Double](72)
       val counts = new Array[Int](72)
       var y = 0
@@ -737,19 +762,42 @@ object Multimodal {
     * Jaccard similarity of their frame-dHash SETS clears `minJaccard`
     * — robust to frame drops/inserts and re-containering, the standard
     * set-overlap treatment of frame fingerprints. Candidates block on
-    * sharing at least one EXACT frame hash (an equi-join on the
-    * 8-byte hash — linear; near-dup videos by this definition always
-    * share a frame, so the blocking is lossless for any
-    * minJaccard > 0); for fuzzier per-frame matching the frame hashes
+    * sharing at least one exact frame hash (an equi-join on the
+    * 8-byte hash); for fuzzier per-frame matching the frame hashes
     * would be banded first, exactly like [[phashClusters]].
+    *
+    * Stop-frame removal: a ubiquitous frame — a black frame, a
+    * standard intro/outro card — shared by k videos would emit k²/2
+    * candidate pairs from one hash bucket, the same hot-shingle
+    * failure the text Jaccard path dodges with rarest-first prefix
+    * filtering ([[graft.operators.Dedup.jaccardNearDupPairs]]). Frame
+    * hashes whose document frequency exceeds `maxFrameDf` are dropped
+    * from BLOCKING only — the Jaccard verdict below still scores the
+    * FULL frame sets — which bounds per-bucket candidate volume at
+    * maxFrameDf²/2 while leaving scores untouched. A pair is missed
+    * only if every frame it shares sits in > maxFrameDf videos; such a
+    * pair's overlap is all stop-frames, carrying no discriminative
+    * evidence of duplication in the first place.
+    *
+    * The frame lineage (container split → per-frame PNG decode →
+    * dHash → collect_set) feeds blocking (both self-join sides, plus
+    * the df count) and both score-side enrichment joins, so `sets` is
+    * localCheckpoint-ed eagerly — the decode work runs once per asset,
+    * the same pin discipline as the ingest micro-batch.
     */
-  def videoNearDups(assets: DataFrame, minJaccard: Double = 0.45): DataFrame = {
+  def videoNearDups(assets: DataFrame, minJaccard: Double = 0.45,
+                    maxFrameDf: Int = 64): DataFrame = {
     val sets = videoFrameHashes(assets).toDF()
       .groupBy(col("asset_id"))
       .agg(collect_set(col("phash")).as("fs"))
+      .localCheckpoint()
     val ex = sets.select(col("asset_id"), explode(col("fs")).as("h"))
-    val cand = ex.alias("a")
-      .join(ex.alias("b"),
+    val rare = ex.join(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxFrameDf).select(col("h")),
+      Seq("h"), "left_semi")
+    val cand = rare.alias("a")
+      .join(rare.alias("b"),
         col("a.h") === col("b.h") && col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("vid_a"), col("b.asset_id").as("vid_b"))
       .dropDuplicates("vid_a", "vid_b")
@@ -769,8 +817,9 @@ object Multimodal {
     * [[videoNearDups]] pairs, completing the image/audio/video dedup
     * trio.
     */
-  def videoClusters(assets: DataFrame, minJaccard: Double = 0.45): DataFrame =
-    Dedup.clusterMembershipRaw(videoNearDups(assets, minJaccard),
+  def videoClusters(assets: DataFrame, minJaccard: Double = 0.45,
+                    maxFrameDf: Int = 64): DataFrame =
+    Dedup.clusterMembershipRaw(videoNearDups(assets, minJaccard, maxFrameDf),
       aCol = "vid_a", bCol = "vid_b")
       .select(col("doc_id").as("asset_id"), col("cluster_id"),
         col("cluster_size"))

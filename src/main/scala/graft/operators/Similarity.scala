@@ -536,6 +536,91 @@ object Similarity {
     }
   }
 
+  /** Above this plane count the banded signature switches from the
+    * unrolled per-plane expression tree ([[signBandCols]]) to the
+    * data-driven [[signBandArray]] literal-matrix form — the same
+    * codegen-ceiling reasoning as [[UnrollNlistMax]]: an unrolled tree
+    * grows the plan linearly in planes, and the upper geometry-ladder
+    * rungs want hundreds of planes.
+    */
+  private[graft] val UnrollPlanesMax = 64
+
+  /** [[signBandCols]] as ONE array column (index = band, value =
+    * packed r sign bits), with the plane matrix carried as a single
+    * array-of-arrays literal — DATA, not code — traversed by
+    * higher-order functions, so plan size is O(1) in planes. The
+    * arithmetic (per-plane zip_with double fold, ascending-j integer
+    * bit sum) is bit-identical to the unrolled form
+    * (DedupSimilaritySpec proves it across [[UnrollPlanesMax]]).
+    */
+  private[graft] def signBandArray(vec: Column, planes: Int, bands: Int,
+                                   dim: Int = 64): Column = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    val mat = typedlit((0 until planes).map(p => hyperplane(p, dim)))
+    val pow = typedlit((0 until r).map(j => 1 << j))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(r - 1)), lit(0), (acc, j) => {
+        val proj = aggregate(
+          zip_with(vec, element_at(mat, b * lit(r) + j + 1), (x, w) =>
+            coalesce(x.cast("double") * w, lit(0.0))),
+          lit(0.0), (a, v) => a + v)
+        acc + when(proj >= 0, element_at(pow, j + 1)).otherwise(lit(0))
+      }))
+  }
+
+  /** Exploded (vec_id, band, bv) banded signatures for an embedding
+    * frame — unrolled below [[UnrollPlanesMax]] planes (fully inside
+    * the scan stage), literal-matrix HOF form above.
+    */
+  private[graft] def bandedSignatures(embeddings: DataFrame, planes: Int,
+                                      bands: Int): DataFrame =
+    if (planes <= UnrollPlanesMax) {
+      val bvs = signBandCols(col("embedding"), planes, bands)
+      embeddings.select(col("vec_id"),
+        explode(array(bvs.zipWithIndex.map { case (bv, b) =>
+          struct(lit(b).as("band"), bv.as("bv"))
+        }: _*)).as("e"))
+        .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    } else
+      embeddings
+        .select(col("vec_id"),
+          posexplode(signBandArray(col("embedding"), planes, bands)))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
+
+  /** Corpus-size-adaptive geometry ladder for the banded near-dup
+    * blocker: rung (maxCorpus, r, bands) is selected so expected
+    * random-collision bucket occupancy n/2^r stays ≈ 4 (r ≈
+    * log₂(n/4), stepped by 2 bits per 4× corpus growth), and `bands`
+    * is the smallest count holding model recall 1 − (1 − p^r)^bands ≥
+    * 0.95 at cosine 0.90 (p = 1 − θ/π ≈ 0.8564).
+    *
+    * Candidate volume on worst-case (fully random) data is
+    * bands · n²/2^(r+1) ≈ bands · n · occupancy / 2 — LINEAR in n per
+    * rung; across rungs bands grows like (n)^(−log₂p) ≈ n^0.22, so
+    * total candidate volume is O(n^1.22) instead of the fixed-width
+    * blocker's O(n²) (round-5 verdict #1). The trade: plane-compute
+    * work is r · bands projections per vector (560 at the top rung —
+    * why [[signBandArray]] exists). Above the top rung (n > 2.6×10⁵
+    * ceiling documented in SCALE.md) occupancy grows linearly with n;
+    * extending the ladder is mechanical (+2 bits per 4×) but each
+    * rung's bands count must be re-derived from the recall model.
+    */
+  private[graft] val GeometryLadder: Seq[(Long, Int, Int)] = Seq(
+    (256L, 6, 6),
+    (1024L, 8, 9),
+    (4096L, 10, 13),
+    (16384L, 12, 18),
+    (65536L, 14, 25),
+    (Long.MaxValue, 16, 35))
+
+  /** (planes, bands) for a corpus of `n` vectors — the
+    * [[GeometryLadder]] rung lookup. */
+  def nearDupGeometry(n: Long): (Int, Int) = {
+    val (_, r, b) = GeometryLadder.find(n <= _._1).get
+    (r * b, b)
+  }
+
   /** Pairwise embedding near-duplicates: all corpus pairs whose cosine
     * exceeds a threshold, candidate-blocked by BANDED sign-LSH with
     * OR-amplification — the same AND-then-OR construction as the
@@ -546,25 +631,35 @@ object Similarity {
     * verification) are verified exactly.
     *
     * Recall model (sign-LSH: per-plane agreement p = 1 − θ/π): a pair
-    * at cosine c is found with probability 1 − (1 − p^r)^bands. At the
-    * defaults (r = 6, bands = 6) that is ≈ 0.95 at c = 0.90 and
-    * ≈ 0.997 at c = 0.97, while an uncorrelated pair (p ≈ ½) survives
-    * a band with probability 2^−6 — candidate volume ≈
-    * bands/2^r ≈ 9% of the pair space on worst-case (fully random)
-    * data, and proportionally less on real corpora where near-dup
-    * mass is concentrated. The round-4 single-bucket blocker (ALL 8
-    * planes must agree, no OR) found ≈ p^8 of true pairs — ~2% at the
-    * old 0.35 threshold — with no way to trade candidates for recall;
-    * raising `bands` (at fixed r) now buys recall linearly in
-    * candidate volume. Measured recall: [[nearDupPairRecall]] (the
-    * production dial) and the planted-corpus brute-force spec.
+    * at cosine c is found with probability 1 − (1 − p^r)^bands, while
+    * an uncorrelated pair (p ≈ ½) survives a band with probability
+    * 2^−r — worst-case candidate volume bands · n²/2^(r+1). Every
+    * [[GeometryLadder]] rung holds model recall ≥ 0.95 at c = 0.90
+    * (≥ 0.997 at the planted 0.97) by pairing each +2-bit band-width
+    * step with the recall-restoring bands count, so candidates stay
+    * ≈ constant-occupancy LINEAR per rung instead of the fixed-width
+    * quadratic (round-5 verdict #1; measured sweep in NearDupProf and
+    * SCALE.md §12). The round-4 single-bucket blocker (ALL 8 planes
+    * must agree, no OR) found ≈ p^8 of true pairs — ~2% at the old
+    * 0.35 threshold — with no way to trade candidates for recall;
+    * `bands` (at fixed r) buys recall linearly in candidate volume.
+    * Measured recall: [[nearDupPairRecall]] (the production dial) and
+    * the planted-corpus brute-force spec.
     *
     * All stages are linear in corpus size + candidate volume: the band
     * signature is scan-local, the candidate join is an equi-join on
     * (band, value), and verification touches candidates only.
+    *
+    * Geometry: `planes = bands = 0` (the default) selects the
+    * [[GeometryLadder]] rung for the corpus size — band width grows
+    * with log₂(n) at ≈ constant bucket occupancy, holding candidate
+    * volume sub-quadratic (O(n^1.22)) where a fixed band width is
+    * flatly quadratic. Explicit planes/bands pin the geometry (the
+    * tuning dial, and the way a 100 TB caller with a known corpus
+    * count avoids the sizing `count()`).
     */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.9,
-                        planes: Int = 36, bands: Int = 6): DataFrame =
+                        planes: Int = 0, bands: Int = 0): DataFrame =
     embeddingNearDupsRaw(embeddings, minCos, planes, bands)
       .orderBy(col("vec_a"), col("vec_b"))
 
@@ -573,22 +668,39 @@ object Similarity {
     * of the pair stream ahead of the next shuffle is pure waste; same
     * convention as [[Dedup]]'s `*PairsRaw`).
     */
-  private[graft] def embeddingNearDupsRaw(embeddings: DataFrame,
-      minCos: Double, planes: Int, bands: Int): DataFrame = {
-    val bvs = signBandCols(col("embedding"), planes, bands)
-    val banded = embeddings.select(col("vec_id"),
-      explode(array(bvs.zipWithIndex.map { case (bv, b) =>
-        struct(lit(b).as("band"), bv.as("bv"))
-      }: _*)).as("e"))
-      .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+  /** Deduped candidate pairs of the banded blocker (the stage BEFORE
+    * exact-cosine verification); planes = bands = 0 selects the
+    * [[GeometryLadder]] rung for the corpus size. Exposed separately
+    * as the candidate-volume instrument ([[nearDupCandidateCount]]
+    * sweeps it across corpus sizes).
+    */
+  private[graft] def nearDupCandidates(embeddings: DataFrame,
+      planes: Int, bands: Int): DataFrame = {
+    val (pl, bd) =
+      if (planes > 0 && bands > 0) (planes, bands)
+      else nearDupGeometry(embeddings.count())
+    val banded = bandedSignatures(embeddings, pl, bd)
     // candidate ids deduped FIRST (×bands multiplicity collapses on two
     // longs), so the 64-dim exact cosine runs once per candidate pair
-    val cand = banded.alias("a")
+    banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Candidate-pair count at a geometry (0 = auto) — the measured side
+    * of the GeometryLadder's sub-quadratic candidate-volume claim
+    * (NearDupProf prints the sweep; SCALE.md records it).
+    */
+  def nearDupCandidateCount(embeddings: DataFrame, planes: Int = 0,
+                            bands: Int = 0): Long =
+    nearDupCandidates(embeddings, planes, bands).count()
+
+  private[graft] def embeddingNearDupsRaw(embeddings: DataFrame,
+      minCos: Double, planes: Int, bands: Int): DataFrame = {
+    val cand = nearDupCandidates(embeddings, planes, bands)
     val sides = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     cand
@@ -613,7 +725,7 @@ object Similarity {
     * exactly as it was for documents).
     */
   def embeddingNearDupClusters(embeddings: DataFrame, minCos: Double = 0.9,
-                               planes: Int = 36, bands: Int = 6): DataFrame =
+                               planes: Int = 0, bands: Int = 0): DataFrame =
     Dedup.clusterMembershipRaw(
       embeddingNearDupsRaw(embeddings, minCos, planes, bands),
       aCol = "vec_a", bCol = "vec_b")
@@ -629,8 +741,8 @@ object Similarity {
     * row: (hits, expected, recall).
     */
   def nearDupPairRecall(embeddings: DataFrame, anchorPred: Column,
-                        minCos: Double = 0.9, planes: Int = 36,
-                        bands: Int = 6): DataFrame = {
+                        minCos: Double = 0.9, planes: Int = 0,
+                        bands: Int = 0): DataFrame = {
     val approx = embeddingNearDupsRaw(embeddings, minCos, planes, bands)
       .select(col("vec_a"), col("vec_b"), lit(1).as("__hit"))
     val sides = embeddings.select(col("vec_id"), col("embedding"),

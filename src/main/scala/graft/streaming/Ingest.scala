@@ -36,6 +36,8 @@ import graft.operators.Detect
   */
 object Ingest {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class IngestConfig(
       logsDir: String,
       alertsDir: String,
@@ -53,7 +55,13 @@ object Ingest {
       // the role of the reference's 60 s rule-cache TTL
       // (app.py:819-827). Takes precedence over the static `rules`
       // argument of [[start]].
-      rulesDir: Option[String] = None)
+      rulesDir: Option[String] = None,
+      // how many CONSECUTIVE micro-batches may gate on a stale
+      // rule snapshot when rulesDir turns unreadable before the
+      // stream fails — bounds rule staleness to
+      // maxRuleFallbackBatches × trigger interval (the reference's
+      // cache is bounded at 60 s the same way)
+      maxRuleFallbackBatches: Int = 3)
 
   /** Raw general_log rows → activity_logs-shaped frame. Pure column
     * pipeline; works identically on batch and streaming frames
@@ -167,8 +175,16 @@ object Ingest {
     // listing, and a swap racing the read itself degrades to one retry
     // and then to the previous batch's rule set instead of killing the
     // stream (round-4 advisor).
+    // Degrading forever on a stale snapshot would make permanent
+    // breakage (bad permissions, deleted dir) indistinguishable from a
+    // transient swap race, so each fallback logs the snapshot's age and
+    // after maxRuleFallbackBatches consecutive fallbacks the stream
+    // fails instead — the reference's 60 s TTL cache likewise re-reads
+    // and surfaces failures rather than pinning old rules silently.
     var lastGoodRules: Option[DataFrame] = None
-    def rulesFor(batchSession: SparkSession): DataFrame =
+    var lastGoodBatchId: Long = -1L
+    var consecutiveFallbacks: Int = 0
+    def rulesFor(batchSession: SparkSession, batchId: Long): DataFrame =
       cfg.rulesDir match {
         case Some(dir) =>
           def snapshot(): DataFrame = {
@@ -184,15 +200,38 @@ object Ingest {
               catch { case scala.util.control.NonFatal(_) => None }
             }
           fresh match {
-            case Some(df) => lastGoodRules = Some(df); df
-            case None => lastGoodRules.getOrElse(
-              // no prior snapshot to degrade to: fail the batch loudly
-              // rather than silently gating with the DEFAULT rule set —
-              // substituting fixture rules for the configured warehouse
-              // rules would be fail-open for a security gate
-              throw new IllegalStateException(
-                s"firewall rules unreadable at ${cfg.rulesDir.get} and no " +
-                  "prior snapshot exists — refusing to gate with default rules"))
+            case Some(df) =>
+              lastGoodRules = Some(df); lastGoodBatchId = batchId
+              consecutiveFallbacks = 0
+              df
+            case None =>
+              consecutiveFallbacks += 1
+              if (consecutiveFallbacks > cfg.maxRuleFallbackBatches)
+                throw new IllegalStateException(
+                  s"firewall rules unreadable at $dir for " +
+                    s"$consecutiveFallbacks consecutive batches (last good " +
+                    s"snapshot: batch $lastGoodBatchId) — failing the " +
+                    "stream rather than gating on an unboundedly stale " +
+                    "rule set")
+              lastGoodRules match {
+                case Some(df) =>
+                  log.warn(s"firewall rules unreadable at $dir " +
+                    s"(fallback $consecutiveFallbacks/" +
+                    s"${cfg.maxRuleFallbackBatches}); gating batch " +
+                    s"$batchId with the snapshot from batch " +
+                    s"$lastGoodBatchId")
+                  df
+                case None =>
+                  // no prior snapshot to degrade to: fail the batch
+                  // loudly rather than silently gating with the DEFAULT
+                  // rule set — substituting fixture rules for the
+                  // configured warehouse rules would be fail-open for a
+                  // security gate
+                  throw new IllegalStateException(
+                    s"firewall rules unreadable at $dir and no prior " +
+                      "snapshot exists — refusing to gate with default " +
+                      "rules")
+              }
           }
         case None => staticRules
       }
@@ -222,7 +261,7 @@ object Ingest {
         // rules BEFORE detection; hits are few, so the frame is pinned
         // for the sink write + the block anti-join
         val fw = Detect.firewallMatch(enriched,
-          rulesFor(batch.sparkSession)).persist()
+          rulesFor(batch.sparkSession, batchId)).persist()
         val admitted = enriched.join(
           fw.filter(col("action") === "block").select(col("activity_id")),
           Seq("activity_id"), "left_anti")

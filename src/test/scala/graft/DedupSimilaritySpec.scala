@@ -141,6 +141,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("native SimHash64 matches fixed known-vector hashes") {
+    // The doc_simhash oracle row is an agreement check between the two
+    // in-engine formulations; these constants pin the native expression
+    // to ground truth computed independently (xxhash64 seed-42 per
+    // token, ±1 vote per bit, bit set iff vote sum ≥ 0), so a mistake
+    // shared by both formulations cannot pass silently.
+    def sh(toks: Seq[String]): Long =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(graft.functions.SimHash64.simhash64($"toks"))
+        .collect()(0).getLong(0)
+    // single token: every bit's vote is the hash bit itself, so the
+    // sketch IS xxhash64("a")
+    assert(sh(Seq("a")) == -8582455328737087284L)
+    assert(sh(Seq("a", "b", "c")) == -9192903946783104038L)
+    assert(sh(Seq("the", "quick", "brown", "fox", "jumps")) ==
+      -7497926397918215972L)
+    // empty array: all 64 vote sums are 0 → every bit set
+    assert(sh(Seq.empty) == -1L)
+  }
+
   test("cosine top-k: self excluded, ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f), 0),
@@ -594,6 +614,48 @@ class DedupSimilaritySpec extends SparkSpecBase {
       col("vec_id") >= 1000L, minCos = 0.9).collect()(0)
     assert(row.getAs[Long]("expected") == brute.size)
     assert(row.getAs[Long]("hits") == banded.size)
+  }
+
+  test("signBandArray matches unrolled signBandCols bit-for-bit across the unroll ceiling") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // one geometry per side of UnrollPlanesMax (=64), plus the ladder's
+    // third rung — the literal-matrix HOF form must be DATA-identical,
+    // not just statistically similar (same fold order, same bit packing)
+    for ((planes, bands) <- Seq((36, 6), (72, 9), (130, 13))) {
+      val unrolled = vecs.select($"vec_id",
+        array(Similarity.signBandCols($"embedding", planes, bands): _*)
+          .as("s")).as[(Long, Seq[Int])].collect().toMap
+      val hof = vecs.select($"vec_id",
+        Similarity.signBandArray($"embedding", planes, bands).as("s"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(unrolled == hof, s"geometry ($planes, $bands)")
+    }
+  }
+
+  test("nearDupGeometry ladder: rung lookup and sub-quadratic measured candidate volume") {
+    // the fixture scales: sf0.01's planted 120 stays on the r5 default
+    // rung; sf0.1's 480 steps up to (72, 9)
+    assert(Similarity.nearDupGeometry(120L) == (36, 6))
+    assert(Similarity.nearDupGeometry(480L) == (72, 9))
+    assert(Similarity.nearDupGeometry(4096L) == (130, 13))
+    assert(Similarity.nearDupGeometry(100000000L) == (560, 35))
+    // measured sweep on worst-case (fully random) vectors: a 4× corpus
+    // must grow auto-geometry candidates well under the 16× a fixed
+    // band width produces (model: bands·n²/2^(r+1) — 4× per step once
+    // the rung's +2 bits cancel the n² growth, times the bands ratio)
+    val rng = new scala.util.Random(23)
+    def corpus(n: Int) = (0L until n.toLong)
+      .map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val c600 = Similarity.nearDupCandidateCount(corpus(600))
+    val c2400 = Similarity.nearDupCandidateCount(corpus(2400))
+    val growth = c2400.toDouble / c600
+    assert(growth < 10.0,
+      s"auto-geometry candidate growth $growth (=$c2400/$c600) should be" +
+        " well below the quadratic 16x")
   }
 
   test("gopher quality battery: each signal trips on its planted fixture") {
