@@ -128,16 +128,31 @@ object SparkEntry {
     * `activity` for the batch oracles, the admitted micro-batch for
     * the stream replay).
     */
-  private def blacklistCtesOver(src: String): String = {
+  /** `batchCol`: when set, the blacklist expiry anchor is the max
+    * timestamp of the row's OWN micro-batch (the streaming engine
+    * anchors Detect.activeBlacklist per foreachBatch frame), not the
+    * global max — `banchor` carries one anchor per batch for the
+    * severity CTE to join.
+    */
+  private def blacklistCtesOver(src: String,
+                                batchCol: Option[String] = None): String = {
     val rows = Detect.BlacklistSeed.map { case (ip, _, exp) =>
       s"(${sqlQuote(ip)}, TIMESTAMP '$exp')"
     }.mkString(",\n  ")
-    s""", bl(ip_address, expires_at) AS (VALUES
-  $rows
-), abl AS (
+    val anchor = batchCol match {
+      case Some(bc) =>
+        s""", banchor AS (
+  SELECT $bc AS __bb, max(access_timestamp) AS mx FROM $src GROUP BY $bc
+)"""
+      case None =>
+        s""", abl AS (
   SELECT ip_address FROM bl
   WHERE expires_at > (SELECT max(access_timestamp) FROM $src)
 )"""
+    }
+    s""", bl(ip_address, expires_at) AS (VALUES
+  $rows
+)$anchor"""
   }
 
   private val BlacklistCtes: String = blacklistCtesOver("activity")
@@ -209,7 +224,8 @@ object SparkEntry {
     * username for the ingest pipeline — Ingest.start rate-keys on
     * username so unknown users don't pool into one NULL bucket).
     */
-  private def severityCtesOver(src: String, rateKey: String): String = {
+  private def severityCtesOver(src: String, rateKey: String,
+                               batchCol: Option[String] = None): String = {
     val inj = s"regexp_matches(ql, '${sqlRe(Detect.InjectionAlternation)}')"
     val injLabel = Detect.InjectionPatterns.map { case (p, l) =>
       s"WHEN regexp_matches(ql, '${sqlRe(p)}') THEN '${l.replace("'", "''")}'"
@@ -220,15 +236,31 @@ object SparkEntry {
       s"CASE WHEN contains(ql, '$c') THEN 'Access to sensitive column: $c' END")
       .mkString(",\n      ")
     val sensTables = Detect.SensitiveTables.map(t => s"'$t'").mkString(", ")
-    s"""${blacklistCtesOver(src)}, en AS (
+    // per-batch parameterization (multi-batch stream replay): the rate
+    // window partitions by (batch, key, minute) — a minute straddling a
+    // batch boundary counts each side separately, exactly what the
+    // per-micro-batch formulation computes — and the blacklist anchor
+    // joins the row's own batch
+    val ratePart = batchCol.map(bc => s"$bc, ").getOrElse("") +
+      s"$rateKey, date_trunc('minute', access_timestamp)"
+    val enFrom = batchCol match {
+      case Some(bc) => s"FROM $src a JOIN banchor ba ON ba.__bb = a.$bc"
+      case None => s"FROM $src a"
+    }
+    val r1Sql = batchCol match {
+      case Some(_) =>
+        "EXISTS (SELECT 1 FROM bl WHERE bl.ip_address = a.ip_address AND bl.expires_at > ba.mx)"
+      case None => "(ip_address IN (SELECT ip_address FROM abl))"
+    }
+    s"""${blacklistCtesOver(src, batchCol)}, en AS (
   SELECT a.*, lower(operation_details) AS ql,
-    count(*) OVER (PARTITION BY $rateKey, date_trunc('minute', access_timestamp)) AS events_per_minute,
-    (ip_address IN (SELECT ip_address FROM abl)) AS r1,
+    count(*) OVER (PARTITION BY $ratePart) AS events_per_minute,
+    $r1Sql AS r1,
     (role = 'Guest' AND operation_type IN ('INSERT','UPDATE','DELETE','DROP','ALTER')) AS r2,
     (role = 'User' AND table_name IN ($sensTables) AND operation_type IN ('SELECT','INSERT','UPDATE')) AS r3,
     (hour(access_timestamp) < ${Detect.WorkingHoursStart} OR hour(access_timestamp) >= ${Detect.WorkingHoursEnd}) AS r4,
     (COALESCE(rows_affected, 0) > 1000) AS r7
-  FROM $src a
+  $enFrom
 ), en2 AS (
   SELECT *, $inj AS r5,
     $sensHit AS r6,
@@ -282,25 +314,91 @@ object SparkEntry {
     * xxhash64 is engine-internal, so a synthesized row_number stands
     * in (never emitted).
     */
-  private val StreamReplayOracle: String = {
+  /** The stream-replay oracle. `batched = false` replays the
+    * single-spool run (one micro-batch: global dedup, one rate window,
+    * one blacklist anchor). `batched = true` replays the 3-file spool
+    * (dam_stream_replay_batched): the feed splits into event-time
+    * tertiles (integer epoch-second arithmetic, identical in both
+    * engines), every 101st row from an earlier tertile arrives LATE in
+    * the final batch, and every 97th tertile-0 row is DUPLICATED into
+    * batch 1 — so the oracle must model the cross-batch semantics:
+    *
+    *  - LATE-EVENT filtering uses the watermark of the PREVIOUS
+    *    micro-batch (Spark's two-watermark semantics, SPARK-24634:
+    *    operators receive eventTimeWatermarkForLateEvents = the batch
+    *    k−1 value, which itself derives from stats through batch k−2),
+    *    so batch 2's late filter is the max PARSED event time of
+    *    batch 0, floored to milliseconds (EventTimeStats tracks
+    *    millis) — verified empirically: tertile-0 stragglers are
+    *    dropped, tertile-1 stragglers pass;
+    *  - duplicate arrivals collapse to their EARLIEST surviving batch:
+    *    a batch-1 copy of a batch-0 row finds the original's dedup
+    *    state still alive (eviction runs at the END of the batch, and
+    *    its eviction watermark derives from batch-0 stats), so it is
+    *    dropped — the fixture plants no third-arrival duplicates, so
+    *    post-eviction re-emission never occurs;
+    *  - rate windows and the blacklist expiry anchor are PER BATCH
+    *    (severityCtesOver(batchCol = Some)).
+    */
+  private def streamReplayOracleSql(batched: Boolean): String = {
     val skipRe = sqlRe(graft.functions.Classify.SkipPattern)
     val fmt = "%Y-%m-%d %H:%M:%S"
+    val feedCtes =
+      if (!batched)
+        s""", kept AS (
+  SELECT DISTINCT event_time, user_host, argument, 0 AS batch FROM raw
+  WHERE argument IS NOT NULL AND NOT regexp_matches(argument, '$skipRe')
+)"""
+      else
+        s""", bounds AS (
+  SELECT CAST(floor(epoch(min(event_time))) AS BIGINT) AS mn,
+    CAST(floor(epoch(max(event_time))) AS BIGINT) AS mx
+  FROM raw
+), rawb AS (
+  SELECT r.*,
+    CASE WHEN r.event_id % 101 = 0 AND bb < 2 THEN 2 ELSE bb END AS b,
+    (r.event_id % 97 = 0 AND bb = 0 AND r.event_id % 101 <> 0) AS dup_src
+  FROM (
+    SELECT raw.*,
+      least(2, CAST((CAST(floor(epoch(event_time)) AS BIGINT) - b.mn) * 3
+        // (b.mx - b.mn + 1) AS INTEGER)) AS bb
+    FROM raw, bounds b
+  ) r
+), feedb AS (
+  SELECT event_time, user_host, argument, b AS batch FROM rawb
+  UNION ALL
+  SELECT event_time, user_host, argument, 1 AS batch FROM rawb WHERE dup_src
+), arr AS (
+  SELECT * FROM feedb
+  WHERE argument IS NOT NULL AND NOT regexp_matches(argument, '$skipRe')
+), wmv AS (
+  -- the late filter of batch k uses the watermark PUBLISHED for batch
+  -- k-1, i.e. stats through batch k-2: batches 0 and 1 filter against
+  -- the initial 0 watermark (everything passes), batch 2 against
+  -- batch 0's max (millisecond-floored)
+  SELECT (SELECT (max(epoch_us(event_time)) // 1000) * 1000
+          FROM arr WHERE batch <= 0) AS w2
+), arrf AS (
+  SELECT a.* FROM arr a, wmv
+  WHERE a.batch <= 1
+     OR (a.batch = 2 AND epoch_us(a.event_time) >= wmv.w2)
+), kept AS (
+  SELECT event_time, user_host, argument, min(batch) AS batch
+  FROM arrf GROUP BY event_time, user_host, argument
+)"""
     s"""WITH ev AS (
   SELECT *, $SqlTextCaseSql AS sql_text
   FROM events
 ), raw AS (
-  SELECT CAST(ts AS TIMESTAMP) AS event_time,
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS event_time,
     'user_' || user_id || '[user_' || user_id || '] @ 10.0.' || (user_id % 50) || '.99 []' AS user_host,
     CASE WHEN event_id % 7 = 0 THEN 'SET GLOBAL slow_query_log = 1'
          WHEN event_id % 5 = 0 THEN '0x' || hex(sql_text)
          ELSE sql_text END AS argument
   FROM ev
-), kept AS (
-  SELECT DISTINCT event_time, user_host, argument FROM raw
-  WHERE argument IS NOT NULL AND NOT regexp_matches(argument, '$skipRe')
-), decoded AS (
+)$feedCtes, decoded AS (
   SELECT row_number() OVER (ORDER BY event_time, user_host, argument) AS rid,
-    event_time, user_host,
+    event_time, user_host, batch,
     substr(CASE WHEN regexp_matches(argument, '^0x(?:[0-9a-fA-F]{2})+$$')
                 THEN decode(unhex(substr(argument, 3)))
                 ELSE argument END, 1, 1000) AS operation_details
@@ -312,7 +410,7 @@ object SparkEntry {
          ELSE 'User' END AS role
   FROM events
 ), parsed AS (
-  SELECT rid,
+  SELECT rid, batch,
     ${usernameSql("user_host")} AS username,
     ${opCaseSql("operation_details")} AS operation_type,
     ${tblExtractSql("operation_details")} AS table_name,
@@ -332,7 +430,8 @@ object SparkEntry {
   SELECT s.* FROM sen s
   WHERE NOT EXISTS (SELECT 1 FROM fw
     WHERE fw.activity_id = s.rid AND fw.action = 'block')
-)${severityCtesOver("admitted", "username")}
+)${severityCtesOver("admitted", "username",
+        if (batched) Some("batch") else None)}
 SELECT 'log' AS sink, username, ip_address, role, operation_type,
   table_name, operation_status, operation_details AS detail, query_hash,
   severity_ord, severity_level, is_suspicious, suspicious_reasons,
@@ -356,6 +455,9 @@ SELECT 'block', username, ip_address, '', '', '', '', query_snippet, '',
 FROM fw
 ORDER BY sink, ts, username, detail"""
   }
+
+  private val StreamReplayOracle: String = streamReplayOracleSql(false)
+  private val StreamReplayBatchedOracle: String = streamReplayOracleSql(true)
 
   /** DuckDB replica of the document-profile column formulas. */
   private val DocProfileCte: String =
@@ -425,6 +527,186 @@ ORDER BY sink, ts, username, detail"""
     * as 0 here).
     */
   private val PlantedIdBase = 1000000L
+
+  /** Clone-id offsets for the media perturbation-recall fixtures —
+    * each a multiple of every modulus its fixture derives content
+    * from (image/audio: group 40 and delta/gain 5; video: group 16
+    * and window phase 3), so an offset clone keeps its source's
+    * group, pixel delta, gain class, and window start while carrying
+    * the perturbation.
+    */
+  private val MediaPerturbIdBase = 100000L
+  private val VideoPerturbIdBase = 99984L
+
+  /** Oracle for the image/audio perturbation-recall rows: the planted
+    * clones sit within the banded-Hamming radius by construction, so
+    * expected = hits = the arithmetic count of same-group pairs
+    * touching a clone.
+    */
+  private def mediaRecallOracleSql(maxId: Int, groups: Int): String =
+    s"""WITH m AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < $maxId
+  UNION ALL
+  SELECT doc_id + $MediaPerturbIdBase AS id FROM documents
+  WHERE doc_id < $maxId AND doc_id % 4 = 0
+), t AS (
+  SELECT x.id AS a, y.id AS b
+  FROM m x JOIN m y ON x.id % $groups = y.id % $groups AND x.id < y.id
+  WHERE x.id >= $MediaPerturbIdBase OR y.id >= $MediaPerturbIdBase
+)
+SELECT CAST(count(*) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  CAST(1.0 AS DOUBLE) AS recall
+FROM t"""
+
+
+  /** The E1 stream-replay runner behind dam_stream_replay (single
+    * micro-batch) and dam_stream_replay_batched (three micro-batches).
+    * Batched mode splits the spool into event-time tertiles (integer
+    * epoch-second arithmetic replayed by the oracle), moves every
+    * 101st earlier-tertile row into the LAST batch (a late arrival the
+    * watermark must drop), duplicates every 97th tertile-0 row into
+    * batch 1 (a cross-batch duplicate the watermark dedup must drop),
+    * and feeds the files one per micro-batch via maxFilesPerTrigger
+    * (modification times + lexicographic names force batch order).
+    */
+  private def streamReplayRun(s: SparkSession, d: String,
+                              batched: Boolean): DataFrame = {
+    import graft.streaming.Ingest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
+      .toString
+    val feedDir = s"$tmp/feed"
+    if (!batched)
+      Tables.generalLogFeed(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(feedDir)
+    else {
+      val keyed = Tables.generalLogFeedKeyed(s, d)
+      val es = col("event_time").cast("long")
+      val bounds = keyed.agg(min(es).as("mn"), max(es).as("mx")).collect()(0)
+      val mn = bounds.getLong(0)
+      val span = bounds.getLong(1) - mn + 1
+      val assigned = keyed
+        .withColumn("__bb", least(lit(2),
+          floor(((es - mn) * 3).cast("double") / span).cast("int")))
+        .withColumn("__b",
+          when(col("event_id") % 101 === 0 && col("__bb") < 2, lit(2))
+            .otherwise(col("__bb")))
+        .persist()
+      new java.io.File(feedDir).mkdirs()
+      val cols = Seq(col("event_time"), col("user_host"), col("argument"))
+      for (k <- 0 to 2) {
+        val part = assigned.filter(col("__b") === k).select(cols: _*)
+        val rows =
+          if (k == 1) part.unionByName(
+            assigned.filter(col("__bb") === 0 && col("event_id") % 97 === 0 &&
+              col("event_id") % 101 =!= 0).select(cols: _*))
+          else part
+        val stage = s"$tmp/stage$k"
+        rows.coalesce(1).write.mode("overwrite").parquet(stage)
+        val pf = new java.io.File(stage).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(feedDir, f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(pf.toPath, dest.toPath)
+        dest.setLastModified(1600000000000L + k * 60000L)
+        ()
+      }
+      assigned.unpersist()
+      ()
+    }
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("user_"), col("user_id")).as("username"),
+        when(col("user_id") % 7 === 0, "Admin")
+          .when(col("user_id") % 3 === 0, "Guest")
+          .otherwise("User").as("role"))
+    val reader = s.readStream.schema(Tables.GeneralLogSchema)
+    val source = (if (batched) reader.option("maxFilesPerTrigger", "1")
+                  else reader).parquet(feedDir)
+    val q = Ingest.start(s, source, users,
+      Ingest.IngestConfig(s"$tmp/logs", s"$tmp/alerts", s"$tmp/ckpt",
+        triggerMs = 0L, blocksDir = Some(s"$tmp/blocks")))
+    try q.processAllAvailable() finally q.stop()
+      val eS = lit("").cast("string")
+      val eL = lit(-1L)
+      val eB = lit(false)
+      // explicit sink schemas: an empty micro-batch leaves a sink dir
+      // holding only _SUCCESS, and schema INFERENCE would throw there
+      // instead of contributing zero rows
+      import org.apache.spark.sql.types._
+      val logsSchema = StructType(Seq(
+        StructField("username", StringType), StructField("ip_address", StringType),
+        StructField("role", StringType), StructField("operation_type", StringType),
+        StructField("table_name", StringType), StructField("operation_status", StringType),
+        StructField("operation_details", StringType), StructField("query_hash", StringType),
+        StructField("activity_id", LongType), StructField("user_id", LongType),
+        StructField("rows_affected", LongType),
+        StructField("access_timestamp", TimestampType),
+        StructField("events_per_minute", LongType),
+        StructField("severity_ord", LongType), StructField("severity_level", StringType),
+        StructField("suspicious_reasons", StringType),
+        StructField("is_suspicious", BooleanType)))
+      val alertsSchema = StructType(Seq(
+        StructField("activity_id", LongType), StructField("alert_type", StringType),
+        StructField("severity", StringType), StructField("description", StringType),
+        StructField("status", StringType), StructField("created_at", TimestampType)))
+      val blocksSchema = StructType(Seq(
+        StructField("rule_id", IntegerType), StructField("username", StringType),
+        StructField("ip_address", StringType), StructField("query_snippet", StringType),
+        StructField("blocked_at", TimestampType)))
+      val logs = s.read.schema(logsSchema).parquet(s"$tmp/logs").select(
+        lit("log").as("sink"), col("username"), col("ip_address"),
+        col("role"), col("operation_type"), col("table_name"),
+        col("operation_status"), col("operation_details").as("detail"),
+        col("query_hash"), col("severity_ord"), col("severity_level"),
+        col("is_suspicious"), col("suspicious_reasons"),
+        col("events_per_minute").cast("long").as("events_per_minute"),
+        eS.as("alert_type"), eS.as("alert_status"), eL.as("rule_id"),
+        fmtTs(col("access_timestamp")).as("ts"))
+      val alerts = s.read.schema(alertsSchema).parquet(s"$tmp/alerts").select(
+        lit("alert").as("sink"), eS.as("username"), eS.as("ip_address"),
+        eS.as("role"), eS.as("operation_type"), eS.as("table_name"),
+        eS.as("operation_status"), col("description").as("detail"),
+        eS.as("query_hash"), eL.as("severity_ord"),
+        col("severity").as("severity_level"), eB.as("is_suspicious"),
+        eS.as("suspicious_reasons"), eL.as("events_per_minute"),
+        col("alert_type"), col("status").as("alert_status"),
+        eL.as("rule_id"), fmtTs(col("created_at")).as("ts"))
+      val blocks = s.read.schema(blocksSchema).parquet(s"$tmp/blocks").select(
+        lit("block").as("sink"), col("username"), col("ip_address"),
+        eS.as("role"), eS.as("operation_type"), eS.as("table_name"),
+        eS.as("operation_status"), col("query_snippet").as("detail"),
+        eS.as("query_hash"), eL.as("severity_ord"),
+        eS.as("severity_level"), eB.as("is_suspicious"),
+        eS.as("suspicious_reasons"), eL.as("events_per_minute"),
+        eS.as("alert_type"), eS.as("alert_status"),
+        col("rule_id").cast("long").as("rule_id"),
+        fmtTs(col("blocked_at")).as("ts"))
+      // pin the union into the session's block store, then delete the
+      // spool/checkpoint/sink files — a lazily-read temp dir would leak
+      // one full copy of the feed + sinks per invocation (bench runs
+      // each query several times)
+      val pinned = logs.unionByName(alerts).unionByName(blocks)
+        .localCheckpoint(true)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete(); ()
+      }
+      deleteRec(new java.io.File(tmp))
+      pinned.orderBy(col("sink"), col("ts"), col("username"), col("detail"))
+  }
+
+  /** One (hits, expected, recall) row: how much of an arithmetic
+    * truth-pair frame `truth(a, b)` the measured pair frame
+    * `found(doc_a, doc_b)` recovered — the media analog of
+    * Similarity.nearDupPairRecall.
+    */
+  private def mediaPairRecall(truth: DataFrame, found: DataFrame): DataFrame =
+    truth.join(found.select(col("doc_a").as("a"), col("doc_b").as("b"),
+        lit(1).as("__hit")), Seq("a", "b"), "left")
+      .agg(count(col("__hit")).as("hits"), count(lit(1)).as("expected"))
+      .select(col("hits"), col("expected"),
+        round(col("hits").cast("double") /
+          greatest(col("expected"), lit(1L)).cast("double"), 4).as("recall"))
 
   /** Rungs of Similarity.GeometryLadder the oracle replays. Three
     * rungs cover corpora to 4,096 vectors — 8× headroom over sf0.1's
@@ -1170,92 +1452,21 @@ FROM (
     //      construction (the id is a function of the triple) — and
     //      sentinel values ('' / -1 / false) stand in for
     //      sink-inapplicable columns to keep dtypes NULL-free.
-    "dam_stream_replay" -> ((s, d) => {
-      import graft.streaming.Ingest
-      val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
-        .toString
-      Tables.generalLogFeed(s, d).coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/feed")
-      val users = Tables.events(s, d).select(col("user_id")).distinct()
-        .select(col("user_id"),
-          concat(lit("user_"), col("user_id")).as("username"),
-          when(col("user_id") % 7 === 0, "Admin")
-            .when(col("user_id") % 3 === 0, "Guest")
-            .otherwise("User").as("role"))
-      val source = s.readStream.schema(Tables.GeneralLogSchema)
-        .parquet(s"$tmp/feed")
-      val q = Ingest.start(s, source, users,
-        Ingest.IngestConfig(s"$tmp/logs", s"$tmp/alerts", s"$tmp/ckpt",
-          triggerMs = 0L, blocksDir = Some(s"$tmp/blocks")))
-      try q.processAllAvailable() finally q.stop()
-      val eS = lit("").cast("string")
-      val eL = lit(-1L)
-      val eB = lit(false)
-      // explicit sink schemas: an empty micro-batch leaves a sink dir
-      // holding only _SUCCESS, and schema INFERENCE would throw there
-      // instead of contributing zero rows
-      import org.apache.spark.sql.types._
-      val logsSchema = StructType(Seq(
-        StructField("username", StringType), StructField("ip_address", StringType),
-        StructField("role", StringType), StructField("operation_type", StringType),
-        StructField("table_name", StringType), StructField("operation_status", StringType),
-        StructField("operation_details", StringType), StructField("query_hash", StringType),
-        StructField("activity_id", LongType), StructField("user_id", LongType),
-        StructField("rows_affected", LongType),
-        StructField("access_timestamp", TimestampType),
-        StructField("events_per_minute", LongType),
-        StructField("severity_ord", LongType), StructField("severity_level", StringType),
-        StructField("suspicious_reasons", StringType),
-        StructField("is_suspicious", BooleanType)))
-      val alertsSchema = StructType(Seq(
-        StructField("activity_id", LongType), StructField("alert_type", StringType),
-        StructField("severity", StringType), StructField("description", StringType),
-        StructField("status", StringType), StructField("created_at", TimestampType)))
-      val blocksSchema = StructType(Seq(
-        StructField("rule_id", IntegerType), StructField("username", StringType),
-        StructField("ip_address", StringType), StructField("query_snippet", StringType),
-        StructField("blocked_at", TimestampType)))
-      val logs = s.read.schema(logsSchema).parquet(s"$tmp/logs").select(
-        lit("log").as("sink"), col("username"), col("ip_address"),
-        col("role"), col("operation_type"), col("table_name"),
-        col("operation_status"), col("operation_details").as("detail"),
-        col("query_hash"), col("severity_ord"), col("severity_level"),
-        col("is_suspicious"), col("suspicious_reasons"),
-        col("events_per_minute").cast("long").as("events_per_minute"),
-        eS.as("alert_type"), eS.as("alert_status"), eL.as("rule_id"),
-        fmtTs(col("access_timestamp")).as("ts"))
-      val alerts = s.read.schema(alertsSchema).parquet(s"$tmp/alerts").select(
-        lit("alert").as("sink"), eS.as("username"), eS.as("ip_address"),
-        eS.as("role"), eS.as("operation_type"), eS.as("table_name"),
-        eS.as("operation_status"), col("description").as("detail"),
-        eS.as("query_hash"), eL.as("severity_ord"),
-        col("severity").as("severity_level"), eB.as("is_suspicious"),
-        eS.as("suspicious_reasons"), eL.as("events_per_minute"),
-        col("alert_type"), col("status").as("alert_status"),
-        eL.as("rule_id"), fmtTs(col("created_at")).as("ts"))
-      val blocks = s.read.schema(blocksSchema).parquet(s"$tmp/blocks").select(
-        lit("block").as("sink"), col("username"), col("ip_address"),
-        eS.as("role"), eS.as("operation_type"), eS.as("table_name"),
-        eS.as("operation_status"), col("query_snippet").as("detail"),
-        eS.as("query_hash"), eL.as("severity_ord"),
-        eS.as("severity_level"), eB.as("is_suspicious"),
-        eS.as("suspicious_reasons"), eL.as("events_per_minute"),
-        eS.as("alert_type"), eS.as("alert_status"),
-        col("rule_id").cast("long").as("rule_id"),
-        fmtTs(col("blocked_at")).as("ts"))
-      // pin the union into the session's block store, then delete the
-      // spool/checkpoint/sink files — a lazily-read temp dir would leak
-      // one full copy of the feed + sinks per invocation (bench runs
-      // each query several times)
-      val pinned = logs.unionByName(alerts).unionByName(blocks)
-        .localCheckpoint(true)
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete(); ()
-      }
-      deleteRec(new java.io.File(tmp))
-      pinned.orderBy(col("sink"), col("ts"), col("username"), col("detail"))
-    }),
+    "dam_stream_replay" -> ((s, d) => streamReplayRun(s, d, batched = false)),
+
+    // the MULTI-batch variant (round-5 verdict #3): the spool splits
+    // into three files consumed one per micro-batch
+    // (maxFilesPerTrigger = 1, modification-time ordered), with
+    // planted LATE arrivals (every 101st row from an earlier tertile
+    // rides in the last batch and must be dropped by the watermark)
+    // and planted CROSS-BATCH DUPLICATES (every 97th tertile-0 row
+    // repeats in batch 1 and must be dropped by
+    // dropDuplicatesWithinWatermark) — so cross-batch watermark
+    // eviction, duplicate drops across batches, and per-batch rate
+    // windows / blacklist anchors are all hash-checked against the
+    // batch-parameterized oracle
+    "dam_stream_replay_batched" -> ((s, d) =>
+      streamReplayRun(s, d, batched = true)),
 
     // ---- E3 charts: severity histogram with integer-exact shares ----
     "dam_rollup" -> ((s, d) => classified(s, d)
@@ -1265,7 +1476,6 @@ FROM (
         coalesce(col("severity_level"), lit("ALL")).as("severity_level"),
         col("n"))
       .orderBy(col("operation_type"), col("severity_level"))),
-
     "dam_severity_histogram" -> ((s, d) => {
       // grand total via 1-row broadcast cross-join (same idiom as the
       // TF-IDF corpus count) instead of an empty-partition window,
@@ -1383,6 +1593,90 @@ FROM (
       Multimodal.videoClusters(Multimodal.plantedVideoAssets(
         Tables.documents(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 120)))
+    }),
+    // measured recall of the image dedup leg on a PERTURBED corpus
+    // (round-5 verdict #4): every 4th asset gets a clone whose last
+    // grid column is reflected in 3 rows — Hamming EXACTLY 3, the
+    // advertised maxHamming — so the pigeonhole blocking must recover
+    // every planted pair through the real decode→dHash→band path; the
+    // truth set is pure id arithmetic, replayed by the oracle
+    "media_phash_recall" -> ((s, d) => {
+      import graft.operators.{Dedup, Multimodal}
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+      val cloneIds = ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + MediaPerturbIdBase).as("doc_id"))
+      val corpus = Multimodal.plantedImageAssets(ids)
+        .unionByName(Multimodal.plantedImageAssets(cloneIds, flipRows = 3))
+      val found = Dedup.bandedHammingPairs(
+        Multimodal.phashes(corpus).toDF()
+          .select(col("asset_id").as("doc_id"), col("phash")),
+        "phash", maxHamming = 3, bands = 4, bits = 64)
+      val members = ids.unionByName(cloneIds).select(col("doc_id").as("id"))
+      val truth = members.alias("x").join(members.alias("y"),
+          col("x.id") % 40 === col("y.id") % 40 &&
+            col("x.id") < col("y.id"))
+        .filter(col("x.id") >= MediaPerturbIdBase ||
+          col("y.id") >= MediaPerturbIdBase)
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+      mediaPairRecall(truth, found)
+    }),
+    // the WAV leg: clones ride a 10% gain boost (hash-invariant by
+    // construction — the measured proof of the invariance contract)
+    // plus a tail-segment reflection (Hamming exactly 1)
+    "media_ahash_recall" -> ((s, d) => {
+      import graft.operators.{Dedup, Multimodal}
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+      val cloneIds = ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + MediaPerturbIdBase).as("doc_id"))
+      val corpus = Multimodal.plantedAudioAssets(ids)
+        .unionByName(Multimodal.plantedAudioAssets(cloneIds, perturb = true))
+      val found = Dedup.bandedHammingPairs(
+        Multimodal.audioHashes(corpus).toDF()
+          .select(col("asset_id").as("doc_id"), col("ahash")),
+        "ahash", maxHamming = 3, bands = 4, bits = 64)
+      val members = ids.unionByName(cloneIds).select(col("doc_id").as("id"))
+      val truth = members.alias("x").join(members.alias("y"),
+          col("x.id") % 40 === col("y.id") % 40 &&
+            col("x.id") < col("y.id"))
+        .filter(col("x.id") >= MediaPerturbIdBase ||
+          col("y.id") >= MediaPerturbIdBase)
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+      mediaPairRecall(truth, found)
+    }),
+    // the video leg: clones drop their window's first frame, so every
+    // frame set is an integer INTERVAL and the truth-pair Jaccard is
+    // exact interval arithmetic on both engines — the engine must
+    // still earn its side through container split → per-frame decode
+    // → dHash → set Jaccard
+    "media_video_recall" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+      val cloneIds = ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + VideoPerturbIdBase).as("doc_id"))
+      val corpus = Multimodal.plantedVideoAssets(ids)
+        .unionByName(Multimodal.plantedVideoAssets(cloneIds, dropFirst = 1))
+      val found = Multimodal.videoNearDups(corpus)
+        .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+      val members = ids.unionByName(cloneIds).select(col("doc_id").as("id"))
+      def winS(c: Column) = (c % 3) +
+        when(c >= VideoPerturbIdBase, lit(1L)).otherwise(lit(0L))
+      def winLen(c: Column) =
+        when(c >= VideoPerturbIdBase, lit(5L)).otherwise(lit(6L))
+      val w = members.select(col("id"), (col("id") % 16).as("grp"),
+        winS(col("id")).as("s"), winLen(col("id")).as("len"))
+      val ov = greatest(lit(0L),
+        least(col("x.s") + col("x.len"), col("y.s") + col("y.len")) -
+          greatest(col("x.s"), col("y.s")))
+      val truth = w.alias("x").join(w.alias("y"),
+          col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+        .filter(col("x.id") >= VideoPerturbIdBase ||
+          col("y.id") >= VideoPerturbIdBase)
+        .filter(ov * 100 >= (col("x.len") + col("y.len") - ov) * 45)
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+      mediaPairRecall(truth, found)
     }),
     // deterministic hash-threshold splits / mixture sampling — the
     // same rows every run, any partitioning, replayed by the oracle
@@ -1995,6 +2289,7 @@ FROM decoded ORDER BY event_ts, query_hash"""
     },
 
     "dam_stream_replay" -> StreamReplayOracle,
+    "dam_stream_replay_batched" -> StreamReplayBatchedOracle,
 
     "dam_rollup" -> sev(
       """SELECT COALESCE(operation_type, 'ALL') AS operation_type,
@@ -2187,6 +2482,38 @@ SELECT a.asset_id, g.cluster_id, g.cluster_size
 FROM a JOIN g USING (grp)
 WHERE g.cluster_size > 1
 ORDER BY asset_id""",
+
+    // the perturbation-recall contracts: the truth sets are planted
+    // at known distances (image Hamming 3 = the advertised radius,
+    // audio gain-boost + 1 bit, video 5-of-6 frame overlap), all
+    // within the operators' thresholds BY CONSTRUCTION, so the oracle
+    // states hits = expected via id arithmetic and the engine must
+    // MEASURE the same 1.0 through the real codec/hash/band pipeline —
+    // a missed planted pair hash-fails the row
+    "media_phash_recall" -> mediaRecallOracleSql(200, 40),
+    "media_ahash_recall" -> mediaRecallOracleSql(200, 40),
+    "media_video_recall" ->
+      s"""WITH m AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + $VideoPerturbIdBase AS id FROM documents
+  WHERE doc_id < 120 AND doc_id % 4 = 0
+), w AS (
+  SELECT id, id % 16 AS grp,
+    id % 3 + CASE WHEN id >= $VideoPerturbIdBase THEN 1 ELSE 0 END AS s,
+    CASE WHEN id >= $VideoPerturbIdBase THEN 5 ELSE 6 END AS len
+  FROM m
+), t AS (
+  SELECT greatest(0, least(x.s + x.len, y.s + y.len)
+           - greatest(x.s, y.s)) AS ov,
+    x.len + y.len AS tot
+  FROM w x JOIN w y ON x.grp = y.grp AND x.id < y.id
+  WHERE x.id >= $VideoPerturbIdBase OR y.id >= $VideoPerturbIdBase
+)
+SELECT CAST(count(*) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  CAST(1.0 AS DOUBLE) AS recall
+FROM t WHERE ov * 100 >= (tot - ov) * 45""",
 
     "doc_quality_gopher" ->
       """WITH gt AS MATERIALIZED (

@@ -791,16 +791,7 @@ object Multimodal {
       .groupBy(col("asset_id"))
       .agg(collect_set(col("phash")).as("fs"))
       .localCheckpoint()
-    val ex = sets.select(col("asset_id"), explode(col("fs")).as("h"))
-    val rare = ex.join(
-      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxFrameDf).select(col("h")),
-      Seq("h"), "left_semi")
-    val cand = rare.alias("a")
-      .join(rare.alias("b"),
-        col("a.h") === col("b.h") && col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("vid_a"), col("b.asset_id").as("vid_b"))
-      .dropDuplicates("vid_a", "vid_b")
+    val cand = videoNearDupCandidates(sets, maxFrameDf)
     val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
     cand
       .join(sets.select(col("asset_id").as("vid_a"), col("fs").as("fa")), "vid_a")
@@ -811,6 +802,26 @@ object Multimodal {
             size(col("fb")).cast("long") - inter).cast("double"),
             lit(1.0)), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Candidate stage of [[videoNearDups]] over precomputed frame sets
+    * `(asset_id, fs: array<long>)`: stop-frame removal (document
+    * frequency > maxFrameDf dropped from blocking), then the exact
+    * frame-hash equi-join. Exposed so the hub-frame spec can assert
+    * the candidate-volume bound directly.
+    */
+  private[graft] def videoNearDupCandidates(sets: DataFrame,
+                                            maxFrameDf: Int): DataFrame = {
+    val ex = sets.select(col("asset_id"), explode(col("fs")).as("h"))
+    val rare = ex.join(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxFrameDf).select(col("h")),
+      Seq("h"), "left_semi")
+    rare.alias("a")
+      .join(rare.alias("b"),
+        col("a.h") === col("b.h") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("vid_a"), col("b.asset_id").as("vid_b"))
+      .dropDuplicates("vid_a", "vid_b")
   }
 
   /** Video near-dup clusters — connected components over
@@ -836,14 +847,19 @@ object Multimodal {
     * earned through real container-split → PNG decode → dHash →
     * set-Jaccard → CC work.
     */
-  def plantedVideoAssets(ids: DataFrame, groups: Int = 16): DataFrame = {
+  def plantedVideoAssets(ids: DataFrame, groups: Int = 16,
+                         dropFirst: Int = 0): DataFrame = {
     import ids.sparkSession.implicits._
     require(groups <= 16, "group+frame id must fit 8 replication-code bits")
     val idsDs = ids.select(col(ids.columns.head).cast("long")).as[Long]
     idsDs.map { id =>
       val g = (id % groups).toInt
-      val start = (id % 3).toInt
-      val frames = (start until start + 6).map { k =>
+      // dropFirst > 0 models the frame-drop perturbation for the
+      // measured-recall fixture: the member's window loses its leading
+      // frames, shrinking the frame SET to an integer interval the
+      // oracle can score with pure interval arithmetic
+      val start = (id % 3).toInt + dropFirst
+      val frames = (start until (id % 3).toInt + 6).map { k =>
         // frame code: 8 source bits (g in 0..15, k in 0..7) replicated
         // 8× across the 64 dHash bits via the image staircase
         val code = (g << 3) | k
@@ -892,13 +908,19 @@ object Multimodal {
     * for. The true cluster structure is id arithmetic; the engine
     * must reproduce it through real encode→decode→hash→band→CC work.
     */
-  def plantedAudioAssets(ids: DataFrame, groups: Int = 40): DataFrame = {
+  def plantedAudioAssets(ids: DataFrame, groups: Int = 40,
+                         perturb: Boolean = false): DataFrame = {
     import ids.sparkSession.implicits._
     require(groups <= 64, "group id must fit 6 replication-code bits")
     val idsDs = ids.select(col(ids.columns.head).cast("long")).as[Long]
     idsDs.map { id =>
       val g = (id % groups).toInt
-      val gain = 1.0 + (id % 5 - 2) / 100.0
+      // perturbed clones ride a 10% gain boost — audioHash64 is
+      // gain-invariant (RMS comparisons scale uniformly; max amplitude
+      // 28,800 × 1.02 × 1.1 = 32,313 stays clip-free) — so the boost
+      // alone is Hamming 0; the tail-segment reflection below adds
+      // exactly one flipped bit
+      val gain = (1.0 + (id % 5 - 2) / 100.0) * (if (perturb) 1.1 else 1.0)
       val segs = 65
       val perSeg = 64
       val amp = new Array[Int](segs)
@@ -909,6 +931,10 @@ object Multimodal {
         amp(s + 1) = amp(s) + (if (bit) 200 else -200)
         s += 1
       }
+      // reflect the LAST segment's step: segment 64 feeds only hash
+      // bit 63 (rms(64) vs rms(63)), so the clone sits at Hamming
+      // exactly 1 from its group
+      if (perturb) amp(segs - 1) = 2 * amp(segs - 2) - amp(segs - 1)
       val samples = new Array[Short](segs * perSeg)
       var i = 0
       while (i < samples.length) {
@@ -936,7 +962,8 @@ object Multimodal {
     * designed for. Ids alternate PNG / BMP payloads so both codecs
     * sit on the verified path.
     */
-  def plantedImageAssets(ids: DataFrame, groups: Int = 40): DataFrame = {
+  def plantedImageAssets(ids: DataFrame, groups: Int = 40,
+                         flipRows: Int = 0): DataFrame = {
     import ids.sparkSession.implicits._
     require(groups <= 64, "group id must fit 6 replication-code bits")
     val idsDs = ids.select(col(ids.columns.head).cast("long")).as[Long]
@@ -955,6 +982,16 @@ object Multimodal {
           cells(r)(c + 1) = cells(r)(c) + (if (bit) 15 else -15)
           c += 1
         }
+        r += 1
+      }
+      // perturbation dial for the measured-recall fixture: reflecting
+      // the LAST grid column across its left neighbor reverses exactly
+      // one dHash comparison per row — cell (r, 8) feeds only bit
+      // (r, 7) — so flipRows = k plants a clone at Hamming EXACTLY k
+      // from its group (and ≥ 9 − k from every other group)
+      r = 0
+      while (r < flipRows) {
+        cells(r)(8) = 2 * cells(r)(7) - cells(r)(8)
         r += 1
       }
       val rgb = new Array[Int](w * h * 3)

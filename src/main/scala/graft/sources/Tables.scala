@@ -157,9 +157,17 @@ object Tables {
     * dam_stream_replay and the profiler; the DuckDB `raw` oracle CTEs
     * replay it byte-for-byte.
     */
-  def generalLogFeed(s: SparkSession, d: String): DataFrame = {
+  def generalLogFeed(s: SparkSession, d: String): DataFrame =
+    generalLogFeedKeyed(s, d).drop("event_id")
+
+  /** [[generalLogFeed]] plus the originating event_id — the
+    * batch-assignment key for the multi-batch stream-replay fixture
+    * (the id never enters the spool; it only routes rows to files).
+    */
+  def generalLogFeedKeyed(s: SparkSession, d: String): DataFrame = {
     val sqlText = sqlTextFromEvent()
     events(s, d).select(
+      col("event_id"),
       col("ts").cast("timestamp").as("event_time"),
       concat(lit("user_"), col("user_id"), lit("[user_"), col("user_id"),
         lit("] @ 10.0."), col("user_id") % 50, lit(".99 []")).as("user_host"),
