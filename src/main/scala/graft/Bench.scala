@@ -79,14 +79,25 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val load1 = loadAvg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // milliseconds are the honest resolution at these run counts, and
+    // the short form keeps the WHOLE per-query map inside the tail
+    // window the round driver captures (the r4/r5 artifacts lost the
+    // leading ~half of the full-precision line)
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // headline totals appear at BOTH ends of the line: the round-4
     // artifact captured only the tail of the output and lost the
     // leading total + first ~28 queries — the trailing copy makes any
     // suffix of the line self-contained
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"cold_classify_build_sec":$coldBuild,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs","n_queries":${results.size},"total_sec_tail":$total}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"cold_classify_build_sec":${ms(coldBuild)},"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs","n_queries":${results.size},"total_sec_tail":${ms(total)}}"""
+    println(line)
+    // belt-and-braces: the full line also lands in the repo as a
+    // committed artifact, immune to any capture-window truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

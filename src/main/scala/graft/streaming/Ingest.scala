@@ -247,6 +247,13 @@ object Ingest {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no-data micro-batches (Spark runs them to advance the
+        // watermark and evict state) gate nothing: skip the rules
+        // read, the sink writes AND the staleness budget — otherwise
+        // watermark-advance batches would burn fallback budget, and
+        // rule staleness would be bounded in wall-clock ticks instead
+        // of gated data
+        if (batch.isEmpty) () else {
         // the enriched micro-batch is consumed by THREE lineages (the
         // firewall match, the block anti-join, and classify's rate
         // branch reading the admitted frame twice) — without a pin each
@@ -307,6 +314,7 @@ object Ingest {
             .partitionBy("ingest_batch").parquet(cfg.alertsDir)
         } finally {
           classified.unpersist(); fw.unpersist(); enriched.unpersist(); ()
+        }
         }
         ()
       }

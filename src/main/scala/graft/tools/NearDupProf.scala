@@ -47,6 +47,65 @@ object NearDupProf {
       prevAuto = auto; prevFixed = fixed
       c.unpersist()
     }
+
+    // recall dial: measured pair recall (vs in-query brute force) per
+    // ladder rung × planted clone tightness — the planes × bands ×
+    // minCos tuning table for SCALE.md. Clone = x + α·next(x): for
+    // near-orthogonal Gaussian vectors cos ≈ 1/sqrt(1 + α²).
+    println("[neardupprof] recall dial: rows = geometry, cols = (α, minCos)")
+    for ((planes, bands) <- Seq((36, 6), (72, 9), (130, 13))) {
+      val cells = for ((alpha, minCos) <- Seq((0.25, 0.95), (0.41, 0.90),
+          (0.55, 0.85))) yield {
+        val base = (0 until 2000).map { i =>
+          (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+        }
+        val clones = base.grouped(4).map(_.head).map { case (id, v) =>
+          val nxt = base(((id + 1) % 2000).toInt)._2
+          (id + 100000L,
+            v.zip(nxt).map { case (a, b) => (a + alpha * b).toFloat })
+        }.toSeq
+        val corpus = (base ++ clones).toDF("vec_id", "embedding")
+          .localCheckpoint()
+        val row = Similarity.nearDupPairRecall(corpus,
+          org.apache.spark.sql.functions.col("vec_id") >= 100000L,
+          minCos = minCos, planes = planes, bands = bands).collect()(0)
+        corpus.unpersist()
+        f"α=$alpha%.2f cos≥$minCos%.2f: ${row.getAs[Double]("recall")}%.4f" +
+          f" (${row.getAs[Long]("hits")}/${row.getAs[Long]("expected")})"
+      }
+      println(f"[neardupprof] geo=($planes%3d,$bands%2d)  " +
+        cells.mkString("  "))
+    }
+
+    // sketch dial: bands × radius for the 64-bit banded-Hamming
+    // blocker. Recall is 1.0 BY PIGEONHOLE whenever radius < bands;
+    // the measured column is the CANDIDATE volume (the band-collision
+    // join before Hamming verification) on n random sketches — the
+    // cost of buying a larger radius with more bands: halving band
+    // width squares the collision rate
+    import org.apache.spark.sql.functions._
+    println("[neardupprof] sketch dial: 64-bit sketches, n=20000 random")
+    val sk = (0L until 20000L).map(i => (i, rng.nextLong()))
+      .toDF("doc_id", "sk").localCheckpoint()
+    for ((bands, radius) <- Seq((4, 3), (8, 7), (16, 15))) {
+      val bandBits = 64 / bands
+      val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+      val banded = sk.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sk"), b * bandBits).bitwiseAND(mask).as("bv"))
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+      val t0 = System.nanoTime()
+      val cand = banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).dropDuplicates().count()
+      println(f"[neardupprof] bands=$bands%2d bits/band=$bandBits%2d " +
+        f"radius<=$radius%2d: candidates=$cand%10d " +
+        f"(model ${bands.toDouble * 20000.0 * 20000.0 / 2 / math.pow(2, bandBits)}%.0f, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
     spark.stop()
   }
 }

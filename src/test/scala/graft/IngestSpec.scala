@@ -161,6 +161,51 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cfg.rulesDir: persistent unreadability fails the stream after the fallback budget") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val raw = mem.toDF().toDF("event_time", "user_host", "argument")
+    val users = Seq(("app", "User", 2L)).toDF("username", "role", "user_id")
+    val root = Files.createTempDirectory("ingest_stale").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    graft.sources.FirewallAdmin.addRule(spark, root,
+      "truncate\\s+table", "Truncate block", "regex", "block", 1)
+    val cfg = Ingest.IngestConfig(
+      logsDir = s"$root/logs", alertsDir = s"$root/alerts",
+      checkpointDir = s"$root/ckpt", triggerMs = 100L,
+      blocksDir = Some(s"$root/blocks"),
+      rulesDir = Some(s"$root/firewall_rules"),
+      maxRuleFallbackBatches = 1)
+    val q = Ingest.start(spark, raw, users, cfg)
+    try {
+      mem.addData((ts("2024-01-10 12:00:00"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE one"))
+      q.processAllAvailable()
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete(); ()
+      }
+      deleteRec(new java.io.File(s"$root/firewall_rules"))
+      // fallback 1/1: within budget, the stream degrades and survives
+      mem.addData((ts("2024-01-10 12:00:05"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE two"))
+      q.processAllAvailable()
+      assert(q.isActive, "first fallback batch is within the budget")
+      assert(spark.read.parquet(s"$root/blocks").count() == 2)
+      // fallback 2 exceeds the budget: permanent breakage must FAIL
+      // the stream instead of gating on an unboundedly stale snapshot
+      mem.addData((ts("2024-01-10 12:00:10"), "app[app] @ 10.0.0.5 []",
+        "TRUNCATE TABLE three"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("consecutive batches"))),
+        s"expected the staleness-budget failure, got: $ex")
+      assert(!q.isActive, "the stream must be dead after the budget")
+    } finally q.stop()
+  }
+
   test("streaming classification equals the batch pipeline on the same input") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
