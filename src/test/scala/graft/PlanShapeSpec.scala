@@ -110,4 +110,18 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!p.contains("Window"), s"$q must not rank with a window")
     }
   }
+
+  test("round-6 surface: perturbation-recall rows join on keys, never cartesian") {
+    // the arithmetic truth joins key on id % groups / grp — Catalyst
+    // must plan them as hash joins on the modulo expression, and the
+    // found-vs-truth overlay is a plain equi-join on the pair ids
+    for (q <- Seq("media_phash_recall", "media_ahash_recall",
+        "media_video_recall")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q truth/overlay joins must stay equi-joins")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q truth/overlay joins must not fall back to BNL")
+    }
+  }
 }
