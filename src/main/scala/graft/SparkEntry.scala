@@ -729,6 +729,46 @@ FROM t"""
     * joined under `idx < r · bands`, so only the selected rung's
     * projections are computed.
     */
+  /** The planted near-dup embedding corpus as a DuckDB CTE — the SQL
+    * twin of [[plantedEmbeddings]], shared by the banded near-dup and
+    * SemDeDup oracles.
+    */
+  private def PlantedCorpusCte: String =
+    s"""pe AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT a.vec_id + $PlantedIdBase AS vec_id,
+    list_transform(list_zip(a.embedding, b.embedding),
+      s -> CAST(CAST(s[1] AS DOUBLE) + 0.25 * CAST(s[2] AS DOUBLE) AS FLOAT)) AS embedding
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 25 = 0
+)"""
+
+  /** DuckDB replay of [[graft.operators.Similarity.semDedup]] over the
+    * planted corpus: the shared Lloyd k-means chain assigns clusters,
+    * then the order-free dominance prune drops every vector with
+    * cosine ≥ minCos to a smaller-id vector in the same cluster.
+    */
+  private def semDedupOracleSql(nlist: Int, iters: Int, dim: Int,
+                                minCos: Double): String =
+    s"""WITH $PlantedCorpusCte,
+${kmeansAssignCtes("pe", nlist, iters, dim)},
+nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM pe
+), mm AS MATERIALIZED (
+  SELECT n.vec_id, a.cid, n.embedding, n.norm
+  FROM nn n JOIN af a USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 4)
+    >= $minCos
+)
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
+  (d.vec_id IS NULL) AS keep
+FROM mm m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+ORDER BY m.vec_id"""
+
   private val PlantedNearDupCtes: String = {
     val maxPlanes = OracleGeometryRungs.map { case (_, r, b) => r * b }.max
     val planeRows = (0 until maxPlanes).map { p =>
@@ -745,15 +785,7 @@ FROM t"""
     val proj =
       """list_reduce(list_prepend(0.0, list_transform(list_zip(p.embedding, pl.w),
       s -> COALESCE(CAST(s[1] AS DOUBLE) * s[2], 0.0))), (a, b) -> a + b)"""
-    s"""pe AS MATERIALIZED (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
-  UNION ALL
-  SELECT a.vec_id + $PlantedIdBase AS vec_id,
-    list_transform(list_zip(a.embedding, b.embedding),
-      s -> CAST(CAST(s[1] AS DOUBLE) + 0.25 * CAST(s[2] AS DOUBLE) AS FLOAT)) AS embedding
-  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-  WHERE a.vec_id % 25 = 0
-), nn AS MATERIALIZED (
+    s"""$PlantedCorpusCte, nn AS MATERIALIZED (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM pe
 ), geo AS (
   SELECT ${caseOver(_._2)} AS r,
@@ -799,14 +831,21 @@ FROM t"""
     * norm)` is also exposed for consumers needing the exact norms
     * (the recall oracle's brute-force side).
     */
-  private def ivfScoredCtes(nlist: Int, nprobe: Int, iters: Int,
-                            dim: Int, queryIds: Seq[Long]): String = {
-    val qIn = queryIds.mkString(", ")
+  /** Deterministic-k-means replay CTEs over corpus source `src`
+    * (a table or a prior CTE with (vec_id, embedding)): centroid
+    * chain c0..c`iters` + final nearest-centroid assignment
+    * `af(vec_id, cid)` — the shared Lloyd replay of the IVF and
+    * SemDeDup oracles (Similarity.trainCentroids is fully
+    * deterministic: init = the nlist lowest vec_ids, fixed
+    * iterations, decimal-exact means, (dist, cid) tie-break).
+    */
+  private def kmeansAssignCtes(src: String, nlist: Int, iters: Int,
+                               dim: Int): String = {
     val init =
       s"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)
+  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $nlist)
 )"""
     val iterCtes = (0 until iters).map { i =>
       s"""a$i AS (
@@ -814,13 +853,13 @@ FROM t"""
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
-    FROM embeddings e CROSS JOIN c$i c
+    FROM $src e CROSS JOIN c$i c
   ) WHERE rn = 1
 ), m$i AS (
   SELECT a.cid, t.i AS pos,
     CAST(sum(CAST(CAST(e.embedding[t.i + 1] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
       / count(*) AS m
-  FROM embeddings e JOIN a$i a USING (vec_id) CROSS JOIN range($dim) t(i)
+  FROM $src e JOIN a$i a USING (vec_id) CROSS JOIN range($dim) t(i)
   GROUP BY a.cid, t.i
 ), c${i + 1} AS (
   SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
@@ -829,18 +868,25 @@ FROM t"""
   ) n USING (cid)
 )"""
     }.mkString(",\n")
-    val cf = s"c$iters"
-    s"""WITH $init,
-$iterCtes,
-nn AS (
-  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
-), af AS (
+    val af =
+      s"""af AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
-    FROM embeddings e CROSS JOIN $cf c
+    FROM $src e CROSS JOIN c$iters c
   ) WHERE rn = 1
+)"""
+    s"$init,\n$iterCtes,\n$af"
+  }
+
+  private def ivfScoredCtes(nlist: Int, nprobe: Int, iters: Int,
+                            dim: Int, queryIds: Seq[Long]): String = {
+    val qIn = queryIds.mkString(", ")
+    val cf = s"c$iters"
+    s"""WITH ${kmeansAssignCtes("embeddings", nlist, iters, dim)},
+nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
 ), qp AS (
   SELECT query_id, qe, qnorm, cid FROM (
     SELECT q.vec_id AS query_id, q.embedding AS qe, nq.norm AS qnorm, c.cid,
@@ -1561,6 +1607,12 @@ FROM (
     // Gopher-style within-doc n-gram repetition (quality filter)
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d))),
+    // exact duplicated-substring mass (Lee et al. 2021 ExactSubstr):
+    // 10-token windows occurring >= 2 times corpus-wide, counted per
+    // position per doc — the removal-mass dial, linear in tokens
+    "doc_substring_dupes" -> ((s, d) =>
+      TextOps.duplicateSpans(Tables.documents(s, d), n = 10,
+        hashFn = Dedup.md5Seeded)),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
@@ -1796,6 +1848,12 @@ FROM (
     // O(corpus)-output answer for embedding dedup at scale
     "emb_near_dup_clusters" -> ((s, d) =>
       Similarity.embeddingNearDupClusters(plantedEmbeddings(s, d))),
+    // SemDeDup (Abbas et al. 2023): k-means cluster then prune
+    // within-cluster cosine near-dups — the clustered Σ|c|² bound on
+    // the pair stage; planted clones are the semantic duplicates
+    "emb_semdedup" -> ((s, d) =>
+      Similarity.semDedup(plantedEmbeddings(s, d), nlist = 8,
+        iters = 3, minCos = 0.9)),
     // int8 scalar quantization error profile (embedding compression
     // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
     "emb_quant_error" -> ((s, d) =>
@@ -2415,6 +2473,34 @@ FROM train WHERE h IN (SELECT h FROM bench)
 GROUP BY doc_id ORDER BY doc_id"""
     },
 
+    "doc_substring_dupes" -> {
+      val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pos AS MATERIALIZED (
+  SELECT doc_id, len(t) - 9 AS n_windows,
+    unnest(list_transform(range(len(t) - 9), i ->
+      CAST(('0x' || substr(md5('0:' || $g10), 1, 15)) AS BIGINT))) AS h
+  FROM tok WHERE len(t) >= 10
+), bdh AS MATERIALIZED (
+  SELECT doc_id, h, count(*) AS c, min(n_windows) AS n_windows
+  FROM pos GROUP BY doc_id, h
+), dup AS (
+  SELECT h FROM bdh GROUP BY h HAVING sum(c) >= 2
+), dupc AS (
+  SELECT doc_id, sum(c) AS dup_windows
+  FROM bdh WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+), perdoc AS (
+  SELECT doc_id, min(n_windows) AS n_windows FROM bdh GROUP BY doc_id
+)
+SELECT p.doc_id,
+  CAST(coalesce(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+  CAST(p.n_windows AS BIGINT) AS n_windows,
+  round(coalesce(d.dup_windows, 0) / CAST(p.n_windows AS DOUBLE), 4)
+    AS dup_fraction
+FROM perdoc p LEFT JOIN dupc d USING (doc_id) ORDER BY p.doc_id"""
+    },
+
     "doc_repetition" ->
       """WITH rt AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -2792,6 +2878,9 @@ SELECT x.query_id,
 FROM brute x LEFT JOIN ivfk l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""),
+
+    "emb_semdedup" ->
+      semDedupOracleSql(nlist = 8, iters = 3, dim = 64, minCos = 0.9),
 
     "emb_quant_error" ->
       """WITH q AS (

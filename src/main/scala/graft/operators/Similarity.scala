@@ -764,4 +764,50 @@ object Similarity {
         round(col("hits").cast("double") /
           greatest(col("expected"), lit(1L)).cast("double"), 4).as("recall"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication by cluster-then-prune: k-means the corpus (the
+    * SAME deterministic Lloyd replay as [[trainCentroids]], so the
+    * oracle can re-train it in SQL), then inside each cluster drop
+    * every vector whose cosine to a SMALLER-id vector of the same
+    * cluster reaches `minCos`. This is the order-free dominance form
+    * of the paper's greedy ε-ball sweep: processing order is replaced
+    * by the id total order, so the kept set is deterministic and the
+    * pruning is one declarative self-join instead of a sequential
+    * scan. (Dominance may drop a chain's middle elements where the
+    * greedy sweep keeps every ε-step — at near-dup thresholds the
+    * difference is the same transitive-closure ambiguity every
+    * pairwise dedup has; the canonical-representative guarantee —
+    * each dropped vector has a kept-or-smaller duplicate — holds
+    * because min-id per dominance chain is never dominated.)
+    *
+    * Scale shape: the pair stage is the clustered bound Σ_c |c|² —
+    * the whole point of the paper's clustering — so with nlist grown
+    * ∝ n (constant expected cluster size c̄) candidate volume is
+    * O(n · c̄), the k-means analog of the banded-LSH occupancy bound;
+    * the join is an equi-join on cid (hash-partitioned, no
+    * cartesian), and at warehouse scale the corpus would be written
+    * cid-partitioned once ([[writeIvfIndex]] layout) so the self-join
+    * co-locates without a shuffle. Returns one row per vector:
+    * (vec_id, cluster_id, keep).
+    */
+  def semDedup(embeddings: DataFrame, nlist: Int = 8, iters: Int = 3,
+               minCos: Double = 0.9): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, iters)
+    val assigned = embeddings
+      .withColumn("cid", nearestCentroid(col("embedding"), cents))
+      .withColumn("norm", l2norm(col("embedding")))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("norm"))
+    val dropped = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.norm") * col("b.norm")), 4) >= minCos)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        col("__drop").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -279,6 +279,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-substring mass per document — the corpus-level
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr) re-expressed relationally:
+    * a window of `n` consecutive tokens is DUPLICATED when the
+    * identical window occurs at least `minCount` times across the
+    * whole corpus (all occurrences counted, so within-document
+    * repeats qualify too — matching the suffix-array substring
+    * semantics rather than the doc-level MinHash one). Each document
+    * reports how many of its window positions are covered by a
+    * duplicated window, its total window count, and the fraction —
+    * the removal-mass dial the paper thresholds on.
+    *
+    * Scale shape: windows are hashed to 64 bits at the scan
+    * (duplicate-window detection never moves text), then aggregated
+    * per (doc, hash) FIRST — template-heavy corpora collapse
+    * map-side, so the corpus-wide occurrence count shuffles at most
+    * one row per distinct window per doc, not one per position. The
+    * occurrence filter joins back on the same 8-byte key. Total cost
+    * is two hash shuffles on the window-hash domain plus the per-doc
+    * fold — linear in corpus tokens, the relational analog of the
+    * paper's suffix-array pass.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 10, minCount: Int = 2,
+                     hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
+    // one row per (doc, distinct window hash) with its multiplicity —
+    // the partial-aggregable granularity both later stages consume
+    val byDocHash = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_windows"),
+        explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("n_windows"), hashFn(0, col("g")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"), min(col("n_windows")).as("n_windows"))
+    val dupHashes = byDocHash.groupBy(col("h"))
+      .agg(sum(col("c")).as("occ"))
+      .filter(col("occ") >= minCount)
+      .select(col("h"))
+    val perDoc = byDocHash.groupBy(col("doc_id"))
+      .agg(min(col("n_windows")).as("n_windows"))
+    val dupPerDoc = byDocHash.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_windows"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        col("n_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
+          col("n_windows").cast("double"), 4).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

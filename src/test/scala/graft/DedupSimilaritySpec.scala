@@ -553,6 +553,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got2.isEmpty)
   }
 
+  test("duplicateSpans: corpus-wide duplicated 10-token windows per doc") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten + " k1"),                            // w1 = t1..t10 (shared), w2 unique
+      (2L, ten + " z9"),                            // w1 = t1..t10 (shared), w2 unique
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // 3 windows, all unique
+      (4L, ten + " " + ten),                        // t1..t10 at pos 1 AND 11 (within-doc repeat)
+      (5L, (1 to 9).map(i => s"s$i").mkString(" ")) // < 10 tokens: no windows, excluded
+    ).toDF("doc_id", "text")
+    val expect = Seq(
+      (1L, 1L, 2L, 0.5),
+      (2L, 1L, 2L, 0.5),
+      (3L, 0L, 3L, 0.0),
+      (4L, 2L, 11L, 0.1818)) // rotations at pos 2..10 are unique
+    val got = TextOps.duplicateSpans(docs, n = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // hash-family independence: the portable md5 family (the oracle
+    // path) must count identically to the xxhash64 engine path
+    val gotMd5 = TextOps.duplicateSpans(docs, n = 10,
+      hashFn = Dedup.md5Seeded).as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotMd5 == expect)
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)
@@ -568,6 +592,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got._1 == 6L)
     assert(got._2 == 7L) // 6 words + '!'
     assert(got._3 == 0.3333)
+  }
+
+  test("semDedup: within-cluster cosine prune keeps the min-id representative") {
+    // 40 Gaussian base vectors (random 64-dim pairs sit near cos 0,
+    // far below threshold) + exact duplicates of every 10th: identical
+    // vectors have identical centroid distances, so the (dist, cid)
+    // tie-break forces clone and base into the SAME cluster — the
+    // clone (larger id) must be dropped, everything else kept
+    val rng = new scala.util.Random(23)
+    val dim = 64
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)((rng.nextGaussian() * 0.5).toFloat))
+    }
+    val clones = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 100L, v.clone())
+    }
+    val corpus = (base ++ clones).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(corpus, nlist = 4, iters = 2, minCos = 0.9)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 44)
+    clones.foreach { case (id, _) => assert(!got(id), s"clone $id kept") }
+    base.foreach { case (id, _) => assert(got(id), s"base $id dropped") }
+    // threshold is respected: with an impossible bar nothing drops
+    val none = Similarity.semDedup(corpus, nlist = 4, iters = 2,
+      minCos = 1.1).filter(!col("keep")).count()
+    assert(none == 0L)
   }
 
   test("banded embedding near-dups: exact verification, measured recall vs brute force") {
