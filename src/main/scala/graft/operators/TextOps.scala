@@ -304,7 +304,12 @@ object TextOps {
   def duplicateSpans(docs: DataFrame, n: Int = 10, minCount: Int = 2,
                      hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
     // one row per (doc, distinct window hash) with its multiplicity —
-    // the partial-aggregable granularity both later stages consume
+    // the partial-aggregable granularity all three later stages
+    // consume. Pinned via localCheckpoint so the expensive lineage
+    // (shingle + hash of every position) runs ONCE, not once per
+    // consumer — the same truncation discipline as the CC edge
+    // stream; at warehouse scale this materialization is a temp
+    // table of 32-byte rows, orders of magnitude below the text.
     val byDocHash = docs
       .select(col("doc_id"), Dedup.shingles(col("text"), n).as("gs"))
       .filter(size(col("gs")) > 0)
@@ -313,6 +318,7 @@ object TextOps {
       .select(col("doc_id"), col("n_windows"), hashFn(0, col("g")).as("h"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("c"), min(col("n_windows")).as("n_windows"))
+      .localCheckpoint(true)
     val dupHashes = byDocHash.groupBy(col("h"))
       .agg(sum(col("c")).as("occ"))
       .filter(col("occ") >= minCount)

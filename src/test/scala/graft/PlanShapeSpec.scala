@@ -111,6 +111,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("substring dedup and semdedup block on keys, never cartesian or window") {
+    // duplicateSpans: two window-hash shuffles + per-doc folds — the
+    // occurrence filter must join on the 8-byte hash key, and nothing
+    // may rank with a window
+    val ds = executedPlan("doc_substring_dupes")
+    assert(!ds.contains("CartesianProduct") && !ds.contains("Window"),
+      "duplicateSpans must join on window-hash keys")
+    // semDedup: the prune is a cid equi-join self-join — a cartesian
+    // here means the clustered pair bound was lost
+    val sd = executedPlan("emb_semdedup")
+    assert(!sd.contains("CartesianProduct"),
+      "semDedup prune must equi-join on cluster id")
+    assert(!sd.contains("Window"), "semDedup must not rank with a window")
+  }
+
   test("round-6 surface: perturbation-recall rows join on keys, never cartesian") {
     // the arithmetic truth joins key on id % groups / grp — Catalyst
     // must plan them as hash joins on the modulo expression, and the
