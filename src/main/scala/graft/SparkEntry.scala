@@ -1613,6 +1613,11 @@ FROM (
     "doc_substring_dupes" -> ((s, d) =>
       TextOps.duplicateSpans(Tables.documents(s, d), n = 10,
         hashFn = Dedup.md5Seeded)),
+    // corpus-familiarity score (CCNet-style head/tail dial as an
+    // integer-exact frequency proxy — avg corpus-wide occurrence
+    // count of each doc's character bigrams, one division at the end)
+    "doc_familiarity" -> ((s, d) =>
+      TextOps.bigramFamiliarity(Tables.documents(s, d))),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
@@ -2878,6 +2883,21 @@ SELECT x.query_id,
 FROM brute x LEFT JOIN ivfk l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""),
+
+    "doc_familiarity" ->
+      """WITH bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+    i -> substr(text, i, 2))) AS b
+  FROM documents WHERE length(text) >= 2
+), pd AS MATERIALIZED (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), tr AS (
+  SELECT b, sum(c) AS tc FROM pd GROUP BY b
+)
+SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(p.c * t.tc) AS DOUBLE) / sum(p.c), 4) AS familiarity
+FROM pd p JOIN tr t USING (b)
+GROUP BY p.doc_id ORDER BY p.doc_id""",
 
     "emb_semdedup" ->
       semDedupOracleSql(nlist = 8, iters = 3, dim = 64, minCos = 0.9),

@@ -336,6 +336,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-familiarity score per document — the head/middle/tail
+    * corpus-fit dial of CCNet-style curation (Wenzek et al. 2020
+    * bucket documents by how well a reference LM predicts them; the
+    * monotone frequency proxy here scores each document by the
+    * average corpus-wide occurrence count of its character bigrams).
+    * A true n-gram-LM perplexity needs floating-point log sums, which
+    * would break the cross-engine decimal-summation rule (SCALE.md
+    * §7) — the integer-weighted average keeps the dial oracle-exact:
+    * every aggregate is an int64 sum, with ONE division at the end.
+    * High score = text shaped like the corpus head; low = tail /
+    * outlier (the removal / down-sampling candidates).
+    *
+    * Scale shape: bigram extraction is scan-local; (doc, bigram)
+    * counts partial-aggregate map-side (the bigram alphabet is tiny,
+    * so rows collapse hard); the training table is the corpus-wide
+    * roll-up of those same counts — KB-scale for any corpus, joined
+    * back broadcast. Two shuffles total (doc×bigram, then doc), text
+    * never moves.
+    */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val bigrams = transform(
+      sequence(lit(1), length(col("text")) - 1),
+      i => col("text").substr(i, lit(2)))
+    // reused by training roll-up and scoring: pin so extraction runs once
+    val perDoc = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val train = perDoc.groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    perDoc.join(broadcast(train), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("tc")).as("wsum"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("wsum").cast("double") /
+          col("n_bigrams").cast("double"), 4).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

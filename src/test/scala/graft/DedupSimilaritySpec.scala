@@ -577,6 +577,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotMd5 == expect)
   }
 
+  test("bigramFamiliarity: integer-exact avg corpus count of a doc's bigrams") {
+    val docs = Seq(
+      (1L, "ababa"), // ab,ba,ab,ba
+      (2L, "ababa"),
+      (3L, "xyz"),   // xy,yz — corpus-unique bigrams
+      (4L, "q")      // single char: no bigrams, excluded
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramFamiliarity(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    // tc(ab)=4, tc(ba)=4, tc(xy)=1, tc(yz)=1:
+    // doc1 = (2*4 + 2*4)/4 = 4.0, doc3 = (1+1)/2 = 1.0
+    assert(got == Seq((1L, 4L, 4.0), (2L, 4L, 4.0), (3L, 2L, 1.0)))
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)
