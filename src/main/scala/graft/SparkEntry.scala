@@ -1618,6 +1618,11 @@ FROM (
     // count of each doc's character bigrams, one division at the end)
     "doc_familiarity" -> ((s, d) =>
       TextOps.bigramFamiliarity(Tables.documents(s, d))),
+    // GPT-style sequence packing: concat-and-chunk window assignment
+    // per sharded pack stream (integer running sum + div/mod)
+    "doc_pack_bins" -> ((s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), budget = 512,
+        shards = 4)),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
@@ -2898,6 +2903,23 @@ SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
   round(CAST(sum(p.c * t.tc) AS DOUBLE) / sum(p.c), 4) AS familiarity
 FROM pd p JOIN tr t USING (b)
 GROUP BY p.doc_id ORDER BY p.doc_id""",
+
+    "doc_pack_bins" ->
+      """WITH t AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, shard, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS before
+  FROM t
+)
+SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens,
+  before // 512 AS bin_id, before % 512 AS bin_offset
+FROM c ORDER BY doc_id""",
 
     "emb_semdedup" ->
       semDedupOracleSql(nlist = 8, iters = 3, dim = 64, minCos = 0.9),

@@ -376,6 +376,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence-packing assignment — the GPT-style concat-and-chunk
+    * batch layout: within each pack stream, documents are
+    * concatenated in doc_id order and the token stream is chunked
+    * into context windows of `budget` tokens; each document reports
+    * the window it STARTS in (`bin_id`) and its offset inside that
+    * window (`bin_offset`), with documents crossing window boundaries
+    * exactly as pretraining packing does. All arithmetic is integer
+    * (running sum, one div, one mod) — oracle-exact.
+    *
+    * Scale shape: a single global running sum would be one unbounded
+    * window partition, so streams are sharded — the pack stream key
+    * is (source, doc_id % shards), and the window runs per stream.
+    * Pack streams are independent by construction (packing order is
+    * arbitrary across batches in pretraining), so shards parallelize
+    * freely: size `shards` so a stream's rows fit one task, the same
+    * knob as shuffle partitioning. The window carries only (doc_id,
+    * n_tokens) — text never enters the shuffle.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 512,
+                    shards: Int = 4): DataFrame = {
+    val stream = Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("before",
+        coalesce(sum(col("n_tokens")).over(stream), lit(0L)))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        expr(s"before div $budget").as("bin_id"),
+        (col("before") % budget).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

@@ -591,6 +591,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Seq((1L, 4L, 4.0), (2L, 4L, 4.0), (3L, 2L, 1.0)))
   }
 
+  test("packSequences: integer concat-and-chunk bins per pack stream") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(4, "a"), "s1"),
+      (2L, words(5, "b"), "s1"),
+      (3L, words(3, "c"), "s1"),
+      (4L, words(8, "d"), "s1"),
+      (5L, words(7, "e"), "s2") // separate source = separate stream
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.packSequences(docs, budget = 10, shards = 1)
+      .select($"doc_id", $"n_tokens", $"bin_id", $"bin_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // s1 running starts: 0, 4, 9, 12 -> bins 0,0,0,1; offsets 0,4,9,2
+    // (doc 3 starts at offset 9 and crosses into bin 1 — by design);
+    // s2 restarts at 0
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L), (2L, 5L, 0L, 4L), (3L, 3L, 0L, 9L),
+      (4L, 8L, 1L, 2L), (5L, 7L, 0L, 0L)))
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)
