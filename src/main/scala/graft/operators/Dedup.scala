@@ -422,13 +422,52 @@ object Dedup {
     * candidate. Returns (doc_a, doc_b, hamming), unsorted.
     */
   private[graft] def bandedHammingPairs(sk: DataFrame, sketchCol: String,
-      maxHamming: Int, bands: Int, bits: Int): DataFrame = {
+      maxHamming: Int, bands: Int, bits: Int): DataFrame =
+    bandedHammingPairs(sk, sketchCol, maxHamming, bands, bits,
+      maxBandDf = 0L)
+
+  /** [[bandedHammingPairs]] with an OPT-IN hot-bucket cap
+    * (`maxBandDf` > 0): band buckets whose occupancy exceeds the cap
+    * are dropped from BLOCKING before the self-join — the stop-frame
+    * idea (`Multimodal.videoNearDups(maxFrameDf)`) applied to sketch
+    * banding. A k-occupancy bucket emits k²/2 candidates, so on
+    * corpora whose sketches concentrate (boilerplate documents, flat
+    * images) one hot bucket can dominate the join; the cap bounds
+    * every bucket's contribution at maxBandDf²/2.
+    *
+    * The price is the lossless pigeonhole guarantee: a true pair
+    * within the radius is missed only if EVERY band the pair agrees
+    * on (≥ bands − maxHamming of them) is hot — concentrated mass in
+    * ≥ bands − maxHamming independent band projections, which is
+    * exactly the boilerplate the cap exists to excise. Default 0
+    * keeps the exact contract (and the oracle replays of the simhash
+    * / phash paths use it); set the cap when corpus-scale occupancy
+    * profiling (SCALE.md §12) says the ceiling is near.
+    */
+  private[graft] def bandedHammingPairs(sk: DataFrame, sketchCol: String,
+      maxHamming: Int, bands: Int, bits: Int,
+      maxBandDf: Long): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole soundness needs maxHamming ($maxHamming) < bands ($bands)")
+    bandedSketchCandidates(sk, sketchCol, bands, bits, maxBandDf)
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("__ska"), col("__skb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The blocking stage of [[bandedHammingPairs]] — candidate id
+    * pairs (at band multiplicity) with both sketches attached.
+    * Exposed separately as the candidate-volume instrument for the
+    * hot-bucket cap spec, mirroring `Similarity.nearDupCandidates`.
+    */
+  private[graft] def bandedSketchCandidates(sk: DataFrame,
+      sketchCol: String, bands: Int, bits: Int,
+      maxBandDf: Long): DataFrame = {
     require(bits % bands == 0, "bands must divide the sketch width")
     val bandBits = bits / bands
     val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
-    val banded = sk.select(col("doc_id"), col(sketchCol).as("__sk"),
+    val bandedAll = sk.select(col("doc_id"), col(sketchCol).as("__sk"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col(sketchCol), b * bandBits).bitwiseAND(mask)
@@ -436,14 +475,20 @@ object Dedup {
       }: _*)).as("e"))
       .select(col("doc_id"), col("__sk"),
         col("e.band").as("band"), col("e.bv").as("bv"))
+    val banded =
+      if (maxBandDf <= 0L) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxBandDf)
+          .select(col("band"), col("bv")),
+        Seq("band", "bv"), "left_semi")
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming64(col("a.__sk"), col("b.__sk")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
+        col("a.__sk").as("__ska"), col("b.__sk").as("__skb"))
   }
 
   /** [[simhashNearDups]] without the presentation sort — the form the

@@ -553,6 +553,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got2.isEmpty)
   }
 
+  test("hot-bucket cap bounds banded sketch candidates; verified output unchanged") {
+    // 30 "boilerplate" sketches share band 0 (low 16 bits = 0xAAAA)
+    // but sit pairwise Hamming >= 6 apart (bands 1-3 carry an
+    // even-weight code value, XOR weight >= 2, replicated 3x), so the
+    // hub bucket emits C(30,2) = 435 candidates and ZERO verified
+    // pairs at radius 3 — pure wasted join work. One true pair lives
+    // in cold buckets (shared bands with occupancy 2).
+    def evenCode(k: Long): Long =
+      (k << 1) | (java.lang.Long.bitCount(k) & 1L)
+    val hub = (0 until 30).map { i =>
+      val v = evenCode(i + 1L)
+      (i.toLong, 0xAAAAL | (v << 16) | (v << 32) | (v << 48))
+    }
+    val base = 0x5555L | (0xBEEFL << 16) | (0xCAFEL << 32) | (0x1234L << 48)
+    val pair = Seq((100L, base), (101L, base ^ (1L << 20)))
+    val sk = (hub ++ pair).toDF("doc_id", "simhash")
+    def candidates(cap: Long): Long =
+      Dedup.bandedSketchCandidates(sk, "simhash", bands = 4, bits = 64,
+        maxBandDf = cap).select($"doc_a", $"doc_b").distinct().count()
+    assert(candidates(0L) == 436L)  // 435 hub + 1 true
+    assert(candidates(10L) == 1L)   // hub bucket dropped, true pair kept
+    def verified(cap: Long): Set[(Long, Long, Long)] =
+      Dedup.bandedHammingPairs(sk, "simhash", maxHamming = 3, bands = 4,
+        bits = 64, maxBandDf = cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val expect = Set((100L, 101L, 1L))
+    assert(verified(0L) == expect)
+    assert(verified(10L) == expect)
+  }
+
   test("duplicateSpans: corpus-wide duplicated 10-token windows per doc") {
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
