@@ -1122,6 +1122,52 @@ SELECT id AS doc_id, comp AS cluster_id,
   count(*) OVER (PARTITION BY comp) AS cluster_size
 FROM ccm ORDER BY doc_id"""
 
+  /** Per-doc Gopher signal CTEs over source relation `src` — the
+    * DuckDB replica of TextOps.gopherQuality's counting layer. Ends
+    * with `gq_m` (the integer signal table: n_words, sum_word_len,
+    * n_alpha_words, n_symbols, n_lines, n_bullet_lines,
+    * n_ellipsis_lines, n_ngrams, n_distinct_ngrams) and `gq`
+    * (doc_id, n_words, gopher_pass — the integer-exact pass rule).
+    * Shared by the doc_quality_gopher oracle and the cluster-best
+    * survivor replay so the pass rule cannot diverge between rows.
+    */
+  private def gopherCtesSql(src: String): String =
+    s"""gq_t AS MATERIALIZED (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS toks,
+    string_split(text, chr(10)) AS lns,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols
+  FROM $src
+), gq_g AS (
+  SELECT doc_id, toks, lns, n_symbols,
+    list_transform(range(len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS gs
+  FROM gq_t
+), gq_m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    n_symbols,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(gs) AS BIGINT) AS n_ngrams,
+    CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_ngrams
+  FROM gq_g
+), gq AS (
+  SELECT doc_id, n_words,
+    (n_words >= 50 AND n_words <= 100000
+      AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+      AND 10 * n_symbols <= n_words
+      AND 10 * n_bullet_lines <= 9 * n_lines
+      AND 10 * n_ellipsis_lines <= 3 * n_lines
+      AND 5 * n_alpha_words >= 4 * n_words) AS gopher_pass
+  FROM gq_m
+)"""
+
   /** DuckDB replica of Detect.complianceFindings over source relation
     * `src` — generated from the same table-set constants as the Spark
     * side (reference app.py:477-485: GDPR = sensitive table ∧ falsy
@@ -1618,6 +1664,13 @@ FROM (
     // count of each doc's character bigrams, one division at the end)
     "doc_familiarity" -> ((s, d) =>
       TextOps.bigramFamiliarity(Tables.documents(s, d))),
+    // DSIR-style importance weight (Xie et al. 2023): target-vs-raw
+    // bigram-mass ratio, integer-exact with one division — the
+    // target domain here is a source subset (the "Wikipedia-like
+    // target corpus" role), Laplace +1 on target counts
+    "doc_dsir_weight" -> ((s, d) =>
+      TextOps.dsirWeights(Tables.documents(s, d),
+        col("source").isin("src0", "src2", "src4"))),
     // GPT-style sequence packing: concat-and-chunk window assignment
     // per sharded pack stream (integer running sum + div/mod)
     "doc_pack_bins" -> ((s, d) =>
@@ -1773,6 +1826,16 @@ FROM (
     "doc_minhash_clusters" -> ((s, d) =>
       Dedup.minhashClusters(scopedDocs(s, d), threshold = 0.3,
         hashFn = Dedup.md5Seeded)),
+    // quality-aware survivor per minhash cluster: keep the member the
+    // Gopher battery likes best (pass flag, then word count, then min
+    // doc_id) — the keep-the-best-copy policy production dedup runs,
+    // vs dedupByClusters' arbitrary min-id canonical
+    "doc_cluster_best" -> ((s, d) => {
+      val docs = scopedDocs(s, d)
+      Dedup.bestInCluster(docs,
+        Dedup.minhashClusters(docs, threshold = 0.3,
+          hashFn = Dedup.md5Seeded))
+    }),
     // the applied dedup: canonical-by-fingerprint minus minhash losers
     "doc_dedup_apply" -> ((s, d) =>
       Dedup.dedupedCorpus(scopedDocs(s, d), threshold = 0.3,
@@ -2612,32 +2675,7 @@ SELECT CAST(count(*) AS BIGINT) AS hits,
 FROM t WHERE ov * 100 >= (tot - ov) * 45""",
 
     "doc_quality_gopher" ->
-      """WITH gt AS MATERIALIZED (
-  SELECT doc_id,
-    string_split_regex(trim(text), '\s+') AS toks,
-    string_split(text, chr(10)) AS lns,
-    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
-      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols
-  FROM documents
-), g AS (
-  SELECT doc_id, toks, lns, n_symbols,
-    list_transform(range(len(toks) - 2),
-      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS gs
-  FROM gt
-), m AS (
-  SELECT doc_id,
-    CAST(len(toks) AS BIGINT) AS n_words,
-    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_word_len,
-    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-    n_symbols,
-    CAST(len(lns) AS BIGINT) AS n_lines,
-    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
-    CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis_lines,
-    CAST(len(gs) AS BIGINT) AS n_ngrams,
-    CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_ngrams
-  FROM g
-)
+      (s"WITH ${gopherCtesSql("documents")}" + """
 SELECT doc_id, n_words,
   round(CAST(sum_word_len AS DOUBLE) / n_words, 4) AS mean_word_len,
   round(CAST(n_symbols AS DOUBLE) / n_words, 4) AS symbol_word_ratio,
@@ -2653,7 +2691,26 @@ SELECT doc_id, n_words,
     AND 10 * n_bullet_lines <= 9 * n_lines
     AND 10 * n_ellipsis_lines <= 3 * n_lines
     AND 5 * n_alpha_words >= 4 * n_words) AS gopher_pass
-FROM m ORDER BY doc_id""",
+FROM gq_m ORDER BY doc_id"""),
+
+    // minhash cluster membership replay + Gopher pass replay, arg-max
+    // by (pass DESC, n_words DESC, doc_id) within each component —
+    // the same CTE builders as doc_minhash_clusters and
+    // doc_quality_gopher, so neither the clustering nor the pass rule
+    // can diverge between rows
+    "doc_cluster_best" ->
+      (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}" +
+        clusterCtesSql("SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3") +
+        s", ${gopherCtesSql(s"$ScopedDocsSql sdocs2")}" + """
+SELECT cluster_id, doc_id AS best_doc, n_members, n_pass FROM (
+  SELECT c.comp AS cluster_id, c.id AS doc_id,
+    row_number() OVER (PARTITION BY c.comp
+      ORDER BY q.gopher_pass DESC, q.n_words DESC, c.id) AS rn,
+    CAST(count(*) OVER (PARTITION BY c.comp) AS BIGINT) AS n_members,
+    CAST(sum(CASE WHEN q.gopher_pass THEN 1 ELSE 0 END)
+      OVER (PARTITION BY c.comp) AS BIGINT) AS n_pass
+  FROM ccm c JOIN gq q ON q.doc_id = c.id
+) WHERE rn = 1 ORDER BY cluster_id"""),
 
     "doc_split_assign" -> {
       val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
@@ -2902,6 +2959,25 @@ GROUP BY x.query_id ORDER BY x.query_id"""),
 SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
   round(CAST(sum(p.c * t.tc) AS DOUBLE) / sum(p.c), 4) AS familiarity
 FROM pd p JOIN tr t USING (b)
+GROUP BY p.doc_id ORDER BY p.doc_id""",
+
+    "doc_dsir_weight" ->
+      """WITH dbg AS (
+  SELECT doc_id, (source IN ('src0', 'src2', 'src4')) AS tgt,
+    unnest(list_transform(range(1, length(text)),
+      i -> substr(text, i, 2))) AS b
+  FROM documents WHERE length(text) >= 2
+), dpd AS MATERIALIZED (
+  SELECT doc_id, tgt, b, count(*) AS c FROM dbg GROUP BY 1, 2, 3
+), draw AS (
+  SELECT b, sum(c) AS rc FROM dpd GROUP BY b
+), dtg AS (
+  SELECT b, sum(c) AS tc FROM dpd WHERE tgt GROUP BY b
+)
+SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(p.c * (coalesce(t.tc, 0) + 1)) AS DOUBLE) /
+    CAST(sum(p.c * r.rc) AS DOUBLE), 6) AS dsir_weight
+FROM dpd p JOIN draw r USING (b) LEFT JOIN dtg t USING (b)
 GROUP BY p.doc_id ORDER BY p.doc_id""",
 
     "doc_pack_bins" ->

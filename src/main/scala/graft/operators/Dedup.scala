@@ -601,6 +601,37 @@ object Dedup {
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Quality-aware survivor selection per near-dup cluster — the
+    * curation-grade alternative to [[dedupByClusters]]' min-id
+    * canonical: within each cluster keep the member the quality
+    * battery likes best (Gopher pass flag first, then word count,
+    * then min doc_id as the deterministic tie-break), the policy
+    * production dedup pipelines actually run (keep the best copy of
+    * a template, not an arbitrary one). One row per cluster:
+    * `(cluster_id, best_doc, n_members, n_pass)`.
+    *
+    * Scale shape: quality signals are scan-local per doc
+    * ([[TextOps.gopherQuality]]); the membership join is on doc_id;
+    * the survivor is a map-side-combinable max over a packed
+    * (pass, n_words, -doc_id) struct — no window over the cluster
+    * partition, so a degenerate mega-cluster costs one aggregate
+    * row, not a sorted partition.
+    */
+  def bestInCluster(docs: DataFrame, membership: DataFrame): DataFrame = {
+    val q = TextOps.gopherQuality(docs)
+      .select(col("doc_id"), col("n_words"), col("gopher_pass"))
+    membership.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("gopher_pass").cast("int").as("p"),
+          col("n_words").as("w"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("gopher_pass").cast("long")).as("n_pass"))
+      .select(col("cluster_id"), (-col("best.nid")).as("best_doc"),
+        col("n_members"), col("n_pass"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** [[jaccardNearDups]] in cluster-representative mode. */
   def jaccardClusters(docs: DataFrame, ngram: Int = 3,
                       minJaccard: Double = 0.3,

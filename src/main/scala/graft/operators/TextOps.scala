@@ -376,6 +376,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weight per document — data selection via
+    * target-vs-raw n-gram frequency ratios (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" score
+    * hashed-n-gram likelihood ratios between a target domain and the
+    * raw pool; documents shaped like the target up-weight). The
+    * literal DSIR weight is a product of probability ratios — a
+    * floating-point log sum that would break the cross-engine
+    * decimal-summation rule (SCALE.md §7) — so the dial here is the
+    * MONOTONE integer-exact analog of [[bigramFamiliarity]]: the
+    * ratio of the document's bigram mass weighted by target-corpus
+    * counts (Laplace +1, so unseen-in-target bigrams still carry
+    * mass) to the same mass weighted by raw-corpus counts. int64
+    * sums, ONE division at the end — oracle-exact. High weight =
+    * target-shaped; resample/keep candidates.
+    *
+    * Scale shape: identical to [[bigramFamiliarity]] — bigram
+    * extraction scan-local, (doc, bigram) counts partial-aggregate
+    * map-side, BOTH frequency tables (target and raw) are KB-scale
+    * corpus-wide roll-ups of those counts joined back broadcast. Two
+    * shuffles (doc×bigram, then doc); text never moves.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val bigrams = transform(
+      sequence(lit(1), length(col("text")) - 1),
+      i => col("text").substr(i, lit(2)))
+    // tgt is constant per doc (a doc is in or out of the target
+    // domain), so the (doc, tgt, bigram) grain equals (doc, bigram)
+    val perDoc = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), isTarget.cast("boolean").as("tgt"),
+        explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tgt = perDoc.filter(col("tgt"))
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    perDoc.join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * (coalesce(col("tc"), lit(0L)) + lit(1L))).as("tmass"),
+        sum(col("c") * col("rc")).as("rmass"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("tmass").cast("double") /
+          col("rmass").cast("double"), 6).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence-packing assignment — the GPT-style concat-and-chunk
     * batch layout: within each pack stream, documents are
     * concatenated in doc_id order and the token stream is chunked

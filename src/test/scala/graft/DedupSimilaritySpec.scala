@@ -641,6 +641,48 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (4L, 8L, 1L, 2L), (5L, 7L, 0L, 0L)))
   }
 
+  test("dsirWeights: integer-exact target-vs-raw bigram mass ratio") {
+    val docs = Seq(
+      (1L, "ababa"),  // target: ab=2, ba=2
+      (2L, "ababa"),  // raw twin of the target doc
+      (3L, "xyz"),    // corpus-unique bigrams: Laplace boundary
+      (4L, "pqpqpq"), // common-but-never-in-target: pq=3, qp=2
+      (5L, "pqpqpq"),
+      (6L, "q")       // single char: no bigrams, excluded
+    ).toDF("doc_id", "text")
+    val got = TextOps.dsirWeights(docs, $"doc_id" === 1L)
+      .as[(Long, Long, Double)].collect().toSeq
+    // rc: ab=4 ba=4 xy=1 yz=1 pq=6 qp=4; tc (doc1): ab=2 ba=2.
+    // doc1 = (2*3 + 2*3)/(2*4 + 2*4)      = 12/16 = 0.75 (target-shaped)
+    // doc3 = (1 + 1)/(1 + 1)              = 1.0   (rare: Laplace boundary)
+    // doc4 = (3*1 + 2*1)/(3*6 + 2*4)      = 5/26  = 0.192308 (raw-shaped)
+    assert(got == Seq((1L, 4L, 0.75), (2L, 4L, 0.75), (3L, 2L, 1.0),
+      (4L, 5L, 0.192308), (5L, 5L, 0.192308)))
+    // the dial orders common-raw-shaped strictly below target-shaped
+    assert(got.find(_._1 == 4L).get._3 < got.find(_._1 == 1L).get._3)
+  }
+
+  test("bestInCluster: quality-aware survivor beats the min-id canonical") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10, "a")),  // min id of cluster 1 but FAILS gopher (<50 words)
+      (2L, words(60, "bcd")), // passes, most words -> the survivor
+      (3L, words(55, "efg")), // passes, fewer words
+      (5L, words(10, "h")),  // cluster 5: both fail -> tie-break min id
+      (6L, words(10, "i"))
+    ).toDF("doc_id", "text")
+    val membership = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 2L), (6L, 5L, 2L)
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val got = Dedup.bestInCluster(docs, membership)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: doc 2 wins on (pass, n_words) despite doc 1 being the
+    // min-id canonical dedupByClusters would keep; cluster 5: no
+    // passer, widest is a tie, doc 5 by the deterministic tie-break
+    assert(got == Seq((1L, 2L, 3L, 2L), (5L, 5L, 2L, 0L)))
+  }
+
   test("cleaned(): lowercases, strips punctuation, drops stopwords") {
     val got = Seq("The CAT, and the Mat!!  extra   spaces").toDF("text")
       .select(TextOps.cleaned($"text")).as[String].collect()(0)

@@ -126,6 +126,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!sd.contains("Window"), "semDedup must not rank with a window")
   }
 
+  test("dsir weights broadcast the frequency dims; cluster-best keeps no window") {
+    // dsirWeights: both corpus-wide frequency tables are KB-scale
+    // roll-ups and must reach the doc×bigram stream as broadcast
+    // joins — a sort-merge join here shuffles the whole bigram stream
+    // twice more at corpus scale
+    val dw = executedPlan("doc_dsir_weight")
+    assert(dw.contains("BroadcastHashJoin"),
+      "dsir frequency dims must broadcast")
+    assert(!dw.contains("SortMergeJoin") && !dw.contains("CartesianProduct"),
+      "dsir must not shuffle the bigram stream against the tiny dims")
+    // bestInCluster: the survivor is a packed-struct max AGGREGATE —
+    // a window over the cluster partition would sort every member of
+    // a degenerate mega-cluster on one task
+    val cb = executedPlan("doc_cluster_best")
+    assert(!cb.contains("Window"),
+      "cluster-best survivor must be an aggregate, not a window rank")
+    assert(!cb.contains("CartesianProduct"))
+  }
+
   test("round-6 surface: perturbation-recall rows join on keys, never cartesian") {
     // the arithmetic truth joins key on id % groups / grp — Catalyst
     // must plan them as hash joins on the modulo expression, and the
