@@ -1246,6 +1246,24 @@ FROM (
           size() > 64
       })
 
+  /** Planted multi-line corpus for the line-dedup fixture (the
+    * documents table is single-line, TESTDATA.md): corpus-wide nav
+    * chrome on every doc, a per-source footer, a banner on every
+    * third doc, and the unique body + tail line. Built with column
+    * expressions only, so the oracle replays the identical
+    * construction in SQL — the planted-truth pattern the media legs
+    * use. Bounded to doc_id < 300 at every scale factor.
+    */
+  private def plantedLineDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), concat_ws("\n",
+        lit("NAV MENU HOME"),
+        col("text"),
+        concat(lit("(c) site "), col("source")),
+        when(col("doc_id") % 3 === 0, lit("subscribe now"))
+          .otherwise(concat(lit("u"), col("doc_id").cast("string"))))
+        .as("text"))
+
   private def scopedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val key = new java.io.File(d).getCanonicalPath
@@ -1676,6 +1694,17 @@ FROM (
     "doc_pack_bins" -> ((s, d) =>
       TextOps.packSequences(Tables.documents(s, d), budget = 512,
         shards = 4)),
+    // line-level boilerplate dedup (RefinedWeb): the fixture corpus
+    // has no newlines, so — the media-leg pattern — a planted
+    // multi-line corpus is built deterministically from the documents
+    // table (corpus-wide nav chrome, per-source footers, a periodic
+    // banner, unique body/tail lines) and run through the REAL
+    // operator; the oracle replays the same construction with raw
+    // line strings, so the engine's hash blocking is instrument-
+    // independent of the check
+    "doc_line_dedup" -> ((s, d) =>
+      TextOps.dedupLines(plantedLineDocs(Tables.documents(s, d)),
+        minDf = 5)),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
@@ -2960,6 +2989,38 @@ SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
   round(CAST(sum(p.c * t.tc) AS DOUBLE) / sum(p.c), 4) AS familiarity
 FROM pd p JOIN tr t USING (b)
 GROUP BY p.doc_id ORDER BY p.doc_id""",
+
+    // raw line STRINGS are the oracle's dedup key — the engine blocks
+    // on 64-bit hashes, so the instrument cannot self-confirm
+    "doc_line_dedup" ->
+      """WITH pl AS (
+  SELECT doc_id,
+    'NAV MENU HOME' || chr(10) || text || chr(10) ||
+    '(c) site ' || source || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe now'
+         ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents WHERE doc_id < 300
+), lr AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+      i -> {'pos': i, 'line': ls[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pl))
+), hot AS (
+  SELECT line FROM lr GROUP BY line HAVING count(*) >= 5
+), kept AS (
+  SELECT doc_id, pos, line FROM lr
+  WHERE line NOT IN (SELECT line FROM hot)
+), stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lr GROUP BY doc_id
+), kt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(k.text_deduped, '') AS text_deduped
+FROM stats s LEFT JOIN kt k USING (doc_id) ORDER BY doc_id""",
 
     "doc_dsir_weight" ->
       """WITH dbg AS (

@@ -376,6 +376,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Line-level exact dedup — the boilerplate-removal pass of
+    * RefinedWeb-style curation (Penedo et al. 2023 drop lines
+    * duplicated across the corpus: navigation chrome, footers,
+    * cookie banners; C4 applies the same idea at sentence grain).
+    * Every line whose corpus-wide document frequency reaches `minDf`
+    * is removed from every document; surviving lines keep their
+    * original order. Emits `(doc_id, n_lines, n_kept, text_deduped)`.
+    *
+    * Scale shape: LINE TEXT NEVER SHUFFLES. Lines are hashed to 64
+    * bits inside the scan; only (doc_id, pos, hash) rows enter the
+    * df count (map-side partial agg on the 8-byte key) and the
+    * hot-hash semi-join. Per-doc drop-position lists come back as one
+    * small array per affected doc, joined on doc_id (AQE broadcasts
+    * the drop lists when they fit); reassembly is then a scan-local
+    * index filter over the original line array. The hash is the
+    * engine instrument only — the oracle replays with raw line
+    * strings, so a hash-family bug cannot self-confirm.
+    */
+  def dedupLines(docs: DataFrame, minDf: Long = 5,
+                 hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
+    val withLs = docs.select(col("doc_id"),
+      split(col("text"), "\n", -1).as("ls"))
+    val hashes = withLs.select(col("doc_id"),
+      posexplode(transform(col("ls"), l => hashFn(0, l))).as(Seq("pos", "h")))
+    val hot = hashes.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"))
+    val drops = hashes.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("drop_pos"))
+    withLs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        filter(col("ls"), (l, i) =>
+          !array_contains(coalesce(col("drop_pos"),
+            array().cast("array<int>")), i)).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("text_deduped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance weight per document — data selection via
     * target-vs-raw n-gram frequency ratios (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling" score

@@ -641,6 +641,33 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (4L, 8L, 1L, 2L), (5L, 7L, 0L, 0L)))
   }
 
+  test("dedupLines: corpus-df line removal preserves order; hash-family independent") {
+    val docs = Seq(
+      (1L, "nav\nalpha\nfoot"),
+      (2L, "nav\nbeta\nfoot"),
+      (3L, "nav\ngamma\nfoot"),
+      (4L, "nav\nnav\ndelta"),                 // within-doc repeat counts toward df
+      (5L, "nav\nfoot"),                       // every line hot -> emptied doc
+      (6L, "keep1\nnav\nkeep2\nfoot\nkeep3")   // interleaved: order must survive
+    ).toDF("doc_id", "text")
+    // df: nav = 7 (doc 4 twice), foot = 5, everything else 1
+    val expect = Seq(
+      (1L, 3L, 1L, "alpha"),
+      (2L, 3L, 1L, "beta"),
+      (3L, 3L, 1L, "gamma"),
+      (4L, 3L, 1L, "delta"),
+      (5L, 2L, 0L, ""),
+      (6L, 5L, 3L, "keep1\nkeep2\nkeep3"))
+    val got = TextOps.dedupLines(docs, minDf = 5)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expect)
+    // the portable md5 family (and any 64-bit hash) must drop the
+    // same lines — blocking is an instrument, not the semantics
+    val gotMd5 = TextOps.dedupLines(docs, minDf = 5,
+      hashFn = Dedup.md5Seeded).as[(Long, Long, Long, String)].collect().toSeq
+    assert(gotMd5 == expect)
+  }
+
   test("dsirWeights: integer-exact target-vs-raw bigram mass ratio") {
     val docs = Seq(
       (1L, "ababa"),  // target: ab=2, ba=2

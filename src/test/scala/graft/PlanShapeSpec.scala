@@ -143,6 +143,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!cb.contains("Window"),
       "cluster-best survivor must be an aggregate, not a window rank")
     assert(!cb.contains("CartesianProduct"))
+    // dedupLines: df counting and the hot semi-join run on the 8-byte
+    // line hash; reassembly is a scan-local index filter — no window
+    // rank, no cartesian, and no sort of the line stream
+    val ld = executedPlan("doc_line_dedup")
+    assert(!ld.contains("Window") && !ld.contains("CartesianProduct"),
+      "line dedup must block on hash keys and reassemble scan-locally")
   }
 
   test("round-6 surface: perturbation-recall rows join on keys, never cartesian") {
