@@ -1522,6 +1522,65 @@ FROM (
           greatest(col("exact_users").cast("double"), lit(1.0)) <= 0.15)
           .as("within_bound"))
       .orderBy(col("event_type"))),
+    // Count-Min frequency sketch (Cormode & Muthukrishnan 2005), the
+    // point-query dual of the HLL row above: one distributive pass
+    // builds the sketch; the checked surface is the CMS CONTRACT —
+    // est ≥ true (one-sided) and est ≤ true + ε·N — replayed by the
+    // oracle as exact counts with both flags ≡ TRUE. The event-type
+    // enum is a bounded dim (10 values by schema), so reading the
+    // per-type estimates off the driver-held sketch is the same class
+    // of driver hop as the rules-dim snapshot.
+    // quantile-sketch contract row (the third sketch family beside
+    // HLL and CMS): approx_percentile's bound is on RANK, not value —
+    // the estimate's rank among the group's values must land within
+    // n/accuracy (+1 slack for ties and the ceil) of the target rank.
+    // Checked with one extra broadcast join + count pass; the oracle
+    // replays exact group counts with the flag ≡ TRUE.
+    "ev_pctile_sketch" -> ((s, d) => {
+      val acc = 1000
+      val p = 0.9
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val est = ev.groupBy(col("event_type"))
+        .agg(expr(s"approx_percentile(value, $p, $acc)").as("est"))
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+            .as("rank_le"),
+          sum(when(col("value") < col("est"), 1L).otherwise(0L))
+            .as("rank_lt"))
+        .select(col("event_type"), col("n"),
+          ((col("rank_le") >= ceil(col("n") * lit(p)) -
+              (col("n") / lit(acc)).cast("long") - lit(1)) &&
+            (col("rank_lt") <= ceil(col("n") * lit(p)) +
+              (col("n") / lit(acc)).cast("long") + lit(1)))
+            .as("within_rank_bound"))
+        .orderBy(col("event_type"))
+    }),
+    "ev_cms_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val head = ev.agg(
+        count_min_sketch(col("event_type"), lit(0.0005d), lit(0.999d),
+          lit(42)).as("cms"),
+        count(lit(1)).as("n")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(head.getAs[Array[Byte]]("cms"))
+      val slack = math.ceil(0.0005d * head.getAs[Long]("n")).toLong
+      // bounded enum → literal estimate map; the flag columns stay
+      // codegen'd expressions (element_at over a 10-entry map literal)
+      val types = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val estMap = map(types.flatMap(t =>
+        Seq(lit(t), lit(cms.estimateCount(t)))): _*)
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_count"))
+        .select(col("event_type"), col("exact_count"),
+          (element_at(estMap, col("event_type")) >= col("exact_count"))
+            .as("one_sided"),
+          (element_at(estMap, col("event_type")) <=
+            col("exact_count") + lit(slack)).as("within_eps"))
+        .orderBy(col("event_type"))
+    }),
     "doc_top_per_source" -> ((s, d) =>
       // top-1-per-group as a map-side-combinable min_by — source has
       // FEW distinct values, so a window over it would funnel the
@@ -1705,6 +1764,17 @@ FROM (
     "doc_line_dedup" -> ((s, d) =>
       TextOps.dedupLines(plantedLineDocs(Tables.documents(s, d)),
         minDf = 5)),
+    // incremental-ingest dedup: bloom the "new batch" (doc_id % 5 = 0),
+    // scan the reference corpus with the codegen'd might_contain
+    // predicate, exact-verify survivors with an anti-join — result is
+    // exactly the anti-join (the oracle), the sketch only prunes
+    "doc_bloom_novel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomNovel(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
@@ -2383,6 +2453,22 @@ FROM events GROUP BY event_type ORDER BY event_type""",
   TRUE AS within_bound
 FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // the CMS contract row: the oracle states the exact counts and
+    // that both sketch guarantees (one-sided overestimate, ε·N slack)
+    // hold — an estimate drifting past either flips a flag and fails
+    // the hash gate
+    "ev_cms_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count,
+  TRUE AS one_sided, TRUE AS within_eps
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // rank-error contract of the quantile sketch, same shape: exact
+    // counts + flag ≡ TRUE
+    "ev_pctile_sketch" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  TRUE AS within_rank_bound
+FROM events GROUP BY event_type ORDER BY event_type""",
+
     "ev_sessions" ->
       """WITH x AS (
   SELECT user_id, event_id, ts,
@@ -3021,6 +3107,15 @@ SELECT s.doc_id, s.n_lines,
   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
   coalesce(k.text_deduped, '') AS text_deduped
 FROM stats s LEFT JOIN kt k USING (doc_id) ORDER BY doc_id""",
+
+    // the Bloom sketch is pruning-only: the checked semantics are the
+    // plain exact anti-join, which the oracle states directly
+    "doc_bloom_novel" ->
+      """SELECT b.doc_id, b.source FROM documents b
+WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+  SELECT 1 FROM documents r
+  WHERE r.doc_id % 5 <> 0 AND r.text = b.text)
+ORDER BY doc_id""",
 
     "doc_dsir_weight" ->
       """WITH dbg AS (

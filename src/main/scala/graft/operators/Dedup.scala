@@ -669,4 +669,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Incremental-ingest exact dedup with Bloom pruning — the shape a
+    * 100 TB corpus needs when a (comparatively small) new batch must
+    * be deduplicated against the full existing corpus WITHOUT
+    * shuffling the corpus:
+    *
+    *  1. one distributive pass blooms the BATCH's 64-bit content
+    *     hashes (map-side partial sketches OR-merged — the same
+    *     [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    *     Spark's own runtime-filter injection uses);
+    *  2. the reference corpus is scanned ONCE with the serialized
+    *     sketch as a codegen'd literal predicate — no shuffle, no join;
+    *     survivors are true overlaps plus ~fpp of the corpus;
+    *  3. the tiny survivor set exact-verifies via a broadcast-able
+    *     anti-join on the raw text, so Bloom false positives (and any
+    *     xxhash64 collision) cannot change the answer — the result is
+    *     EXACTLY the anti-join, the sketch only prunes.
+    *
+    * Returns the batch rows whose text does not appear in `ref`.
+    */
+  def bloomNovel(batch: DataFrame, ref: DataFrame,
+                 textCol: String = "text",
+                 expectedItems: Long = 1L << 16,
+                 fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomShim
+    val h = xxhash64(col(textCol))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfRow = batch
+      .select(BloomShim.bloomAgg(h, expectedItems, numBits).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) batch // empty batch blooms to null: nothing to emit
+    else {
+      val bf = lit(bfRow.getAs[Array[Byte]](0))
+      val candidates = ref
+        .filter(BloomShim.mightContain(bf, h))
+        .select(col(textCol)).distinct()
+      batch.join(candidates, Seq(textCol), "left_anti")
+    }
+  }
 }

@@ -918,4 +918,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(ivf == brute)
   }
+
+  test("bloomNovel: exact anti-join result, sketch prunes, no false negatives") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomShim
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    // reference corpus of 400 docs; batch of 100 where every 4th text
+    // is a verbatim copy of a reference doc (25 dupes, 75 novel)
+    val ref = (0 until 400).map(i => (i.toLong, s"ref text body $i"))
+      .toDF("doc_id", "text")
+    val batch = (0 until 100).map { i =>
+      val t = if (i % 4 == 0) s"ref text body ${i * 3}" else s"fresh text $i"
+      (1000L + i, t)
+    }.toDF("doc_id", "text")
+    val novel = Dedup.bloomNovel(batch, ref)
+      .select($"doc_id").as[Long].collect().toSet
+    val exact = batch.join(ref.select($"text"), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(novel == exact && novel.size == 75)
+    // no false negatives by construction: every batch member must be a
+    // bloom positive against its own sketch
+    val h = xxhash64(col("text"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(1L << 16, 0.01)
+    val bf = batch.select(BloomShim.bloomAgg(h, 1L << 16, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    assert(batch.filter(BloomShim.mightContain(lit(bf), h)).count() == 100L)
+    // the pruning predicate keeps the 25 true overlaps plus at most a
+    // small false-positive tail of the 400-doc reference scan
+    val kept = ref.filter(BloomShim.mightContain(lit(bf), h)).count()
+    assert(kept >= 25L && kept <= 50L)
+    // empty batch blooms to null and yields the empty batch unchanged
+    assert(Dedup.bloomNovel(batch.filter(lit(false)), ref).count() == 0L)
+  }
 }

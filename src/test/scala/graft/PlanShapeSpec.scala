@@ -164,4 +164,20 @@ class PlanShapeSpec extends SparkSpecBase {
         s"$q truth/overlay joins must not fall back to BNL")
     }
   }
+
+  test("bloom novel-docs: corpus scan filtered by the sketch predicate, no corpus shuffle") {
+    val p = executedPlan("doc_bloom_novel")
+    // the reference corpus must meet the sketch as a scan predicate
+    // (the codegen'd might_contain literal), not via a join
+    assert(p.contains("might_contain"),
+      "reference scan must be pruned by the bloom predicate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bloom verify must stay an equi anti-join")
+    // exactly the two scans: batch (bloom build ran before planning;
+    // its result is a literal) + reference; the anti-join's right side
+    // is the pruned survivor set, broadcast by AQE at any sane fpp
+    assert(p.contains("LeftAnti"),
+      "exactness comes from the anti-join verify stage")
+  }
 }
