@@ -670,6 +670,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources,
+    * how many distinct normalized fingerprints they share — the
+    * corpus-curation dial for "which feeds are re-crawling each
+    * other" before any cross-source dedup pass is scheduled.
+    *
+    * Shape at 100 TB: fingerprints are computed scan-local
+    * ([[TextOps.fingerprint]], a codegen'd md5 over normalized text),
+    * the only wide rows are the slim (fp, source) pairs, and the
+    * pair explosion happens AFTER a groupBy on the fingerprint — so
+    * a fingerprint shared by k of the S sources costs one array of
+    * ≤ S entries and ≤ k²/2 emitted pairs, never a fingerprint-keyed
+    * self-join whose hub buckets would square in corpus size. The
+    * matrix output is bounded by S² rows regardless of corpus size.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .select(TextOps.fingerprint(col("text")).as("f"), col("source"))
+      .distinct()
+    val sets = fp.groupBy(col("f"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    // ordered pairs (a < b) generated from the sorted per-fingerprint
+    // source array by expression — no self-join
+    sets
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
+      .select(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Incremental-ingest exact dedup with Bloom pruning — the shape a
     * 100 TB corpus needs when a (comparatively small) new batch must
     * be deduplicated against the full existing corpus WITHOUT

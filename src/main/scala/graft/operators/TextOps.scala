@@ -146,6 +146,29 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Per-source vocabulary size, exact AND as an HLL sketch contract
+    * (the `ev_user_reach_approx` pattern applied to the corpus
+    * surface): distinct whitespace tokens per source with
+    * `approx_count_distinct` alongside, emitting the exact count and
+    * a within-bound flag. At 100 TB the exact branch (a distinct agg
+    * over (source, token)) is the expensive leg — the production
+    * call drops it and keeps the one-pass mergeable HLL, which is
+    * the point of checking the sketch's error contract here.
+    */
+  def sourceVocab(docs: DataFrame, rsd: Double = 0.05,
+                  bound: Double = 0.15): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("exact_vocab"),
+        count(lit(1)).as("total_tokens"),
+        approx_count_distinct(col("tok"), rsd).as("approx"))
+      .select(col("source"), col("exact_vocab"), col("total_tokens"),
+        (abs(col("approx") - col("exact_vocab")).cast("double") /
+          greatest(col("exact_vocab").cast("double"), lit(1.0)) <= bound)
+          .as("within_bound"))
+      .orderBy(col("source"))
+
   /** Within-document n-gram repetition — the Gopher-style quality
     * signal (Rae et al. 2021, App. A1.1: "fraction of duplicate
     * n-grams") that catches boilerplate/listicle/keyword-stuffed docs
