@@ -708,6 +708,50 @@ FROM t"""
         round(col("hits").cast("double") /
           greatest(col("expected"), lit(1L)).cast("double"), 4).as("recall"))
 
+  /** The Count-Min contract row behind `ev_cms_counts`: one
+    * distributive pass builds the sketch; the checked surface is the
+    * CMS CONTRACT — est ≥ true (one-sided) and est ≤ true + 2·⌈ε·N⌉.
+    * The doubled slack is deliberate (round-6 advice): the upper bound
+    * holds per point query only with confidence δ = 0.999, so the
+    * single-ε flag could flip spuriously on an unlucky new scale
+    * factor with no code bug; 2ε keeps the gate failing only on real
+    * breakage (seed drift, merge bugs) while remaining far below any
+    * use of the estimate.
+    *
+    * Bounded-enum contract, EXECUTABLE (round-6 verdict #5): reading
+    * per-key estimates off the driver-held sketch is only sane for a
+    * bounded dim, so the domain fetch is LIMIT maxEnum+1 and the query
+    * fails fast past the cap instead of collecting an unbounded domain
+    * to the driver. (The same discipline bounds `Dedup.bloomNovel`'s
+    * `expectedItems`: the serialized sketch is driver-held and
+    * broadcast, sized for the NEW batch — never the corpus.)
+    */
+  private[graft] def cmsCounts(ev: DataFrame, maxEnum: Int = 64): DataFrame = {
+    val head = ev.agg(
+      count_min_sketch(col("event_type"), lit(0.0005d), lit(0.999d),
+        lit(42)).as("cms"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(head.getAs[Array[Byte]]("cms"))
+    val slack = 2L * math.ceil(0.0005d * head.getAs[Long]("n")).toLong
+    val types = ev.select(col("event_type")).distinct()
+      .limit(maxEnum + 1).collect().map(_.getString(0))
+    require(types.length <= maxEnum,
+      s"cmsCounts: grouping domain exceeds the bounded-enum contract " +
+        s"(> $maxEnum distinct values) — driver-held estimate maps are " +
+        "for bounded dims only")
+    val estMap = map(types.sorted.flatMap(t =>
+      Seq(lit(t), lit(cms.estimateCount(t)))): _*)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+      .select(col("event_type"), col("exact_count"),
+        (element_at(estMap, col("event_type")) >= col("exact_count"))
+          .as("one_sided"),
+        (element_at(estMap, col("event_type")) <=
+          col("exact_count") + lit(slack)).as("within_eps"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rungs of Similarity.GeometryLadder the oracle replays. Three
     * rungs cover corpora to 4,096 vectors — 8× headroom over sf0.1's
     * planted 480; a larger fixture selects NULL geometry, emptying the
@@ -1523,13 +1567,10 @@ FROM (
           .as("within_bound"))
       .orderBy(col("event_type"))),
     // Count-Min frequency sketch (Cormode & Muthukrishnan 2005), the
-    // point-query dual of the HLL row above: one distributive pass
-    // builds the sketch; the checked surface is the CMS CONTRACT —
-    // est ≥ true (one-sided) and est ≤ true + ε·N — replayed by the
-    // oracle as exact counts with both flags ≡ TRUE. The event-type
-    // enum is a bounded dim (10 values by schema), so reading the
-    // per-type estimates off the driver-held sketch is the same class
-    // of driver hop as the rules-dim snapshot.
+    // point-query dual of the HLL row above — see [[cmsCounts]] for
+    // the contract (one-sided + 2ε slack) and the executable
+    // bounded-enum guard; the oracle replays exact counts with both
+    // flags ≡ TRUE.
     // quantile-sketch contract row (the third sketch family beside
     // HLL and CMS): approx_percentile's bound is on RANK, not value —
     // the estimate's rank among the group's values must land within
@@ -1557,30 +1598,7 @@ FROM (
             .as("within_rank_bound"))
         .orderBy(col("event_type"))
     }),
-    "ev_cms_counts" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val head = ev.agg(
-        count_min_sketch(col("event_type"), lit(0.0005d), lit(0.999d),
-          lit(42)).as("cms"),
-        count(lit(1)).as("n")).head()
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(head.getAs[Array[Byte]]("cms"))
-      val slack = math.ceil(0.0005d * head.getAs[Long]("n")).toLong
-      // bounded enum → literal estimate map; the flag columns stay
-      // codegen'd expressions (element_at over a 10-entry map literal)
-      val types = ev.select(col("event_type")).distinct()
-        .collect().map(_.getString(0)).sorted
-      val estMap = map(types.flatMap(t =>
-        Seq(lit(t), lit(cms.estimateCount(t)))): _*)
-      ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("exact_count"))
-        .select(col("event_type"), col("exact_count"),
-          (element_at(estMap, col("event_type")) >= col("exact_count"))
-            .as("one_sided"),
-          (element_at(estMap, col("event_type")) <=
-            col("exact_count") + lit(slack)).as("within_eps"))
-        .orderBy(col("event_type"))
-    }),
+    "ev_cms_counts" -> ((s, d) => cmsCounts(Tables.events(s, d))),
     "doc_top_per_source" -> ((s, d) =>
       // top-1-per-group as a map-side-combinable min_by — source has
       // FEW distinct values, so a window over it would funnel the
@@ -1773,6 +1791,20 @@ FROM (
       Dedup.bloomNovel(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+    // incremental NEAR-dup ingest (round-6 verdict #4): batch = every
+    // 5th scoped doc, corpus = the rest; same minhash+LSH semantics
+    // as doc_minhash_neardups (portable md5 family, jaccard verify),
+    // but the corpus is only ever scanned — band keys scan-local
+    // (native MinHashBandKeys), bloom-of-batch-keys prune, broadcast
+    // equi-join band check, exact verify — no corpus-side shuffle
+    "doc_minhash_novel" -> ((s, d) => {
+      val docs = scopedDocs(s, d)
+      Dedup.minhashNovel(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        threshold = 0.3)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
@@ -3116,6 +3148,21 @@ WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
   SELECT 1 FROM documents r
   WHERE r.doc_id % 5 <> 0 AND r.text = b.text)
 ORDER BY doc_id""",
+
+    // incremental minhash near-dup ingest: the engine's bloom prune +
+    // broadcast band join is candidate generation only — the checked
+    // semantics are "batch docs with no band-colliding corpus doc at
+    // jaccard ≥ 0.3", stated here as the cross-pair restriction of
+    // the SAME banded pipeline the doc_minhash_neardups oracle replays
+    "doc_minhash_novel" ->
+      (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}\n" +
+        s"""SELECT b.doc_id, b.source FROM $ScopedDocsSql b
+WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+  SELECT 1 FROM j
+  WHERE j.jaccard >= 0.3 AND (
+    (j.doc_a = b.doc_id AND j.doc_b % 5 <> 0) OR
+    (j.doc_b = b.doc_id AND j.doc_a % 5 <> 0)))
+ORDER BY doc_id"""),
 
     "doc_dsir_weight" ->
       """WITH dbg AS (

@@ -600,11 +600,15 @@ object Similarity {
     * rung; across rungs bands grows like (n)^(−log₂p) ≈ n^0.22, so
     * total candidate volume is O(n^1.22) instead of the fixed-width
     * blocker's O(n²) (round-5 verdict #1). The trade: plane-compute
-    * work is r · bands projections per vector (560 at the top rung —
-    * why [[signBandArray]] exists). Above the top rung (n > 2.6×10⁵
-    * ceiling documented in SCALE.md) occupancy grows linearly with n;
-    * extending the ladder is mechanical (+2 bits per 4×) but each
-    * rung's bands count must be re-derived from the recall model.
+    * work is r · bands projections per vector (1,980 at the top rung —
+    * why [[signBandArray]] exists). The ladder reaches r = 22 (ceiling
+    * 4·2²² ≈ 1.68×10⁷ vectors, documented in SCALE.md; round-6 verdict
+    * #2 raised it from the former 2.6×10⁵); every bands count is
+    * ⌈ln 0.05 / ln(1 − p^r)⌉ from the recall model, so each rung holds
+    * model recall ≥ 0.95 at cos 0.90 (≥ 0.9999 at the planted 0.97
+    * from r = 14 up). Above the top rung occupancy grows linearly with
+    * n again; extending stays mechanical (+2 bits per 4×, bands
+    * re-derived).
     */
   private[graft] val GeometryLadder: Seq[(Long, Int, Int)] = Seq(
     (256L, 6, 6),
@@ -612,7 +616,10 @@ object Similarity {
     (4096L, 10, 13),
     (16384L, 12, 18),
     (65536L, 14, 25),
-    (Long.MaxValue, 16, 35))
+    (262144L, 16, 35),
+    (1048576L, 18, 48),
+    (4194304L, 20, 65),
+    (Long.MaxValue, 22, 90))
 
   /** (planes, bands) for a corpus of `n` vectors — the
     * [[GeometryLadder]] rung lookup. */

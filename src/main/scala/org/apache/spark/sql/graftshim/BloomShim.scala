@@ -1,8 +1,8 @@
-package org.apache.spark.sql.catalyst.expressions.aggregate
+package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Bridge to Spark's internal Bloom-filter expressions — the pair the
   * optimizer itself injects for runtime row-group filtering

@@ -824,7 +824,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Similarity.nearDupGeometry(120L) == (36, 6))
     assert(Similarity.nearDupGeometry(480L) == (72, 9))
     assert(Similarity.nearDupGeometry(4096L) == (130, 13))
-    assert(Similarity.nearDupGeometry(100000000L) == (560, 35))
+    assert(Similarity.nearDupGeometry(262144L) == (560, 35))
+    // round-6 verdict #2: the ladder extends past the former 2.6×10⁵
+    // ceiling — r=18/20/22 rungs carry corpora to 1.68×10⁷ vectors,
+    // bands from the same ⌈ln 0.05 / ln(1 − p^r)⌉ recall model
+    assert(Similarity.nearDupGeometry(1000000L) == (864, 48))
+    assert(Similarity.nearDupGeometry(4000000L) == (1300, 65))
+    assert(Similarity.nearDupGeometry(100000000L) == (1980, 90))
     // measured sweep on worst-case (fully random) vectors: a 4× corpus
     // must grow auto-geometry candidates well under the 16× a fixed
     // band width produces (model: bands·n²/2^(r+1) — 4× per step once
@@ -839,6 +845,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(growth < 10.0,
       s"auto-geometry candidate growth $growth (=$c2400/$c600) should be" +
         " well below the quadratic 16x")
+  }
+
+  test("GeometryLadder: every rung's bands is the minimal count holding model recall ≥ 0.95") {
+    // executable form of the ladder's derivation: occupancy boundary
+    // maxCorpus = 4·2^r per rung, bands = ⌈ln 0.05 / ln(1 − p^r)⌉ at
+    // p = 1 − acos(0.90)/π — so a future rung edit that breaks either
+    // the constant-occupancy step or the recall floor fails here, not
+    // in a 10⁶-vector profiling run
+    val p = 1.0 - math.acos(0.90) / math.Pi
+    def recall(r: Int, bands: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(p, r), bands)
+    for (((hi, r, b), i) <- Similarity.GeometryLadder.zipWithIndex) {
+      assert(recall(r, b) >= 0.95, s"rung r=$r bands=$b misses the floor")
+      assert(recall(r, b - 1) < 0.95,
+        s"rung r=$r bands=$b is not minimal (b-1 still clears 0.95)")
+      if (i < Similarity.GeometryLadder.size - 1)
+        assert(hi == 4L << r,
+          s"rung r=$r ceiling $hi breaks the occupancy-4 step (want ${4L << r})")
+    }
   }
 
   test("gopher quality battery: each signal trips on its planted fixture") {
@@ -920,7 +945,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
   }
 
   test("bloomNovel: exact anti-join result, sketch prunes, no false negatives") {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomShim
+    import org.apache.spark.sql.graftshim.BloomShim
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
     // reference corpus of 400 docs; batch of 100 where every 4th text
     // is a verbatim copy of a reference doc (25 dupes, 75 novel)
@@ -949,5 +974,72 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(kept >= 25L && kept <= 50L)
     // empty batch blooms to null and yields the empty batch unchanged
     assert(Dedup.bloomNovel(batch.filter(lit(false)), ref).count() == 0L)
+  }
+
+  test("minhash_band_keys expression equals the explode+groupBy signature banding") {
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => s"tok${(i * 7 + j * 3) % 29}").mkString(" "))
+    }.toDF("doc_id", "text")
+    // slot mins from the scan-local expression must equal the explode
+    // path's groupBy mins: recompute both over the md5 family and
+    // compare the BAND EQUALITY relation (the bucket hash differs by
+    // design — XXH64 fold vs xxhash64 column — but keys must collide
+    // for exactly the same doc pairs)
+    val sh = array_distinct(Dedup.shingles(col("text"), 3))
+    val native = docs.select($"doc_id",
+      graft.functions.MinHashBandKeys.minhash_band_keys(sh, 16, 4).as("bks"))
+      .select($"doc_id", posexplode($"bks").as(Seq("band", "bk")))
+    val ex = docs.select($"doc_id", explode(sh).as("s"))
+    val sig = ex.groupBy($"doc_id").agg(
+      min(Dedup.md5Seeded(0, $"s")).as("h0"),
+      (1 until 16).map(seed => min(Dedup.md5Seeded(seed, $"s")).as(s"h$seed")): _*)
+    val banded = sig.select($"doc_id", posexplode(array((0 until 4).map { b =>
+      struct((0 until 4).map(r => col(s"h${b * 4 + r}").as(s"s$r")): _*)
+    }: _*)).as(Seq("band", "slots")))
+    def collisions(df: org.apache.spark.sql.DataFrame, kc: String): Set[(Long, Long)] =
+      df.alias("a").join(df.alias("b"),
+          col("a.band") === col("b.band") && col(s"a.$kc") === col(s"b.$kc") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .as[(Long, Long)].collect().toSet
+    assert(collisions(native, "bk") == collisions(banded, "slots"))
+    // empty shingle set (doc shorter than the ngram) → empty key array
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(short.select(size(graft.functions.MinHashBandKeys
+      .minhash_band_keys(array_distinct(Dedup.shingles(col("text"), 3)), 16, 4)))
+      .as[Int].head() == 0)
+  }
+
+  test("minhashNovel equals the cross-pair restriction of the all-corpus banded pipeline") {
+    import org.apache.spark.sql.functions._
+    // corpus of 60 docs; batch of 20 where every 4th doc is a light
+    // perturbation of a corpus doc (near-dup at jaccard >= 0.3) and
+    // the rest are fresh random token streams
+    val rng = new scala.util.Random(7)
+    def body(seed: Int) = (0 until 30)
+      .map(j => s"w${(seed * 13 + j * 5) % 97}").mkString(" ")
+    val ref = (0 until 60).map(i => (i.toLong, body(i))).toDF("doc_id", "text")
+    val batch = (0 until 20).map { i =>
+      val t =
+        if (i % 4 == 0) body(i * 2) + " extra tail"
+        else (0 until 30).map(_ => s"f${rng.nextInt(100000)}").mkString(" ")
+      (1000L + i, t)
+    }.toDF("doc_id", "text")
+    val novel = Dedup.minhashNovel(batch, ref, threshold = 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    // reference formulation: the standard all-pairs banded pipeline
+    // over batch ∪ corpus (same md5 family), restricted to cross
+    // pairs — the loser set minhashNovel must reproduce exactly
+    val losers = Dedup.minhashNearDups(batch.union(ref), threshold = 0.3,
+        hashFn = Dedup.md5Seeded)
+      .filter(($"doc_a" >= 1000L) =!= ($"doc_b" >= 1000L))
+      .select(greatest($"doc_a", $"doc_b").as("b"))
+      .as[Long].collect().toSet
+    val expected = (0 until 20).map(i => 1000L + i).toSet -- losers
+    assert(novel == expected)
+    assert(losers.nonEmpty, "fixture must plant at least one cross near-dup")
+    // empty batch stays the identity
+    assert(Dedup.minhashNovel(batch.filter(lit(false)), ref).count() == 0L)
   }
 }

@@ -165,6 +165,18 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("exact/fingerprint dup groups aggregate per digest, never a digest window") {
+    // round-6 judge finding: a mega-duplicated digest (empty docs,
+    // boilerplate) must cost one aggregate row + a streamed join
+    // fan-out, not a sorted window partition holding the whole group
+    for (q <- Seq("doc_dedup_exact", "doc_dedup_fingerprint")) {
+      val p = executedPlan(q)
+      assert(!p.contains("Window"),
+        s"$q must groupBy the digest and join back, not window over it")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("bloom novel-docs: corpus scan filtered by the sketch predicate, no corpus shuffle") {
     val p = executedPlan("doc_bloom_novel")
     // the reference corpus must meet the sketch as a scan predicate
@@ -179,5 +191,26 @@ class PlanShapeSpec extends SparkSpecBase {
     // is the pruned survivor set, broadcast by AQE at any sane fpp
     assert(p.contains("LeftAnti"),
       "exactness comes from the anti-join verify stage")
+  }
+
+  test("minhash novel-docs: scan-local band keys, bloom prune, no corpus shuffle before verify") {
+    val p = executedPlan("doc_minhash_novel")
+    // corpus band keys must come from the native scan-local expression
+    // (a groupBy signature pass would shuffle the corpus before any
+    // prune exists), and the sketch must meet the scan as a predicate
+    assert(p.contains("minhash_band_keys"),
+      "corpus band keys must be the scan-local native expression")
+    assert(p.contains("might_contain"),
+      "corpus scan must be pruned by the bloom-of-batch-keys predicate")
+    // every join on the corpus lineage is a broadcast equi-join (batch
+    // band keys + batch shingle sets); a sort-merge join here means
+    // the corpus side shuffled before the survivor verify
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "corpus side must never shuffle/cartesian before the verify")
+    assert(p.contains("BroadcastHashJoin"),
+      "band-collision check must be a broadcast equi-join")
+    assert(p.contains("LeftAnti"),
+      "novelty is the batch anti-join of the verified loser set")
   }
 }
