@@ -996,6 +996,128 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
 )"""
   }
 
+  /** DuckDB replay of the END-TO-END curation funnel
+    * (graft.operators.Curation.funnel over plantedLineDocs): every
+    * stage re-stated in SQL over the PREVIOUS stage's corpus, reusing
+    * the shared builders (gopherCtesSql twice — raw gate and survivor
+    * rule — minhashPairsCtes, clusterCtesSql) so no stage's semantics
+    * can drift from its solo-query oracle. Inline stages (line dedup,
+    * decontamination, DSIR masses, packing) mirror the corresponding
+    * solo oracles with the source swapped to the stage input.
+    */
+  private def curationE2eOracleSql: String = {
+    val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val nt = s"CAST(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT)"
+    def stageRow(name: String, src: String): String =
+      s"SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs, $nt AS n_tokens FROM $src"
+    s"""WITH pl AS MATERIALIZED (
+  SELECT doc_id, source,
+    'NAV MENU HOME' || chr(10) || text || chr(10) ||
+    '(c) site ' || source || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe now'
+         ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents WHERE doc_id < 300
+), ${gopherCtesSql("pl")},
+s2 AS MATERIALIZED (
+  SELECT p.doc_id, p.source, p.text
+  FROM pl p JOIN gq USING (doc_id) WHERE gq.gopher_pass
+), lr AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+      i -> {'pos': i, 'line': ls[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2))
+), hot AS (
+  SELECT line FROM lr GROUP BY line HAVING count(*) >= 5
+), kept AS (
+  SELECT doc_id, pos, line FROM lr
+  WHERE line NOT IN (SELECT line FROM hot)
+), kt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+), s3 AS MATERIALIZED (
+  SELECT s2.doc_id, s2.source, kt.text_deduped AS text
+  FROM s2 JOIN kt USING (doc_id)
+), ${minhashPairsCtes("s3")}${clusterCtesSql(
+      "SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3")},
+${gopherCtesSql("s3", "gq2")},
+cbest AS (
+  SELECT cluster_id, doc_id AS best_doc FROM (
+    SELECT c.comp AS cluster_id, c.id AS doc_id,
+      row_number() OVER (PARTITION BY c.comp
+        ORDER BY q.gopher_pass DESC, q.n_words DESC, c.id) AS rn
+    FROM ccm c JOIN gq2 q ON q.doc_id = c.id
+  ) WHERE rn = 1
+), s4 AS MATERIALIZED (
+  SELECT s3.* FROM s3 WHERE doc_id NOT IN (
+    SELECT c.id FROM ccm c JOIN cbest b ON b.cluster_id = c.comp
+    WHERE c.id <> b.best_doc)
+), dbh AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT unnest(list_distinct(list_transform(range(len(t) - 7), i -> $g8))) AS g
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+          FROM s3 WHERE doc_id % 29 = 0))
+), dcont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+      unnest(list_distinct(list_transform(range(len(t) - 7), i ->
+        CAST(('0x' || substr(md5('0:' || $g8), 1, 15)) AS BIGINT)))) AS h
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM s4 WHERE doc_id % 29 <> 0))
+  WHERE h IN (SELECT h FROM dbh)
+), s5 AS MATERIALIZED (
+  SELECT * FROM s4
+  WHERE doc_id % 29 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dcont)
+), dbg AS (
+  SELECT doc_id, (source IN ('src0', 'src2', 'src4')) AS tgt,
+    unnest(list_transform(range(1, length(text)),
+      i -> substr(text, i, 2))) AS b
+  FROM s5 WHERE length(text) >= 2
+), dpd AS MATERIALIZED (
+  SELECT doc_id, tgt, b, count(*) AS c FROM dbg GROUP BY 1, 2, 3
+), draw AS (
+  SELECT b, sum(c) AS rc FROM dpd GROUP BY b
+), dtg AS (
+  SELECT b, sum(c) AS tc FROM dpd WHERE tgt GROUP BY b
+), w AS (
+  SELECT p.doc_id,
+    CAST(sum(p.c * (coalesce(t.tc, 0) + 1)) AS BIGINT) AS tmass,
+    CAST(sum(p.c * r.rc) AS BIGINT) AS rmass
+  FROM dpd p JOIN draw r USING (b) LEFT JOIN dtg t USING (b)
+  GROUP BY p.doc_id
+), gtot AS (
+  SELECT CAST(sum(tmass) AS BIGINT) AS st,
+         CAST(sum(rmass) AS BIGINT) AS sr FROM w
+), s6 AS MATERIALIZED (
+  SELECT s5.* FROM s5 JOIN w USING (doc_id) CROSS JOIN gtot
+  WHERE w.tmass * gtot.sr >= w.rmass * gtot.st
+), pkt AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM s6
+), pk AS (
+  SELECT source, shard,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      // 512 AS bin_id,
+    n_tokens
+  FROM pkt
+)
+SELECT stage, n_docs, n_tokens FROM (
+  ${stageRow("1_raw", "pl")}
+  UNION ALL ${stageRow("2_quality", "s2")}
+  UNION ALL ${stageRow("3_line_dedup", "s3")}
+  UNION ALL ${stageRow("4_near_dedup", "s4")}
+  UNION ALL ${stageRow("5_decontam", "s5")}
+  UNION ALL ${stageRow("6_dsir_sample", "s6")}
+  UNION ALL SELECT '7_packed',
+    CAST((SELECT count(*) FROM
+      (SELECT DISTINCT source, shard, bin_id FROM pk)) AS BIGINT),
+    CAST(coalesce((SELECT sum(n_tokens) FROM pk), 0) AS BIGINT)
+) ORDER BY stage"""
+  }
+
   /** DuckDB replica of TextOps.langGuess over precomputed sub-exprs —
     * single-sourced so the three oracles that need language ID cannot
     * drift from each other.
@@ -1175,8 +1297,8 @@ FROM ccm ORDER BY doc_id"""
     * Shared by the doc_quality_gopher oracle and the cluster-best
     * survivor replay so the pass rule cannot diverge between rows.
     */
-  private def gopherCtesSql(src: String): String =
-    s"""gq_t AS MATERIALIZED (
+  private def gopherCtesSql(src: String, p: String = "gq"): String =
+    s"""${p}_t AS MATERIALIZED (
   SELECT doc_id,
     string_split_regex(trim(text), '\\s+') AS toks,
     string_split(text, chr(10)) AS lns,
@@ -1184,12 +1306,12 @@ FROM ccm ORDER BY doc_id"""
       + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
       + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols
   FROM $src
-), gq_g AS (
+), ${p}_g AS (
   SELECT doc_id, toks, lns, n_symbols,
     list_transform(range(len(toks) - 2),
       i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS gs
-  FROM gq_t
-), gq_m AS (
+  FROM ${p}_t
+), ${p}_m AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_words,
     CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_word_len,
@@ -1200,8 +1322,8 @@ FROM ccm ORDER BY doc_id"""
     CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ellipsis_lines,
     CAST(len(gs) AS BIGINT) AS n_ngrams,
     CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_ngrams
-  FROM gq_g
-), gq AS (
+  FROM ${p}_g
+), $p AS (
   SELECT doc_id, n_words,
     (n_words >= 50 AND n_words <= 100000
       AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
@@ -1209,7 +1331,7 @@ FROM ccm ORDER BY doc_id"""
       AND 10 * n_bullet_lines <= 9 * n_lines
       AND 10 * n_ellipsis_lines <= 3 * n_lines
       AND 5 * n_alpha_words >= 4 * n_words) AS gopher_pass
-  FROM gq_m
+  FROM ${p}_m
 )"""
 
   /** DuckDB replica of Detect.complianceFindings over source relation
@@ -1300,7 +1422,7 @@ FROM (
     */
   private def plantedLineDocs(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") < 300)
-      .select(col("doc_id"), concat_ws("\n",
+      .select(col("doc_id"), col("source"), concat_ws("\n",
         lit("NAV MENU HOME"),
         col("text"),
         concat(lit("(c) site "), col("source")),
@@ -1782,6 +1904,15 @@ FROM (
     "doc_line_dedup" -> ((s, d) =>
       TextOps.dedupLines(plantedLineDocs(Tables.documents(s, d)),
         minDf = 5)),
+    // END-TO-END curation funnel (round-6 verdict #6): quality gate →
+    // line dedup → minhash best-in-cluster dedup → decontamination →
+    // DSIR-weighted sampling → packing composed as ONE query over the
+    // planted multi-line corpus; emits the per-stage (n_docs,
+    // n_tokens) funnel a pipeline owner monitors. Proves the operator
+    // battery COMPOSES (lineage, column contracts), not only runs solo.
+    "doc_curation_e2e" -> ((s, d) =>
+      graft.operators.Curation.funnel(
+        plantedLineDocs(Tables.documents(s, d)))),
     // incremental-ingest dedup: bloom the "new batch" (doc_id % 5 = 0),
     // scan the reference corpus with the codegen'd might_contain
     // predicate, exact-verify survivors with an anti-join — result is
@@ -1811,6 +1942,26 @@ FROM (
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
       TextOps.gopherQuality(Tables.documents(s, d))),
+    // per-source vocabulary: exact distinct-token counts beside the
+    // HLL sketch's error-contract flag (the ev_user_reach_approx
+    // pattern on the corpus surface) — round-6 advice #1 (unwired)
+    "doc_source_vocab" -> ((s, d) =>
+      TextOps.sourceVocab(Tables.documents(s, d))),
+    // cross-source contamination matrix: distinct normalized
+    // fingerprints shared per source pair, pairs generated from the
+    // per-fingerprint source array (no fp-keyed self-join on the
+    // engine side) — round-6 advice #2 (unwired). The fixture corpus
+    // has no natural cross-source recrawls, so every 31st doc is
+    // planted again under a mirrored source label (the planted-truth
+    // pattern the media legs use)
+    "doc_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+          concat(lit("mirror_"), col("source")).as("source"))
+      Dedup.sourceOverlap(docs.unionByName(planted))
+    }),
     // multimodal → dedup loop as a checked row (round-4 verdict #8):
     // planted PNG/BMP images whose dHash is a replication code of
     // id % 40 (intra-group Hamming 0, inter-group ≥ 9) run the REAL
@@ -3139,6 +3290,41 @@ SELECT s.doc_id, s.n_lines,
   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
   coalesce(k.text_deduped, '') AS text_deduped
 FROM stats s LEFT JOIN kt k USING (doc_id) ORDER BY doc_id""",
+
+    // the end-to-end curation funnel, stage by stage over the planted
+    // multi-line corpus (see curationE2eOracleSql)
+    "doc_curation_e2e" -> curationE2eOracleSql,
+
+    // the HLL flag is the sketch contract (replayed TRUE), exactly
+    // like ev_user_reach_approx
+    "doc_source_vocab" ->
+      """WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+)
+SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_vocab,
+  CAST(count(*) AS BIGINT) AS total_tokens, TRUE AS within_bound
+FROM tok GROUP BY source ORDER BY source""",
+
+    // the engine generates pairs from the per-fingerprint source
+    // array; the oracle may state the same relation as a plain
+    // self-join over the DISTINCT (fp, source) pairs
+    "doc_source_overlap" ->
+      """WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror_' || source
+  FROM documents WHERE doc_id % 31 = 0
+), f AS (
+  SELECT DISTINCT
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+    source
+  FROM corpus
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS shared_fps
+FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the Bloom sketch is pruning-only: the checked semantics are the
     // plain exact anti-join, which the oracle states directly

@@ -461,19 +461,34 @@ object TextOps {
     * corpus-wide roll-ups of those counts joined back broadcast. Two
     * shuffles (doc×bigram, then doc); text never moves.
     */
-  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
-    val bigrams = transform(
-      sequence(lit(1), length(col("text")) - 1),
-      i => col("text").substr(i, lit(2)))
-    // tgt is constant per doc (a doc is in or out of the target
-    // domain), so the (doc, tgt, bigram) grain equals (doc, bigram)
-    val perDoc = docs
+  /** The integer layer under [[dsirWeights]]: per-doc target-weighted
+    * and raw-weighted bigram masses `(doc_id, n_bigrams, tmass,
+    * rmass)` — exposed so consumers needing EXACT comparisons (the
+    * curation pipeline's keep rule compares each doc's ratio to the
+    * corpus aggregate ratio cross-multiplied in int64) never touch
+    * the rounded double.
+    */
+  /** Character-bigram array of the text column. */
+  private def charBigrams: Column = transform(
+    sequence(lit(1), length(col("text")) - 1),
+    i => col("text").substr(i, lit(2)))
+
+  /** The (doc, tgt, bigram, count) grain under the DSIR dials. tgt is
+    * constant per doc (a doc is in or out of the target domain), so
+    * the grain equals (doc, bigram). localCheckpointed: both corpus
+    * roll-ups and the join-back consume it.
+    */
+  private def dsirGrain(docs: DataFrame, isTarget: Column): DataFrame =
+    docs
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), isTarget.cast("boolean").as("tgt"),
-        explode(bigrams).as("b"))
+        explode(charBigrams).as("b"))
       .groupBy(col("doc_id"), col("tgt"), col("b"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+
+  private[graft] def dsirMasses(docs: DataFrame, isTarget: Column): DataFrame = {
+    val perDoc = dsirGrain(docs, isTarget)
     val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
     val tgt = perDoc.filter(col("tgt"))
       .groupBy(col("b")).agg(sum(col("c")).as("tc"))
@@ -483,9 +498,77 @@ object TextOps {
       .agg(sum(col("c") * (coalesce(col("tc"), lit(0L)) + lit(1L))).as("tmass"),
         sum(col("c") * col("rc")).as("rmass"),
         sum(col("c")).as("n_bigrams"))
+  }
+
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame =
+    dsirMasses(docs, isTarget)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("tmass").cast("double") /
           col("rmass").cast("double"), 6).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+
+  /** FLOAT-PATH variant of [[dsirWeights]] — the literal DSIR score
+    * of Xie et al. 2023: the log importance weight
+    * `Σ_b c_b · (log p̂_target(b) − log p̂_raw(b))` under Laplace-
+    * smoothed bigram models `p̂(b) = (count(b) + 1) / (total + V)`
+    * (V = distinct-bigram vocabulary). Paper-faithful numbers for
+    * users who want them; NOT oracle-hash-checked — a distributed
+    * float log-sum has no cross-engine exact form (SCALE.md §7), so
+    * this path is spec-verified against driver-computed ground truth
+    * with tolerance, and the integer-exact [[dsirWeights]] dial stays
+    * the oracle-backed default. Same scale shape: scan-local bigrams,
+    * KB-scale broadcast frequency dims, two shuffles.
+    */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val perDoc = dsirGrain(docs, isTarget)
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tgt = perDoc.filter(col("tgt"))
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    // model constants: raw total + vocabulary from the raw roll-up,
+    // target total from the target roll-up (0 for an empty target)
+    val consts = raw.agg(sum(col("rc")).as("rtot"),
+        count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("ttot")))
+    perDoc.join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") *
+          (log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")) -
+            log((col("ttot") + col("v")).cast("double")) -
+            log((col("rc") + lit(1L)).cast("double")) +
+            log((col("rtot") + col("v")).cast("double"))))
+          .as("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** FLOAT-PATH variant of [[bigramFamiliarity]] — true log-probability
+    * scoring in the CCNet direction (Wenzek et al. 2020 rank documents
+    * by LM perplexity; the model here is the corpus's own
+    * unigram-over-bigrams distribution rather than an external LM):
+    * per doc, the mean log-probability of its character bigrams
+    * `Σ_b c_b · log(rc_b / R) / n` and the corresponding perplexity
+    * proxy `exp(−mean)`. Low perplexity = head (familiar), high =
+    * tail. NOT oracle-hash-checked (float log-sum) — spec-verified
+    * with tolerance; [[bigramFamiliarity]] remains the oracle-exact
+    * monotone dial.
+    */
+  def familiarityLogProb(docs: DataFrame): DataFrame = {
+    val perDoc = dsirGrain(docs, lit(false))
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tot = raw.agg(sum(col("rc")).as("rtot"))
+    perDoc.join(broadcast(raw), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") *
+          (log(col("rc").cast("double")) - log(col("rtot").cast("double"))))
+          .as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_logp") / col("n_bigrams").cast("double")).as("avg_logp"),
+        exp(-col("sum_logp") / col("n_bigrams").cast("double"))
+          .as("ppl_proxy"))
       .orderBy(col("doc_id"))
   }
 

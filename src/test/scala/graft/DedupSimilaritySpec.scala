@@ -976,6 +976,50 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Dedup.bloomNovel(batch.filter(lit(false)), ref).count() == 0L)
   }
 
+  test("float-path dsirLogWeights / familiarityLogProb match driver ground truth within tolerance") {
+    // the paper-faithful log-prob dials are deliberately NOT oracle-
+    // hash-checked (distributed float log-sums have no cross-engine
+    // exact form) — the contract is closeness to sequentially-computed
+    // ground truth; the integer dials stay the oracle-exact defaults
+    import org.apache.spark.sql.functions.col
+    val fixture = Seq(
+      (1L, "abcab", "src0"), (2L, "bcbcx", "src1"),
+      (3L, "ababa", "src0"), (4L, "zzzz", "src1"))
+    val docs = fixture.toDF("doc_id", "text", "source")
+    def bigs(s: String) = s.sliding(2).toSeq
+    val all = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val tgtC = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((_, t, src) <- fixture; b <- bigs(t)) {
+      all(b) += 1
+      if (src == "src0") tgtC(b) += 1
+    }
+    val v = all.size.toDouble
+    val rTot = all.values.sum.toDouble
+    val tTot = tgtC.values.sum.toDouble
+    val expectedW = fixture.map { case (id, t, _) =>
+      id -> bigs(t).map(b =>
+        math.log((tgtC(b) + 1) / (tTot + v)) -
+          math.log((all(b) + 1) / (rTot + v))).sum
+    }.toMap
+    val gotW = TextOps.dsirLogWeights(docs, col("source") === "src0")
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    for ((id, e) <- expectedW)
+      assert(math.abs(gotW(id) - e) < 1e-9, s"dsir log weight for doc $id")
+    // target-shaped docs must score above the non-target ones
+    assert(gotW(1L) > gotW(2L) && gotW(3L) > gotW(4L))
+    val expectedP = fixture.map { case (id, t, _) =>
+      id -> bigs(t).map(b => math.log(all(b) / rTot)).sum / bigs(t).size
+    }.toMap
+    val gotP = TextOps.familiarityLogProb(docs)
+      .select($"doc_id", $"avg_logp", $"ppl_proxy")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, e) <- expectedP) {
+      assert(math.abs(gotP(id)._1 - e) < 1e-9, s"avg logp for doc $id")
+      assert(math.abs(gotP(id)._2 - math.exp(-e)) < 1e-9, s"ppl for doc $id")
+    }
+  }
+
   test("minhash_band_keys expression equals the explode+groupBy signature banding") {
     import org.apache.spark.sql.functions._
     val docs = (0 until 40).map { i =>
