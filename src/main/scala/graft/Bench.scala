@@ -29,6 +29,17 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** The artifact-write decision of the load gate, exposed for the
+    * spec: a clean run always writes; a contaminated run writes only
+    * over an artifact recorded at an even HIGHER load (or none —
+    * priorLoad = MaxValue). A negative load0 means /proc/loadavg was
+    * unreadable: treated as contaminated with unknown load, so it
+    * never replaces a readable capture.
+    */
+  private[graft] def shouldWriteArtifact(load0: Double, maxLoad: Double,
+                                         priorLoad: Double): Boolean =
+    (load0 >= 0 && load0 <= maxLoad) || (load0 >= 0 && load0 < priorLoad)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -115,7 +126,7 @@ object Bench {
         val m = """"load_avg_start":([0-9.+-eE]+)""".r.findFirstMatchIn(txt)
         m.map(_.group(1).toDouble).getOrElse(Double.MaxValue)
       } catch { case _: Throwable => Double.MaxValue }
-    val shouldWrite = gate == "pass" || load0 < priorLoad
+    val shouldWrite = shouldWriteArtifact(load0, maxLoad, priorLoad)
     if (shouldWrite)
       try java.nio.file.Files.writeString(artifact, line + "\n")
       catch { case _: Throwable => () }

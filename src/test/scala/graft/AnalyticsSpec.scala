@@ -7,6 +7,24 @@ import graft.operators.Analytics
 /** A1-A9 / W1-W2 analytics unit tests (SURVEY §2.4-§2.5). */
 class AnalyticsSpec extends SparkSpecBase {
 
+  test("bench load gate: contaminated runs never replace a cleaner artifact") {
+    // round-6 verdict #1: the end-of-round failure mode (a load-7.26
+    // re-bench overwriting the clean min-of-5 record) must be
+    // structurally impossible — dirty may replace only dirtier
+    val max = Double.MaxValue
+    assert(Bench.shouldWriteArtifact(0.4, 1.0, max), "clean, no prior")
+    assert(Bench.shouldWriteArtifact(0.4, 1.0, 0.2),
+      "a clean run always writes, even over a cleaner prior")
+    assert(!Bench.shouldWriteArtifact(7.26, 1.0, 0.45),
+      "the r6 failure mode: dirty run must not clobber the clean record")
+    assert(Bench.shouldWriteArtifact(7.26, 1.0, 9.0),
+      "a dirty run may replace an even dirtier artifact")
+    assert(Bench.shouldWriteArtifact(7.26, 1.0, max),
+      "a dirty run may fill an empty record")
+    assert(!Bench.shouldWriteArtifact(-1.0, 1.0, max),
+      "unreadable load never writes")
+  }
+
   test("cmsCounts fails fast on an over-cardinality domain instead of collecting it") {
     // the bounded-enum contract is executable (round-6 verdict #5):
     // a high-cardinality grouping column must trip the guard — the
