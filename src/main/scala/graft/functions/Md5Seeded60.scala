@@ -59,11 +59,18 @@ object Md5Seeded60 {
   }
 
   /** Static so generated code can call it directly. */
-  def compute(prefix: Array[Byte], s: UTF8String): Long = {
+  def compute(prefix: Array[Byte], s: UTF8String): Long =
+    computeBytes(prefix, s.getBytes)
+
+  /** Byte-array form — lets k-seed callers ([[MinHashBandKeys]]) copy
+    * the UTF8String payload once per shingle instead of once per
+    * (shingle, seed).
+    */
+  def computeBytes(prefix: Array[Byte], bytes: Array[Byte]): Long = {
     val md = mdPool.get()
     md.reset()
     md.update(prefix)
-    md.update(s.getBytes)
+    md.update(bytes)
     val d = md.digest()
     // first 15 hex digits = first 7.5 bytes: big-endian first 8 bytes,
     // dropped low nibble → always non-negative (< 2^60)

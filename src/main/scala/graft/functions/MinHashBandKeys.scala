@@ -83,9 +83,10 @@ object MinHashBandKeys {
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
+        val bytes = s.getBytes // one payload copy per shingle, not per seed
         var seed = 0
         while (seed < k) {
-          val h = Md5Seeded60.compute(prefixes(seed), s)
+          val h = Md5Seeded60.computeBytes(prefixes(seed), bytes)
           if (h < mins(seed)) mins(seed) = h
           seed += 1
         }

@@ -793,7 +793,11 @@ object Dedup {
     import graft.functions.MinHashBandKeys.minhash_band_keys
     val sh = array_distinct(shingles(col("text"), ngram))
     val bkeys = minhash_band_keys(sh, k, bands)
+    // pinned: the batch's k-seed minhash pass feeds three consumers
+    // (bloom build, band join side, verify shingle side) and the
+    // batch is small by contract
     val batchKeyed = batch.select(col("doc_id"), bkeys.as("bks"), sh.as("sh"))
+      .localCheckpoint(true)
     val batchBand = batchKeyed
       .select(col("doc_id").as("batch_id"), explode(col("bks")).as("bk"))
     val numBits = org.apache.spark.util.sketch.BloomFilter

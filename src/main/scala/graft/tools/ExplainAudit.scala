@@ -22,7 +22,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
         "dam_severity", "dam_timeline_hourly", "dam_firewall",
-        "doc_minhash_neardups", "emb_knn_brute")
+        "doc_minhash_neardups", "emb_knn_brute",
+        "doc_minhash_novel", "doc_curation_e2e")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.explainString(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Similarity, TextOps}
 
 /** Dedup / similarity / text-op unit tests. */
 class DedupSimilaritySpec extends SparkSpecBase {
@@ -1085,5 +1085,47 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(losers.nonEmpty, "fixture must plant at least one cross near-dup")
     // empty batch stays the identity
     assert(Dedup.minhashNovel(batch.filter(lit(false)), ref).count() == 0L)
+    // a SATURATED bloom (4 expected items for 80 keys at fpp 0.5 —
+    // nearly every corpus band row survives the prune) must not
+    // change the answer: the sketch is candidate pruning only, the
+    // exact band equi-join + jaccard verify carry the semantics
+    val saturated = Dedup.minhashNovel(batch, ref, threshold = 0.3,
+        expectedItems = 4L, fpp = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(saturated == novel,
+      "bloom saturation changed the result — the sketch must only prune")
+  }
+
+  test("curation funnel: stage invariants on a synthetic multi-line corpus") {
+    import org.apache.spark.sql.functions._
+    // 60 docs: quality-passing bodies with corpus-wide boilerplate
+    // lines, every 6th doc a near-clone of its predecessor, sources
+    // striped across src0/src1
+    val docs = (0 until 60).map { i =>
+      val body =
+        if (i % 6 == 5) (0 until 60).map(j => s"w${(i - 1) * 7 + j}").mkString(" ") + " tail"
+        else (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+      (i.toLong, s"BOILER HEADER\n$body\nBOILER FOOTER", s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val rows = Curation.funnel(docs).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val order = Seq("1_raw", "2_quality", "3_line_dedup", "4_near_dedup",
+      "5_decontam", "6_dsir_sample", "7_packed")
+    assert(rows.keySet == order.toSet, "one row per stage")
+    assert(rows("1_raw")._1 == 60L)
+    // doc counts are non-increasing through the selection stages
+    for (Seq(a, b) <- order.slice(0, 6).sliding(2))
+      assert(rows(b)._1 <= rows(a)._1, s"$b must not grow vs $a")
+    // the boilerplate lines are corpus-wide (df 60 ≥ 5): line dedup
+    // keeps every quality survivor but strips 4 tokens/doc
+    assert(rows("3_line_dedup")._1 == rows("2_quality")._1)
+    assert(rows("3_line_dedup")._2 ==
+      rows("2_quality")._2 - 4 * rows("2_quality")._1)
+    // near-dedup must remove at least one planted clone, and packing
+    // preserves the sampled stage's token mass exactly
+    assert(rows("4_near_dedup")._1 < rows("3_line_dedup")._1)
+    assert(rows("7_packed")._2 == rows("6_dsir_sample")._2)
+    assert(rows("7_packed")._1 > 0L)
   }
 }
