@@ -47,6 +47,34 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Every stage's corpus, exposed so callers can materialize any
+    * intermediate (a production pipeline persists stage outputs; the
+    * funnel row only aggregates them). `packed` carries the final
+    * corpus WITH its pack assignment — the frame a training job
+    * actually reads.
+    */
+  final case class Stages(raw: DataFrame, quality: DataFrame,
+                          lineDeduped: DataFrame, nearDeduped: DataFrame,
+                          decontaminated: DataFrame, sampled: DataFrame,
+                          packed: DataFrame)
+
+  /** The curated, packed corpus — the pipeline's product: one row per
+    * kept doc with (doc_id, text, source, shard, n_tokens, bin_id,
+    * bin_offset).
+    */
+  def curate(docs: DataFrame, lineMinDf: Long = 5,
+             minJaccard: Double = 0.3, benchMod: Long = 29,
+             decontamN: Int = 8,
+             targetSources: Seq[String] = Seq("src0", "src2", "src4"),
+             budget: Long = 512, shards: Int = 4): DataFrame = {
+    val st = stages(docs, lineMinDf, minJaccard, benchMod, decontamN,
+      targetSources, budget, shards)
+    st.sampled.join(
+      st.packed.select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("bin_id"), col("bin_offset")),
+      Seq("doc_id"))
+  }
+
   def funnel(docs: DataFrame, lineMinDf: Long = 5,
              minJaccard: Double = 0.3, benchMod: Long = 29,
              decontamN: Int = 8,
@@ -58,6 +86,29 @@ object Curation {
           coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
 
+    val st = stages(docs, lineMinDf, minJaccard, benchMod, decontamN,
+      targetSources, budget, shards)
+    val s7 = st.packed.agg(
+        count_distinct(col("source"), col("shard"), col("bin_id"))
+          .cast("long").as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit("7_packed").as("stage"), col("n_docs"), col("n_tokens"))
+
+    stat("1_raw", st.raw)
+      .unionByName(stat("2_quality", st.quality))
+      .unionByName(stat("3_line_dedup", st.lineDeduped))
+      .unionByName(stat("4_near_dedup", st.nearDeduped))
+      .unionByName(stat("5_decontam", st.decontaminated))
+      .unionByName(stat("6_dsir_sample", st.sampled))
+      .unionByName(s7)
+      .orderBy(col("stage"))
+  }
+
+  def stages(docs: DataFrame, lineMinDf: Long = 5,
+             minJaccard: Double = 0.3, benchMod: Long = 29,
+             decontamN: Int = 8,
+             targetSources: Seq[String] = Seq("src0", "src2", "src4"),
+             budget: Long = 512, shards: Int = 4): Stages = {
     val raw = docs.select(col("doc_id"), col("text"), col("source"))
     // 2: quality gate
     val s2 = raw.join(
@@ -104,19 +155,6 @@ object Curation {
     val s6 = s5.join(keep, Seq("doc_id"), "left_semi")
     // 7: packing
     val packed = TextOps.packSequences(s6, budget, shards)
-    val s7 = packed.agg(
-        count_distinct(col("source"), col("shard"), col("bin_id"))
-          .cast("long").as("n_docs"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
-      .select(lit("7_packed").as("stage"), col("n_docs"), col("n_tokens"))
-
-    stat("1_raw", raw)
-      .unionByName(stat("2_quality", s2))
-      .unionByName(stat("3_line_dedup", s3))
-      .unionByName(stat("4_near_dedup", s4))
-      .unionByName(stat("5_decontam", s5))
-      .unionByName(stat("6_dsir_sample", s6))
-      .unionByName(s7)
-      .orderBy(col("stage"))
+    Stages(raw, s2, s3, s4, s5, s6, packed)
   }
 }

@@ -1127,5 +1127,10 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rows("4_near_dedup")._1 < rows("3_line_dedup")._1)
     assert(rows("7_packed")._2 == rows("6_dsir_sample")._2)
     assert(rows("7_packed")._1 > 0L)
+    // the product API: one row per kept doc, with its pack assignment
+    val curated = Curation.curate(docs)
+    assert(curated.count() == rows("6_dsir_sample")._1)
+    assert(curated.columns.toSet == Set("doc_id", "text", "source",
+      "shard", "n_tokens", "bin_id", "bin_offset"))
   }
 }
