@@ -1938,6 +1938,18 @@ FROM (
         threshold = 0.3)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
+    // the simhash leg of incremental ingest: same split, Hamming-band
+    // semantics (portable md5 sketch via the scan-local native
+    // Md5SimHash60, collision-free composite band keys, bloom prune,
+    // exact Hamming verify) — runs over the FULL documents table like
+    // doc_simhash_neardups (banding is linear, no quadratic fixture)
+    "doc_simhash_novel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.simhashNovel(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
     // the full Gopher rule battery (word/symbol/line/alpha signals +
     // integer-exact pass flag) rounding out the repetition signal
     "doc_quality_gopher" -> ((s, d) =>
@@ -3348,6 +3360,17 @@ WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
   WHERE j.jaccard >= 0.3 AND (
     (j.doc_a = b.doc_id AND j.doc_b % 5 <> 0) OR
     (j.doc_b = b.doc_id AND j.doc_a % 5 <> 0)))
+ORDER BY doc_id"""),
+
+    // simhash incremental ingest: cross-pair restriction of the SAME
+    // banded Hamming pipeline doc_simhash_neardups replays
+    "doc_simhash_novel" -> (s"WITH $SimhashPairsCtes\n" +
+      """SELECT b.doc_id, b.source FROM documents b
+WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.hamming <= 3 AND (
+    (p.doc_a = b.doc_id AND p.doc_b % 5 <> 0) OR
+    (p.doc_b = b.doc_id AND p.doc_a % 5 <> 0)))
 ORDER BY doc_id"""),
 
     "doc_dsir_weight" ->

@@ -828,4 +828,64 @@ object Dedup {
       batch.join(broadcast(losers), Seq("doc_id"), "left_anti")
     }
   }
+
+  /** Incremental-ingest near-dup dedup, SIMHASH leg — the Hamming-band
+    * analog of [[minhashNovel]] under the SAME semantics as
+    * [[simhashNearDups]] (portable md5-family sketch, Manku pigeonhole
+    * banding, exact Hamming verify), with the corpus only ever
+    * SCANNED:
+    *
+    *  1. sketches come from the scan-local native
+    *     [[graft.functions.Md5SimHash60]] expression, materialized
+    *     once per row through a Generate (so the bands derive from an
+    *     attribute, not a re-inlined token pass);
+    *  2. band keys are COLLISION-FREE composites `band · 2^bandBits +
+    *     block` — engine band equality IS the oracle's (band, value)
+    *     equality, not merely collision-negligible;
+    *  3. the batch's keys bloom into the corpus scan predicate;
+    *     survivors equi-join the broadcast batch keys (exact band
+    *     check — the sketch only prunes) and verify exact Hamming at
+    *     band multiplicity;
+    *  4. batch docs with any corpus sketch within `maxHamming` are
+    *     the losers; the result is the batch anti-join.
+    */
+  def simhashNovel(batch: DataFrame, ref: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4, bits: Int = 60,
+                   expectedItems: Long = 1L << 16,
+                   fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftshim.BloomShim
+    require(maxHamming < bands,
+      s"pigeonhole soundness needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bits % bands == 0, "bands must divide the sketch width")
+    val bandBits = bits / bands
+    val mask = lit((1L << bandBits) - 1)
+    val sk = graft.functions.Md5SimHash60.md5_simhash60(
+      array_distinct(split(trim(col("text")), "\\s+")))
+    def keyed(df: DataFrame) =
+      df.select(col("doc_id"), explode(array(sk)).as("sk"))
+    def bandKeys(s: Column) = array((0 until bands).map { b =>
+      lit(b.toLong * (1L << bandBits)) +
+        shiftright(s, b * bandBits).bitwiseAND(mask)
+    }: _*)
+    val batchBand = keyed(batch).localCheckpoint(true)
+      .select(col("doc_id").as("batch_id"), col("sk").as("sk_b"),
+        explode(bandKeys(col("sk"))).as("bk"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfRow = batchBand
+      .select(BloomShim.bloomAgg(col("bk"), expectedItems, numBits).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) batch // empty batch: everything is novel
+    else {
+      val bf = lit(bfRow.getAs[Array[Byte]](0))
+      val losers = keyed(ref)
+        .select(col("doc_id").as("ref_id"), col("sk").as("sk_r"),
+          explode(bandKeys(col("sk"))).as("bk"))
+        .filter(BloomShim.mightContain(bf, col("bk")))
+        .join(broadcast(batchBand), Seq("bk"))
+        .filter(hamming64(col("sk_r"), col("sk_b")) <= maxHamming)
+        .select(col("batch_id").as("doc_id")).distinct()
+      batch.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    }
+  }
 }

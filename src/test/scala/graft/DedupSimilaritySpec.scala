@@ -1096,6 +1096,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "bloom saturation changed the result — the sketch must only prune")
   }
 
+  test("Md5SimHash60 expression equals the explode+groupBy portable sketch") {
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 15).map(j => s"tok${(i * 11 + j * 3) % 37}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val expected = Dedup.simhashPortable(docs)
+      .as[(Long, Long)].collect().toMap
+    val got = docs.select($"doc_id",
+      graft.functions.Md5SimHash60.md5_simhash60(
+        array_distinct(split(trim($"text"), "\\s+"))).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("simhashNovel equals the cross-pair restriction of the banded Hamming pipeline") {
+    import org.apache.spark.sql.functions._
+    // ref corpus of 80 docs; batch of 20 where every 4th is a TOKEN
+    // PERMUTATION of a ref doc (set-based sketch → Hamming exactly 0)
+    def toks(seed: Int) = (0 until 30).map(j => s"w${(seed * 13 + j * 5) % 211}")
+    val ref = (0 until 80).map(i => (i.toLong, toks(i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = (0 until 20).map { i =>
+      val t =
+        if (i % 4 == 0)
+          new scala.util.Random(i).shuffle(toks(i * 2)).mkString(" ")
+        else (0 until 30).map(j => s"f${i * 1000 + j}").mkString(" ")
+      (1000L + i, t)
+    }.toDF("doc_id", "text")
+    val novel = Dedup.simhashNovel(batch, ref)
+      .select($"doc_id").as[Long].collect().toSet
+    val losers = Dedup.simhashNearDups(batch.union(ref))
+      .filter(($"doc_a" >= 1000L) =!= ($"doc_b" >= 1000L))
+      .select(greatest($"doc_a", $"doc_b").as("b"))
+      .as[Long].collect().toSet
+    val expected = (0 until 20).map(i => 1000L + i).toSet -- losers
+    assert(novel == expected)
+    // the permutation clones are Hamming 0 by construction — all five
+    // must be dropped
+    assert((0 until 20).filter(_ % 4 == 0).map(1000L + _).toSet
+      .subsetOf(losers))
+    assert(Dedup.simhashNovel(batch.filter(lit(false)), ref).count() == 0L)
+  }
+
   test("curation funnel: stage invariants on a synthetic multi-line corpus") {
     import org.apache.spark.sql.functions._
     // 60 docs: quality-passing bodies with corpus-wide boilerplate

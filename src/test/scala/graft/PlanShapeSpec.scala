@@ -193,6 +193,18 @@ class PlanShapeSpec extends SparkSpecBase {
       "exactness comes from the anti-join verify stage")
   }
 
+  test("simhash novel-docs: scan-local sketch, bloom prune, no corpus shuffle before verify") {
+    val p = executedPlan("doc_simhash_novel")
+    assert(p.contains("md5_simhash60"),
+      "corpus sketches must be the scan-local native expression")
+    assert(p.contains("might_contain"),
+      "corpus scan must be pruned by the bloom-of-batch-keys predicate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "corpus side must never shuffle/cartesian before the verify")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
   test("minhash novel-docs: scan-local band keys, bloom prune, no corpus shuffle before verify") {
     val p = executedPlan("doc_minhash_novel")
     // corpus band keys must come from the native scan-local expression
