@@ -40,6 +40,19 @@ object Bench {
                                          priorLoad: Double): Boolean =
     (load0 >= 0 && load0 <= maxLoad) || (load0 >= 0 && load0 < priorLoad)
 
+  /** load_avg_start of an existing artifact line; MaxValue when the
+    * file or field is missing/unparseable (an absent record never
+    * blocks a write). The numeric class keeps '-' LAST — `[+-e]`
+    * is a character RANGE that swallows ',' and ':', making toDouble
+    * throw and the guard silently collapse to MaxValue (the round-7
+    * bug that let a contaminated capture replace a cleaner one).
+    */
+  private[graft] def parsePriorLoad(artifactText: String): Double =
+    try {
+      """"load_avg_start":([0-9.eE+-]+)""".r.findFirstMatchIn(artifactText)
+        .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+    } catch { case _: Throwable => Double.MaxValue }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -121,11 +134,8 @@ object Bench {
     // record is structurally impossible now.
     val artifact = java.nio.file.Paths.get("BENCH_LOCAL.json")
     val priorLoad: Double =
-      try {
-        val txt = java.nio.file.Files.readString(artifact)
-        val m = """"load_avg_start":([0-9.+-eE]+)""".r.findFirstMatchIn(txt)
-        m.map(_.group(1).toDouble).getOrElse(Double.MaxValue)
-      } catch { case _: Throwable => Double.MaxValue }
+      try parsePriorLoad(java.nio.file.Files.readString(artifact))
+      catch { case _: Throwable => Double.MaxValue }
     val shouldWrite = shouldWriteArtifact(load0, maxLoad, priorLoad)
     if (shouldWrite)
       try java.nio.file.Files.writeString(artifact, line + "\n")

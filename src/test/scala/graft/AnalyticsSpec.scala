@@ -23,6 +23,16 @@ class AnalyticsSpec extends SparkSpecBase {
       "a dirty run may fill an empty record")
     assert(!Bench.shouldWriteArtifact(-1.0, 1.0, max),
       "unreadable load never writes")
+    // the parse must survive the REAL artifact shape — the field is
+    // followed by a comma, which a buggy numeric class can swallow
+    // (the round-7 regression: toDouble threw, prior collapsed to
+    // MaxValue, and a contaminated run overwrote a cleaner one)
+    val line = """{"metric":"total","value":1.0,"load_avg_start":0.66,"load_avg_end":9.99,"n":1}"""
+    assert(Bench.parsePriorLoad(line) == 0.66)
+    assert(Bench.parsePriorLoad("{}") == Double.MaxValue)
+    assert(Bench.parsePriorLoad("""{"load_avg_start":garbage}""") == Double.MaxValue)
+    assert(!Bench.shouldWriteArtifact(1.94, 1.0, Bench.parsePriorLoad(line)),
+      "the exact round-7 scenario must be refused")
   }
 
   test("cmsCounts fails fast on an over-cardinality domain instead of collecting it") {
