@@ -1081,13 +1081,13 @@ cbest AS (
   SELECT b, sum(c) AS tc FROM dpd WHERE tgt GROUP BY b
 ), w AS (
   SELECT p.doc_id,
-    CAST(sum(p.c * (coalesce(t.tc, 0) + 1)) AS BIGINT) AS tmass,
-    CAST(sum(p.c * r.rc) AS BIGINT) AS rmass
+    CAST(sum(CAST(p.c AS HUGEINT) * (coalesce(t.tc, 0) + 1)) AS HUGEINT) AS tmass,
+    CAST(sum(CAST(p.c AS HUGEINT) * r.rc) AS HUGEINT) AS rmass
   FROM dpd p JOIN draw r USING (b) LEFT JOIN dtg t USING (b)
   GROUP BY p.doc_id
 ), gtot AS (
-  SELECT CAST(sum(tmass) AS BIGINT) AS st,
-         CAST(sum(rmass) AS BIGINT) AS sr FROM w
+  SELECT CAST(sum(tmass) AS HUGEINT) AS st,
+         CAST(sum(rmass) AS HUGEINT) AS sr FROM w
 ), s6 AS MATERIALIZED (
   SELECT s5.* FROM s5 JOIN w USING (doc_id) CROSS JOIN gtot
   WHERE w.tmass * gtot.sr >= w.rmass * gtot.st
@@ -3387,8 +3387,8 @@ ORDER BY doc_id"""),
   SELECT b, sum(c) AS tc FROM dpd WHERE tgt GROUP BY b
 )
 SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
-  round(CAST(sum(p.c * (coalesce(t.tc, 0) + 1)) AS DOUBLE) /
-    CAST(sum(p.c * r.rc) AS DOUBLE), 6) AS dsir_weight
+  round(CAST(sum(CAST(p.c AS HUGEINT) * (coalesce(t.tc, 0) + 1)) AS DOUBLE) /
+    CAST(sum(CAST(p.c AS HUGEINT) * r.rc) AS DOUBLE), 6) AS dsir_weight
 FROM dpd p JOIN draw r USING (b) LEFT JOIN dtg t USING (b)
 GROUP BY p.doc_id ORDER BY p.doc_id""",
 

@@ -22,6 +22,14 @@ object Verify {
     // an iteration dial; the driver leaves it unset and runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would otherwise dump an empty directory that reads
+    // as a vacuously green iteration — fail fast instead.
+    only.foreach { names =>
+      val unknown = names.filterNot(n =>
+        SparkEntry.queries.contains(n) || SparkEntry.oracleSql.contains(n))
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries

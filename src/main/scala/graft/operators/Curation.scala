@@ -143,18 +143,49 @@ object Curation {
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     // 6: DSIR-weighted selection at the corpus aggregate ratio,
-    // cross-multiplied in int64 (doc ratio tm/rm >= Σtm/Σrm ⟺
+    // cross-multiplied in decimal (doc ratio tm/rm >= Σtm/Σrm ⟺
     // tm·Σrm >= rm·Σtm — exact, no float threshold)
-    val masses = TextOps.dsirMasses(s5,
-      col("source").isin(targetSources: _*))
-    val glob = masses.agg(sum(col("tmass")).as("st"),
-      sum(col("rmass")).as("sr"))
-    val keep = masses.crossJoin(broadcast(glob))
-      .filter(col("tmass") * col("sr") >= col("rmass") * col("st"))
-      .select(col("doc_id"))
+    val keep = dsirKeep(TextOps.dsirMasses(s5,
+      col("source").isin(targetSources: _*)))
     val s6 = s5.join(keep, Seq("doc_id"), "left_semi")
     // 7: packing
     val packed = TextOps.packSequences(s6, budget, shards)
     Stages(raw, s2, s3, s4, s5, s6, packed)
+  }
+
+  /** The DSIR keep rule on per-doc masses `(doc_id, tmass, rmass)`:
+    * keep a doc when its target-vs-raw mass ratio is at or above the
+    * corpus aggregate ratio — `tmass/rmass >= Σtmass/Σrmass`, decided
+    * by cross-multiplication so there is NO float threshold and the
+    * decision is oracle-exact.
+    *
+    * Arithmetic contract: the comparison runs in decimal(38,0). The
+    * per-doc masses arrive as decimal(38,0) (see
+    * [[TextOps.dsirMasses]] — they wrap int64 around ~1e5 docs), the
+    * corpus sums are decimal(38,0), and each cross-product is exact
+    * while `mass · Σmass < 1e38`. Past that the failure is LOUD in
+    * both arithmetic modes: under ANSI (Spark 4 default) the decimal
+    * multiply raises ARITHMETIC_OVERFLOW; under non-ANSI it yields
+    * null, which this operator refuses to interpret — a null product
+    * raises an error instead of silently dropping the doc. The
+    * matching DuckDB oracle computes the same products in
+    * HUGEINT (int128, ~1.7e38), which also fails loudly on overflow,
+    * so cross-engine parity holds over the entire supported domain.
+    */
+  private[graft] def dsirKeep(masses: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val glob = masses.agg(
+      sum(col("tmass").cast(d38)).cast(d38).as("st"),
+      sum(col("rmass").cast(d38)).cast(d38).as("sr"))
+    masses.crossJoin(broadcast(glob))
+      .withColumn("lhs", col("tmass").cast(d38) * col("sr"))
+      .withColumn("rhs", col("rmass").cast(d38) * col("st"))
+      .filter(
+        when(col("lhs").isNull || col("rhs").isNull,
+          raise_error(lit(
+            "dsirKeep: mass cross-product exceeds decimal(38,0); " +
+              "corpus masses past the 1e38 supported domain")))
+          .otherwise(col("lhs") >= col("rhs")))
+      .select(col("doc_id"))
   }
 }

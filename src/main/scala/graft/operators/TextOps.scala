@@ -492,11 +492,19 @@ object TextOps {
     val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
     val tgt = perDoc.filter(col("tgt"))
       .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    // Masses aggregate in decimal(38,0), NOT int64: c is bounded by doc
+    // length but tc/rc are CORPUS-wide bigram totals, so c·rc wraps a
+    // long around ~1e5 ordinary docs (silently, under non-ANSI
+    // arithmetic). Each factor fits decimal(19,0) (< 2^63), so the
+    // product is exact in decimal(38,0) and the per-doc sum stays
+    // exact to 1e38 — far past any corpus this operator targets.
+    val d19 = "decimal(19,0)"
     perDoc.join(broadcast(raw), Seq("b"))
       .join(broadcast(tgt), Seq("b"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("c") * (coalesce(col("tc"), lit(0L)) + lit(1L))).as("tmass"),
-        sum(col("c") * col("rc")).as("rmass"),
+      .agg(sum(col("c").cast(d19) *
+          (coalesce(col("tc"), lit(0L)) + lit(1L)).cast(d19)).as("tmass"),
+        sum(col("c").cast(d19) * col("rc").cast(d19)).as("rmass"),
         sum(col("c")).as("n_bigrams"))
   }
 

@@ -1176,4 +1176,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(curated.columns.toSet == Set("doc_id", "text", "source",
       "shard", "n_tokens", "bin_id", "bin_offset"))
   }
+
+  test("dsirKeep: decimal cross-multiply is exact where int64 wraps") {
+    import org.apache.spark.sql.functions._
+    // Planted masses near Long.MaxValue: every cross-product
+    // (mass · Σmass ≈ 2e37) wraps an int64 many times over, so a long
+    // comparison would pick arbitrary survivors. The decimal path must
+    // agree with exact BigInt arithmetic.
+    val planted = Seq(
+      (1L, 4000000000000000000L, 1000000000000000000L), // ratio 4
+      (2L, 1000000000000000000L, 4000000000000000000L), // ratio 1/4
+      (3L, 2500000000000000000L, 2500000000000000000L), // ratio 1
+      (4L, 2500000000000000001L, 2500000000000000000L)) // just above 1
+    val masses = planted.toDF("doc_id", "tmass", "rmass")
+    val st = planted.map(p => BigInt(p._2)).sum
+    val sr = planted.map(p => BigInt(p._3)).sum
+    val expected = planted
+      .filter(p => BigInt(p._2) * sr >= BigInt(p._3) * st)
+      .map(_._1).toSet
+    assert(expected == Set(1L, 4L), "sanity: BigInt oracle is selective")
+    val kept = Curation.dsirKeep(masses)
+      .as[Long].collect().toSet
+    assert(kept == expected)
+    // Past the decimal(38,0) product domain the operator must fail
+    // loudly, never silently drop: 1e25-scale masses give 2e50
+    // cross-products (> 1e38 → null under non-ANSI decimal multiply).
+    val huge = spark.range(1, 3).selectExpr(
+      "id AS doc_id",
+      "CAST('10000000000000000000000000' AS DECIMAL(38,0)) + id AS tmass",
+      "CAST('10000000000000000000000000' AS DECIMAL(38,0)) AS rmass")
+    val ex = intercept[Exception] {
+      Curation.dsirKeep(huge).collect()
+    }
+    // Under ANSI (Spark 4 default) the decimal multiply itself raises
+    // ARITHMETIC_OVERFLOW; under non-ANSI the operator's raise_error
+    // guard fires on the null product. Either way: loud, never silent.
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("dsirKeep") || m.toLowerCase.contains("overflow")),
+      s"got: $ex")
+  }
 }
