@@ -33,12 +33,40 @@ object Bench {
     * spec: a clean run always writes; a contaminated run writes only
     * over an artifact recorded at an even HIGHER load (or none —
     * priorLoad = MaxValue). A negative load0 means /proc/loadavg was
-    * unreadable: treated as contaminated with unknown load, so it
-    * never replaces a readable capture.
+    * unreadable (non-Linux host): it never replaces a readable
+    * capture, but it MAY fill an ABSENT artifact — otherwise a host
+    * without /proc would never record at all.
     */
   private[graft] def shouldWriteArtifact(load0: Double, maxLoad: Double,
                                          priorLoad: Double): Boolean =
-    (load0 >= 0 && load0 <= maxLoad) || (load0 >= 0 && load0 < priorLoad)
+    (load0 >= 0 && load0 <= maxLoad) || (load0 >= 0 && load0 < priorLoad) ||
+      (load0 < 0 && priorLoad == Double.MaxValue)
+
+  /** Wait-for-idle (round-7 verdict #2): two consecutive rounds the
+    * driver's end-of-round capture ran hot (load 7.26, then 10.59) and
+    * was rightly refused by the gate — so the gate's complement: BLOCK
+    * (bounded) until the 1-minute load drops under the gate, polling
+    * every `pollSec`, instead of merely refusing the contaminated
+    * write afterwards. Returns the last load observed; gives up after
+    * `maxWaitSec` (the run then proceeds and is marked contaminated as
+    * before — the wait makes a clean capture likely, the gate still
+    * guarantees a dirty one cannot clobber a cleaner record).
+    */
+  private[graft] def waitForIdle(maxLoad: Double, maxWaitSec: Int,
+                                 pollSec: Int = 10,
+                                 load: () => Double = loadAvg,
+                                 sleep: Long => Unit = Thread.sleep): Double = {
+    var l = load()
+    var waited = 0
+    while (l >= 0 && l > maxLoad && waited < maxWaitSec) {
+      System.err.println(f"[bench] waiting for idle: 1-min load $l%.2f > " +
+        f"gate $maxLoad%.2f (${waited}s/${maxWaitSec}s)")
+      sleep(pollSec * 1000L)
+      waited += pollSec
+      l = load()
+    }
+    l
+  }
 
   /** load_avg_start of an existing artifact line; MaxValue when the
     * file or field is missing/unparseable (an absent record never

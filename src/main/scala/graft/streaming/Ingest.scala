@@ -38,6 +38,41 @@ object Ingest {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run this session's streaming state on the RocksDB state store
+    * (SURVEY §4). The default HDFS-backed provider keeps every
+    * version of every key ON THE EXECUTOR HEAP — at 100 TB / hundreds
+    * of millions of stream keys (watermark dedup ids, per-user rate /
+    * lockout / last-IP state) executor memory is the first thing that
+    * dies. RocksDB keeps state off-heap on local disk with the same
+    * exactness, and changelog checkpointing uploads per-batch deltas
+    * instead of full SST snapshots, so checkpoint cost tracks batch
+    * CHANGE volume, not total state size.
+    *
+    * Called by every stream-starting entry point in this object; an
+    * EXPLICIT non-default provider already set on the session (e.g. a
+    * custom store) is respected and left alone. The provider is
+    * per-query, captured at `.start()` — callers composing the
+    * stateful flag datasets ([[rateLimitFlags]], [[lockoutFlags]],
+    * [[ipSwitchFlags]]) into their own queries should call this
+    * before starting them, as IngestSpec does.
+    */
+  def withRocksDbState(spark: SparkSession): SparkSession = {
+    val current = spark.conf.get(ProviderKey, HdfsProvider)
+    if (current == HdfsProvider) {
+      spark.conf.set(ProviderKey, RocksDbProvider)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
+    spark
+  }
+
   final case class IngestConfig(
       logsDir: String,
       alertsDir: String,
@@ -131,7 +166,8 @@ object Ingest {
     */
   def startRejects(source: DataFrame, rejectsDir: String,
                    checkpointDir: String,
-                   triggerMs: Long = 3000L): StreamingQuery =
+                   triggerMs: Long = 3000L): StreamingQuery = {
+    withRocksDbState(source.sparkSession)
     parseWithRejects(source)._2.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -146,6 +182,7 @@ object Ingest {
         ()
       }
       .start()
+  }
 
   /** Start the ingest stream. `source` is a streaming DataFrame with
     * the general_log schema (event_time, user_host, argument); `users`
@@ -164,6 +201,7 @@ object Ingest {
   def start(spark: SparkSession, source: DataFrame, users: DataFrame,
             cfg: IngestConfig,
             rules: Option[DataFrame] = None): StreamingQuery = {
+    withRocksDbState(spark)
     val staticRules = rules.getOrElse(Detect.firewallRules(spark))
     // cfg.rulesDir: re-resolve the dim per micro-batch with a FRESH
     // read (a captured DataFrame pins its file listing at creation, so
@@ -246,7 +284,17 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // Pin the micro-batch EAGERLY before anything probes it:
+        // RocksDB state stores are exclusively owned per partition, and
+        // a foreachBatch body that runs several actions — or isEmpty's
+        // limit-1 probe, which ABANDONS partially-consumed iterators —
+        // would re-execute the watermark-dedup state scan and strand
+        // the instance lock (CANNOT_LOAD_STATE_STORE). One full eager
+        // pass consumes and releases every state partition exactly
+        // once; everything downstream reads the checkpointed blocks.
+        val batch = batch0.localCheckpoint(true)
+        try {
         // no-data micro-batches (Spark runs them to advance the
         // watermark and evict state) gate nothing: skip the rules
         // read, the sink writes AND the staleness budget — otherwise
@@ -316,6 +364,7 @@ object Ingest {
           classified.unpersist(); fw.unpersist(); enriched.unpersist(); ()
         }
         }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()

@@ -73,6 +73,15 @@ class IngestSpec extends SparkSpecBase {
       val rr = rejects.select($"argument", $"reject_reason")
         .as[(String, String)].collect().toSet
       assert(rr == Set(("SET GLOBAL x=1", "system query filtered")))
+
+      // SURVEY §4: streaming state lives in the RocksDB state store —
+      // Ingest.start must have switched the session off the default
+      // heap-backed provider, and the watermark-dedup operator's
+      // progress must show RocksDB actually serving the state reads
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == Ingest.RocksDbProvider)
+      assert(q.lastProgress != null && q.lastProgress.json.contains("rocksdb"),
+        "dedup state operator should report RocksDB custom metrics")
     } finally { q.stop(); qr.stop() }
   }
 
@@ -352,6 +361,7 @@ class IngestSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ingest.RateEvent]
     val flags = Ingest.rateLimitFlags(mem.toDS(), windowMs = 60000L, threshold = 3)
+    Ingest.withRocksDbState(spark)
     val q = flags.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("rate_out")
       .trigger(Trigger.ProcessingTime(50L)).start()
@@ -371,6 +381,8 @@ class IngestSpec extends SparkSpecBase {
       assert(got((1L, 3000L)) == ((4, true)))
       assert(got((1L, 70000L)) == ((1, false)))
       assert(got((2L, 3000L)) == ((1, false)))
+      // the cross-batch fMGWS state itself runs on RocksDB
+      assert(q.lastProgress.json.contains("rocksdb"))
     } finally q.stop()
   }
 
@@ -379,6 +391,7 @@ class IngestSpec extends SparkSpecBase {
     val mem = MemoryStream[Ingest.AuthEvent]
     val flags = Ingest.lockoutFlags(mem.toDS(), maxAttempts = 3,
       lockoutMs = 1800000L)
+    Ingest.withRocksDbState(spark)
     val q = flags.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("lock_out")
       .trigger(Trigger.ProcessingTime(50L)).start()
@@ -407,6 +420,7 @@ class IngestSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ingest.LoginEvent]
     val flags = Ingest.ipSwitchFlags(mem.toDS())
+    Ingest.withRocksDbState(spark)
     val q = flags.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("switch_out")
       .trigger(Trigger.ProcessingTime(50L)).start()
