@@ -11,7 +11,13 @@ import org.apache.spark.sql.SparkSession
   *    runs but cannot deflate the floor;
   *  - the 1-minute load average is recorded at start and end so a
   *    contaminated recording is identifiable from the artifact itself;
-  *  - LOAD GATE: if the start load average exceeds
+  *  - WAIT-FOR-IDLE: before measuring, the run blocks (polling every
+  *    10 s, up to `SPARK_GRAFT_BENCH_WAIT_SEC`, default 600) until
+  *    the 1-minute load drops under the gate — an end-of-round
+  *    capture on a busy machine waits out the noise instead of
+  *    recording hot;
+  *  - LOAD GATE: if the start load average (re-read after the wait)
+  *    still exceeds
   *    `SPARK_GRAFT_BENCH_MAX_LOAD` (default 1.0) the run is marked
   *    `"load_gate":"contaminated"` and the committed artifact
   *    (`BENCH_LOCAL.json`) is NOT overwritten unless the existing
@@ -85,6 +91,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toInt
+    // block (bounded) until the machine is idle BEFORE measuring —
+    // the refuse-to-overwrite gate alone left two consecutive rounds'
+    // driver artifacts as hot captures
+    waitForIdle(maxLoad, maxWaitSec)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,7 +106,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
     val load0 = loadAvg()
     if (load0 > maxLoad)
       System.err.println(s"[bench] WARNING: load average $load0 at start " +

@@ -21,8 +21,10 @@ class AnalyticsSpec extends SparkSpecBase {
       "a dirty run may replace an even dirtier artifact")
     assert(Bench.shouldWriteArtifact(7.26, 1.0, max),
       "a dirty run may fill an empty record")
-    assert(!Bench.shouldWriteArtifact(-1.0, 1.0, max),
-      "unreadable load never writes")
+    assert(Bench.shouldWriteArtifact(-1.0, 1.0, max),
+      "unreadable load (non-Linux host) may fill an ABSENT artifact")
+    assert(!Bench.shouldWriteArtifact(-1.0, 1.0, 0.5),
+      "unreadable load never replaces a readable capture")
     // the parse must survive the REAL artifact shape — the field is
     // followed by a comma, which a buggy numeric class can swallow
     // (the round-7 regression: toDouble threw, prior collapsed to
@@ -33,6 +35,28 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(Bench.parsePriorLoad("""{"load_avg_start":garbage}""") == Double.MaxValue)
     assert(!Bench.shouldWriteArtifact(1.94, 1.0, Bench.parsePriorLoad(line)),
       "the exact round-7 scenario must be refused")
+  }
+
+  test("bench wait-for-idle: blocks until load clears the gate, bounded") {
+    // round-7 verdict #2: the bench must WAIT for idle (bounded poll),
+    // not merely refuse a hot capture afterwards. Injected load/sleep
+    // make the loop deterministic.
+    def run(loads: Seq[Double], maxWait: Int): (Double, Long) = {
+      val it = loads.iterator
+      var slept = 0L
+      val last = Bench.waitForIdle(1.0, maxWait, pollSec = 10,
+        load = () => it.next(), sleep = ms => slept += ms)
+      (last, slept)
+    }
+    // already idle: no sleep, returns immediately
+    assert(run(Seq(0.4), 600) == ((0.4, 0L)))
+    // drops below the gate on the third poll
+    assert(run(Seq(8.0, 3.5, 0.9), 600) == ((0.9, 20000L)))
+    // never idles: gives up after maxWaitSec and returns the hot load
+    val (l, s) = run(Seq.fill(100)(5.0), 30)
+    assert(l == 5.0 && s == 30000L)
+    // unreadable /proc/loadavg: no spin, returns the sentinel
+    assert(run(Seq(-1.0), 600) == ((-1.0, 0L)))
   }
 
   test("cmsCounts fails fast on an over-cardinality domain instead of collecting it") {
