@@ -813,7 +813,13 @@ SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
 FROM mm m LEFT JOIN dropped d ON d.vec_id = m.vec_id
 ORDER BY m.vec_id"""
 
-  private val PlantedNearDupCtes: String = {
+  /** The banded-signature replay over an existing CTE `pe(vec_id,
+    * embedding)`: norms `nn`, rung selection `geo` (data-dependent on
+    * |pe|, so the engines cannot diverge), plane matrix `pl`, and the
+    * per-band sign values `bvt(vec_id, band, bv)`. Shared by the
+    * all-pairs near-dup chain and the incremental emb_novel oracle.
+    */
+  private val BandSigCtes: String = {
     val maxPlanes = OracleGeometryRungs.map { case (_, r, b) => r * b }.max
     val planeRows = (0 until maxPlanes).map { p =>
       val w = Similarity.hyperplane(p, 64).map(_.toString)
@@ -829,7 +835,7 @@ ORDER BY m.vec_id"""
     val proj =
       """list_reduce(list_prepend(0.0, list_transform(list_zip(p.embedding, pl.w),
       s -> COALESCE(CAST(s[1] AS DOUBLE) * s[2], 0.0))), (a, b) -> a + b)"""
-    s"""$PlantedCorpusCte, nn AS MATERIALIZED (
+    s"""nn AS MATERIALIZED (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM pe
 ), geo AS (
   SELECT ${caseOver(_._2)} AS r,
@@ -844,7 +850,11 @@ ORDER BY m.vec_id"""
              THEN CAST(1 AS BIGINT) << (pl.idx % g.r) ELSE 0 END) AS bv
   FROM pe p CROSS JOIN geo g JOIN pl ON pl.idx < g.r * g.bands
   GROUP BY p.vec_id, pl.idx // g.r
-), cand AS (
+)"""
+  }
+
+  private val PlantedNearDupCtes: String =
+    s"""$PlantedCorpusCte, $BandSigCtes, cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM bvt x JOIN bvt y
     ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
@@ -855,7 +865,6 @@ ORDER BY m.vec_id"""
   JOIN nn ea ON ea.vec_id = c.vec_a
   JOIN nn eb ON eb.vec_id = c.vec_b
 )"""
-  }
 
   /** Squared L2 between a list expr and a centroid list expr — the
     * same sequential double fold as Similarity.sqDistTo.
@@ -1457,19 +1466,39 @@ FROM (
     * of the candidate stage within the parity budget; the operator
     * itself is corpus-size-agnostic.
     */
-  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d)
+  private def plantedClones(base: DataFrame): DataFrame = {
     val nxt = base.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-    val clones = base
+    base
       .filter(col("vec_id") % 25 === 0)
       .join(nxt, col("vec_id") + 1 === col("nid"))
       .select((col("vec_id") + lit(PlantedIdBase)).as("vec_id"),
         zip_with(col("embedding"), col("ne"), (x, y) =>
           (x.cast("double") + lit(0.25) * y.cast("double")).cast("float"))
           .as("embedding"))
+  }
+
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
     base.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))
-      .unionByName(clones)
+      .unionByName(plantedClones(base))
+  }
+
+  /** Incremental-ingest embedding fixture (emb_novel): the corpus is
+    * the planted base (every 5th vector); the batch is the planted
+    * clones — true corpus near-dups the operator must drop — plus the
+    * vec_id % 5 = 1 noise vectors, novel by construction (max natural
+    * pair cosine ≈ 0.51, far under the 0.9 threshold).
+    */
+  private def novelEmbeddingSplit(s: SparkSession,
+                                  d: String): (DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, d)
+    val ref = base.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val batch = plantedClones(base).unionByName(
+      base.filter(col("vec_id") % 5 === 1)
+        .select(col("vec_id"), col("embedding")))
+    (batch, ref)
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2205,6 +2234,15 @@ FROM (
     // oracle) and runs the operator at a real near-dup threshold
     "emb_near_dups" -> ((s, d) =>
       Similarity.embeddingNearDups(plantedEmbeddings(s, d), minCos = 0.9)),
+    // incremental ingest, embedding leg: a new batch (planted corpus
+    // clones + novel noise vectors) deduped against the corpus with
+    // the corpus only scanned — bloom of the batch's band keys prunes
+    // the scan, exact cosine verifies (Similarity.embeddingNovel)
+    "emb_novel" -> ((s, d) => {
+      val (batch, ref) = novelEmbeddingSplit(s, d)
+      Similarity.embeddingNovel(batch, ref, minCos = 0.9)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     // measured pair recall of the banded blocker vs exact brute force
     // (anchored on the planted clones — the truth set is linear): the
     // round-4 lossy-blocking finding's answer, as a checked row
@@ -3181,6 +3219,41 @@ SELECT CAST(count(a.vec_a) AS BIGINT) AS hits,
   CAST(count(*) AS BIGINT) AS expected,
   round(CAST(count(a.vec_a) AS DOUBLE) / greatest(count(*), 1), 4) AS recall
 FROM ef x LEFT JOIN apx a ON a.vec_a = x.vec_a AND a.vec_b = x.vec_b"""
+    },
+
+    // incremental embedding ingest: replay the banded signatures over
+    // batch ∪ corpus (the SAME rung the engine selects from the union
+    // count), restrict candidates to cross pairs, verify exact cosine,
+    // and anti-join the losers — the batch formulation of emb_novel
+    "emb_novel" -> {
+      val cos = s"""round(${dotSql("a.embedding", "x.embedding")} / (a.norm * x.norm), 4)"""
+      s"""WITH refc AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+), batchc AS MATERIALIZED (
+  SELECT a.vec_id + $PlantedIdBase AS vec_id,
+    list_transform(list_zip(a.embedding, b.embedding),
+      s -> CAST(CAST(s[1] AS DOUBLE) + 0.25 * CAST(s[2] AS DOUBLE) AS FLOAT)) AS embedding
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 25 = 0
+  UNION ALL
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 1
+), pe AS MATERIALIZED (
+  SELECT * FROM refc UNION ALL SELECT * FROM batchc
+), $BandSigCtes, cand AS (
+  SELECT DISTINCT r.vec_id AS ref_id, b.vec_id AS batch_id
+  FROM bvt r JOIN bvt b ON r.band = b.band AND r.bv = b.bv
+  WHERE r.vec_id IN (SELECT vec_id FROM refc)
+    AND b.vec_id IN (SELECT vec_id FROM batchc)
+), losers AS (
+  SELECT DISTINCT c.batch_id
+  FROM cand c
+  JOIN nn a ON a.vec_id = c.ref_id
+  JOIN nn x ON x.vec_id = c.batch_id
+  WHERE $cos >= 0.9 AND NOT isnan($cos)
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id FROM batchc b
+WHERE b.vec_id NOT IN (SELECT batch_id FROM losers)
+ORDER BY vec_id"""
     },
 
     // native-vs-composed agreement: both sides are Spark-computed, the

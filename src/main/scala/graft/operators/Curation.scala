@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *   6. dsir_sample   — DSIR-weighted selection: keep docs whose
   *                      target-vs-raw bigram-mass ratio is at or
   *                      above the CORPUS aggregate ratio, compared
-  *                      cross-multiplied in int64
+  *                      cross-multiplied in decimal(38,0)
   *                      ([[TextOps.dsirMasses]] — no float threshold,
   *                      so the rule is oracle-exact and scale-free)
   *   7. packed        — GPT-style concat-and-chunk packing

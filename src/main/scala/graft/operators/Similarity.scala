@@ -740,6 +740,102 @@ object Similarity {
         col("cluster_size"))
       .orderBy(col("vec_id"))
 
+  /** Incremental-ingest near-dup dedup, EMBEDDING leg (round-7 verdict
+    * #3): deduplicate a (comparatively small) new embedding batch
+    * against the full existing corpus under the SAME banded sign-LSH
+    * semantics as [[embeddingNearDups]], with the corpus only ever
+    * SCANNED — the [[Dedup.minhashNovel]] shape on the embedding
+    * surface. This is the operation a daily pipeline runs; the
+    * all-corpus pair query is the batch formulation.
+    *
+    *  1. geometry: explicit planes/bands pin it (the 100 TB caller
+    *     with a known corpus count); 0 selects the [[GeometryLadder]]
+    *     rung for |batch ∪ corpus| — the same count the batch
+    *     formulation would use, so the novel run and a replay of
+    *     [[embeddingNearDups]] over the union pick identical rungs;
+    *  2. the batch's banded signatures become COLLISION-FREE composite
+    *     keys `band · 2^r + bv` (bv packs r sign bits, so engine key
+    *     equality IS (band, value) equality) and bloom in one
+    *     distributive pass — the sketch is sized for the BATCH (bands
+    *     keys/vector), broadcast-small at any corpus scale;
+    *  3. the corpus is scanned with SLIM scan-local signatures
+    *     (vec_id + key only — the 64-float payload never rides the
+    *     bands-way explode), pruned by the codegen'd `might_contain`
+    *     literal predicate; survivors equi-join the broadcast batch
+    *     keys (the EXACT band check — the sketch only prunes) into
+    *     deduped candidate pairs;
+    *  4. candidate ref vectors are fetched by a second corpus scan
+    *     against the broadcast candidate ids (narrow, no shuffle) and
+    *     verified at exact cosine against the broadcast batch vectors;
+    *     batch vectors with any verified corpus near-dup (cos ≥
+    *     minCos, NaN excluded like the batch operator) are the losers,
+    *     and the result is the batch anti-join.
+    *
+    * Broadcast contract (same as the minhash/simhash legs): the batch
+    * — its band keys and its vectors — is broadcast, so batch size is
+    * bounded by the broadcast threshold; `expectedItems` sizes the
+    * bloom for batch·bands keys. Intra-batch duplicates are NOT
+    * removed (novelty is vs the corpus); run the pair operator inside
+    * the batch for that.
+    *
+    * Returns the batch rows with no corpus near-duplicate.
+    */
+  def embeddingNovel(batch: DataFrame, ref: DataFrame, minCos: Double = 0.9,
+                     planes: Int = 0, bands: Int = 0,
+                     expectedItems: Long = 1L << 16,
+                     fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftshim.BloomShim
+    val (pl, bd) =
+      if (planes > 0 && bands > 0) (planes, bands)
+      else nearDupGeometry(batch.count() + ref.count())
+    val r = pl / bd
+    def compositeKey(band: Column, bv: Column): Column =
+      band.cast("long") * lit(1L << r) + bv.cast("long")
+    // pinned: the batch signature pass feeds three consumers (bloom
+    // build, band-check join side, cosine-verify side) and the batch
+    // is small by contract
+    val batchKeyed = batch
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+      .localCheckpoint(true)
+    val batchBand = bandedSignatures(batchKeyed, pl, bd)
+      .select(col("vec_id").as("batch_id"),
+        compositeKey(col("band"), col("bv")).as("bk"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfRow = batchBand
+      .select(BloomShim.bloomAgg(col("bk"), expectedItems, numBits).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) batch // empty batch: everything is novel
+    else {
+      val bf = lit(bfRow.getAs[Array[Byte]](0))
+      // corpus scan #1: slim (vec_id, key) signatures, bloom-pruned,
+      // exact band check vs the broadcast batch keys; candidate pairs
+      // dedup BEFORE the exact-cosine stage (band multiplicity ≤ bands
+      // collapses on two longs)
+      val cand = bandedSignatures(ref, pl, bd)
+        .select(col("vec_id"), compositeKey(col("band"), col("bv")).as("bk"))
+        .filter(BloomShim.mightContain(bf, col("bk")))
+        .join(broadcast(batchBand), Seq("bk"))
+        .select(col("vec_id"), col("batch_id"))
+        .dropDuplicates("vec_id", "batch_id")
+      // corpus scan #2: fetch candidate ref vectors by broadcast
+      // equi-join (the candidate set is collisions + ~fpp noise —
+      // small), verify exact cosine vs the broadcast batch vectors
+      val losers = ref
+        .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(batchKeyed.select(col("vec_id").as("batch_id"),
+          col("embedding").as("eb"), col("norm").as("nb"))), Seq("batch_id"))
+        .select(col("batch_id"),
+          round(dot(col("embedding"), col("eb")) /
+            (col("norm") * col("nb")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= minCos && !isnan(col("cos_sim")))
+        .select(col("batch_id").as("vec_id")).distinct()
+      // loser set ⊆ batch ids — broadcast by the same contract
+      batch.join(broadcast(losers), Seq("vec_id"), "left_anti")
+    }
+  }
+
   /** Measured pair recall of [[embeddingNearDups]] against exact brute
     * force, restricted to pairs touching an anchor subset
     * (`anchorPred`) so the exact side stays LINEAR (|anchors| ×

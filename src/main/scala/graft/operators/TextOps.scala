@@ -465,7 +465,7 @@ object TextOps {
     * and raw-weighted bigram masses `(doc_id, n_bigrams, tmass,
     * rmass)` — exposed so consumers needing EXACT comparisons (the
     * curation pipeline's keep rule compares each doc's ratio to the
-    * corpus aggregate ratio cross-multiplied in int64) never touch
+    * corpus aggregate ratio cross-multiplied in decimal) never touch
     * the rounded double.
     */
   /** Character-bigram array of the text column. */

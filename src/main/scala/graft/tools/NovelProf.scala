@@ -79,6 +79,50 @@ object NovelProf {
         f"($sec%5.1f s)")
       ref.unpersist()
     }
+
+    // ---- embedding leg (Similarity.embeddingNovel): same claim, the
+    // GeometryLadder holds per-band bucket occupancy ≈ constant as the
+    // corpus steps 4×, so cross candidates ≈ batch · bands · occupancy
+    // — flat-ish in corpus size (bands grows ~n^0.22), never the pair
+    // space. Every 5th batch vector is a positive-scaled corpus clone
+    // (cosine 1.0 — deterministic candidate), the rest fresh noise.
+    import graft.operators.Similarity
+    def evec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    def ecorpus(n: Int) = spark.range(n.toLong)
+      .map(i => (i, evec(i))).toDF("vec_id", "embedding")
+    val ebatch = spark.range(500)
+      .map { i =>
+        val v = if (i % 5 == 0) evec(i * 3).map(x => x * 2.0f)
+                else evec(9000000L + i)
+        (5000000L + i, v)
+      }
+      .toDF("vec_id", "embedding").localCheckpoint()
+    println("[novelprof] embedding leg: corpus, rung(r,bands), " +
+      "candidates(band join), novel, sec  [batch=500, 100 planted]")
+    for (n <- Seq(4000, 16000, 64000)) {
+      val ref = ecorpus(n).localCheckpoint()
+      val t0 = System.nanoTime()
+      val novel = Similarity.embeddingNovel(ebatch, ref, minCos = 0.9).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // instrument: the exact band-collision candidate count at the
+      // rung the operator selected
+      val (pl, bd) = Similarity.nearDupGeometry(500L + n)
+      val r = pl / bd
+      def keys(df: org.apache.spark.sql.DataFrame, out: String) =
+        Similarity.bandedSignatures(df, pl, bd)
+          .select(col("vec_id").as(out),
+            (col("band").cast("long") * (1L << r) + col("bv").cast("long"))
+              .as("bk"))
+      val cand = keys(ref, "ref_id")
+        .join(keys(ebatch, "batch_id"), Seq("bk"))
+        .select(col("ref_id"), col("batch_id")).distinct().count()
+      println(f"[novelprof] n=$n%7d rung=($r%2d,$bd%2d) cand=$cand%6d " +
+        f"losers=${500 - novel}%4d novel=$novel%4d ($sec%5.1f s)")
+      ref.unpersist()
+    }
     spark.stop()
   }
 }

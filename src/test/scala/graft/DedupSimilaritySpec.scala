@@ -1139,6 +1139,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Dedup.simhashNovel(batch.filter(lit(false)), ref).count() == 0L)
   }
 
+  test("embeddingNovel drops exactly the batch vectors with a corpus near-dup") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec()))
+    // batch: positive-scaled clones of corpus vectors 3 and 17 (cosine
+    // exactly 1.0, and a positive scale preserves every projection
+    // sign, so every band collides — candidate generation is
+    // deterministic, not a recall roll) + 6 fresh Gaussian vectors
+    // (natural cosine ≈ 0.12 std at dim 64, nowhere near 0.9)
+    val batch = Seq(
+      (1003L, corpus(3)._2.map(_ * 2.0f)),
+      (1017L, corpus(17)._2.map(_ * 0.5f))) ++
+      (0 until 6).map(i => (2000L + i, vec()))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val novel = graft.operators.Similarity
+      .embeddingNovel(batchDf, corpusDf, minCos = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(novel == (0 until 6).map(2000L + _).toSet)
+    // pinned-geometry path (the 100 TB caller's form) agrees
+    val pinned = graft.operators.Similarity
+      .embeddingNovel(batchDf, corpusDf, minCos = 0.9, planes = 12, bands = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(pinned == novel)
+    // empty batch: nothing to emit, and no corpus work
+    assert(graft.operators.Similarity
+      .embeddingNovel(batchDf.filter(lit(false)), corpusDf).count() == 0L)
+  }
+
   test("curation funnel: stage invariants on a synthetic multi-line corpus") {
     import org.apache.spark.sql.functions._
     // 60 docs: quality-passing bodies with corpus-wide boilerplate

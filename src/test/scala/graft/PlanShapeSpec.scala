@@ -205,6 +205,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
 
+  test("embedding novel-batch: slim banded corpus scan, bloom prune, no corpus shuffle before verify") {
+    val p = executedPlan("emb_novel")
+    assert(p.contains("might_contain"),
+      "corpus scan must be pruned by the bloom-of-batch-band-keys predicate")
+    // every join on the corpus lineage is a broadcast equi-join (batch
+    // band keys, candidate ids, batch vectors); a sort-merge join
+    // would mean the corpus shuffled before the survivor verify
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "corpus side must never shuffle/cartesian before the verify")
+    assert(p.contains("BroadcastHashJoin"),
+      "band-collision check and candidate fetch must be broadcast equi-joins")
+    assert(p.contains("LeftAnti"),
+      "novelty is the batch anti-join of the verified loser set")
+  }
+
   test("minhash novel-docs: scan-local band keys, bloom prune, no corpus shuffle before verify") {
     val p = executedPlan("doc_minhash_novel")
     // corpus band keys must come from the native scan-local expression
