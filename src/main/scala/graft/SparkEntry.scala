@@ -1429,6 +1429,42 @@ FROM (
     * construction in SQL — the planted-truth pattern the media legs
     * use. Bounded to doc_id < 300 at every scale factor.
     */
+  /** The doc_line_dedup replay (raw line STRINGS as the dedup key —
+    * the engine blocks on 64-bit hashes, so the instrument cannot
+    * self-confirm), with an optional final restriction: the
+    * incremental row replays the full recompute restricted to the
+    * batch docs.
+    */
+  private def lineDedupOracleSql(finalWhere: String): String =
+    s"""WITH pl AS (
+  SELECT doc_id,
+    'NAV MENU HOME' || chr(10) || text || chr(10) ||
+    '(c) site ' || source || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe now'
+         ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents WHERE doc_id < 300
+), lr AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+      i -> {'pos': i, 'line': ls[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pl))
+), hot AS (
+  SELECT line FROM lr GROUP BY line HAVING count(*) >= 5
+), kept AS (
+  SELECT doc_id, pos, line FROM lr
+  WHERE line NOT IN (SELECT line FROM hot)
+), stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lr GROUP BY doc_id
+), kt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(k.text_deduped, '') AS text_deduped
+FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
+
   private def plantedLineDocs(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") < 300)
       .select(col("doc_id"), col("source"), concat_ws("\n",
@@ -1933,6 +1969,18 @@ FROM (
     "doc_line_dedup" -> ((s, d) =>
       TextOps.dedupLines(plantedLineDocs(Tables.documents(s, d)),
         minDf = 5)),
+    // incremental line dedup (round-7 verdict #4): the corpus
+    // contributes through its PERSISTED mergeable line-df dim; only
+    // the batch is scanned, and the merged dim makes the result equal
+    // the full recompute restricted to the batch
+    "doc_line_dedup_novel" -> ((s, d) => {
+      val pl = plantedLineDocs(Tables.documents(s, d))
+      val corpus = pl.filter(col("doc_id") % 7 =!= 0)
+      val batch = pl.filter(col("doc_id") % 7 === 0)
+      val merged = TextOps.mergeDim(TextOps.lineDfDim(corpus),
+        TextOps.lineDfDim(batch), key = "h")
+      TextOps.dedupLinesWithDim(batch, merged, minDf = 5)
+    }),
     // END-TO-END curation funnel (round-6 verdict #6): quality gate →
     // line dedup → minhash best-in-cluster dedup → decontamination →
     // DSIR-weighted sampling → packing composed as ONE query over the
@@ -3346,35 +3394,12 @@ GROUP BY p.doc_id ORDER BY p.doc_id""",
 
     // raw line STRINGS are the oracle's dedup key — the engine blocks
     // on 64-bit hashes, so the instrument cannot self-confirm
-    "doc_line_dedup" ->
-      """WITH pl AS (
-  SELECT doc_id,
-    'NAV MENU HOME' || chr(10) || text || chr(10) ||
-    '(c) site ' || source || chr(10) ||
-    CASE WHEN doc_id % 3 = 0 THEN 'subscribe now'
-         ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
-  FROM documents WHERE doc_id < 300
-), lr AS MATERIALIZED (
-  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
-    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
-      i -> {'pos': i, 'line': ls[i]})) AS u
-    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pl))
-), hot AS (
-  SELECT line FROM lr GROUP BY line HAVING count(*) >= 5
-), kept AS (
-  SELECT doc_id, pos, line FROM lr
-  WHERE line NOT IN (SELECT line FROM hot)
-), stats AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lr GROUP BY doc_id
-), kt AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-    string_agg(line, chr(10) ORDER BY pos) AS text_deduped
-  FROM kept GROUP BY doc_id
-)
-SELECT s.doc_id, s.n_lines,
-  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-  coalesce(k.text_deduped, '') AS text_deduped
-FROM stats s LEFT JOIN kt k USING (doc_id) ORDER BY doc_id""",
+    "doc_line_dedup" -> lineDedupOracleSql(""),
+
+    // the incremental form replayed as the FULL recompute restricted
+    // to the batch docs — the mergeDim contract (dim(a ∪ b) =
+    // merge(dim(a), dim(b)), exactly) is what makes them equal
+    "doc_line_dedup_novel" -> lineDedupOracleSql("WHERE s.doc_id % 7 = 0"),
 
     // the end-to-end curation funnel, stage by stage over the planted
     // multi-line corpus (see curationE2eOracleSql)

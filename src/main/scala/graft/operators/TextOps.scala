@@ -418,13 +418,59 @@ object TextOps {
     * strings, so a hash-family bug cannot self-confirm.
     */
   def dedupLines(docs: DataFrame, minDf: Long = 5,
-                 hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
+                 hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame =
+    dedupLinesWithDim(docs, lineDfDim(docs, hashFn), minDf, hashFn)
+
+  // ------------------------------------------------------------------
+  // Mergeable corpus-frequency dims (round-7 verdict #4): the KB-scale
+  // roll-ups behind dedupLines / bigramFamiliarity / dsirWeights as
+  // PERSISTED, MERGE-UPDATABLE state, so a daily pipeline adds the new
+  // batch's counts instead of rescanning the corpus — the reference
+  // agent's incremental-cursor idea (dam_agent.py:199-201) applied to
+  // the frequency surface. Contract: dim(a ∪ b) = mergeDim(dim(a),
+  // dim(b)) exactly (all counts are distributive sums), so the
+  // batch-vs-merged-dim result hash-matches the full recompute.
+  // ------------------------------------------------------------------
+
+  /** Merge two same-shaped count dims: union + groupBy(key) + sum of
+    * every non-key column. The daily update is
+    * `mergeDim(persistedDim, xDim(batch))` — one KB-scale groupBy, no
+    * corpus scan.
+    */
+  def mergeDim(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"dim shapes differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val counts = a.columns.filterNot(_ == key).toSeq
+    require(counts.nonEmpty, "a count dim needs at least one count column")
+    a.unionByName(b).groupBy(col(key))
+      .agg(sum(col(counts.head)).as(counts.head),
+        counts.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** The line-frequency dim under [[dedupLines]]: 64-bit line hash →
+    * corpus-wide occurrence count. Lines never leave the scan (same
+    * hashing as the operator).
+    */
+  def lineDfDim(docs: DataFrame,
+                hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame =
+    docs
+      .select(explode(transform(split(col("text"), "\n", -1),
+        l => hashFn(0, l))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  /** [[dedupLines]] against a PRE-BUILT (possibly merged) line dim:
+    * the incremental form — only the batch is scanned; the corpus
+    * contributes through the dim. `dedupLinesWithDim(batch,
+    * mergeDim(corpusDim, lineDfDim(batch)), k)` equals the full
+    * recompute over corpus ∪ batch restricted to the batch docs.
+    */
+  def dedupLinesWithDim(docs: DataFrame, dim: DataFrame, minDf: Long = 5,
+                        hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
     val withLs = docs.select(col("doc_id"),
       split(col("text"), "\n", -1).as("ls"))
     val hashes = withLs.select(col("doc_id"),
       posexplode(transform(col("ls"), l => hashFn(0, l))).as(Seq("pos", "h")))
-    val hot = hashes.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("h"))
+    val hot = dim.filter(col("df") >= minDf).select(col("h"))
     val drops = hashes.join(hot, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("drop_pos"))
@@ -510,6 +556,70 @@ object TextOps {
 
   def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame =
     dsirMasses(docs, isTarget)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("tmass").cast("double") /
+          col("rmass").cast("double"), 6).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+
+  /** The corpus bigram-frequency dim under [[bigramFamiliarity]]:
+    * bigram → total occurrence count. Mergeable ([[mergeDim]] on "b").
+    */
+  def bigramDim(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 2)
+      .select(explode(charBigrams).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+
+  /** [[bigramFamiliarity]] against a pre-built (possibly merged)
+    * bigram dim — the incremental form: only `docs` (the batch) is
+    * scanned, the corpus contributes through the broadcast dim.
+    */
+  def bigramFamiliarityWithDim(docs: DataFrame, dim: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(charBigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(dim), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("tc")).as("wsum"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("wsum").cast("double") /
+          col("n_bigrams").cast("double"), 4).as("familiarity"))
+      .orderBy(col("doc_id"))
+
+  /** The raw+target bigram dim under [[dsirWeights]]: bigram →
+    * (rc = occurrences anywhere, tc = occurrences inside the target
+    * domain; 0, never null, so the dim merges as plain sums).
+    */
+  def dsirDim(docs: DataFrame, isTarget: Column): DataFrame =
+    docs.filter(length(col("text")) >= 2)
+      .select(isTarget.cast("boolean").as("tgt"),
+        explode(charBigrams).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tc"))
+
+  /** [[dsirMasses]] against a pre-built (possibly merged) DSIR dim —
+    * only the batch is scanned (a doc's own target flag only matters
+    * for dim CONSTRUCTION, not scoring). Same decimal(38,0) mass
+    * arithmetic as the full-recompute form.
+    */
+  private[graft] def dsirMassesWithDim(docs: DataFrame,
+                                       dim: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(charBigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(dim), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast(d19) *
+          (col("tc") + lit(1L)).cast(d19)).as("tmass"),
+        sum(col("c").cast(d19) * col("rc").cast(d19)).as("rmass"),
+        sum(col("c")).as("n_bigrams"))
+  }
+
+  /** [[dsirWeights]] in incremental (batch-vs-dim) form. */
+  def dsirWeightsWithDim(docs: DataFrame, dim: DataFrame): DataFrame =
+    dsirMassesWithDim(docs, dim)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("tmass").cast("double") /
           col("rmass").cast("double"), 6).as("dsir_weight"))

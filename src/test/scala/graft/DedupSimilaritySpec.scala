@@ -1139,6 +1139,52 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Dedup.simhashNovel(batch.filter(lit(false)), ref).count() == 0L)
   }
 
+  test("mergeable dims: merge(dim(a), dim(b)) = dim(a ∪ b); withDim = full recompute on the batch") {
+    import org.apache.spark.sql.functions._
+    // corpus ∪ batch share boilerplate lines whose df crosses the
+    // threshold ONLY in the union — the case where scoring the batch
+    // against a stale (corpus-only) dim would get the wrong answer
+    def doc(i: Long): (Long, String, String) = {
+      val body = (0 until 12).map(j => s"w${i * 13 + j}").mkString(" ")
+      (i, s"HEAD\n$body\nFOOT", s"src${i % 2}")
+    }
+    val corpus = (0L until 18L).map(doc).toDF("doc_id", "text", "source")
+    val batch = (100L until 112L).map(doc).toDF("doc_id", "text", "source")
+    val union = corpus.unionByName(batch)
+    val batchIds = (100L until 112L).toSet
+
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Any, Seq[Any]] =
+      df.collect().map(r => r.get(0) -> r.toSeq.tail).toMap
+
+    // line-df dim
+    val mergedLine = TextOps.mergeDim(TextOps.lineDfDim(corpus),
+      TextOps.lineDfDim(batch), key = "h")
+    assert(asMap(mergedLine) == asMap(TextOps.lineDfDim(union)))
+    val incLine = TextOps.dedupLinesWithDim(batch, mergedLine, minDf = 5)
+    val fullLine = TextOps.dedupLines(union, minDf = 5)
+      .filter($"doc_id".isin(batchIds.toSeq: _*))
+    assert(incLine.collect().toSeq == fullLine.collect().toSeq)
+    // the planted boilerplate really was dropped (df 30 ≥ 5)
+    assert(incLine.collect().forall(_.getAs[Long]("n_kept") == 1L))
+
+    // bigram dim
+    val mergedBg = TextOps.mergeDim(TextOps.bigramDim(corpus),
+      TextOps.bigramDim(batch), key = "b")
+    assert(asMap(mergedBg) == asMap(TextOps.bigramDim(union)))
+    assert(TextOps.bigramFamiliarityWithDim(batch, mergedBg).collect().toSeq
+      == TextOps.bigramFamiliarity(union)
+        .filter($"doc_id".isin(batchIds.toSeq: _*)).collect().toSeq)
+
+    // dsir dim (target = src0)
+    val tgt = col("source") === "src0"
+    val mergedDsir = TextOps.mergeDim(TextOps.dsirDim(corpus, tgt),
+      TextOps.dsirDim(batch, tgt), key = "b")
+    assert(asMap(mergedDsir) == asMap(TextOps.dsirDim(union, tgt)))
+    assert(TextOps.dsirWeightsWithDim(batch, mergedDsir).collect().toSeq
+      == TextOps.dsirWeights(union, tgt)
+        .filter($"doc_id".isin(batchIds.toSeq: _*)).collect().toSeq)
+  }
+
   test("embeddingNovel drops exactly the batch vectors with a corpus near-dup") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
