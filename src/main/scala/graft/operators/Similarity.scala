@@ -322,6 +322,94 @@ object Similarity {
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // quantization-quality baseline for [[appendToIvfIndex]]'s drift
+    // guard: (count, Σ squared nearest-centroid distance) of the
+    // indexed corpus — distributive, so appends merge it. Decimal
+    // summation keeps the recorded baseline partition-order-exact
+    // (SCALE.md §7).
+    val base = embeddings
+      .select(array_min(centroidDistArray(col("embedding"), cents))
+        .getField("d").as("d"))
+      .agg(count(lit(1)).cast("long").as("n"), dsumD(col("d")).as("sum_sqdist"))
+      .head()
+    writeIvfStats(spark, dir, base.getAs[Long]("n"),
+      base.getAs[Double]("sum_sqdist"))
+  }
+
+  private def dsumD(c: Column): Column =
+    coalesce(sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      .cast("double"), lit(0.0))
+
+  private def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, n: Long, sumSq: Double): Unit = {
+    import spark.implicits._
+    Seq((n, sumSq)).toDF("n", "sum_sqdist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Append a new batch to a materialized IVF index WITHOUT
+    * retraining: batch vectors are assigned to the EXISTING centroids
+    * (read from the index's tiny centroid dim) and appended to their
+    * list partitions — the daily-ingest form of index maintenance.
+    * One scan of the batch; the indexed corpus is never touched.
+    *
+    * DRIFT GUARD (fail-fast, round-7 verdict #5): appending under
+    * stale centroids silently degrades recall — new vectors land in
+    * lists far from their true neighborhoods and probes miss them —
+    * so the append compares the batch's mean squared nearest-centroid
+    * distance against the index's recorded build-time baseline and
+    * REFUSES (IllegalStateException) when it exceeds `maxDriftRatio ×
+    * baseline`: the signal that the coarse quantizer no longer
+    * represents the incoming data and the index needs a rebuild
+    * ([[writeIvfIndex]] / [[ensureIvfIndex]]). In-distribution appends
+    * merge their (count, Σ sqdist) into the baseline distributively,
+    * so the guard tracks the index's true content across appends. A
+    * zero baseline (every indexed vector ON its centroid) treats any
+    * off-centroid batch as drift — the strictest reading, documented
+    * rather than special-cased.
+    *
+    * Durability note: the list append is a plain parquet file append —
+    * a crash between the list write and the stats rewrite leaves the
+    * baseline slightly stale (conservative: the guard only tightens).
+    * A production deployment would stage-and-rename like
+    * [[graft.sources.Mutations]].
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, batch: DataFrame,
+                       maxDriftRatio: Double = 4.0): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val n0 = stats.getAs[Long]("n")
+    val s0 = stats.getAs[Double]("sum_sqdist")
+    require(n0 > 0, s"index at $dir has an empty baseline — rebuild it")
+    val best = array_min(centroidDistArray(col("embedding"), cents))
+    // pinned: one batch pass feeds the guard aggregate AND the append
+    val assigned = batch
+      .withColumn("cid", best.getField("cid"))
+      .withColumn("__d", best.getField("d"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .localCheckpoint(true)
+    val agg = assigned
+      .agg(count(lit(1)).cast("long").as("n"), dsumD(col("__d")).as("sum_sqdist"))
+      .head()
+    val nb = agg.getAs[Long]("n")
+    val sb = agg.getAs[Double]("sum_sqdist")
+    if (nb > 0) {
+      val baseline = s0 / n0
+      val batchMean = sb / nb
+      if (batchMean > maxDriftRatio * baseline)
+        throw new IllegalStateException(
+          f"IVF append drift guard: batch mean sq-dist $batchMean%.4f " +
+            f"exceeds $maxDriftRatio× the index baseline $baseline%.4f " +
+            "— the centroids no longer represent the data; rebuild the " +
+            "index (writeIvfIndex) instead of appending")
+      assigned
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+      writeIvfStats(spark, dir, n0 + nb, s0 + sb)
+    }
   }
 
   /** Exact L2 norm of a query vector, driver-side: the SAME arithmetic

@@ -1139,6 +1139,58 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Dedup.simhashNovel(batch.filter(lit(false)), ref).count() == 0L)
   }
 
+  test("IVF append: in-distribution batch joins its lists and is searchable; drift refuses") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    // two well-separated blobs at ±3·e_blob with small noise
+    def blobVec(blob: Int): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)
+      v(blob) = v(blob) + (if (blob == 0) 3.0f else -3.0f)
+      v
+    }
+    val corpus = (0L until 40L).map(i => (i, blobVec((i % 2).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    Similarity.writeIvfIndex(corpus, dir, nlist = 4, iters = 3)
+    val stats0 = spark.read.parquet(s"$dir/stats").head()
+    assert(stats0.getAs[Long]("n") == 40L)
+
+    // in-distribution batch: 10 fresh blob vectors — append succeeds,
+    // stats merge distributively
+    val batch = (100L until 110L).map(i => (i, blobVec((i % 2).toInt)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, dir, batch)
+    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
+
+    // append-then-search: probing with an appended vector's own
+    // embedding must return it at cosine 1.0 (its list is probed by
+    // construction — the query assigns to the same centroid)
+    val qv = batch.filter($"vec_id" === 105L)
+      .select($"embedding").as[Array[Float]].head()
+    val hits = Similarity.ivfSearchIndexed(spark, dir,
+      Seq((905L, qv)), k = 3, nprobe = 2)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(hits.head == ((105L, 1.0)), s"got ${hits.toSeq}")
+
+    // out-of-distribution batch (shifted +100 in every dim): the
+    // drift guard must refuse rather than silently degrade recall
+    val far = (200L until 205L)
+      .map(i => (i, Array.fill(64)(100.0f + rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(spark, dir, far)
+    }
+    assert(ex.getMessage.contains("drift guard"))
+    // the refused batch left neither rows nor stats behind
+    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
+    assert(spark.read.parquet(s"$dir/lists")
+      .filter($"vec_id" >= 200L).count() == 0L)
+    // an empty append is a no-op
+    Similarity.appendToIvfIndex(spark, dir, batch.filter(lit(false)))
+    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
+  }
+
   test("mergeable dims: merge(dim(a), dim(b)) = dim(a ∪ b); withDim = full recompute on the batch") {
     import org.apache.spark.sql.functions._
     // corpus ∪ batch share boilerplate lines whose df crosses the
