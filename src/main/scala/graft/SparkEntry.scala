@@ -1287,6 +1287,178 @@ banded AS (
     sb.toString
   }
 
+  /** DuckDB replay of the INCREMENTAL curation funnel
+    * (Curation.incrementalFunnel over the doc_id % 7 corpus/batch
+    * split of plantedLineDocs): every incremental stage re-stated in
+    * SQL — corpus-only line counts feed the corpus text layer (the
+    * state), merged counts gate the batch lines, ONE minhash chain
+    * over cs3 ∪ b3 serves both the cross (corpus-seniority) drop and
+    * the intra-batch clusters (signatures are per-doc, so subset
+    * pair sets are pair-set restrictions), the merged gram set
+    * decontaminates, and the batch's DSIR masses under the MERGED
+    * bigram dim are judged against the CORPUS aggregate ratio.
+    */
+  private def curationNovelOracleSql: String = {
+    val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val nt = s"CAST(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT)"
+    def stageRow(name: String, src: String): String =
+      s"SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs, $nt AS n_tokens FROM $src"
+    def linesOf(src: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+      i -> {'pos': i, 'line': ls[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src))
+)"""
+    s"""WITH pl AS MATERIALIZED (
+  SELECT doc_id, source,
+    'NAV MENU HOME' || chr(10) || text || chr(10) ||
+    '(c) site ' || source || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe now'
+         ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents WHERE doc_id < 300
+), plc AS MATERIALIZED (
+  SELECT * FROM pl WHERE doc_id % 7 <> 0
+), plb AS MATERIALIZED (
+  SELECT * FROM pl WHERE doc_id % 7 = 0
+), ${gopherCtesSql("plc", "cg")},
+cs2 AS MATERIALIZED (
+  SELECT p.doc_id, p.source, p.text
+  FROM plc p JOIN cg USING (doc_id) WHERE cg.gopher_pass
+), ${gopherCtesSql("plb", "bg")},
+bs2 AS MATERIALIZED (
+  SELECT p.doc_id, p.source, p.text
+  FROM plb p JOIN bg USING (doc_id) WHERE bg.gopher_pass
+), ${linesOf("cs2", "clr")}, ${linesOf("bs2", "blr")},
+chot AS (
+  SELECT line FROM clr GROUP BY line HAVING count(*) >= 5
+), mhot AS (
+  SELECT line FROM (
+    SELECT line FROM clr UNION ALL SELECT line FROM blr)
+  GROUP BY line HAVING count(*) >= 5
+), ckt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM clr WHERE line NOT IN (SELECT line FROM chot) GROUP BY doc_id
+), cs3 AS MATERIALIZED (
+  SELECT c.doc_id, c.source, k.text FROM cs2 c JOIN ckt k USING (doc_id)
+), bkt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM blr WHERE line NOT IN (SELECT line FROM mhot) GROUP BY doc_id
+), b3 AS MATERIALIZED (
+  SELECT c.doc_id, c.source, k.text FROM bs2 c JOIN bkt k USING (doc_id)
+), m3 AS MATERIALIZED (
+  SELECT doc_id, text FROM cs3 UNION ALL SELECT doc_id, text FROM b3
+), ${minhashPairsCtes("m3")},
+bxl AS (
+  SELECT DISTINCT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id
+  FROM j WHERE jaccard >= 0.3 AND ((doc_a % 7 = 0) <> (doc_b % 7 = 0))
+), bsv AS MATERIALIZED (
+  SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM bxl)
+)${clusterCtesSql(
+      """SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3
+    AND doc_a % 7 = 0 AND doc_b % 7 = 0
+    AND doc_a IN (SELECT doc_id FROM bsv)
+    AND doc_b IN (SELECT doc_id FROM bsv)""")},
+${gopherCtesSql("b3", "bq2")},
+cbest AS (
+  SELECT cluster_id, doc_id AS best_doc FROM (
+    SELECT c.comp AS cluster_id, c.id AS doc_id,
+      row_number() OVER (PARTITION BY c.comp
+        ORDER BY q.gopher_pass DESC, q.n_words DESC, c.id) AS rn
+    FROM ccm c JOIN bq2 q ON q.doc_id = c.id
+  ) WHERE rn = 1
+), b4 AS MATERIALIZED (
+  SELECT bsv.* FROM bsv WHERE doc_id NOT IN (
+    SELECT c.id FROM ccm c JOIN cbest b ON b.cluster_id = c.comp
+    WHERE c.id <> b.best_doc)
+), dbh AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT unnest(list_distinct(list_transform(range(len(t) - 7), i -> $g8))) AS g
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+          FROM (SELECT text FROM cs3 WHERE doc_id % 29 = 0
+                UNION ALL SELECT text FROM b3 WHERE doc_id % 29 = 0)))
+), dcont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+      unnest(list_distinct(list_transform(range(len(t) - 7), i ->
+        CAST(('0x' || substr(md5('0:' || $g8), 1, 15)) AS BIGINT)))) AS h
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM b4 WHERE doc_id % 29 <> 0))
+  WHERE h IN (SELECT h FROM dbh)
+), b5 AS MATERIALIZED (
+  SELECT * FROM b4
+  WHERE doc_id % 29 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dcont)
+), cbg AS (
+  SELECT doc_id, (source IN ('src0', 'src2', 'src4')) AS tgt,
+    unnest(list_transform(range(1, length(text)),
+      i -> substr(text, i, 2))) AS b
+  FROM cs3 WHERE length(text) >= 2
+), cpd AS MATERIALIZED (
+  SELECT doc_id, tgt, b, count(*) AS c FROM cbg GROUP BY 1, 2, 3
+), craw AS (
+  SELECT b, sum(c) AS rc FROM cpd GROUP BY b
+), ctg AS (
+  SELECT b, sum(c) AS tc FROM cpd WHERE tgt GROUP BY b
+), cw AS (
+  SELECT p.doc_id,
+    CAST(sum(CAST(p.c AS HUGEINT) * (coalesce(t.tc, 0) + 1)) AS HUGEINT) AS tmass,
+    CAST(sum(CAST(p.c AS HUGEINT) * r.rc) AS HUGEINT) AS rmass
+  FROM cpd p JOIN craw r USING (b) LEFT JOIN ctg t USING (b)
+  GROUP BY p.doc_id
+), cglob AS (
+  SELECT CAST(sum(tmass) AS HUGEINT) AS st,
+         CAST(sum(rmass) AS HUGEINT) AS sr FROM cw
+), bbg AS (
+  SELECT doc_id, (source IN ('src0', 'src2', 'src4')) AS tgt,
+    unnest(list_transform(range(1, length(text)),
+      i -> substr(text, i, 2))) AS b
+  FROM b5 WHERE length(text) >= 2
+), bpd AS MATERIALIZED (
+  SELECT doc_id, tgt, b, count(*) AS c FROM bbg GROUP BY 1, 2, 3
+), mrw AS (
+  SELECT b, sum(c) AS rc FROM (
+    SELECT b, c FROM cpd UNION ALL SELECT b, c FROM bpd) GROUP BY b
+), mtg AS (
+  SELECT b, sum(c) AS tc FROM (
+    SELECT b, c FROM cpd WHERE tgt
+    UNION ALL SELECT b, c FROM bpd WHERE tgt) GROUP BY b
+), bw AS (
+  SELECT p.doc_id,
+    CAST(sum(CAST(p.c AS HUGEINT) * (coalesce(t.tc, 0) + 1)) AS HUGEINT) AS tmass,
+    CAST(sum(CAST(p.c AS HUGEINT) * r.rc) AS HUGEINT) AS rmass
+  FROM bpd p JOIN mrw r USING (b) LEFT JOIN mtg t USING (b)
+  GROUP BY p.doc_id
+), b6 AS MATERIALIZED (
+  SELECT b5.* FROM b5 JOIN bw USING (doc_id) CROSS JOIN cglob
+  WHERE bw.tmass * cglob.sr >= bw.rmass * cglob.st
+), pkt AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM b6
+), pk AS (
+  SELECT source, shard,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      // 512 AS bin_id,
+    n_tokens
+  FROM pkt
+)
+SELECT stage, n_docs, n_tokens FROM (
+  ${stageRow("1_raw", "plb")}
+  UNION ALL ${stageRow("2_quality", "bs2")}
+  UNION ALL ${stageRow("3_line_dedup", "b3")}
+  UNION ALL ${stageRow("4_near_dedup", "b4")}
+  UNION ALL ${stageRow("5_decontam", "b5")}
+  UNION ALL ${stageRow("6_dsir_sample", "b6")}
+  UNION ALL SELECT '7_packed',
+    CAST((SELECT count(*) FROM
+      (SELECT DISTINCT source, shard, bin_id FROM pk)) AS BIGINT),
+    CAST(coalesce((SELECT sum(n_tokens) FROM pk), 0) AS BIGINT)
+) ORDER BY stage"""
+  }
+
   /** [[clusterCtesSql]] + the membership projection — the oracle for
     * the `doc_*_clusters` queries.
     */
@@ -1990,6 +2162,17 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_curation_e2e" -> ((s, d) =>
       graft.operators.Curation.funnel(
         plantedLineDocs(Tables.documents(s, d)))),
+    // the DAILY-RUN form (round-7 verdict #6): a batch (doc_id % 7)
+    // curated against persisted corpus state — merged line/bigram
+    // dims, corpus-seniority cross dedup via the minhash novel leg,
+    // merged decontam grams, DSIR vs the corpus aggregate ratio
+    "doc_curation_novel" -> ((s, d) => {
+      val pl = plantedLineDocs(Tables.documents(s, d))
+      val corpus = pl.filter(col("doc_id") % 7 =!= 0)
+      val batch = pl.filter(col("doc_id") % 7 === 0)
+      graft.operators.Curation.incrementalFunnel(batch,
+        graft.operators.Curation.stateOf(corpus))
+    }),
     // incremental-ingest dedup: bloom the "new batch" (doc_id % 5 = 0),
     // scan the reference corpus with the codegen'd might_contain
     // predicate, exact-verify survivors with an anti-join — result is
@@ -3404,6 +3587,10 @@ GROUP BY p.doc_id ORDER BY p.doc_id""",
     // the end-to-end curation funnel, stage by stage over the planted
     // multi-line corpus (see curationE2eOracleSql)
     "doc_curation_e2e" -> curationE2eOracleSql,
+
+    // the incremental (daily-run) funnel, stage by stage against the
+    // corpus-state replay (see curationNovelOracleSql)
+    "doc_curation_novel" -> curationNovelOracleSql,
 
     // the HLL flag is the sketch contract (replayed TRUE), exactly
     // like ev_user_reach_approx

@@ -279,11 +279,28 @@ object TextOps {
     * is the engine-only fast path).
     */
   def contamination(training: DataFrame, benchmark: DataFrame, n: Int = 8,
-                    hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
-    val bGrams = benchmark
+                    hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame =
+    contaminationWithGrams(training, benchGrams(benchmark, n, hashFn),
+      n, hashFn)
+
+  /** The distinct n-gram hash set of a benchmark corpus — the
+    * decontamination state a daily pipeline persists. Mergeable: the
+    * union-distinct of two gram sets is the gram set of the union.
+    */
+  def benchGrams(benchmark: DataFrame, n: Int = 8,
+                 hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame =
+    benchmark
       .select(explode(array_distinct(Dedup.shingles(col("text"), n))).as("g"))
       .select(hashFn(0, col("g")).as("h"))
       .distinct()
+
+  /** [[contamination]] against a PRE-BUILT (possibly merged) gram set
+    * — the incremental form: only the training batch is scanned, the
+    * benchmark contributes through the broadcast gram dim.
+    */
+  def contaminationWithGrams(training: DataFrame, bGrams: DataFrame,
+                             n: Int = 8,
+                             hashFn: (Int, Column) => Column = Dedup.xxSeeded): DataFrame = {
     val tGrams = training
       .select(col("doc_id"),
         array_distinct(transform(

@@ -1305,6 +1305,39 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "shard", "n_tokens", "bin_id", "bin_offset"))
   }
 
+  test("incremental curation: corpus seniority, merged-dim line dedup, batch product") {
+    import org.apache.spark.sql.functions._
+    // corpus: 40 quality docs with boilerplate lines (df 40 ≥ 5)
+    def body(i: Long): String = (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+    val corpus = (0L until 40L)
+      .map(i => (i, s"BOILER HEADER\n${body(i)}\nBOILER FOOTER", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val state = Curation.stateOf(corpus)
+    // batch: a near-clone of corpus doc 3 (corpus seniority must drop
+    // it), two fresh docs, and a doc whose lines carry the corpus
+    // boilerplate (the merged dim must strip it)
+    val batch = Seq(
+      (1003L, body(3) + " tail", "src0"),
+      (1100L, s"BOILER HEADER\n${body(100)}\nBOILER FOOTER", "src0"),
+      (1101L, body(200), "src1"))
+      .toDF("doc_id", "text", "source")
+    val st = Curation.incrementalStages(batch, state)
+    val b3 = st.lineDeduped.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // merged-dim line dedup stripped the corpus boilerplate from the
+    // batch doc even though the batch alone never reaches df 5
+    assert(b3(1100L) == body(100))
+    // corpus seniority: the clone of corpus doc 3 is gone after
+    // near-dedup, the fresh docs survive
+    val b4 = st.nearDeduped.select($"doc_id").as[Long].collect().toSet
+    assert(!b4.contains(1003L) && b4.contains(1100L) && b4.contains(1101L))
+    // the product carries pack assignments for exactly the sampled docs
+    val prod = Curation.curateIncremental(batch, state)
+    assert(prod.columns.toSet == Set("doc_id", "text", "source",
+      "shard", "n_tokens", "bin_id", "bin_offset"))
+    assert(prod.count() == st.sampled.count())
+  }
+
   test("dsirKeep: decimal cross-multiply is exact where int64 wraps") {
     import org.apache.spark.sql.functions._
     // Planted masses near Long.MaxValue: every cross-product
