@@ -80,10 +80,10 @@ object Webhooks {
     }
 
   /** Dispatch every High/Critical alert's wire JSON to every ACTIVE
-    * webhook (WebhookManager.fire_all, app.py:914-917). The transport
-    * receives (url, json); alert volume is already bounded by the
-    * severity filter, and the URL set is a KB-scale dim, so the
-    * cross-product iterates driver-side. Returns deliveries attempted.
+    * webhook (WebhookManager.fire_all, app.py:914-917) — the
+    * driver-side convenience for interactive/KB-scale use (an
+    * arbitrary caller closure cannot ship to executors). The
+    * production path is [[fireAllDistributed]].
     */
   def fireAll(spark: SparkSession, rootDir: String, classified: DataFrame,
               post: (String, String) => Unit): Long = {
@@ -96,5 +96,38 @@ object Webhooks {
         urls.foreach { u => post(u, row.getString(0)); n += 1 }
       }
     n
+  }
+
+  /** EXECUTOR-SIDE webhook fan-out (round-7 verdict #7): the alerts ×
+    * URLs product runs where the alert rows already live, inside a
+    * `foreachPartition` over the wire-JSON frame — the form an
+    * alerts-stream `foreachBatch` calls per micro-batch. The driver
+    * holds ONLY the URL dim (KB-scale, broadcast); `postFactory`
+    * builds the transport ON each executor partition (an HTTP client
+    * is not serializable — the factory is), so at 100× alert volume
+    * delivery parallelism scales with the alert partitioning instead
+    * of funneling through one driver loop. Returns deliveries
+    * attempted (a Spark accumulator — exactly the executor-side
+    * count; a retried partition may re-post, the same at-least-once
+    * contract every side-effecting foreachPartition has).
+    */
+  def fireAllDistributed(spark: SparkSession, rootDir: String,
+                         classified: DataFrame,
+                         postFactory: () => (String, String) => Unit): Long = {
+    val urls = list(spark, rootDir).select(col("url"))
+      .collect().map(_.getString(0))
+    if (urls.isEmpty) return 0L
+    val urlsB = spark.sparkContext.broadcast(urls)
+    val delivered = spark.sparkContext.longAccumulator("webhook_deliveries")
+    graft.export.Report.alertWireJson(classified).select("wire_json")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val post = postFactory()
+        val us = urlsB.value
+        it.foreach { row =>
+          val json = row.getString(0)
+          us.foreach { u => post(u, json); delivered.add(1L) }
+        }
+      }
+    delivered.value
   }
 }

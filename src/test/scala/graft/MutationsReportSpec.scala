@@ -224,6 +224,35 @@ class MutationsReportSpec extends SparkSpecBase {
     assert(sent.peek()._2.contains("\"source\":\"DAM-v3\""))
   }
 
+  test("webhook fan-out runs on executors; driver holds only the URL dim") {
+    import graft.sources.Webhooks
+    val root = Files.createTempDirectory("webhooks_dist").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root)
+    val t = Timestamp.valueOf("2024-01-10 07:00:00")
+    Webhooks.register(spark, root, "https://a.example/hook", t)
+    Webhooks.register(spark, root, "https://b.example/hook", t)
+    val cls = Detect.classify(Tables.activity(spark, sf("sf0.001")),
+      Detect.ipBlacklist(spark))
+    DistributedPostSink.reset()
+    val n = Webhooks.fireAllDistributed(spark, root, cls,
+      () => (u, j) => DistributedPostSink.record(u, j))
+    val nAlerts = Detect.deriveAlerts(cls).count()
+    assert(n == nAlerts * 2)
+    assert(DistributedPostSink.size.toLong == n)
+    // every delivery happened on an executor task thread, not the
+    // driver (local mode shares the JVM, so the thread name is the
+    // discriminator)
+    val threads = DistributedPostSink.threads
+    assert(threads.nonEmpty &&
+      threads.forall(_.contains("Executor task launch worker")),
+      s"deliveries ran on: $threads")
+    // empty URL dim: no job at all
+    val root2 = Files.createTempDirectory("webhooks_none").toString
+    graft.sources.TableRegistry.initWarehouse(spark, root2)
+    assert(Webhooks.fireAllDistributed(spark, root2, cls,
+      () => (_, _) => fail("must not post")) == 0L)
+  }
+
   test("report_log append fails fast on a legacy (mismatched) schema") {
     val root = Files.createTempDirectory("replog_legacy").toString
     val dir = root + "/report_log"
@@ -313,5 +342,25 @@ class MutationsReportSpec extends SparkSpecBase {
         System.nanoTime() < deadline) Thread.sleep(100)
       assert(spark.read.parquet(root + "/report_log").count() >= 4)
     } finally sched.stop()
+  }
+}
+
+/** Executor-side delivery recorder for the distributed fan-out spec:
+  * a static sink (local mode shares one JVM) capturing (url, json,
+  * thread) so the spec can assert deliveries ran on task threads.
+  */
+object DistributedPostSink {
+  private val sent =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]
+  def reset(): Unit = sent.clear()
+  def record(u: String, j: String): Unit = {
+    sent.add((u, j, Thread.currentThread().getName)); ()
+  }
+  def size: Int = sent.size
+  def threads: Set[String] = {
+    val it = sent.iterator()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()._3
+    b.result()
   }
 }
