@@ -735,7 +735,13 @@ FROM t"""
       .readFrom(head.getAs[Array[Byte]]("cms"))
     val slack = 2L * math.ceil(0.0005d * head.getAs[Long]("n")).toLong
     val types = ev.select(col("event_type")).distinct()
-      .limit(maxEnum + 1).collect().map(_.getString(0))
+      .limit(maxEnum + 1).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // a null group would read a MISSING map key below and silently
+    // null the contract flags instead of failing them — refuse it
+    require(!types.contains(null),
+      "cmsCounts: null event_type — the bounded-enum contract needs a " +
+        "non-null grouping column")
     require(types.length <= maxEnum,
       s"cmsCounts: grouping domain exceeds the bounded-enum contract " +
         s"(> $maxEnum distinct values) — driver-held estimate maps are " +

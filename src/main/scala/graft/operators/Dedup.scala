@@ -767,21 +767,29 @@ object Dedup {
     *     signatures) and bloomed in one distributive pass — the sketch
     *     is sized for the BATCH (bands keys/doc), broadcast-small at
     *     any corpus scale;
-    *  2. the reference corpus is scanned ONCE: band keys from the same
-    *     scan-local expression, exploded (narrow), pruned by the
-    *     codegen'd `might_contain` literal predicate — no corpus-side
-    *     shuffle or join exists anywhere before this prune;
+    *  2. the reference corpus is scanned with SLIM (doc_id, band key)
+    *     signatures — the shingle payload never rides the bands-way
+    *     explode — pruned by the codegen'd `might_contain` literal
+    *     predicate; no corpus-side shuffle or join exists anywhere
+    *     before this prune;
     *  3. survivors (true band collisions + ~fpp noise) equi-join the
     *     broadcast batch band keys — the EXACT band-collision check,
     *     so Bloom false positives drop out here and the sketch only
-    *     prunes — then verify exact n-gram Jaccard against the
-    *     broadcast batch shingle sets (at band multiplicity ≤ bands,
-    *     cheaper than shuffling candidate pairs to dedup them);
+    *     prunes — into deduped candidate pairs; a second narrow
+    *     corpus scan fetches just the candidates' shingle sets
+    *     (broadcast equi-join) for the exact n-gram Jaccard verify;
     *  4. batch docs with any verified corpus near-dup (jaccard ≥
     *     threshold) are the losers — a distinct over loser ids only —
     *     and the result is the batch anti-join, exactly as if
     *     [[minhashNearDups]] had run over batch ∪ corpus restricted
     *     to cross pairs.
+    *
+    * Broadcast contract (same as [[bloomNovel]]'s `expectedItems`
+    * note): the BATCH is the broadcast side throughout — its band
+    * keys, its shingle sets, and the loser ids — so batch size is
+    * bounded by the broadcast threshold, and `expectedItems` sizes
+    * the bloom for batch·bands keys. The corpus is never broadcast,
+    * shuffled, or joined on its own bulk.
     *
     * Returns the batch rows with no corpus near-duplicate.
     */
@@ -808,13 +816,24 @@ object Dedup {
     if (bfRow.isNullAt(0)) batch // no batch band keys: everything is novel
     else {
       val bf = lit(bfRow.getAs[Array[Byte]](0))
-      // corpus side: scan → generate(bands rows) → bloom filter — all
-      // narrow; the shingle set rides along for the verify stage
-      val refBanded = ref.select(col("doc_id").as("ref_id"), sh.as("sh_r"),
-          explode(bkeys).as("bk"))
+      // corpus scan #1: SLIM (doc_id, band key) rows only — the
+      // shingle array never rides the bands-way explode (round-7
+      // advice: carrying it duplicated every corpus doc's shingle set
+      // × bands in the scan projection). Survivors take the exact
+      // band check against the broadcast batch keys; candidate pairs
+      // dedup before the expensive set-similarity verify (band
+      // multiplicity ≤ bands collapses on two longs).
+      val cand = ref.select(col("doc_id").as("ref_id"), explode(bkeys).as("bk"))
         .filter(BloomShim.mightContain(bf, col("bk")))
-      val losers = refBanded
         .join(broadcast(batchBand), Seq("bk"))
+        .select(col("ref_id"), col("batch_id"))
+        .dropDuplicates("ref_id", "batch_id")
+      // corpus scan #2: fetch only the candidate docs' shingle sets by
+      // broadcast equi-join (candidates = true collisions + ~fpp
+      // noise — small), verify exact jaccard vs the broadcast batch
+      // shingle sets
+      val losers = ref.select(col("doc_id").as("ref_id"), sh.as("sh_r"))
+        .join(broadcast(cand), Seq("ref_id"))
         .join(broadcast(batchKeyed.select(col("doc_id").as("batch_id"),
           col("sh").as("sh_b"))), Seq("batch_id"))
         .filter(round(
