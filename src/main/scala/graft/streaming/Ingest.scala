@@ -96,7 +96,16 @@ object Ingest {
       // stream fails — bounds rule staleness to
       // maxRuleFallbackBatches × trigger interval (the reference's
       // cache is bounded at 60 s the same way)
-      maxRuleFallbackBatches: Int = 3)
+      maxRuleFallbackBatches: Int = 3,
+      // when set (with a postFactory passed to [[start]]), every
+      // micro-batch's High/Critical alerts fan out to the ACTIVE
+      // webhooks registered under this warehouse root — on the
+      // EXECUTORS ([[graft.sources.Webhooks.fireAllDistributed]]),
+      // the reference's fire-on-alert-creation behavior
+      // (app.py:914-917) at micro-batch cadence. At-least-once: a
+      // crash replay re-fires the replayed batch's alerts, the
+      // standard contract for side-effecting sinks
+      webhooksRoot: Option[String] = None)
 
   /** Raw general_log rows → activity_logs-shaped frame. Pure column
     * pipeline; works identically on batch and streaming frames
@@ -200,7 +209,8 @@ object Ingest {
     */
   def start(spark: SparkSession, source: DataFrame, users: DataFrame,
             cfg: IngestConfig,
-            rules: Option[DataFrame] = None): StreamingQuery = {
+            rules: Option[DataFrame] = None,
+            postFactory: Option[() => (String, String) => Unit] = None): StreamingQuery = {
     withRocksDbState(spark)
     val staticRules = rules.getOrElse(Detect.firewallRules(spark))
     // cfg.rulesDir: re-resolve the dim per micro-batch with a FRESH
@@ -360,6 +370,14 @@ object Ingest {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(cfg.alertsDir)
+          // webhook fan-out for this batch's High/Critical alerts,
+          // on the executors (round-7 verdict #7); after the alert
+          // sink so a delivery never precedes its persisted alert
+          for (root <- cfg.webhooksRoot; pf <- postFactory) {
+            graft.sources.Webhooks.fireAllDistributed(
+              batch.sparkSession, root, classified, pf)
+            ()
+          }
         } finally {
           classified.unpersist(); fw.unpersist(); enriched.unpersist(); ()
         }

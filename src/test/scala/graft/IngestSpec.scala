@@ -23,11 +23,18 @@ class IngestSpec extends SparkSpecBase {
     val users = Seq(("root", "Admin", 1L), ("app", "User", 2L))
       .toDF("username", "role", "user_id")
     val dir = Files.createTempDirectory("ingest").toString
+    // webhook registry: the stream fans each batch's alerts out to
+    // the active URLs on the executors
+    graft.sources.TableRegistry.initWarehouse(spark, dir)
+    graft.sources.Webhooks.register(spark, dir, "https://hook.example/a",
+      ts("2024-01-01 00:00:00"))
+    DistributedPostSink.reset()
     val cfg = Ingest.IngestConfig(
       logsDir = s"$dir/logs", alertsDir = s"$dir/alerts",
       checkpointDir = s"$dir/ckpt", triggerMs = 100L,
-      blocksDir = Some(s"$dir/blocks"))
-    val q = Ingest.start(spark, raw, users, cfg)
+      blocksDir = Some(s"$dir/blocks"), webhooksRoot = Some(dir))
+    val q = Ingest.start(spark, raw, users, cfg,
+      postFactory = Some(() => (u, j) => DistributedPostSink.record(u, j)))
     val qr = Ingest.startRejects(raw, s"$dir/rejects", s"$dir/ckpt_rej", 100L)
     try {
       mem.addData(
@@ -59,6 +66,12 @@ class IngestSpec extends SparkSpecBase {
       val alerts = spark.read.parquet(s"$dir/alerts")
       val a = alerts.select($"alert_type", $"severity").as[(String, String)].collect()
       assert(a.toSet == Set(("Data Leakage", "High")))
+
+      // the stream fired that alert's wire envelope to the registered
+      // webhook from an executor task thread
+      assert(DistributedPostSink.size == 1)
+      assert(DistributedPostSink.threads
+        .forall(_.contains("Executor task launch worker")))
 
       // ...but it IS recorded in firewall_blocks (reference
       // app.py:845-848, 1177-1179), along with the alert-action hits
