@@ -2372,6 +2372,10 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
         sum(col("bp")).as("bpeish_tokens"))
       .orderBy(col("source"), col("lang_guess"))),
+    // fixed-stride sliding-window chunking (context-window / RAG
+    // passage cut): scan-local sequence+posexplode, zero shuffle
+    "doc_chunks" -> ((s, d) =>
+      TextOps.chunkWindows(Tables.documents(s, d))),
 
     // ---- similarity search ----
     "emb_knn_brute" -> ((s, d) =>
@@ -3333,6 +3337,22 @@ SELECT source, lang_guess, count(*) AS n_docs,
   CAST(sum(nt) AS BIGINT) AS n_tokens,
   CAST(sum(bp) AS BIGINT) AS bpeish_tokens
 FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // TextOps.chunkWindows(width = 32, stride = 16): chunk i covers
+    // tokens [16i, 16i + 32); starts enumerate 0, 16, … while
+    // < n_tokens, tails run short, and the hash is over the re-joined
+    // chunk text (md5 of UTF-8 bytes in both engines)
+    "doc_chunks" ->
+      s"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start_tok FROM t
+)
+SELECT doc_id, CAST(start_tok // 16 AS BIGINT) AS chunk_idx,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(len(array_slice(toks, start_tok + 1, start_tok + 32)) AS BIGINT) AS chunk_len,
+  md5(array_to_string(array_slice(toks, start_tok + 1, start_tok + 32), ' ')) AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx""",
 
     "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}\n" +
       """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3

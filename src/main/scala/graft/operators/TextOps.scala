@@ -742,6 +742,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- sliding-window chunking (context-window / RAG passage cut) - //
+
+  /** Fixed-stride sliding-window token chunking — the standard
+    * context-window cut for pretraining attention windows and RAG
+    * passage indexing: chunk i covers tokens [i·stride, i·stride +
+    * size); starts run 0, stride, 2·stride, … while < n_tokens, so
+    * tail chunks are shorter and consecutive chunks overlap by
+    * (size − stride) tokens. Emits per chunk its index, start offset,
+    * length, and the md5 of the re-joined chunk text.
+    *
+    * Scale shape: `sequence` + `posexplode` over scan-local token
+    * arrays — zero shuffle, output amplification exactly
+    * ceil(n/stride) rows per doc (≈2× tokens at stride = size/2);
+    * chunk text never leaves the row it was cut from.
+    */
+  def chunkWindows(docs: DataFrame, width: Int = 32,
+                   stride: Int = 16): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"chunkWindows: need 0 < stride <= width, got width=$width stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(width)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ch")).cast("long").as("chunk_len"),
+        md5(array_join(col("ch"), " ").cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

@@ -641,6 +641,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (4L, 8L, 1L, 2L), (5L, 7L, 0L, 0L)))
   }
 
+  test("chunkWindows: fixed-stride windows cover every token, tails run short") {
+    val text = (1 to 37).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(docs, width = 16, stride = 8)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 37 tokens -> starts 0,8,16,24,32; lens 16,16,16,13,5
+    // doc 2: 1 token; doc 3: empty text still tokenizes to [""]
+    assert(got == Seq(
+      (1L, 0L, 0L, 16L), (1L, 1L, 8L, 16L), (1L, 2L, 16L, 16L),
+      (1L, 3L, 24L, 13L), (1L, 4L, 32L, 5L),
+      (2L, 0L, 0L, 1L), (3L, 0L, 0L, 1L)))
+    // overlap invariant: consecutive full-width chunks share width-stride
+    // tokens; every token index < n appears in ≥1 chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap { case (_, _, s, l) => s until (s + l) }.toSet
+    assert(covered == (0L until 37L).toSet)
+    // chunk hashes replay from the slice directly
+    val h = TextOps.chunkWindows(docs, width = 16, stride = 8)
+      .filter($"doc_id" === 2L).select($"chunk_hash").as[String].head()
+    assert(h == java.security.MessageDigest.getInstance("MD5")
+      .digest("solo".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("dedupLines: corpus-df line removal preserves order; hash-family independent") {
     val docs = Seq(
       (1L, "nav\nalpha\nfoot"),

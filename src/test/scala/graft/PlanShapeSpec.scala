@@ -221,6 +221,16 @@ class PlanShapeSpec extends SparkSpecBase {
       "novelty is the batch anti-join of the verified loser set")
   }
 
+  test("chunking is scan-local: no exchange, no window, one scan") {
+    val p = executedPlan("doc_chunks")
+    // the final orderBy is a global sort (range exchange) — everything
+    // under it must be generate-over-scan with no hash shuffle
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not hash-shuffle; windows are cut in the scan task")
+    assert(!p.contains("Window"), "chunking must not use a window")
+    assert(p.contains("Generate"), "expected posexplode Generate node")
+  }
+
   test("minhash novel-docs: scan-local band keys, bloom prune, no corpus shuffle before verify") {
     val p = executedPlan("doc_minhash_novel")
     // corpus band keys must come from the native scan-local expression
