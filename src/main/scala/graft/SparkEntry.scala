@@ -899,41 +899,41 @@ ORDER BY m.vec_id"""
     * iterations, decimal-exact means, (dist, cid) tie-break).
     */
   private def kmeansAssignCtes(src: String, nlist: Int, iters: Int,
-                               dim: Int): String = {
+                               dim: Int, suffix: String = ""): String = {
     val init =
-      s"""c0 AS (
+      s"""c0$suffix AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
   FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $nlist)
 )"""
     val iterCtes = (0 until iters).map { i =>
-      s"""a$i AS (
+      s"""a$i$suffix AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
-    FROM $src e CROSS JOIN c$i c
+    FROM $src e CROSS JOIN c$i$suffix c
   ) WHERE rn = 1
-), m$i AS (
+), m$i$suffix AS (
   SELECT a.cid, t.i AS pos,
     CAST(sum(CAST(CAST(e.embedding[t.i + 1] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
       / count(*) AS m
-  FROM $src e JOIN a$i a USING (vec_id) CROSS JOIN range($dim) t(i)
+  FROM $src e JOIN a$i$suffix a USING (vec_id) CROSS JOIN range($dim) t(i)
   GROUP BY a.cid, t.i
-), c${i + 1} AS (
+), c${i + 1}$suffix AS (
   SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
-  FROM c$i c LEFT JOIN (
-    SELECT cid, list(m ORDER BY pos) AS cent FROM m$i GROUP BY cid
+  FROM c$i$suffix c LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cent FROM m$i$suffix GROUP BY cid
   ) n USING (cid)
 )"""
     }.mkString(",\n")
     val af =
-      s"""af AS (
+      s"""af$suffix AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
-    FROM $src e CROSS JOIN c$iters c
+    FROM $src e CROSS JOIN c$iters$suffix c
   ) WHERE rn = 1
 )"""
     s"$init,\n$iterCtes,\n$af"
@@ -969,6 +969,65 @@ nn AS (
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB replay of Similarity.pqTopK up to the exact-re-ranked
+    * `scored(query_id, vec_id, cos_sim)`: per-subspace sliced sources
+    * → the SAME deterministic-Lloyd codebooks (kmeansAssignCtes per
+    * subspace, suffixed CTE names) → codes + ‖codeword‖² PQ norms →
+    * ADC cosine via subspace dot products against the assigned
+    * codewords → top-`cand` candidates → exact cosine re-rank.
+    * Subspace sums are written as explicit left-associated `+` chains
+    * to match the Spark side's ascending-j fold bit-for-bit.
+    */
+  private def pqScoredCtes(m: Int, ksub: Int, iters: Int, dim: Int,
+                           cand: Int, queryIds: Seq[Long]): String = {
+    val dsub = dim / m
+    val subs = (0 until m).map { j =>
+      s"""sub$j AS (
+  SELECT vec_id, array_slice(embedding, ${j * dsub + 1}, ${(j + 1) * dsub}) AS embedding
+  FROM embeddings
+)"""
+    }.mkString(",\n")
+    val kms = (0 until m).map(j =>
+      kmeansAssignCtes(s"sub$j", ksub, iters, dsub, s"_p$j")).mkString(",\n")
+    val codeJoin = (0 until m).map(j =>
+      s"JOIN af_p$j a$j ON a$j.vec_id = e.vec_id " +
+        s"JOIN c${iters}_p$j b$j ON b$j.cid = a$j.cid").mkString("\n  ")
+    val pqnorm = (0 until m).map(j =>
+      dotSql(s"b$j.cent", s"b$j.cent")).mkString(" + ")
+    val adcSum = (0 until m).map(j => dotSql(
+      s"array_slice(q.embedding, ${j * dsub + 1}, ${(j + 1) * dsub})",
+      s"e.cent$j")).mkString(" + ")
+    val qIn = queryIds.mkString(", ")
+    s"""WITH $subs,
+$kms,
+nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
+), enc AS (
+  SELECT e.vec_id, ${(0 until m).map(j => s"b$j.cent AS cent$j").mkString(", ")},
+    sqrt($pqnorm) AS pqnorm
+  FROM embeddings e
+  $codeJoin
+), q AS (
+  SELECT vec_id AS query_id, embedding, norm AS qnorm
+  FROM nn WHERE vec_id IN ($qIn)
+), adc AS (
+  SELECT q.query_id, e.vec_id,
+    round(($adcSum) / (e.pqnorm * q.qnorm), 4) AS cos_sim
+  FROM enc e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), pqcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM adc WHERE NOT isnan(cos_sim)
+  ) WHERE rn <= $cand
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM pqcand c JOIN nn ON nn.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)"""
+  }
 
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
@@ -2468,6 +2527,18 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         .collect().toSeq.sortBy(_._1)
       Similarity.ivfSearchIndexed(s, idx, qvecs)
     }),
+    // product-quantization ADC search (4 subspaces × 16 codewords =
+    // 4-byte codes) with exact re-rank of the top-50 candidates —
+    // the FAISS IVF-PQ probe path's PQ half
+    "emb_pq_ann" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // quality dial for the PQ code budget: recall@10 vs brute force
+    "emb_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.pqTopK(emb, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // banded OR-amplified near-dup blocking over a PLANTED corpus: the
     // synthetic embeddings are random noise (max natural pair cosine
     // ≈ 0.51 — no true near-dups exist to find), so the query plants
@@ -3552,6 +3623,43 @@ ORDER BY d.doc_id"""),
     // (durable lists + pruned probe), not the answer
     "emb_ivf_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
+
+    // PQ-ADC search: codebooks, codes, ADC ranking, candidate cut and
+    // exact re-rank all replayed (Similarity.pqTopK is deterministic
+    // end-to-end, so nothing about PQ stays engine-specific)
+    "emb_pq_ann" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2, dim = 64,
+      cand = 50, queryIds = Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // recall@10 of the PQ-ADC candidate funnel vs exact brute force
+    "emb_pq_recall" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
+      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L)) + s"""
+, pqk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+), bscored AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM bscored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+  CAST(count(l.vec_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM brute x LEFT JOIN pqk l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id"""),
 
     // recall@10 of the pruned IVF probe vs exact brute force — the
     // brute side reuses the same nn norms, so the only difference

@@ -582,6 +582,137 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ----------------------------------------------------------------
+  // Product quantization (PQ): the billion-scale ANN compression
+  // standard (Jégou et al. 2011, the PQ half of FAISS's IVF-PQ) — the
+  // space is cut into m contiguous subspaces, each vector encoded as
+  // m codeword ids (here m=4 × 16 codewords = 4 bytes/vector, 64×
+  // smaller than the float corpus), and queries score codes via an
+  // m×k lookup table (ADC) without touching the original floats.
+  // ----------------------------------------------------------------
+
+  /** Driver-side replica of [[graft.functions.DotExact]]'s arithmetic
+    * (per-product round at decimal scale 15, exact sum): the ADC
+    * lookup tables are computed on the driver but must be
+    * bit-identical to what the oracle's in-SQL decimal dot product
+    * yields for the same operands.
+    */
+  private[graft] def dotExactLocal(a: Array[Double],
+                                   b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"dotExactLocal: length mismatch (${a.length} vs ${b.length})")
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < a.length) {
+      val p = a(i) * b(i)
+      sum = sum.add(
+        new java.math.BigDecimal(java.lang.Double.toString(p))
+          .setScale(15, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue()
+  }
+
+  /** PQ codebooks: `m` contiguous subspaces, each trained
+    * independently by the deterministic Lloyd iterations of
+    * [[trainCentroids]] (`ksub` codewords per subspace). The result is
+    * m × ksub × (dim/m) doubles — KB-scale driver state, broadcast
+    * into the encode expression like the IVF centroid dim. The corpus
+    * is pinned once; each subspace training slices the cached rows.
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
+                  iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val alreadyCached =
+      embeddings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned =
+      if (alreadyCached) embeddings
+      else embeddings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (0 until m).map { j =>
+      trainCentroids(pinned.select(col("vec_id"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+        ksub, iters)
+    }.toArray
+    finally { if (!alreadyCached) { pinned.unpersist(); () } }
+  }
+
+  /** Per-subspace nearest-codeword ids (the PQ code) — a scan-local
+    * argmin per subspace over the broadcast codebooks, no shuffle.
+    */
+  private def pqCodes(vec: Column,
+                      books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    array(books.indices.map(j =>
+      nearestCentroid(slice(vec, j * dsub + 1, dsub), books(j))): _*)
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank: the corpus is
+    * encoded to m-byte codes once (scan-local); each query builds an
+    * m×ksub table of subspace dot products against every codeword
+    * (driver-side, KB), and a corpus row's approximate cosine is m
+    * table lookups — no float math per row at probe time. The top
+    * `cand` ADC candidates per query are then re-ranked by exact
+    * cosine (a semi-join back to the float corpus) and cut to `k`.
+    *
+    * 100 TB shape: the encoded corpus is 4 bytes + id per vector
+    * (fits hot storage three orders of magnitude smaller than the
+    * floats), the ADC scan is one pass with a broadcast lookup table,
+    * and only `cand` rows per query ever touch the float corpus
+    * again. Combine with the IVF list layout ([[writeIvfIndex]]) for
+    * FAISS-style IVF-PQ: probe lists first, ADC within lists.
+    */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+             m: Int = 4, ksub: Int = 16, iters: Int = 2,
+             cand: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(embeddings, m, ksub, iters)
+    val dsub = books(0)(0).length
+    // ‖codeword‖² per (subspace, code): the PQ approximation of the
+    // corpus vector norm is √Σ_j ‖c_j‖²
+    val normSq = books.map(_.map(c => dotExactLocal(c, c)))
+    val qrows = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val qdf = qrows.toSeq.map { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      val qnorm = math.sqrt(dotExactLocal(qd, qd))
+      val dott = (0 until m).map { j =>
+        val qs = java.util.Arrays.copyOfRange(qd, j * dsub, (j + 1) * dsub)
+        books(j).map(c => dotExactLocal(qs, c)).toSeq
+      }
+      (qid, qnorm, dott)
+    }.toDF("query_id", "qnorm", "dott")
+    val enc = embeddings
+      .select(col("vec_id"), pqCodes(col("embedding"), books).as("codes"))
+      .withColumn("pqnorm", sqrt(books.indices.map(j =>
+          element_at(typedlit(normSq(j).toSeq),
+            element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _)))
+    val adc = enc.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(books.indices.map(j =>
+            element_at(element_at(col("dott"), j + 1),
+              element_at(col("codes"), j + 1) + 1))
+          .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
+    val candidates = topKPerQuery(adc, cand)
+      .select(col("query_id"), col("vec_id"))
+    val nn = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val qexact = qrows.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("query_id", "qvec")
+    val exact = candidates.join(nn, Seq("vec_id"))
+      .join(broadcast(qexact), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * l2norm(col("qvec"))), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
   /** Recall@k of an approximate kNN result against the exact one —
     * the quality dial for tuning LSH planes / IVF nprobe in
     * production. Both inputs carry (query_id, vec_id) rows (ranks

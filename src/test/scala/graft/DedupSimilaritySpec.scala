@@ -266,6 +266,47 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ivf.find(_._3 == 1L).get._1 == bruteTop)
   }
 
+  test("pq: codebooks per subspace, wide candidate cut converges to exact top-k") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqCodebooks(vecs, m = 2, ksub = 4, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 4)))
+    // cand ≥ corpus → every row survives the ADC funnel, so the exact
+    // re-rank must reproduce brute force verbatim (scores AND order)
+    val exact = Similarity.bruteForceTopK(vecs, Seq(0L), k = 5)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)]
+      .collect().toSeq
+    val pq = Similarity.pqTopK(vecs, Seq(0L), k = 5, m = 2, ksub = 4,
+      iters = 2, cand = 100)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)]
+      .collect().toSeq
+    assert(pq == exact)
+    // tight candidate budget: results are a subset of the corpus with
+    // exact scores (re-rank never invents similarity)
+    val brute = Similarity.bruteForceTopK(vecs, Seq(0L), k = 59)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toMap
+    val narrow = Similarity.pqTopK(vecs, Seq(0L), k = 5, m = 2, ksub = 4,
+      iters = 2, cand = 8)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(narrow.length == 5)
+    narrow.foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
+  test("dotExactLocal mirrors the native DotExact expression bit-for-bit") {
+    val a = Array.tabulate(16)(i => math.sin(i * 1.7) * 3)
+    val b = Array.tabulate(16)(i => math.cos(i * 0.9) / 7)
+    val viaExpr = Seq((a.map(_.toFloat), b.map(_.toFloat)))
+      .toDF("a", "b")
+      .select(graft.functions.DotExact.dot_exact($"a", $"b"))
+      .as[Double].head()
+    val local = Similarity.dotExactLocal(
+      a.map(x => x.toFloat.toDouble), b.map(x => x.toFloat.toDouble))
+    assert(java.lang.Double.doubleToLongBits(viaExpr) ==
+      java.lang.Double.doubleToLongBits(local))
+  }
+
   test("kmeans training is deterministic across partitionings") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 7 + j) % 11) - 5).toFloat / 5f), 0)
