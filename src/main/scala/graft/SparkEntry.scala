@@ -980,7 +980,8 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     * to match the Spark side's ascending-j fold bit-for-bit.
     */
   private def pqScoredCtes(m: Int, ksub: Int, iters: Int, dim: Int,
-                           cand: Int, queryIds: Seq[Long]): String = {
+                           cand: Int, queryIds: Seq[Long],
+                           ivf: Option[(Int, Int, Int)] = None): String = {
     val dsub = dim / m
     val subs = (0 until m).map { j =>
       s"""sub$j AS (
@@ -990,6 +991,29 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     }.mkString(",\n")
     val kms = (0 until m).map(j =>
       kmeansAssignCtes(s"sub$j", ksub, iters, dsub, s"_p$j")).mkString(",\n")
+    // coarse quantizer (IVF-PQ): its own suffixed Lloyd chain; qp is
+    // each query's nprobe nearest lists, and ADC only scans rows whose
+    // coarse assignment is probed
+    val coarse = ivf.map { case (nlist, _, itersIvf) =>
+      kmeansAssignCtes("embeddings", nlist, itersIvf, dim, "_cq") + ",\n"
+    }.getOrElse("")
+    val qp = ivf.map { case (_, nprobe, itersIvf) =>
+      s""", qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${sqDistSql("q.embedding", "c.cent")}, c.cid) AS rn
+    FROM q CROSS JOIN c${itersIvf}_cq c
+  ) WHERE rn <= $nprobe
+)"""
+    }.getOrElse("")
+    val adcFrom =
+      if (ivf.isDefined)
+        """FROM enc e JOIN af_cq v ON v.vec_id = e.vec_id
+  JOIN qp ON qp.cid = v.cid
+  JOIN q ON q.query_id = qp.query_id
+  WHERE e.vec_id <> q.query_id"""
+      else "FROM enc e CROSS JOIN q WHERE e.vec_id <> q.query_id"
     val codeJoin = (0 until m).map(j =>
       s"JOIN af_p$j a$j ON a$j.vec_id = e.vec_id " +
         s"JOIN c${iters}_p$j b$j ON b$j.cid = a$j.cid").mkString("\n  ")
@@ -1001,7 +1025,7 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     val qIn = queryIds.mkString(", ")
     s"""WITH $subs,
 $kms,
-nn AS (
+${coarse}nn AS (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
 ), enc AS (
   SELECT e.vec_id, ${(0 until m).map(j => s"b$j.cent AS cent$j").mkString(", ")},
@@ -1011,10 +1035,10 @@ nn AS (
 ), q AS (
   SELECT vec_id AS query_id, embedding, norm AS qnorm
   FROM nn WHERE vec_id IN ($qIn)
-), adc AS (
+)$qp, adc AS (
   SELECT q.query_id, e.vec_id,
     round(($adcSum) / (e.pqnorm * q.qnorm), 4) AS cos_sim
-  FROM enc e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  $adcFrom
 ), pqcand AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
@@ -2532,6 +2556,10 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // the FAISS IVF-PQ probe path's PQ half
     "emb_pq_ann" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // the full IVF-PQ probe path: coarse quantizer restricts ADC to
+    // nprobe lists, exact re-rank of the survivors
+    "emb_ivfpq_ann" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
     // quality dial for the PQ code budget: recall@10 vs brute force
     "emb_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3629,6 +3657,15 @@ ORDER BY d.doc_id"""),
     // end-to-end, so nothing about PQ stays engine-specific)
     "emb_pq_ann" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2, dim = 64,
       cand = 50, queryIds = Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // IVF-PQ: the PQ replay with a coarse-quantizer Lloyd chain and
+    // the probe restriction applied to the ADC scan
+    "emb_ivfpq_ann" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
+      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L),
+      ivf = Some((16, 4, 3))) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),

@@ -713,6 +713,85 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** The full FAISS-style IVF-PQ probe path: a coarse quantizer
+    * (deterministic-Lloyd IVF centroids) restricts each query to its
+    * `nprobe` nearest inverted lists, ADC table lookups score the
+    * 4-byte PQ codes WITHIN those lists only, and the top `cand`
+    * survivors re-rank by exact cosine. This is the billion-scale
+    * layout: probe cost is (corpus/nlist)·nprobe code lookups — no
+    * float math, no full scan — and with the corpus written
+    * partitioned by list id ([[writeIvfIndex]]) each probe is a
+    * partition-pruned read of code columns alone.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4, itersIvf: Int = 3,
+                m: Int = 4, ksub: Int = 16, itersPq: Int = 2,
+                cand: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val alreadyCached =
+      embeddings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned =
+      if (alreadyCached) embeddings
+      else embeddings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(pinned, nlist, itersIvf)
+      val books = pqCodebooks(pinned, m, ksub, itersPq)
+      val dsub = books(0)(0).length
+      val normSq = books.map(_.map(c => dotExactLocal(c, c)))
+      val qrows = pinned.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val qdf = qrows.toSeq.flatMap { case (qid, qv) =>
+        val qd = qv.map(_.toDouble)
+        val qnorm = math.sqrt(dotExactLocal(qd, qd))
+        val dott = (0 until m).map { j =>
+          val qs = java.util.Arrays.copyOfRange(qd, j * dsub, (j + 1) * dsub)
+          books(j).map(c => dotExactLocal(qs, c)).toSeq
+        }
+        // nprobe nearest coarse lists: plain double left fold — the
+        // same IEEE op sequence as the oracle's sqDist list_reduce
+        val probes = cents.zipWithIndex.map { case (c, i) =>
+          var d = 0.0
+          var j2 = 0
+          while (j2 < c.length) {
+            val dl = qd(j2) - c(j2); d += dl * dl; j2 += 1
+          }
+          (d, i)
+        }.sortBy(identity).take(nprobe).map(_._2).toSeq
+        probes.map(cid => (qid, qnorm, dott, cid))
+      }.toDF("query_id", "qnorm", "dott", "cid")
+      val enc = pinned
+        .select(col("vec_id"),
+          nearestCentroid(col("embedding"), cents).as("cid"),
+          pqCodes(col("embedding"), books).as("codes"))
+        .withColumn("pqnorm", sqrt(books.indices.map(j =>
+            element_at(typedlit(normSq(j).toSeq),
+              element_at(col("codes"), j + 1) + 1))
+          .reduce(_ + _)))
+      val adc = enc.join(broadcast(qdf), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(books.indices.map(j =>
+              element_at(element_at(col("dott"), j + 1),
+                element_at(col("codes"), j + 1) + 1))
+            .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
+      val candidates = topKPerQuery(adc, cand)
+        .select(col("query_id"), col("vec_id"))
+      val nn = pinned.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("norm"))
+      val qexact = qrows.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+        .toDF("query_id", "qvec")
+      val exact = candidates.join(nn, Seq("vec_id"))
+        .join(broadcast(qexact), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("embedding"), col("qvec")) /
+            (col("norm") * l2norm(col("qvec"))), 4).as("cos_sim"))
+      topKPerQuery(exact, k)
+    } finally { if (!alreadyCached) { pinned.unpersist(); () } }
+  }
+
   /** Recall@k of an approximate kNN result against the exact one —
     * the quality dial for tuning LSH planes / IVF nprobe in
     * production. Both inputs carry (query_id, vec_id) rows (ranks
