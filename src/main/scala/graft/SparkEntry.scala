@@ -91,6 +91,14 @@ object SparkEntry {
   private val SampleRates: Map[String, Double] =
     Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
 
+  /** Token budgets for the budget-mix fixture (tokens per source,
+    * divisible by the 4 shard streams); unlisted sources get mixture
+    * weight 0. Sized so every listed source is genuinely cut at
+    * sf ≥ 0.01 (each source carries ≳1.1k tokens there).
+    */
+  private val TokenBudgets: Map[String, Long] =
+    Map("src0" -> 1200L, "src1" -> 800L, "src2" -> 400L, "src4" -> 100000L)
+
   private val ActivityPrelude: String = {
     val tblExtract = tblExtractSql("sql_text")
     s"""WITH ev AS (
@@ -2447,6 +2455,10 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         "doc_id", SampleRates)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // mixture weights in TOKEN space: per-source token budgets cut by
+    // sharded integer running sums (unlisted sources drop out)
+    "doc_budget_mix" -> ((s, d) =>
+      Sampling.budgetSample(Tables.documents(s, d), TokenBudgets)),
     "doc_token_budget" -> ((s, d) => Tables.documents(s, d)
       .select(col("source"), TextOps.langGuess(col("text")).as("lang_guess"),
         TextOps.tokenCount(col("text")).as("nt"),
@@ -3419,6 +3431,28 @@ FROM documents ORDER BY doc_id"""
       s"""SELECT doc_id, source FROM documents
 WHERE $keep
 ORDER BY doc_id"""
+    },
+
+    // Sampling.budgetSample(TokenBudgets, shards = 4): per-(source,
+    // shard) integer running sum in doc_id order, keep while the
+    // inclusive cumulative token count fits the per-shard quota
+    "doc_budget_mix" -> {
+      val quota = TokenBudgets.toSeq.sortBy(_._1).map { case (src, b) =>
+        s"WHEN source = '$src' THEN ${b / 4}"
+      }.mkString(" ")
+      s"""WITH x AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+    CASE $quota END AS quota
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens, quota,
+    COALESCE(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM x WHERE quota IS NOT NULL
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c WHERE before + n_tokens <= quota ORDER BY doc_id"""
     },
 
     "doc_token_budget" ->

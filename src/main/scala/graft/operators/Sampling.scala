@@ -59,6 +59,47 @@ object Sampling {
       when(h < tVal, "val").when(h < tTest, "test").otherwise("train"))
   }
 
+  /** Token-budget mixture cut: per source, keep documents in doc_id
+    * order while they fit the source's token budget — the
+    * deterministic way to hit mixture weights expressed in TOKEN
+    * space ("this source contributes ≤ B tokens to the run") rather
+    * than row space. A document is kept iff the cumulative token
+    * count of its stream, itself included, stays within quota;
+    * unlisted sources are dropped (mixture weight 0).
+    *
+    * Scale shape: the running sum is per (source, shard) stream with
+    * the budget split evenly across shards — the same sharding
+    * contract as [[TextOps.packSequences]]: one stream's rows fit one
+    * task, streams are independent, the cut is exact per shard, and
+    * only (doc_id, n_tokens) enters the shuffle — text never moves.
+    * Integer arithmetic only (int64 sums, no float boundary).
+    */
+  def budgetSample(docs: DataFrame, budgets: Map[String, Long],
+                   shards: Int = 4): DataFrame = {
+    require(shards > 0, "budgetSample: shards must be positive")
+    require(budgets.values.forall(b => b >= 0 && b % shards == 0),
+      s"budgets must be divisible by shards=$shards so per-shard " +
+        "quotas stay exact integers")
+    val quota = coalesce(budgets.toSeq.sortBy(_._1).map { case (src, b) =>
+      when(col("source") === src, lit(b / shards))
+    } :+ lit(null).cast("long"): _*)
+    val stream = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("quota", quota)
+      .filter(col("quota").isNotNull)
+      .withColumn("before",
+        coalesce(sum(col("n_tokens")).over(stream), lit(0L)))
+      .filter(col("before") + col("n_tokens") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-stratum mixture sampling: each stratum value keeps its own
     * deterministic fraction (unlisted strata are dropped). The rate
     * map is a when-chain — strata are FEW by construction (sources,

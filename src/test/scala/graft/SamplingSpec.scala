@@ -64,4 +64,32 @@ class SamplingSpec extends SparkSpecBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(s1 == expected)
   }
+
+  test("budgetSample: inclusive cumulative cut per shard stream, unlisted sources dropped") {
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // one shard (shards = 1) so the quota applies to the whole source
+    val docs = Seq(
+      (0L, words(4), "a"),  // cum 4  <= 10: keep
+      (1L, words(5), "a"),  // cum 9  <= 10: keep
+      (2L, words(3), "a"),  // cum 12 > 10: drop
+      (3L, words(1), "a"),  // before=12 still > quota: drop (no refill)
+      (4L, words(9), "b"),  // unlisted source: dropped entirely
+      (5L, words(2), "c")   // cum 2 <= 6: keep
+    ).toDF("doc_id", "text", "source")
+    val got = Sampling.budgetSample(docs,
+      Map("a" -> 10L, "c" -> 6L), shards = 1)
+      .select($"doc_id", $"source", $"n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "a", 4L), (1L, "a", 5L), (5L, "c", 2L)))
+    // sharded: doc_id parity splits source a into two streams of quota 5
+    val sharded = Sampling.budgetSample(docs, Map("a" -> 10L), shards = 2)
+      .select($"doc_id").as[Long].collect().toSeq
+    // stream a%0: docs 0 (4 <= 5 keep), 2 (4+3 > 5 drop)
+    // stream a%1: docs 1 (5 <= 5 keep), 3 (5+1 > 5 drop)
+    assert(sharded == Seq(0L, 1L))
+    // indivisible budget fails fast rather than silently flooring
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSample(docs, Map("a" -> 11L), shards = 2)
+    }
+  }
 }
