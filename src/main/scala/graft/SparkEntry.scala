@@ -1988,6 +1988,16 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         .orderBy(col("activity_id"), col("src"))
     }),
     "ev_sessions" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    // the native session_window aggregation in batch mode — the same
+    // expression sessionizes the live stream (IngestSpec); gap rule
+    // identical to ev_sessions, end = last event + gap
+    "ev_session_windows" -> ((s, d) =>
+      graft.streaming.Ingest.sessionWindows(Tables.events(s, d))
+        .select(col("user_id"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ts"))),
     "ev_funnel" -> ((s, d) =>
       Analytics.funnel(Tables.events(s, d), "signup", "purchase")),
     "ev_retention" -> ((s, d) =>
@@ -3075,6 +3085,31 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
 FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    // Ingest.sessionWindows in batch mode: the ev_sessions gap rule
+    // (new session iff ts strictly exceeds prev + gap — touching
+    // intervals merge), end reported as last event + gap
+    "ev_session_windows" ->
+      """WITH x AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session, event_id
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM y
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_ts,
+  count(*) AS n_events
+FROM z GROUP BY user_id, session_id ORDER BY user_id, start_ts""",
 
     "doc_top_per_source" ->
       """SELECT source, doc_id, n_chars FROM (

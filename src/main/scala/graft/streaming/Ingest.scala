@@ -388,6 +388,33 @@ object Ingest {
       .start()
   }
 
+  /** Streaming sessionization — the watermark-closed form of
+    * [[graft.operators.Analytics.sessionize]]: gap-based sessions per
+    * user over an event-time column `ts`, emitted once the watermark
+    * passes a session's close (last event + gap). Uses Spark's native
+    * `session_window` aggregation rather than hand-rolled fMGWS
+    * state: Catalyst manages merge/expiry in the state store (RocksDB
+    * via [[withRocksDbState]]), partial aggregation applies, and the
+    * same expression works in batch mode (the oracle-backed
+    * `ev_session_windows` row). Boundary contract (spec-locked): an
+    * event at exactly `last + gap` EXTENDS the window — touching
+    * intervals merge — which is the SAME gap rule as the batch
+    * `sessionize` (new session only on strict `>`); the one
+    * difference is that `end_ts` here is last event + gap, the
+    * session-window convention, not the last event itself.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                     watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"))
+
   // ------------------------------------------------------------------
   // Exact stateful operators (cross-batch semantics the reference kept
   // in process memory; SURVEY §2.8)

@@ -370,6 +370,48 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap sessions close when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    Ingest.withRocksDbState(spark)
+    val sessions = Ingest.sessionWindows(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 1,
+      watermarkDelay = "10 seconds")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-10 10:00:00")),
+        (1L, ts("2024-01-10 10:00:30")), // within gap: same session
+        (1L, ts("2024-01-10 10:05:00")), // > 1 min after: new session
+        (2L, ts("2024-01-10 10:00:10")))
+      q.processAllAvailable()
+      // push the watermark far past every open session's close
+      mem.addData((2L, ts("2024-01-10 11:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-10 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select($"user_id", $"start_ts".cast("string"),
+          $"end_ts".cast("string"), $"n_events")
+        .as[(Long, String, String, Long)].collect().toSet
+      // end_ts = last event + gap (session_window convention); the two
+      // user-1 bursts split into separate sessions, user streams are
+      // independent
+      assert(got.contains(
+        (1L, "2024-01-10 10:00:00", "2024-01-10 10:01:30", 2L)))
+      assert(got.contains(
+        (1L, "2024-01-10 10:05:00", "2024-01-10 10:06:00", 1L)))
+      assert(got.contains(
+        (2L, "2024-01-10 10:00:10", "2024-01-10 10:01:10", 1L)))
+      assert(got.contains(
+        (2L, "2024-01-10 11:00:00", "2024-01-10 11:01:00", 1L)))
+      // the session-window merge state itself runs on RocksDB
+      assert(q.lastProgress.json.contains("rocksdb"))
+    } finally q.stop()
+  }
+
   test("stateful rate limit counts trailing window across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ingest.RateEvent]
