@@ -412,6 +412,139 @@ object Similarity {
     }
   }
 
+  /** Durable IVF-PQ index — [[writeIvfIndex]]'s layout (lists
+    * partitioned by coarse-list id + centroid dim + drift-guard
+    * stats) extended with the PQ codebooks as a dim table and the
+    * per-row codes stored inside the list partitions: the at-rest
+    * form of [[ivfPqTopK]]. A probe reads only (vec_id, codes) from
+    * its pruned lists for ADC scoring, then re-reads the float
+    * embeddings of just the `cand` survivors — at 100 TB the hot
+    * probe path touches nprobe/nlist of a corpus that is itself 64×
+    * smaller than the floats. The layout is a superset of the plain
+    * IVF index, so [[ivfSearchIndexed]] and [[appendToIvfIndex]]'s
+    * drift guard read it unchanged.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, dir: String, nlist: Int = 16,
+                      itersIvf: Int = 3, m: Int = 4, ksub: Int = 16,
+                      itersPq: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val alreadyCached =
+      embeddings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned =
+      if (alreadyCached) embeddings
+      else embeddings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(pinned, nlist, itersIvf)
+      val books = pqCodebooks(pinned, m, ksub, itersPq)
+      pinned
+        .withColumn("cid", nearestCentroid(col("embedding"), cents))
+        .withColumn("norm", l2norm(col("embedding")))
+        .withColumn("codes", pqCodes(col("embedding"), books))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      books.zipWithIndex.toSeq
+        .flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (c, cw) => (j, cw, c.toSeq) }
+        }
+        .toDF("subspace", "code", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
+      val base = pinned
+        .select(array_min(centroidDistArray(col("embedding"), cents))
+          .getField("d").as("d"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsumD(col("d")).as("sum_sqdist"))
+        .head()
+      writeIvfStats(spark, dir, base.getAs[Long]("n"),
+        base.getAs[Double]("sum_sqdist"))
+    } finally { if (!alreadyCached) { pinned.unpersist(); () } }
+  }
+
+  /** Probe a durable IVF-PQ index ([[writeIvfPqIndex]]) with
+    * caller-supplied query vectors: coarse probes from the tiny
+    * centroid dim (literal IN → partition-pruned list scan), ADC over
+    * the STORED codes (the float column is never touched during
+    * scoring), exact re-rank of the top `cand` survivors joined back
+    * within the same pruned lists. Deterministic end-to-end — equals
+    * the one-shot [[ivfPqTopK]] on the same corpus and parameters
+    * (spec-locked).
+    */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: Seq[(Long, Array[Float])],
+                         k: Int = 10, nprobe: Int = 4,
+                         cand: Int = 50): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val bookRows = spark.read.parquet(s"$dir/pq_books")
+      .orderBy(col("subspace"), col("code"))
+      .select(col("subspace"), col("cent"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+    val m = books.length
+    val dsub = books(0)(0).length
+    val normSq = books.map(_.map(c => dotExactLocal(c, c)))
+    val qdf = queries.sortBy(_._1).flatMap { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      val qnorm = math.sqrt(dotExactLocal(qd, qd))
+      val dott = (0 until m).map { j =>
+        val qs = java.util.Arrays.copyOfRange(qd, j * dsub, (j + 1) * dsub)
+        books(j).map(c => dotExactLocal(qs, c)).toSeq
+      }
+      val probes = cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j2 = 0
+        while (j2 < c.length) { val dl = qd(j2) - c(j2); d += dl * dl; j2 += 1 }
+        (d, i)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+      probes.map(cid => (qid, qnorm, dott, cid))
+    }.toDF("query_id", "qnorm", "dott", "cid")
+    val probeCids = qdf.select(col("cid")).as[Int].collect().distinct.sorted
+    val lists = spark.read.parquet(s"$dir/lists")
+    // ADC over codes alone — the float column stays unread here
+    val adc = lists.select(col("vec_id"), col("cid"), col("codes"))
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf).toSeq: _*))
+      .withColumn("pqnorm", sqrt(books.indices.map(j =>
+          element_at(typedlit(normSq(j).toSeq),
+            element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _)))
+      .join(broadcast(qdf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cid"),
+        round(books.indices.map(j =>
+            element_at(element_at(col("dott"), j + 1),
+              element_at(col("codes"), j + 1) + 1))
+          .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
+    // cid rides through the rank payload so the re-rank join stays
+    // partition-pruned on the same lists
+    val candidates = topKPerQuery(adc, cand)
+      .select(col("query_id"), col("vec_id"), col("cid"))
+    // qnorm via dotExactLocal (scale-15-rounded products), the same
+    // arithmetic as the engine's l2norm = sqrt(dot_exact) that
+    // ivfPqTopK applies — NOT normOf's unrounded products, whose
+    // last-bit drift could flip the 4-decimal rounding
+    val qexact = queries.sortBy(_._1)
+      .map { case (qid, qv) =>
+        val qd = qv.map(_.toDouble)
+        (qid, qv.toSeq, math.sqrt(dotExactLocal(qd, qd)))
+      }
+      .toDF("query_id", "qvec", "qnorm")
+    val exact = lists
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf).toSeq: _*))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("norm"))
+      .join(candidates, Seq("cid", "vec_id"))
+      .join(broadcast(qexact), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
   /** Exact L2 norm of a query vector, driver-side: the SAME arithmetic
     * as `l2norm` (=sqrt of DotExact) — products accumulate as exact
     * BigDecimals, so the value is bit-identical to the engine's
@@ -613,12 +746,19 @@ object Similarity {
     sum.doubleValue()
   }
 
-  /** PQ codebooks: `m` contiguous subspaces, each trained
-    * independently by the deterministic Lloyd iterations of
-    * [[trainCentroids]] (`ksub` codewords per subspace). The result is
-    * m × ksub × (dim/m) doubles — KB-scale driver state, broadcast
-    * into the encode expression like the IVF centroid dim. The corpus
-    * is pinned once; each subspace training slices the cached rows.
+  /** PQ codebooks: `m` contiguous subspaces, each carrying `ksub`
+    * codewords trained by the SAME deterministic Lloyd rule as
+    * [[trainCentroids]] (init = the ksub lowest vec_ids' sliced
+    * vectors, decimal-exact means, (dist, cid) argmin tie-break) —
+    * but all m subspaces train JOINTLY: each Lloyd iteration is ONE
+    * corpus pass computing every subspace's assignments and means
+    * (the grouping key carries the subspace id), not m separate
+    * passes. Bit-identical results to per-subspace training — the
+    * per-(subspace, code, pos) groups contain exactly the same rows
+    * and the decimal summation is order-independent — at 1/m the scan
+    * cost. The result is m × ksub × (dim/m) doubles: KB-scale driver
+    * state, broadcast into the encode expression like the IVF
+    * centroid dim.
     */
   def pqCodebooks(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
                   iters: Int = 2): Array[Array[Array[Double]]] = {
@@ -631,12 +771,42 @@ object Similarity {
       if (alreadyCached) embeddings
       else embeddings
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try (0 until m).map { j =>
-      trainCentroids(pinned.select(col("vec_id"),
-        slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
-        ksub, iters)
-    }.toArray
-    finally { if (!alreadyCached) { pinned.unpersist(); () } }
+    try {
+      var books: Array[Array[Array[Double]]] = {
+        val init = pinned.orderBy(col("vec_id")).limit(ksub)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        Array.tabulate(m)(j => init.map(v =>
+          java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+      }
+      val acc = org.apache.spark.sql.types.DecimalType(30, 15)
+      for (_ <- 0 until iters) {
+        val sub = expr(s"pos div $dsub")
+        // codes projected in their own select: a Generate in the same
+        // projection makes the analyzer lose the argmin struct's field
+        // names (col1/col2), breaking getField("cid")
+        val updated = pinned
+          .select(pqCodes(col("embedding"), books).as("codes"),
+            col("embedding"))
+          .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(sub.cast("int").as("j"),
+            element_at(col("codes"), sub.cast("int") + 1).as("code"),
+            (col("pos") % dsub).as("pos"), col("x"))
+          .groupBy(col("j"), col("code"), col("pos"))
+          .agg((sum(col("x").cast("double").cast(acc)).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            val arr = new Array[Double](dsub)
+            rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+            key -> arr
+          }
+        books = Array.tabulate(m, ksub)((j, c) =>
+          updated.getOrElse((j, c), books(j)(c)))
+      }
+      books
+    } finally { if (!alreadyCached) { pinned.unpersist(); () } }
   }
 
   /** Per-subspace nearest-codeword ids (the PQ code) — a scan-local

@@ -511,6 +511,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(e(1L)._3 == 0.0 && e(1L)._4 == 0.0)
   }
 
+  test("durable IVF-PQ index: stored-code probe equals one-shot ivfPqTopK; layout superset") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.writeIvfPqIndex(emb, dir)
+    val qvecs = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val viaIndex = Similarity.ivfPqSearchIndexed(spark, dir, qvecs)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val oneShot = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L))
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(viaIndex == oneShot && viaIndex.nonEmpty)
+    // the ADC scan reads codes, never the float embedding column
+    val adcSchema = spark.read.parquet(s"$dir/lists")
+      .select($"vec_id", $"cid", $"codes")
+    assert(adcSchema.columns.toSet == Set("vec_id", "cid", "codes"))
+    // superset layout: the plain IVF probe reads the same index
+    val ivf = Similarity.ivfSearchIndexed(spark, dir, qvecs,
+      k = 10, nprobe = 2)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivfOneShot = Similarity
+      .ivfTopK(emb, Seq(0L, 1L, 2L), k = 10, nlist = 16, nprobe = 2,
+        iters = 3)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivf == ivfOneShot && ivf.nonEmpty)
+  }
+
   test("materialized IVF index: pruned probes, same results as one-shot ivf") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
