@@ -176,4 +176,60 @@ class PropertySpec extends SparkSpecBase {
     assert(byType <= total)
     assert(total == 1000L)
   }
+
+  test("chunkWindows invariants: exact starts/lengths and full coverage over a parameter grid") {
+    import graft.operators.TextOps
+    val texts = samples(Gen.choose(0, 40), 30).zipWithIndex.map {
+      case (n, i) => (i.toLong, (0 until n).map(k => s"w$k").mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    // whitespace split of "" yields [""], so every doc has >= 1 token
+    val ntok = texts.map { case (id, t) =>
+      id -> math.max(1, t.split("\\s+").length)
+    }.toMap
+    for ((w, st) <- Seq((1, 1), (5, 2), (8, 8), (16, 5))) {
+      val got = TextOps.chunkWindows(docs, width = w, stride = st)
+        .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_len")
+        .as[(Long, Long, Long, Long)].collect().toSeq.groupBy(_._1)
+      texts.foreach { case (id, _) =>
+        val n = ntok(id)
+        val chunks = got(id).sortBy(_._2)
+        val expStarts = (0L until n.toLong by st.toLong).toSeq
+        assert(chunks.map(_._3) == expStarts, s"starts w=$w st=$st id=$id")
+        assert(chunks.map(_._2) == chunks.indices.map(_.toLong),
+          "chunk_idx must be consecutive from 0")
+        chunks.foreach { case (_, _, s, l) =>
+          assert(l == math.min(w.toLong, n - s), s"len w=$w st=$st id=$id")
+        }
+        val covered = chunks.flatMap { case (_, _, s, l) => s until s + l }.toSet
+        assert(covered == (0L until n.toLong).toSet, s"coverage w=$w st=$st id=$id")
+      }
+    }
+  }
+
+  test("budgetSample equals a reference fold over random corpora") {
+    import graft.operators.Sampling
+    val sources = Seq("a", "b", "c")
+    val lens = samples(Gen.choose(1, 12), 60)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"x$k").mkString(" "), sources(i % 3))
+    }
+    val budgets = Map("a" -> 40L, "b" -> 12L) // c unlisted -> dropped
+    val shards = 2
+    val kept = Sampling.budgetSample(docs.toDF("doc_id", "text", "source"),
+      budgets, shards)
+      .select($"doc_id").as[Long].collect().toSet
+    // reference fold: per (source, shard) stream in doc_id order, keep
+    // while the inclusive cumulative count fits the per-shard quota
+    val expect = docs.filter(d => budgets.contains(d._3))
+      .groupBy(d => (d._3, d._1 % shards)).flatMap { case ((src, _), ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).flatMap { case (id, text, _) =>
+          val n = text.split("\\s+").length.toLong
+          cum += n
+          if (cum <= budgets(src) / shards) Some(id) else None
+        }
+      }.toSet
+    assert(kept == expect)
+  }
 }
