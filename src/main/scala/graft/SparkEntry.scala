@@ -1998,6 +1998,32 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
           col("n_events"))
         .orderBy(col("user_id"), col("start_ts"))),
+    // Ingest.streamDedup's batch face over a simulated at-least-once
+    // feed (every 10th event redelivered verbatim); the streaming face
+    // (dropDuplicatesWithinWatermark, cross-micro-batch) is spec-driven
+    "ev_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.Ingest.streamDedup(
+          ev.unionAll(ev.filter(col("event_id") % 10 === 0)))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("event_id"))
+    }),
+    // Ingest.intervalJoin in batch mode — the same expression is the
+    // watermark-bounded stream-stream join (spec-driven); purchases
+    // attributed to same-user clicks in the trailing 30 minutes
+    "ev_stream_join" -> ((s, d) =>
+      graft.streaming.Ingest.intervalJoin(Tables.events(s, d))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("purchase_ts"),
+          col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("click_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("purchase_id"), col("click_id"))),
     "ev_funnel" -> ((s, d) =>
       Analytics.funnel(Tables.events(s, d), "signup", "purchase")),
     "ev_retention" -> ((s, d) =>
@@ -3110,6 +3136,32 @@ SELECT user_id,
   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_ts,
   count(*) AS n_events
 FROM z GROUP BY user_id, session_id ORDER BY user_id, start_ts""",
+
+    // streamDedup's batch face: exact-copy redeliveries collapse to
+    // the original feed (DISTINCT replays dropDuplicates because the
+    // duplicated rows are verbatim copies)
+    "ev_stream_dedup" ->
+      """WITH feed AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_id % 10 = 0
+), d AS (SELECT DISTINCT event_id, ts, user_id, event_type, value FROM feed)
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+  event_type, round(value, 4) AS value
+FROM d ORDER BY event_id""",
+
+    // intervalJoin in batch mode: plain equi+range join
+    "ev_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  c.event_id AS click_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  round(p.value, 4) AS value
+FROM events p JOIN events c ON c.user_id = p.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id""",
 
     "doc_top_per_source" ->
       """SELECT source, doc_id, n_chars FROM (

@@ -415,6 +415,79 @@ object Ingest {
         col("session_window.end").as("end_ts"),
         col("n_events"))
 
+  /** Streaming exact dedup at ingest — the at-least-once delivery
+    * guard every large-scale feed needs in front of the dedup/curation
+    * stack (a redelivered micro-batch must not double-count events,
+    * and re-running exact dedup over the whole corpus per batch is the
+    * anti-pattern the incremental `*Novel` legs exist to avoid).
+    *
+    * Streaming face: Spark's native `dropDuplicatesWithinWatermark` —
+    * state holds one entry per key only until the event-time watermark
+    * passes `first-seen + delay`, so state size tracks the DELIVERY
+    * REDUNDANCY WINDOW (seconds–minutes of keys), not corpus history.
+    * That is the contract an at-least-once transport actually needs:
+    * redeliveries arrive close to the original, so a bounded horizon
+    * dedups them all while unbounded key retention (plain streaming
+    * `dropDuplicates`) would grow state forever. On RocksDB via
+    * [[withRocksDbState]] like every other stateful operator here.
+    *
+    * Batch face: Spark rejects `dropDuplicatesWithinWatermark` on
+    * batch frames outright (UnsupportedOperationChecker), so the batch
+    * branch is plain `dropDuplicates(keys)` — the semantics the
+    * streaming form converges to when every redelivery lands inside
+    * the watermark (the oracle-backed `ev_stream_dedup` row feeds
+    * exact-copy redeliveries, where the two faces agree row-for-row;
+    * the spec drives the cross-micro-batch streaming form).
+    */
+  def streamDedup(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                  watermarkDelay: String = "10 seconds"): DataFrame = {
+    val wm = events.withWatermark("ts", watermarkDelay)
+    if (events.isStreaming)
+      wm.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else wm.dropDuplicates(keys)
+  }
+
+  /** Stream-stream interval join — attribute each `targetType` event
+    * (default: purchase) to the same user's `attrType` events
+    * (default: click) in the trailing `windowMinutes`. The one join
+    * shape Structured Streaming can run UNBOUNDED with bounded state:
+    * both sides carry event-time watermarks and the join predicate
+    * bounds their time skew, so Catalyst derives a state watermark per
+    * side and evicts buffered rows as event time advances — state
+    * tracks the interval width × arrival rate, never stream history.
+    *
+    * The SAME expression runs in batch (watermarks are no-ops there),
+    * which is the oracle-backed `ev_stream_join` row: a plain
+    * equi+range join DuckDB replays directly. At 100 TB the batch form
+    * is a shuffle-partitioned range join on `user_id`; the streaming
+    * form is the state-bounded continuous version of it.
+    *
+    * Returns one row per (attributed click, purchase) pair.
+    */
+  def intervalJoin(events: DataFrame, attrType: String = "click",
+                   targetType: String = "purchase",
+                   windowMinutes: Int = 30,
+                   watermarkDelay: String = "10 seconds"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === attrType)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events
+      .filter(col("event_type") === targetType)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") -
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   // ------------------------------------------------------------------
   // Exact stateful operators (cross-batch semantics the reference kept
   // in process memory; SURVEY §2.8)

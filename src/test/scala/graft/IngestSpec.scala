@@ -471,6 +471,71 @@ class IngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamDedup: cross-micro-batch redelivery dropped within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    Ingest.withRocksDbState(spark)
+    val deduped = Ingest.streamDedup(
+      mem.toDF().toDF("event_id", "ts", "payload"),
+      keys = Seq("event_id"), watermarkDelay = "1 hour")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sdedup_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      mem.addData((1L, ts("2024-01-10 10:00:00"), "a"),
+        (2L, ts("2024-01-10 10:00:01"), "b"),
+        (2L, ts("2024-01-10 10:00:01"), "b")) // intra-batch dup
+      q.processAllAvailable()
+      // redelivery of event 1 lands in a LATER micro-batch but within
+      // the watermark horizon — state must still know it
+      mem.addData((1L, ts("2024-01-10 10:00:00"), "a"),
+        (3L, ts("2024-01-10 10:00:05"), "c"))
+      q.processAllAvailable()
+      val got = spark.table("sdedup_out")
+        .select($"event_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L),
+        s"each event exactly once across batches, got $got")
+      // dedup state runs on RocksDB like every stateful operator
+      assert(q.lastProgress.json.contains("rocksdb"))
+    } finally q.stop()
+  }
+
+  test("intervalJoin: stream-stream attribution matches the batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    Ingest.withRocksDbState(spark)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = Ingest.intervalJoin(mem.toDF().toDF(cols: _*))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sjoin_out")
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    val rows = Seq(
+      (10L, ts("2024-01-10 10:00:00"), 1L, "click", 0.0),
+      (11L, ts("2024-01-10 09:20:00"), 1L, "click", 0.0), // > 30 min before
+      (12L, ts("2024-01-10 10:05:00"), 2L, "click", 0.0), // other user
+      (20L, ts("2024-01-10 10:10:00"), 1L, "purchase", 9.99))
+    try {
+      // clicks arrive in one micro-batch, the purchase in a later one:
+      // the join must buffer the click side across batches
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows(3))
+      q.processAllAvailable()
+      val got = spark.table("sjoin_out")
+        .select($"purchase_id", $"click_id", $"user_id", $"value")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq((20L, 10L, 1L, 9.99)),
+        s"only the in-window same-user click attributes, got $got")
+      // the buffered join state runs on RocksDB
+      assert(q.lastProgress.json.contains("rocksdb"))
+      // batch face over the identical rows = the streamed result
+      val batch = Ingest.intervalJoin(rows.toDF(cols: _*))
+        .select($"purchase_id", $"click_id", $"user_id", $"value")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("stateful ip-switch flags differ-within-hour across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ingest.LoginEvent]
