@@ -989,12 +989,18 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     */
   private def pqScoredCtes(m: Int, ksub: Int, iters: Int, dim: Int,
                            cand: Int, queryIds: Seq[Long],
-                           ivf: Option[(Int, Int, Int)] = None): String = {
+                           ivf: Option[(Int, Int, Int)] = None,
+                           residual: Boolean = false): String = {
+    require(!residual || ivf.isDefined, "residual coding needs the IVF chain")
     val dsub = dim / m
+    // residual mode (Similarity.ivfPqResidualTopK): the PQ subspace
+    // slices come from the residual frame x − c(x), so the Lloyd
+    // chains train on residuals exactly as the engine does
+    val pqSrc = if (residual) "resid" else "embeddings"
     val subs = (0 until m).map { j =>
       s"""sub$j AS (
   SELECT vec_id, array_slice(embedding, ${j * dsub + 1}, ${(j + 1) * dsub}) AS embedding
-  FROM embeddings
+  FROM $pqSrc
 )"""
     }.mkString(",\n")
     val kms = (0 until m).map(j =>
@@ -1003,7 +1009,16 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     // each query's nprobe nearest lists, and ADC only scans rows whose
     // coarse assignment is probed
     val coarse = ivf.map { case (nlist, _, itersIvf) =>
-      kmeansAssignCtes("embeddings", nlist, itersIvf, dim, "_cq") + ",\n"
+      kmeansAssignCtes("embeddings", nlist, itersIvf, dim, "_cq") + ",\n" +
+        (if (residual)
+          s"""resid AS (
+  SELECT e.vec_id, a.cid, list_transform(list_zip(e.embedding, c.cent),
+    s -> CAST(s[1] AS DOUBLE) - s[2]) AS embedding
+  FROM embeddings e JOIN af_cq a ON a.vec_id = e.vec_id
+  JOIN c${itersIvf}_cq c ON c.cid = a.cid
+),
+"""
+        else "")
     }.getOrElse("")
     val qp = ivf.map { case (_, nprobe, itersIvf) =>
       s""", qp AS (
@@ -1016,7 +1031,12 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
 )"""
     }.getOrElse("")
     val adcFrom =
-      if (ivf.isDefined)
+      if (residual)
+        // the residual enc already carries its coarse cid
+        """FROM enc e JOIN qp ON qp.cid = e.cid
+  JOIN q ON q.query_id = qp.query_id
+  WHERE e.vec_id <> q.query_id"""
+      else if (ivf.isDefined)
         """FROM enc e JOIN af_cq v ON v.vec_id = e.vec_id
   JOIN qp ON qp.cid = v.cid
   JOIN q ON q.query_id = qp.query_id
@@ -1025,21 +1045,45 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"
     val codeJoin = (0 until m).map(j =>
       s"JOIN af_p$j a$j ON a$j.vec_id = e.vec_id " +
         s"JOIN c${iters}_p$j b$j ON b$j.cid = a$j.cid").mkString("\n  ")
-    val pqnorm = (0 until m).map(j =>
-      dotSql(s"b$j.cent", s"b$j.cent")).mkString(" + ")
-    val adcSum = (0 until m).map(j => dotSql(
-      s"array_slice(q.embedding, ${j * dsub + 1}, ${(j + 1) * dsub})",
-      s"e.cent$j")).mkString(" + ")
+    // ‖x̂‖²: raw coding sums codeword norms; residual coding is
+    // ‖c‖² + Σⱼ (2·c⟨j⟩·bookⱼ[codeⱼ] + ‖bookⱼ[codeⱼ]‖²), with the
+    // same left-associated addition order as the engine's reduce
+    val pqnorm =
+      if (residual)
+        dotSql("cc.cent", "cc.cent") + " + " + (0 until m).map { j =>
+          val cslice =
+            s"array_slice(cc.cent, ${j * dsub + 1}, ${(j + 1) * dsub})"
+          s"(2 * ${dotSql(cslice, s"b$j.cent")} + ${dotSql(s"b$j.cent", s"b$j.cent")})"
+        }.mkString(" + ")
+      else (0 until m).map(j =>
+        dotSql(s"b$j.cent", s"b$j.cent")).mkString(" + ")
+    // q·x̂: residual coding adds the q·c term ahead of the subspace
+    // lookups (engine: (qc +: terms).reduce(_ + _))
+    val adcSum =
+      (if (residual) dotSql("q.embedding", "e.ccent") + " + " else "") +
+        (0 until m).map(j => dotSql(
+          s"array_slice(q.embedding, ${j * dsub + 1}, ${(j + 1) * dsub})",
+          s"e.cent$j")).mkString(" + ")
+    val encFrom =
+      if (residual) {
+        val itersIvf = ivf.get._3
+        s"""FROM resid e
+  JOIN c${itersIvf}_cq cc ON cc.cid = e.cid
+  $codeJoin"""
+      } else s"""FROM embeddings e
+  $codeJoin"""
+    val encCols =
+      (if (residual) "e.cid, cc.cent AS ccent, " else "") +
+        (0 until m).map(j => s"b$j.cent AS cent$j").mkString(", ")
     val qIn = queryIds.mkString(", ")
-    s"""WITH $subs,
+    s"""WITH $coarse$subs,
 $kms,
-${coarse}nn AS (
+nn AS (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
 ), enc AS (
-  SELECT e.vec_id, ${(0 until m).map(j => s"b$j.cent AS cent$j").mkString(", ")},
+  SELECT e.vec_id, $encCols,
     sqrt($pqnorm) AS pqnorm
-  FROM embeddings e
-  $codeJoin
+  $encFrom
 ), q AS (
   SELECT vec_id AS query_id, embedding, norm AS qnorm
   FROM nn WHERE vec_id IN ($qIn)
@@ -2665,6 +2709,18 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // nprobe lists, exact re-rank of the survivors
     "emb_ivfpq_ann" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // true IVFADC: PQ codes encode residuals x − c(x) (FAISS default);
+    // same probe cost, strictly tighter quantization cells
+    "emb_ivfpq_res_ann" -> ((s, d) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L))),
+    // quality dial: residual coding's recall@10 vs brute force
+    "emb_ivfpq_res_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfPqResidualTopK(emb, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // quality dial for the PQ code budget: recall@10 vs brute force
     "emb_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3883,6 +3939,44 @@ GROUP BY x.query_id ORDER BY x.query_id"""),
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // residual IVF-PQ (true IVFADC): the Lloyd chains train on the
+    // residual frame, ADC carries the q·c and cross-norm terms
+    "emb_ivfpq_res_ann" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
+      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L),
+      ivf = Some((16, 4, 3)), residual = true) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // recall@10 of the residual-ADC funnel vs exact brute force
+    "emb_ivfpq_res_recall" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
+      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L),
+      ivf = Some((16, 4, 3)), residual = true) + s"""
+, rpqk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+), bscored AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM bscored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+  CAST(count(l.vec_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM brute x LEFT JOIN rpqk l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id"""),
 
     // recall@10 of the PQ-ADC candidate funnel vs exact brute force
     "emb_pq_recall" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,

@@ -819,9 +819,12 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var books: Array[Array[Array[Double]]] = {
+        // cast-to-double so the same trainer serves float corpora AND
+        // the double-typed residual frame of the IVFADC path (float →
+        // double widening is exact, so the float behavior is unchanged)
         val init = pinned.orderBy(col("vec_id")).limit(ksub)
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          .select(col("embedding").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toArray)
         Array.tabulate(m)(j => init.map(v =>
           java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
       }
@@ -1005,6 +1008,127 @@ object Similarity {
           round(dot(col("embedding"), col("qvec")) /
             (col("norm") * l2norm(col("qvec"))), 4).as("cos_sim"))
       topKPerQuery(exact, k)
+    } finally { if (!alreadyCached) { pinned.unpersist(); () } }
+  }
+
+  /** RESIDUAL IVF-PQ — the actual IVFADC formulation (Jégou et al.
+    * 2011 §IV): PQ codes encode the residual `x − c(x)` of each vector
+    * against its coarse centroid, not the raw vector. Residuals have a
+    * fraction of the raw vectors' energy (the coarse quantizer has
+    * already explained the list structure), so the same 4-byte code
+    * budget quantizes a much smaller cell — recall at equal budget is
+    * strictly better than raw-coding [[ivfPqTopK]], which is why FAISS
+    * defaults to residual encoding.
+    *
+    * ADC algebra: with x̂ = c + r̂ (r̂ the decoded residual),
+    *   q·x̂   = q·c  +  Σⱼ q⟨j⟩·bookⱼ[codeⱼ]          (lookup per probe)
+    *   ‖x̂‖² = ‖c‖² + Σⱼ (2·c⟨j⟩·bookⱼ[codeⱼ] + ‖bookⱼ[codeⱼ]‖²)
+    * q·c is per (query, probed list) — driver-side, nprobe values per
+    * query; the cross terms c⟨j⟩·bookⱼ[k] are per (list, subspace,
+    * codeword) — nlist·m·ksub doubles, broadcast like the codebooks.
+    * Probe cost stays m table lookups per corpus row; the float corpus
+    * is touched only by the exact re-rank of the top `cand`.
+    *
+    * Every scalar above is computed with [[dotExactLocal]] /
+    * [[graft.functions.DotExact]] decimal-exact dots and summed in a
+    * fixed association order, so the DuckDB oracle replays the whole
+    * chain bit-for-bit.
+    */
+  def ivfPqResidualTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                        k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                        itersIvf: Int = 3, m: Int = 4, ksub: Int = 16,
+                        itersPq: Int = 2, cand: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val alreadyCached =
+      embeddings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned =
+      if (alreadyCached) embeddings
+      else embeddings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(pinned, nlist, itersIvf)
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      // residual frame (double-typed): x − c(x); PQ trains on THIS
+      val resid = pinned
+        .select(col("vec_id"),
+          nearestCentroid(col("embedding"), cents).as("cid"),
+          col("embedding"))
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), element_at(centsLit, col("cid") + 1),
+            (x, c) => x.cast("double") - c).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val books =
+          pqCodebooks(resid.select(col("vec_id"), col("embedding")),
+            m, ksub, itersPq)
+        val dsub = books(0)(0).length
+        val normSq = books.map(_.map(c => dotExactLocal(c, c)))
+        val cnorm2 = cents.map(c => dotExactLocal(c, c))
+        // cross terms c⟨j⟩·bookⱼ[k], indexed [cid][j][k]
+        val cross = cents.map { c =>
+          (0 until m).map { j =>
+            val cs = java.util.Arrays.copyOfRange(c, j * dsub, (j + 1) * dsub)
+            books(j).map(b => dotExactLocal(cs, b)).toSeq
+          }.toSeq
+        }.toSeq
+        val qrows = pinned.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .collect().sortBy(_._1)
+        val qdf = qrows.toSeq.flatMap { case (qid, qv) =>
+          val qd = qv.map(_.toDouble)
+          val qnorm = math.sqrt(dotExactLocal(qd, qd))
+          val dott = (0 until m).map { j =>
+            val qs =
+              java.util.Arrays.copyOfRange(qd, j * dsub, (j + 1) * dsub)
+            books(j).map(c => dotExactLocal(qs, c)).toSeq
+          }
+          val probes = cents.zipWithIndex.map { case (c, i) =>
+            var d = 0.0
+            var j2 = 0
+            while (j2 < c.length) {
+              val dl = qd(j2) - c(j2); d += dl * dl; j2 += 1
+            }
+            (d, i)
+          }.sortBy(identity).take(nprobe).map(_._2).toSeq
+          // q·c per probed list rides along with the lookup tables
+          probes.map(cid =>
+            (qid, qnorm, dott, dotExactLocal(qd, cents(cid)), cid))
+        }.toDF("query_id", "qnorm", "dott", "qc", "cid")
+        val crossLit = typedlit(cross)
+        val cn2Lit = typedlit(cnorm2.toSeq)
+        val codeAt = (j: Int) => element_at(col("codes"), j + 1)
+        val enc = resid
+          .select(col("vec_id"), col("cid"),
+            pqCodes(col("embedding"), books).as("codes"))
+          .withColumn("pqnorm", sqrt(
+            (element_at(cn2Lit, col("cid") + 1) +:
+              (0 until m).map(j =>
+                lit(2.0) * element_at(element_at(
+                    element_at(crossLit, col("cid") + 1), j + 1),
+                  codeAt(j) + 1) +
+                  element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1)))
+              .reduce(_ + _)))
+        val adc = enc.join(broadcast(qdf), Seq("cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round((col("qc") +: (0 until m).map(j =>
+                element_at(element_at(col("dott"), j + 1), codeAt(j) + 1)))
+                .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4)
+              .as("cos_sim"))
+        val candidates = topKPerQuery(adc, cand)
+          .select(col("query_id"), col("vec_id"))
+        val nn = pinned.select(col("vec_id"), col("embedding"),
+          l2norm(col("embedding")).as("norm"))
+        val qexact = qrows.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+          .toDF("query_id", "qvec")
+        val exact = candidates.join(nn, Seq("vec_id"))
+          .join(broadcast(qexact), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("embedding"), col("qvec")) /
+              (col("norm") * l2norm(col("qvec"))), 4).as("cos_sim"))
+        topKPerQuery(exact, k)
+      } finally { resid.unpersist(); () }
     } finally { if (!alreadyCached) { pinned.unpersist(); () } }
   }
 
