@@ -426,7 +426,7 @@ object Similarity {
     */
   def writeIvfPqIndex(embeddings: DataFrame, dir: String, nlist: Int = 16,
                       itersIvf: Int = 3, m: Int = 4, ksub: Int = 16,
-                      itersPq: Int = 2): Unit = {
+                      itersPq: Int = 2, residual: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val alreadyCached =
@@ -437,11 +437,27 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cents = trainCentroids(pinned, nlist, itersIvf)
-      val books = pqCodebooks(pinned, m, ksub, itersPq)
-      pinned
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      val assigned = pinned
         .withColumn("cid", nearestCentroid(col("embedding"), cents))
+      // residual coding ([[ivfPqResidualTopK]]): train AND encode on
+      // x − c(x); the stored layout is identical apart from the codes'
+      // meaning, recorded in pq_meta so the probe auto-adapts
+      val residCol = zip_with(col("embedding"),
+        element_at(centsLit, col("cid") + 1),
+        (x, c) => x.cast("double") - c)
+      val books =
+        if (residual) {
+          val resid = assigned
+            .select(col("vec_id"), residCol.as("embedding"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try pqCodebooks(resid, m, ksub, itersPq)
+          finally { resid.unpersist(); () }
+        } else pqCodebooks(pinned, m, ksub, itersPq)
+      assigned
         .withColumn("norm", l2norm(col("embedding")))
-        .withColumn("codes", pqCodes(col("embedding"), books))
+        .withColumn("codes",
+          pqCodes(if (residual) residCol else col("embedding"), books))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cid", "centroid")
@@ -452,6 +468,8 @@ object Similarity {
         }
         .toDF("subspace", "code", "cent")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
+      Seq(if (residual) "residual" else "raw").toDF("coding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
       val base = pinned
         .select(array_min(centroidDistArray(col("embedding"), cents))
           .getField("d").as("d"))
@@ -489,6 +507,20 @@ object Similarity {
     val m = books.length
     val dsub = books(0)(0).length
     val normSq = books.map(_.map(c => dotExactLocal(c, c)))
+    // the stored coding (raw | residual) decides the ADC algebra; an
+    // index written before the marker existed is raw-coded
+    val residual =
+      (try spark.read.parquet(s"$dir/pq_meta")
+        .select(col("coding")).head().getString(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => "raw" }
+      ) == "residual"
+    val cnorm2 = cents.map(c => dotExactLocal(c, c))
+    val cross = cents.map { c =>
+      (0 until m).map { j =>
+        val cs = java.util.Arrays.copyOfRange(c, j * dsub, (j + 1) * dsub)
+        books(j).map(b => dotExactLocal(cs, b)).toSeq
+      }.toSeq
+    }.toSeq
     val qdf = queries.sortBy(_._1).flatMap { case (qid, qv) =>
       val qd = qv.map(_.toDouble)
       val qnorm = math.sqrt(dotExactLocal(qd, qd))
@@ -502,24 +534,40 @@ object Similarity {
         while (j2 < c.length) { val dl = qd(j2) - c(j2); d += dl * dl; j2 += 1 }
         (d, i)
       }.sortBy(identity).take(nprobe).map(_._2).toSeq
-      probes.map(cid => (qid, qnorm, dott, cid))
-    }.toDF("query_id", "qnorm", "dott", "cid")
+      probes.map(cid =>
+        (qid, qnorm, dott,
+          if (residual) dotExactLocal(qd, cents(cid)) else 0.0, cid))
+    }.toDF("query_id", "qnorm", "dott", "qc", "cid")
     val probeCids = qdf.select(col("cid")).as[Int].collect().distinct.sorted
     val lists = spark.read.parquet(s"$dir/lists")
+    val codeAt = (j: Int) => element_at(col("codes"), j + 1)
+    val pqnormCol =
+      if (residual) {
+        val crossLit = typedlit(cross)
+        sqrt((element_at(typedlit(cnorm2.toSeq), col("cid") + 1) +:
+          books.indices.map(j =>
+            lit(2.0) * element_at(element_at(
+                element_at(crossLit, col("cid") + 1), j + 1),
+              codeAt(j) + 1) +
+              element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1)))
+          .reduce(_ + _))
+      } else
+        sqrt(books.indices.map(j =>
+            element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1))
+          .reduce(_ + _))
+    val adcTerms = books.indices.map(j =>
+      element_at(element_at(col("dott"), j + 1), codeAt(j) + 1))
+    val adcNum =
+      if (residual) (col("qc") +: adcTerms).reduce(_ + _)
+      else adcTerms.reduce(_ + _)
     // ADC over codes alone — the float column stays unread here
     val adc = lists.select(col("vec_id"), col("cid"), col("codes"))
       .filter(col("cid").isin(probeCids.map(Integer.valueOf).toSeq: _*))
-      .withColumn("pqnorm", sqrt(books.indices.map(j =>
-          element_at(typedlit(normSq(j).toSeq),
-            element_at(col("codes"), j + 1) + 1))
-        .reduce(_ + _)))
+      .withColumn("pqnorm", pqnormCol)
       .join(broadcast(qdf), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cid"),
-        round(books.indices.map(j =>
-            element_at(element_at(col("dott"), j + 1),
-              element_at(col("codes"), j + 1) + 1))
-          .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
+        round(adcNum / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
     // cid rides through the rank payload so the re-rank join stays
     // partition-pruned on the same lists
     val candidates = topKPerQuery(adc, cand)

@@ -609,6 +609,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .select($"query_id", $"vec_id", $"cos_sim", $"rank")
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(ivf == ivfOneShot && ivf.nonEmpty)
+    // residual-coded index: the probe auto-detects the coding from
+    // pq_meta and must equal the one-shot residual path
+    val rdir = java.nio.file.Files.createTempDirectory("ivfpqridx").toString
+    Similarity.writeIvfPqIndex(emb, rdir, residual = true)
+    assert(spark.read.parquet(s"$rdir/pq_meta")
+      .select($"coding").as[String].head() == "residual")
+    val viaResIndex = Similarity.ivfPqSearchIndexed(spark, rdir, qvecs)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val resOneShot = Similarity.ivfPqResidualTopK(emb, Seq(0L, 1L, 2L))
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(viaResIndex == resOneShot && viaResIndex.nonEmpty)
   }
 
   test("materialized IVF index: pruned probes, same results as one-shot ivf") {
