@@ -2137,6 +2137,30 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // typical observed error ≪ rsd). The oracle replays the exact
     // counts with within_bound ≡ TRUE: an estimate drifting past the
     // bound flips the flag and fails the hash gate.
+    // mergeable reach state: corpus + batch sketches unioned vs the
+    // single-pass sketch of the whole feed — the merge must be
+    // LOSSLESS (estimate equality, not just epsilon agreement) and
+    // the estimate must stay within the HLL bound of the exact count
+    "ev_reach_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val corpus = ev.filter(col("event_id") % 5 =!= 0)
+      val batch = ev.filter(col("event_id") % 5 === 0)
+      val merged = Analytics.reachEstimates(Analytics.mergeReach(
+          Analytics.reachSketches(corpus), Analytics.reachSketches(batch)))
+        .withColumnRenamed("est_users", "merged_est")
+      val full = Analytics.reachEstimates(Analytics.reachSketches(ev))
+        .withColumnRenamed("est_users", "full_est")
+      ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .join(merged, Seq("event_type"))
+        .join(full, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (col("merged_est") === col("full_est")).as("merge_equals_full"),
+          (abs(col("merged_est") - col("exact_users")).cast("double") /
+            greatest(col("exact_users").cast("double"), lit(1.0)) <= 0.05)
+            .as("within_bound"))
+        .orderBy(col("event_type"))
+    }),
     "ev_user_reach_approx" -> ((s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("exact_users"),
@@ -3180,6 +3204,15 @@ FROM events GROUP BY event_type ORDER BY event_type""",
     "ev_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
   count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // sketch contract row (like ev_user_reach_approx / ev_cms_counts):
+    // the oracle replays the exact counts and asserts the engine-side
+    // contract flags are TRUE — a lossy merge or an out-of-bound
+    // estimate flips a flag and fails the hash gate
+    "ev_reach_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  true AS merge_equals_full, true AS within_bound
 FROM events GROUP BY event_type ORDER BY event_type""",
 
     "ev_user_reach_approx" ->

@@ -364,4 +364,39 @@ object Analytics {
         col("table_name"), col("operation_status"), col("ip_address"),
         col("access_timestamp"))
   }
+
+  // ------------------------------------------------------------------
+  // Mergeable reach sketches (Spark-native DataSketches HLL) — the
+  // sketch-surface analog of the mergeable frequency dims: persisted
+  // per-group state a daily batch folds into without a corpus rescan.
+  // ------------------------------------------------------------------
+
+  /** Per-group DataSketches-HLL reach sketches — the MERGEABLE form of
+    * `ev_user_reach_approx`'s one-shot estimate. A daily pipeline
+    * persists one (group, sketch) row per group (~KB at lgK 12:
+    * 4096 registers, rsd ≈ 1.6%) and each new batch folds in via
+    * [[mergeReach]]; the alternative — re-scanning the corpus for
+    * every distinct-count refresh — is the 100 TB anti-pattern.
+    */
+  def reachSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("reach_sketch"))
+
+  /** Fold a batch's sketches into the persisted ones: a distributive
+    * register-max union at equal lgK, so
+    * `estimate(mergeReach(sketch(A), sketch(B))) ≡
+    * estimate(sketch(A ∪ B))` — merged state answers exactly what a
+    * full recompute would (the `ev_reach_merge` contract row locks
+    * this equality through both coupon and dense HLL modes).
+    */
+  def mergeReach(persisted: DataFrame, batch: DataFrame): DataFrame =
+    persisted.unionByName(batch)
+      .groupBy(col("event_type"))
+      .agg(hll_union_agg(col("reach_sketch")).as("reach_sketch"))
+
+  /** Distinct-count estimates off the (persisted or merged) sketches —
+    * no raw-data access. */
+  def reachEstimates(sketches: DataFrame): DataFrame =
+    sketches.select(col("event_type"),
+      hll_sketch_estimate(col("reach_sketch")).as("est_users"))
 }

@@ -153,4 +153,31 @@ class AnalyticsSpec extends SparkSpecBase {
       .select($"activity_id").as[Long].collect().toSeq
     assert(got == Seq(4L))
   }
+
+  test("mergeable reach sketches: union is lossless vs single-pass, exact at small cardinality") {
+    // overlapping user sets split across "corpus" and "batch" — the
+    // merged estimate must EQUAL the single-pass sketch of the union,
+    // and at coupon-mode cardinalities the estimate is exact
+    def ev(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "event_type")
+    val corpus = ev((1L to 40L).map(u => (u, "click")) ++
+      (1L to 10L).map(u => (u, "view")))
+    val batch = ev((30L to 60L).map(u => (u, "click")) ++ // overlap 30-40
+      (5L to 25L).map(u => (u, "view")))
+    val merged = Analytics.reachEstimates(Analytics.mergeReach(
+        Analytics.reachSketches(corpus), Analytics.reachSketches(batch)))
+      .as[(String, Long)].collect().toMap
+    val full = Analytics.reachEstimates(
+        Analytics.reachSketches(corpus.unionByName(batch)))
+      .as[(String, Long)].collect().toMap
+    assert(merged == full, s"merge must be lossless: $merged vs $full")
+    assert(merged("click") == 60L && merged("view") == 25L,
+      s"coupon-mode estimates are exact, got $merged")
+    // a group present only in the batch still surfaces after merge
+    val only = ev(Seq((1L, "purchase")))
+    val m2 = Analytics.reachEstimates(Analytics.mergeReach(
+        Analytics.reachSketches(corpus), Analytics.reachSketches(only)))
+      .as[(String, Long)].collect().toMap
+    assert(m2("purchase") == 1L)
+  }
 }
