@@ -1107,9 +1107,10 @@ object Similarity {
             (x, c) => x.cast("double") - c).as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val books =
-          pqCodebooks(resid.select(col("vec_id"), col("embedding")),
-            m, ksub, itersPq)
+        // resid is passed AS the cached frame (not a derived select):
+        // pqCodebooks detects the existing persist and trains over it
+        // instead of re-caching a second copy of the residuals
+        val books = pqCodebooks(resid, m, ksub, itersPq)
         val dsub = books(0)(0).length
         val normSq = books.map(_.map(c => dotExactLocal(c, c)))
         val cnorm2 = cents.map(c => dotExactLocal(c, c))
