@@ -1105,6 +1105,38 @@ nn AS (
 )"""
   }
 
+  /** The shared recall@10 oracle tail over a `scored` CTE (and the
+    * `nn`/`q` CTEs every *ScoredCtes chain defines): approximate
+    * top-10 cut, brute-force top-10, per-query hit ratio. One
+    * definition serves every recall rung (pq / sq8 / residual ivf-pq)
+    * so a tie-break or isnan change cannot diverge between them.
+    */
+  private def recallTailSql(approxCte: String): String = s"""
+, $approxCte AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+), bscored AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM bscored WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+  CAST(count(l.vec_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM brute x LEFT JOIN $approxCte l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id"""
+
   /** SQ8 asymmetric-search replay (Similarity.sq8TopK): per-vector
     * symmetric quantization (the emb_quant_error CTE), dequantized
     * reconstruction, approximate cosine against the reconstruction,
@@ -1145,6 +1177,46 @@ nn AS (
   SELECT c.query_id, c.vec_id,
     round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
   FROM sqcand c JOIN nn ON nn.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)"""
+  }
+
+  /** Binary-quantization search replay (Similarity.bqTopK): per-dim
+    * sign bits, Hamming distance as a per-pair sign-mismatch count
+    * (the semantic statement of the engine's packed-word XOR +
+    * popcount — the oracle replays MEANING, not bit layout), monotone
+    * angular score 1 − h/d (one IEEE division), candidate cut, exact
+    * re-rank into `scored` — the [[sq8ScoredCtes]] contract.
+    */
+  private def bqScoredCtes(cand: Int, queryIds: Seq[Long]): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH sgn AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.0) AS sg
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
+  FROM embeddings WHERE vec_id IN ($ids)
+), qs AS (
+  SELECT vec_id AS query_id, sg FROM sgn WHERE vec_id IN ($ids)
+), ascored AS (
+  SELECT qs.query_id, s.vec_id,
+    1.0 - CAST(len(list_filter(range(len(s.sg)),
+      i -> s.sg[i + 1] <> qs.sg[i + 1])) AS DOUBLE) /
+      CAST(len(s.sg) AS DOUBLE) AS cos_sim
+  FROM sgn s, qs WHERE s.vec_id <> qs.query_id
+), bqcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM ascored WHERE NOT isnan(cos_sim)
+  ) WHERE rn <= $cand
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
+  FROM bqcand c JOIN nn ON nn.vec_id = c.vec_id
   JOIN q ON q.query_id = c.query_id
 )"""
   }
@@ -2729,6 +2801,19 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         Similarity.sq8TopK(emb, Seq(0L, 1L, 2L)),
         Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
     }),
+    // binary (sign-bit) quantization: 1 bit/dim packed into longs,
+    // XOR+popcount Hamming scan, exact re-rank — the cheapest rung of
+    // the compression ladder
+    "emb_bq_ann" -> ((s, d) =>
+      Similarity.bqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // quality dial for 1-bit codes: recall@10 vs brute force (below
+    // SQ8, in PQ's neighborhood — the rescoring stage earns its keep)
+    "emb_bq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.bqTopK(emb, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // the full IVF-PQ probe path: coarse quantizer restricts ADC to
     // nprobe lists, exact re-rank of the survivors
     "emb_ivfpq_ann" -> ((s, d) =>
@@ -3938,31 +4023,19 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"
 
     // recall@10 of the SQ8 funnel vs exact brute force
     "emb_sq8_recall" -> (sq8ScoredCtes(cand = 50,
+      queryIds = Seq(0L, 1L, 2L)) + recallTailSql("sqk")),
+
+    // binary quantization: sign bits → Hamming (sign-mismatch count)
+    // → candidate cut → exact re-rank, all replayed
+    "emb_bq_ann" -> (bqScoredCtes(cand = 50,
       queryIds = Seq(0L, 1L, 2L)) + s"""
-, sqk AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-    FROM scored WHERE NOT isnan(cos_sim)
-  ) WHERE rank <= 10
-), bscored AS (
-  SELECT q.query_id, nn.vec_id,
-    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
-  FROM nn, q WHERE nn.vec_id <> q.query_id
-), brute AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-    FROM bscored WHERE NOT isnan(cos_sim)
-  ) WHERE rank <= 10
-)
-SELECT x.query_id,
-  CAST(count(l.vec_id) AS BIGINT) AS hits,
-  CAST(count(*) AS BIGINT) AS expected,
-  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
-FROM brute x LEFT JOIN sqk l
-  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
-GROUP BY x.query_id ORDER BY x.query_id"""),
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // recall@10 of the 1-bit funnel vs exact brute force
+    "emb_bq_recall" -> (bqScoredCtes(cand = 50,
+      queryIds = Seq(0L, 1L, 2L)) + recallTailSql("bqk")),
 
     // IVF-PQ: the PQ replay with a coarse-quantizer Lloyd chain and
     // the probe restriction applied to the ADC scan
@@ -3985,59 +4058,11 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"
     // recall@10 of the residual-ADC funnel vs exact brute force
     "emb_ivfpq_res_recall" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
       dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L),
-      ivf = Some((16, 4, 3)), residual = true) + s"""
-, rpqk AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-    FROM scored WHERE NOT isnan(cos_sim)
-  ) WHERE rank <= 10
-), bscored AS (
-  SELECT q.query_id, nn.vec_id,
-    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
-  FROM nn, q WHERE nn.vec_id <> q.query_id
-), brute AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-    FROM bscored WHERE NOT isnan(cos_sim)
-  ) WHERE rank <= 10
-)
-SELECT x.query_id,
-  CAST(count(l.vec_id) AS BIGINT) AS hits,
-  CAST(count(*) AS BIGINT) AS expected,
-  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
-FROM brute x LEFT JOIN rpqk l
-  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
-GROUP BY x.query_id ORDER BY x.query_id"""),
+      ivf = Some((16, 4, 3)), residual = true) + recallTailSql("rpqk")),
 
     // recall@10 of the PQ-ADC candidate funnel vs exact brute force
     "emb_pq_recall" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
-      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L)) + s"""
-, pqk AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-    FROM scored WHERE NOT isnan(cos_sim)
-  ) WHERE rank <= 10
-), bscored AS (
-  SELECT q.query_id, nn.vec_id,
-    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4) AS cos_sim
-  FROM nn, q WHERE nn.vec_id <> q.query_id
-), brute AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-    FROM bscored WHERE NOT isnan(cos_sim)
-  ) WHERE rank <= 10
-)
-SELECT x.query_id,
-  CAST(count(l.vec_id) AS BIGINT) AS hits,
-  CAST(count(*) AS BIGINT) AS expected,
-  round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
-FROM brute x LEFT JOIN pqk l
-  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
-GROUP BY x.query_id ORDER BY x.query_id"""),
+      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L)) + recallTailSql("pqk")),
 
     // recall@10 of the pruned IVF probe vs exact brute force — the
     // brute side reuses the same nn norms, so the only difference

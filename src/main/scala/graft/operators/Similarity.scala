@@ -442,7 +442,8 @@ object Similarity {
         .withColumn("cid", nearestCentroid(col("embedding"), cents))
       // residual coding ([[ivfPqResidualTopK]]): train AND encode on
       // x − c(x); the stored layout is identical apart from the codes'
-      // meaning, recorded in pq_meta so the probe auto-adapts
+      // meaning, recorded as a coding column inside pq_books so
+      // the probe auto-adapts (marker and books travel in one write)
       val residCol = zip_with(col("embedding"),
         element_at(centsLit, col("cid") + 1),
         (x, c) => x.cast("double") - c)
@@ -462,14 +463,17 @@ object Similarity {
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      // the coding marker rides IN pq_books — one atomic parquet
+      // write carries both the codebooks and the algebra that decodes
+      // them, so no crash window can separate residual books from
+      // their marker (probe-side doc in [[ivfPqSearchIndexed]])
       books.zipWithIndex.toSeq
         .flatMap { case (book, j) =>
           book.zipWithIndex.map { case (c, cw) => (j, cw, c.toSeq) }
         }
         .toDF("subspace", "code", "cent")
+        .withColumn("coding", lit(if (residual) "residual" else "raw"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
-      Seq(if (residual) "residual" else "raw").toDF("coding")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
       val base = pinned
         .select(array_min(centroidDistArray(col("embedding"), cents))
           .getField("d").as("d"))
@@ -498,7 +502,8 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val bookRows = spark.read.parquet(s"$dir/pq_books")
+    val booksDf = spark.read.parquet(s"$dir/pq_books")
+    val bookRows = booksDf
       .orderBy(col("subspace"), col("code"))
       .select(col("subspace"), col("cent"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -507,20 +512,15 @@ object Similarity {
     val m = books.length
     val dsub = books(0)(0).length
     val normSq = books.map(_.map(c => dotExactLocal(c, c)))
-    // the stored coding (raw | residual) decides the ADC algebra; an
-    // index written before the marker existed is raw-coded
-    val residual =
-      (try spark.read.parquet(s"$dir/pq_meta")
-        .select(col("coding")).head().getString(0)
-      catch { case _: org.apache.spark.sql.AnalysisException => "raw" }
-      ) == "residual"
-    val cnorm2 = cents.map(c => dotExactLocal(c, c))
-    val cross = cents.map { c =>
-      (0 until m).map { j =>
-        val cs = java.util.Arrays.copyOfRange(c, j * dsub, (j + 1) * dsub)
-        books(j).map(b => dotExactLocal(cs, b)).toSeq
-      }.toSeq
-    }.toSeq
+    // the stored coding (raw | residual) decides the ADC algebra. The
+    // marker travels IN pq_books — the same single parquet write as
+    // the codebooks that define the codes' meaning — so no crash
+    // window can leave residual books without their marker (a
+    // round-8 review finding against the earlier separate pq_meta
+    // file, whose absence silently fell back to raw algebra). A
+    // books file without the column is a pre-marker raw index.
+    val residual = booksDf.columns.contains("coding") &&
+      booksDf.select(col("coding")).head().getString(0) == "residual"
     val qdf = queries.sortBy(_._1).flatMap { case (qid, qv) =>
       val qd = qv.map(_.toDouble)
       val qnorm = math.sqrt(dotExactLocal(qd, qd))
@@ -540,26 +540,8 @@ object Similarity {
     }.toDF("query_id", "qnorm", "dott", "qc", "cid")
     val probeCids = qdf.select(col("cid")).as[Int].collect().distinct.sorted
     val lists = spark.read.parquet(s"$dir/lists")
-    val codeAt = (j: Int) => element_at(col("codes"), j + 1)
-    val pqnormCol =
-      if (residual) {
-        val crossLit = typedlit(cross)
-        sqrt((element_at(typedlit(cnorm2.toSeq), col("cid") + 1) +:
-          books.indices.map(j =>
-            lit(2.0) * element_at(element_at(
-                element_at(crossLit, col("cid") + 1), j + 1),
-              codeAt(j) + 1) +
-              element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1)))
-          .reduce(_ + _))
-      } else
-        sqrt(books.indices.map(j =>
-            element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1))
-          .reduce(_ + _))
-    val adcTerms = books.indices.map(j =>
-      element_at(element_at(col("dott"), j + 1), codeAt(j) + 1))
-    val adcNum =
-      if (residual) (col("qc") +: adcTerms).reduce(_ + _)
-      else adcTerms.reduce(_ + _)
+    val (pqnormCol, adcNum) =
+      adcCols(books, normSq, if (residual) Some(cents) else None)
     // ADC over codes alone — the float column stays unread here
     val adc = lists.select(col("vec_id"), col("cid"), col("codes"))
       .filter(col("cid").isin(probeCids.map(Integer.valueOf).toSeq: _*))
@@ -809,6 +791,91 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** Per-dimension sign bits packed into 64-bit words — the storage
+    * form of [[bqTopK]]'s binary-quantized corpus: ceil(dim/64) longs
+    * per vector, bit i of word i/64 set iff component i > 0. Plain
+    * per-row column math (O(dim) literal shift terms, the
+    * [[signBandCols]] unrolling pattern — fine at embedding dims; a
+    * 4096-dim corpus would switch to the literal-matrix HOF form the
+    * way [[embeddingNearDups]] does above 64 planes).
+    */
+  private[graft] def signPackWords(vec: Column, dim: Int): Column = {
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      (w * 64 until math.min((w + 1) * 64, dim)).map { i =>
+        when(element_at(vec, i + 1) > lit(0f), lit(1L << (i % 64)))
+          .otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Binary (sign-bit) quantization ANN — the cheapest rung of the
+    * compression ladder (float32 → SQ8 (4×) → PQ (64×) → binary,
+    * 32× vs float32 at one BIT per dimension): the corpus is stored
+    * as packed sign words ([[signPackWords]]), a query's Hamming
+    * distance to a corpus row is XOR + popcount over ceil(dim/64)
+    * longs (codegen'd `bit_count`), and the approximate score is the
+    * monotone angular estimate 1 − h/d (ranking-equivalent to the
+    * standard cos(π·h/d); one exact IEEE division, so the oracle
+    * replays it bit-for-bit). Top `cand` survivors re-rank at exact
+    * float cosine — the two-stage shape every vector store ships as
+    * "binary quantization with rescoring" (e.g. Qdrant/Weaviate docs).
+    *
+    * Scale shape: the scan touches d/8 bytes per corpus vector (a
+    * 100 TB float corpus becomes ~3 TB of sign words — memory-resident
+    * on a modest cluster), queries broadcast, bounded CollectTopK per
+    * stage, floats re-read only for the `cand` survivors. The packed
+    * words column can be written beside an IVF index's list
+    * partitions for an in-list pre-filter at probe time.
+    */
+  def bqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+             cand: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
+    val words = (dim + 63) / 64
+    val packed = embeddings.select(col("vec_id"),
+      signPackWords(col("embedding"), dim).as("bits"))
+    val qrows = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val qdf = qrows.toSeq.map { case (qid, qv) =>
+      val qbits = (0 until words).map { w =>
+        var acc = 0L
+        var i = w * 64
+        while (i < math.min((w + 1) * 64, dim)) {
+          if (qv(i) > 0f) acc |= (1L << (i % 64))
+          i += 1
+        }
+        acc
+      }
+      (qid, qbits)
+    }.toDF("query_id", "qbits")
+    val approx = packed.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("bits"), col("qbits"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"),
+        (lit(1.0) - col("hamming").cast("double") / lit(dim.toDouble))
+          .as("cos_sim"))
+    val candidates = topKPerQuery(approx, cand)
+      .select(col("query_id"), col("vec_id"))
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qnorm"))
+    val nn = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val exact = candidates.join(nn, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
   // ----------------------------------------------------------------
   // Product quantization (PQ): the billion-scale ANN compression
   // standard (Jégou et al. 2011, the PQ half of FAISS's IVF-PQ) — the
@@ -909,6 +976,54 @@ object Similarity {
   /** Per-subspace nearest-codeword ids (the PQ code) — a scan-local
     * argmin per subspace over the broadcast codebooks, no shuffle.
     */
+  /** The ADC scoring pair (pqnorm, numerator) over an encoded frame
+    * carrying `codes` (and `cid` under residual coding) joined to a
+    * query row carrying the `dott` lookup tables (and `qc`). ONE
+    * definition serves every ADC consumer — [[pqTopK]], [[ivfPqTopK]],
+    * [[ivfPqResidualTopK]], and the durable-index probe
+    * [[ivfPqSearchIndexed]] — so the algebra cannot drift between them
+    * (a round-8 review found byte-identical inline copies). The
+    * residual lookup tables (‖c‖² and the
+    * c⟨j⟩·bookⱼ[k] cross terms) are built only under residual coding;
+    * a raw-coded probe pays nothing for them.
+    */
+  private def adcCols(books: Array[Array[Array[Double]]],
+                      normSq: Array[Array[Double]],
+                      cents: Option[Array[Array[Double]]])
+      : (Column, Column) = {
+    val codeAt = (j: Int) => element_at(col("codes"), j + 1)
+    val adcTerms = books.indices.map(j =>
+      element_at(element_at(col("dott"), j + 1), codeAt(j) + 1))
+    cents match {
+      case Some(cs) =>
+        val m = books.length
+        val dsub = books(0)(0).length
+        val cnorm2 = cs.map(c => dotExactLocal(c, c))
+        val cross = cs.map { c =>
+          (0 until m).map { j =>
+            val csl =
+              java.util.Arrays.copyOfRange(c, j * dsub, (j + 1) * dsub)
+            books(j).map(b => dotExactLocal(csl, b)).toSeq
+          }.toSeq
+        }.toSeq
+        val crossLit = typedlit(cross)
+        val pqnorm = sqrt(
+          (element_at(typedlit(cnorm2.toSeq), col("cid") + 1) +:
+            books.indices.map(j =>
+              lit(2.0) * element_at(element_at(
+                  element_at(crossLit, col("cid") + 1), j + 1),
+                codeAt(j) + 1) +
+                element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1)))
+            .reduce(_ + _))
+        (pqnorm, (col("qc") +: adcTerms).reduce(_ + _))
+      case None =>
+        (sqrt(books.indices.map(j =>
+            element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1))
+          .reduce(_ + _)),
+          adcTerms.reduce(_ + _))
+    }
+  }
+
   private def pqCodes(vec: Column,
                       books: Array[Array[Array[Double]]]): Column = {
     val dsub = books(0)(0).length
@@ -953,19 +1068,14 @@ object Similarity {
       }
       (qid, qnorm, dott)
     }.toDF("query_id", "qnorm", "dott")
+    val (pqnormCol, adcNum) = adcCols(books, normSq, None)
     val enc = embeddings
       .select(col("vec_id"), pqCodes(col("embedding"), books).as("codes"))
-      .withColumn("pqnorm", sqrt(books.indices.map(j =>
-          element_at(typedlit(normSq(j).toSeq),
-            element_at(col("codes"), j + 1) + 1))
-        .reduce(_ + _)))
+      .withColumn("pqnorm", pqnormCol)
     val adc = enc.crossJoin(broadcast(qdf))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(books.indices.map(j =>
-            element_at(element_at(col("dott"), j + 1),
-              element_at(col("codes"), j + 1) + 1))
-          .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
+        round(adcNum / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
     val candidates = topKPerQuery(adc, cand)
       .select(col("query_id"), col("vec_id"))
     val nn = embeddings.select(col("vec_id"), col("embedding"),
@@ -1029,21 +1139,16 @@ object Similarity {
         }.sortBy(identity).take(nprobe).map(_._2).toSeq
         probes.map(cid => (qid, qnorm, dott, cid))
       }.toDF("query_id", "qnorm", "dott", "cid")
+      val (pqnormCol, adcNum) = adcCols(books, normSq, None)
       val enc = pinned
         .select(col("vec_id"),
           nearestCentroid(col("embedding"), cents).as("cid"),
           pqCodes(col("embedding"), books).as("codes"))
-        .withColumn("pqnorm", sqrt(books.indices.map(j =>
-            element_at(typedlit(normSq(j).toSeq),
-              element_at(col("codes"), j + 1) + 1))
-          .reduce(_ + _)))
+        .withColumn("pqnorm", pqnormCol)
       val adc = enc.join(broadcast(qdf), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          round(books.indices.map(j =>
-              element_at(element_at(col("dott"), j + 1),
-                element_at(col("codes"), j + 1) + 1))
-            .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
+          round(adcNum / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
       val candidates = topKPerQuery(adc, cand)
         .select(col("query_id"), col("vec_id"))
       val nn = pinned.select(col("vec_id"), col("embedding"),
@@ -1113,14 +1218,6 @@ object Similarity {
         val books = pqCodebooks(resid, m, ksub, itersPq)
         val dsub = books(0)(0).length
         val normSq = books.map(_.map(c => dotExactLocal(c, c)))
-        val cnorm2 = cents.map(c => dotExactLocal(c, c))
-        // cross terms c⟨j⟩·bookⱼ[k], indexed [cid][j][k]
-        val cross = cents.map { c =>
-          (0 until m).map { j =>
-            val cs = java.util.Arrays.copyOfRange(c, j * dsub, (j + 1) * dsub)
-            books(j).map(b => dotExactLocal(cs, b)).toSeq
-          }.toSeq
-        }.toSeq
         val qrows = pinned.filter(col("vec_id").isin(queryIds: _*))
           .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
           .collect().sortBy(_._1)
@@ -1144,27 +1241,15 @@ object Similarity {
           probes.map(cid =>
             (qid, qnorm, dott, dotExactLocal(qd, cents(cid)), cid))
         }.toDF("query_id", "qnorm", "dott", "qc", "cid")
-        val crossLit = typedlit(cross)
-        val cn2Lit = typedlit(cnorm2.toSeq)
-        val codeAt = (j: Int) => element_at(col("codes"), j + 1)
+        val (pqnormCol, adcNum) = adcCols(books, normSq, Some(cents))
         val enc = resid
           .select(col("vec_id"), col("cid"),
             pqCodes(col("embedding"), books).as("codes"))
-          .withColumn("pqnorm", sqrt(
-            (element_at(cn2Lit, col("cid") + 1) +:
-              (0 until m).map(j =>
-                lit(2.0) * element_at(element_at(
-                    element_at(crossLit, col("cid") + 1), j + 1),
-                  codeAt(j) + 1) +
-                  element_at(typedlit(normSq(j).toSeq), codeAt(j) + 1)))
-              .reduce(_ + _)))
+          .withColumn("pqnorm", pqnormCol)
         val adc = enc.join(broadcast(qdf), Seq("cid"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
-            round((col("qc") +: (0 until m).map(j =>
-                element_at(element_at(col("dott"), j + 1), codeAt(j) + 1)))
-                .reduce(_ + _) / (col("pqnorm") * col("qnorm")), 4)
-              .as("cos_sim"))
+            round(adcNum / (col("pqnorm") * col("qnorm")), 4).as("cos_sim"))
         val candidates = topKPerQuery(adc, cand)
           .select(col("query_id"), col("vec_id"))
         val nn = pinned.select(col("vec_id"), col("embedding"),

@@ -325,6 +325,53 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("bq: wide candidate cut converges to exact; narrow cut stays exact-scored; packed hamming = sign mismatches") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.bruteForceTopK(vecs, Seq(0L), k = 5)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)]
+      .collect().toSeq
+    // rescoring every corpus row = brute force exactly
+    val wide = Similarity.bqTopK(vecs, Seq(0L), k = 5, cand = 100)
+      .select($"vec_id", $"cos_sim", $"rank").as[(Long, Double, Long)]
+      .collect().toSeq
+    assert(wide == exact)
+    // tight candidate budget: survivors still carry exact scores
+    val brute = Similarity.bruteForceTopK(vecs, Seq(0L), k = 59)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toMap
+    val narrow = Similarity.bqTopK(vecs, Seq(0L), k = 5, cand = 8)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(narrow.length == 5)
+    narrow.foreach { case (id, sim) => assert(brute(id) == sim) }
+    // packed-word XOR+popcount Hamming ≡ per-dim sign-mismatch count,
+    // across a word boundary (dim 70 → 2 longs per vector)
+    val dim = 70
+    val wvecs = (0L until 9L).map { i =>
+      (i, Array.tabulate(dim)(j =>
+        (((i * 17 + j * 7) % 11) - 5).toFloat / 5f))
+    }
+    val wdf = wvecs.toDF("vec_id", "embedding")
+    val packed = wdf.select($"vec_id",
+      Similarity.signPackWords($"embedding", dim).as("bits"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(packed.values.forall(_.length == 2))
+    for (a <- wvecs; b <- wvecs if a._1 < b._1) {
+      val viaWords = packed(a._1).zip(packed(b._1))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      val viaSigns = a._2.zip(b._2)
+        .count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(viaWords == viaSigns)
+    }
+    // a positively-scaled clone has identical signs (hamming 0), so it
+    // must survive any candidate cut and re-rank at cosine 1.0
+    val clone = Seq((999L,
+      wvecs(3)._2.map(_ * 2f))).toDF("vec_id", "embedding")
+    val top = Similarity.bqTopK(wdf.union(clone), Seq(3L), k = 1, cand = 2)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].head()
+    assert(top == ((999L, 1.0)))
+  }
+
   test("ivf-pq: exhaustive probe + wide candidates converge to exact; narrow probe stays exact-scored") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
@@ -610,10 +657,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(ivf == ivfOneShot && ivf.nonEmpty)
     // residual-coded index: the probe auto-detects the coding from
-    // pq_meta and must equal the one-shot residual path
+    // the marker column inside pq_books and must equal the one-shot
+    // residual path
     val rdir = java.nio.file.Files.createTempDirectory("ivfpqridx").toString
     Similarity.writeIvfPqIndex(emb, rdir, residual = true)
-    assert(spark.read.parquet(s"$rdir/pq_meta")
+    assert(spark.read.parquet(s"$rdir/pq_books")
       .select($"coding").as[String].head() == "residual")
     val viaResIndex = Similarity.ivfPqSearchIndexed(spark, rdir, qvecs)
       .select($"query_id", $"vec_id", $"cos_sim", $"rank")
