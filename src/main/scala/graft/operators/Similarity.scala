@@ -352,6 +352,12 @@ object Similarity {
     * (read from the index's tiny centroid dim) and appended to their
     * list partitions — the daily-ingest form of index maintenance.
     * One scan of the batch; the indexed corpus is never touched.
+    * Works on both index layouts: when the index carries PQ codebooks
+    * ([[writeIvfPqIndex]]), appended rows are PQ-encoded with the
+    * STORED books — residual-aware via the coding marker — so the ADC
+    * probe scores old and new rows identically. Stale centroids under
+    * residual coding also degrade code quality (residuals grow), so
+    * the drift guard below protects the PQ layout doubly.
     *
     * DRIFT GUARD (fail-fast, round-7 verdict #5): appending under
     * stale centroids silently degrades recall — new vectors land in
@@ -405,9 +411,25 @@ object Similarity {
             f"exceeds $maxDriftRatio× the index baseline $baseline%.4f " +
             "— the centroids no longer represent the data; rebuild the " +
             "index (writeIvfIndex) instead of appending")
-      assigned
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
-        .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+      // PQ-aware: an IVF-PQ index's lists carry a codes column the
+      // ADC probe scores — appended rows must carry it too (encoded
+      // with the STORED books, residual-aware), or the probe would
+      // read nulls for the new vectors and silently drop them
+      val out = readPqBooks(spark, dir) match {
+        case Some((books, residual)) =>
+          val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+          val residCol = zip_with(col("embedding"),
+            element_at(centsLit, col("cid") + 1),
+            (x, c) => x.cast("double") - c)
+          assigned.withColumn("codes",
+              pqCodes(if (residual) residCol else col("embedding"), books))
+            .select(col("vec_id"), col("embedding"), col("norm"),
+              col("codes"), col("cid"))
+        case None =>
+          assigned
+            .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+      }
+      out.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
       writeIvfStats(spark, dir, n0 + nb, s0 + sb)
     }
   }
@@ -421,8 +443,9 @@ object Similarity {
     * embeddings of just the `cand` survivors — at 100 TB the hot
     * probe path touches nprobe/nlist of a corpus that is itself 64×
     * smaller than the floats. The layout is a superset of the plain
-    * IVF index, so [[ivfSearchIndexed]] and [[appendToIvfIndex]]'s
-    * drift guard read it unchanged.
+    * IVF index: [[ivfSearchIndexed]] reads it unchanged, and
+    * [[appendToIvfIndex]] detects the codebooks and PQ-encodes
+    * appended rows with the stored books.
     */
   def writeIvfPqIndex(embeddings: DataFrame, dir: String, nlist: Int = 16,
                       itersIvf: Int = 3, m: Int = 4, ksub: Int = 16,
@@ -485,6 +508,35 @@ object Similarity {
     } finally { if (!alreadyCached) { pinned.unpersist(); () } }
   }
 
+  /** Load a durable index's PQ codebooks and coding marker
+    * ([[writeIvfPqIndex]]'s pq_books file), or None for a plain IVF
+    * index that never wrote one. The residual/raw marker rides IN the
+    * same parquet write as the codebooks that define the codes'
+    * meaning, so no crash window can leave residual books without
+    * their marker (a round-8 review finding against the earlier
+    * separate pq_meta file, whose absence silently fell back to raw
+    * algebra); a books file without the column is a pre-marker raw
+    * index.
+    */
+  private def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+                          dir: String)
+      : Option[(Array[Array[Array[Double]]], Boolean)] = {
+    val booksDfOpt =
+      try Some(spark.read.parquet(s"$dir/pq_books"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    booksDfOpt.map { booksDf =>
+      val bookRows = booksDf
+        .orderBy(col("subspace"), col("code"))
+        .select(col("subspace"), col("cent"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2)).toArray
+      val residual = booksDf.columns.contains("coding") &&
+        booksDf.select(col("coding")).head().getString(0) == "residual"
+      (books, residual)
+    }
+  }
+
   /** Probe a durable IVF-PQ index ([[writeIvfPqIndex]]) with
     * caller-supplied query vectors: coarse probes from the tiny
     * centroid dim (literal IN → partition-pruned list scan), ADC over
@@ -502,25 +554,13 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val booksDf = spark.read.parquet(s"$dir/pq_books")
-    val bookRows = booksDf
-      .orderBy(col("subspace"), col("code"))
-      .select(col("subspace"), col("cent"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.map(_._2)).toArray
+    val (books, residual) = readPqBooks(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no pq_books at $dir — a plain IVF index; probe it with " +
+          "ivfSearchIndexed, or rebuild with writeIvfPqIndex"))
     val m = books.length
     val dsub = books(0)(0).length
     val normSq = books.map(_.map(c => dotExactLocal(c, c)))
-    // the stored coding (raw | residual) decides the ADC algebra. The
-    // marker travels IN pq_books — the same single parquet write as
-    // the codebooks that define the codes' meaning — so no crash
-    // window can leave residual books without their marker (a
-    // round-8 review finding against the earlier separate pq_meta
-    // file, whose absence silently fell back to raw algebra). A
-    // books file without the column is a pre-marker raw index.
-    val residual = booksDf.columns.contains("coding") &&
-      booksDf.select(col("coding")).head().getString(0) == "residual"
     val qdf = queries.sortBy(_._1).flatMap { case (qid, qv) =>
       val qd = qv.map(_.toDouble)
       val qnorm = math.sqrt(dotExactLocal(qd, qd))

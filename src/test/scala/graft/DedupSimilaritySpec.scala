@@ -1440,6 +1440,63 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
   }
 
+  test("IVF-PQ append: appended rows are PQ-encoded with the stored books (both codings) and probe-visible") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(13)
+    def blobVec(blob: Int): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)
+      v(blob) = v(blob) + (if (blob == 0) 3.0f else -3.0f)
+      v
+    }
+    val rows = (0L until 40L).map(i => (i, blobVec((i % 2).toInt)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    for (residual <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivfpq-append-$residual").toString
+      Similarity.writeIvfPqIndex(corpus, dir, nlist = 4, itersIvf = 2,
+        m = 4, ksub = 8, itersPq = 2, residual = residual)
+      // batch: fresh blob vectors plus an EXACT clone of corpus row 7
+      // — the clone must assign to the same list and receive the SAME
+      // stored codes as the original (the books didn't change, so
+      // encoding is a pure function of the vector)
+      val batch = ((100L until 106L).map(i => (i, blobVec((i % 2).toInt)))
+        :+ (999L, rows(7)._2)).toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(spark, dir, batch)
+      val lists = spark.read.parquet(s"$dir/lists")
+      val stored = lists.filter($"vec_id".isin(7L, 999L))
+        .select($"vec_id", $"cid", $"codes")
+        .as[(Long, Int, Array[Int])].collect()
+        .map { case (id, c, a) => (id, (c, a.toSeq)) }.toMap
+      assert(stored(999L) == stored(7L),
+        s"clone codes drifted: ${stored(999L)} vs ${stored(7L)}")
+      // every appended row carries a well-formed code word
+      val appended = lists.filter($"vec_id" >= 100L)
+        .select($"codes").as[Array[Int]].collect()
+      assert(appended.length == 7)
+      appended.foreach { cs =>
+        assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8))
+      }
+      // probe-visibility: querying with an appended vector's own
+      // embedding finds it at exact cosine 1.0 through the ADC path
+      val qv = batch.filter($"vec_id" === 103L)
+        .select($"embedding").as[Array[Float]].head()
+      val hits = Similarity.ivfPqSearchIndexed(spark, dir,
+        Seq((903L, qv)), k = 3, nprobe = 2)
+        .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+      assert(hits.head == ((103L, 1.0)), s"got ${hits.toSeq}")
+    }
+    // probing a plain IVF index with the PQ probe fails fast with a
+    // diagnosis, not an opaque path error
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("ivf-plain").toString
+    Similarity.writeIvfIndex(corpus, plainDir, nlist = 4, iters = 2)
+    val ex = intercept[IllegalStateException] {
+      Similarity.ivfPqSearchIndexed(spark, plainDir, Seq((1L, rows(0)._2)))
+    }
+    assert(ex.getMessage.contains("no pq_books"))
+  }
+
   test("mergeable dims: merge(dim(a), dim(b)) = dim(a ∪ b); withDim = full recompute on the batch") {
     import org.apache.spark.sql.functions._
     // corpus ∪ batch share boilerplate lines whose df crosses the
