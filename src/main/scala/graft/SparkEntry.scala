@@ -2806,6 +2806,18 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // the compression ladder
     "emb_bq_ann" -> ((s, d) =>
       Similarity.bqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // durable bq sidecar: fingerprint-guarded build-once, probe over
+    // the stored packed words, floats fetched only for the re-rank —
+    // must equal the one-shot emb_bq_ann exactly
+    "emb_bq_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensureBqIndex(s, s"$d/embeddings.parquet", emb)
+      import s.implicits._
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.bqSearchIndexed(s, idx, emb, qvecs)
+    }),
     // quality dial for 1-bit codes: recall@10 vs brute force (below
     // SQ8, in PQ's neighborhood — the rescoring stage earns its keep)
     "emb_bq_recall" -> ((s, d) => {
@@ -4036,6 +4048,14 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"
     // recall@10 of the 1-bit funnel vs exact brute force
     "emb_bq_recall" -> (bqScoredCtes(cand = 50,
       queryIds = Seq(0L, 1L, 2L)) + recallTailSql("bqk")),
+
+    // the durable-sidecar probe replays the SAME funnel — stored bits
+    // are a pure function of the vectors, so index and one-shot agree
+    "emb_bq_indexed" -> (bqScoredCtes(cand = 50,
+      queryIds = Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
 
     // IVF-PQ: the PQ replay with a coarse-quantizer Lloyd chain and
     // the probe restriction applied to the ADC scan

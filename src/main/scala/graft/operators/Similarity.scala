@@ -697,10 +697,33 @@ object Similarity {
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      sourcePath: String, embeddings: DataFrame,
                      nlist: Int = 16, iters: Int = 3,
-                     indexRoot: Option[String] = None): String = synchronized {
+                     indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath, "ivf", indexRoot)(
+      dir => writeIvfIndex(embeddings, dir, nlist, iters))
+
+  /** [[ensureIvfIndex]]'s build-once contract for the binary-
+    * quantization sidecar ([[writeBqIndex]]).
+    */
+  def ensureBqIndex(spark: org.apache.spark.sql.SparkSession,
+                    sourcePath: String, embeddings: DataFrame,
+                    indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath, "bq", indexRoot)(
+      dir => writeBqIndex(embeddings, dir))
+
+  /** The shared fingerprint-guarded build-once machinery behind
+    * [[ensureIvfIndex]]/[[ensureBqIndex]]: one directory per (source
+    * path, index kind) under the index root, rebuilt only when the
+    * source-file fingerprint changes. `kind` keys the directory so
+    * different index structures over the same source coexist.
+    */
+  private def ensureIndexDir(spark: org.apache.spark.sql.SparkSession,
+                             sourcePath: String, kind: String,
+                             indexRoot: Option[String])
+                            (build: String => Unit): String = synchronized {
     val fp = sourceFingerprint(spark, sourcePath)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sourcePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$sourcePath:$kind".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val root = indexRoot
       .orElse(spark.conf.getOption("spark.graft.ivf.indexRoot"))
       .getOrElse(
@@ -717,7 +740,7 @@ object Similarity {
       s.trim == fp
     }
     if (!fresh) {
-      writeIvfIndex(embeddings, dir.toString, nlist, iters)
+      build(dir.toString)
       val out = fs.create(marker, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
@@ -868,39 +891,48 @@ object Similarity {
     * words column can be written beside an IVF index's list
     * partitions for an in-list pre-filter at probe time.
     */
+  /** Driver-side replica of [[signPackWords]] for query vectors. */
+  private def packWordsLocal(qv: Array[Float], dim: Int): Seq[Long] =
+    (0 until (dim + 63) / 64).map { w =>
+      var acc = 0L
+      var i = w * 64
+      while (i < math.min((w + 1) * 64, dim)) {
+        if (qv(i) > 0f) acc |= (1L << (i % 64))
+        i += 1
+      }
+      acc
+    }
+
+  /** The monotone angular score 1 − h/d over a row carrying packed
+    * `bits` joined to a query row carrying `qbits`: Hamming = XOR +
+    * popcount per word, one exact IEEE division — shared by the
+    * one-shot [[bqTopK]] and the durable-index probe
+    * [[bqSearchIndexed]] so the two cannot drift.
+    */
+  private def bqAngularScore(dim: Int): Column =
+    (lit(1.0) -
+      aggregate(zip_with(col("bits"), col("qbits"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+      lit(dim.toDouble)).as("cos_sim")
+
   def bqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
              cand: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = embeddings.select(size(col("embedding")).as("d"))
       .head().getInt(0)
-    val words = (dim + 63) / 64
     val packed = embeddings.select(col("vec_id"),
       signPackWords(col("embedding"), dim).as("bits"))
     val qrows = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
-    val qdf = qrows.toSeq.map { case (qid, qv) =>
-      val qbits = (0 until words).map { w =>
-        var acc = 0L
-        var i = w * 64
-        while (i < math.min((w + 1) * 64, dim)) {
-          if (qv(i) > 0f) acc |= (1L << (i % 64))
-          i += 1
-        }
-        acc
-      }
-      (qid, qbits)
-    }.toDF("query_id", "qbits")
+    val qdf = qrows.toSeq
+      .map { case (qid, qv) => (qid, packWordsLocal(qv, dim)) }
+      .toDF("query_id", "qbits")
     val approx = packed.crossJoin(broadcast(qdf))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("hamming",
-        aggregate(zip_with(col("bits"), col("qbits"),
-            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, x) => acc + x))
-      .select(col("query_id"), col("vec_id"),
-        (lit(1.0) - col("hamming").cast("double") / lit(dim.toDouble))
-          .as("cos_sim"))
+      .select(col("query_id"), col("vec_id"), bqAngularScore(dim))
     val candidates = topKPerQuery(approx, cand)
       .select(col("query_id"), col("vec_id"))
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
@@ -910,6 +942,68 @@ object Similarity {
       l2norm(col("embedding")).as("norm"))
     val exact = candidates.join(nn, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Durable binary-quantization sidecar: (vec_id, packed sign words)
+    * at d/8 bytes per vector — the at-rest form that makes
+    * [[bqTopK]]'s 32×-smaller scan real (the one-shot packs signs
+    * from the floats inside the scan; the sidecar is packed ONCE at
+    * write time and the probe never touches the float column until
+    * re-rank). `meta` records the true dimension — the word count
+    * alone cannot distinguish d=70 from d=128, and the angular score
+    * divides by d.
+    */
+  def writeBqIndex(embeddings: DataFrame, dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
+    embeddings.select(col("vec_id"),
+        signPackWords(col("embedding"), dim).as("bits"))
+      .write.mode("overwrite").parquet(s"$dir/bits")
+    Seq(dim).toDF("dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Probe a [[writeBqIndex]] sidecar: the Hamming scan reads ONLY
+    * the packed words (d/8 bytes per corpus vector — at 100 TB of
+    * floats, a ~3 TB memory-residable scan), and the float column of
+    * the caller-supplied `corpus` frame is point-looked-up for just
+    * the `cand` survivors (an id semi-join against the primary table,
+    * the pattern every sidecar index shares). Deterministic — equals
+    * the one-shot [[bqTopK]] verbatim on the same corpus
+    * (spec-locked). Queries whose dimension disagrees with the index
+    * fail fast.
+    */
+  def bqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, corpus: DataFrame,
+                      queries: Seq[(Long, Array[Float])],
+                      k: Int = 10, cand: Int = 50): DataFrame = {
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == dim,
+        s"query $qid dimension ${qv.length} != index dimension $dim") }
+    val qdf = queries.sortBy(_._1).map { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      (qid, packWordsLocal(qv, dim), qv.toSeq,
+        math.sqrt(dotExactLocal(qd, qd)))
+    }.toDF("query_id", "qbits", "qvec", "qnorm")
+    val approx = spark.read.parquet(s"$dir/bits")
+      .crossJoin(broadcast(qdf.select(col("query_id"), col("qbits"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), bqAngularScore(dim))
+    val candidates = topKPerQuery(approx, cand)
+      .select(col("query_id"), col("vec_id"))
+    val nn = corpus.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val exact = candidates.join(nn, Seq("vec_id"))
+      .join(broadcast(qdf.select(col("query_id"), col("qvec"),
+        col("qnorm"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("embedding"), col("qvec")) /
           (col("norm") * col("qnorm")), 4).as("cos_sim"))

@@ -372,6 +372,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(top == ((999L, 1.0)))
   }
 
+  test("bq index: stored-bits probe equals the one-shot verbatim; dim mismatch fails fast") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("bqidx").toString
+    Similarity.writeBqIndex(vecs, dir)
+    // the sidecar stores ONLY (vec_id, bits) — the float column never
+    // reaches the index
+    assert(spark.read.parquet(s"$dir/bits").columns.toSeq
+      == Seq("vec_id", "bits"))
+    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 8)
+    val qvecs = vecs.filter($"vec_id".isin(0L, 1L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val viaIndex = Similarity.bqSearchIndexed(spark, dir, vecs, qvecs,
+        k = 5, cand = 12)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val oneShot = Similarity.bqTopK(vecs, Seq(0L, 1L), k = 5, cand = 12)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == oneShot && viaIndex.nonEmpty)
+    // a query of the wrong dimension is refused, not silently scored
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bqSearchIndexed(spark, dir, vecs,
+        Seq((7L, Array.fill(9)(0.5f))))
+    }
+    assert(ex.getMessage.contains("dimension"))
+  }
+
   test("ivf-pq: exhaustive probe + wide candidates converge to exact; narrow probe stays exact-scored") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
