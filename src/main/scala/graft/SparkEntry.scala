@@ -2856,6 +2856,14 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // oracle) and runs the operator at a real near-dup threshold
     "emb_near_dups" -> ((s, d) =>
       Similarity.embeddingNearDups(plantedEmbeddings(s, d), minCos = 0.9)),
+    // ANN as a table-vs-table JOIN (hard-negative mining / retrieval
+    // shape): every 97th vector as the query TABLE, top-10 corpus
+    // neighbors among banded sign-LSH candidates, neither side
+    // broadcast — the form that runs when the query side is a corpus
+    "emb_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb.filter(col("vec_id") % 97 === 0), emb)
+    }),
     // incremental ingest, embedding leg: a new batch (planted corpus
     // clones + novel noise vectors) deduped against the corpus with
     // the corpus only scanned — bloom of the batch's band keys prunes
@@ -3908,6 +3916,28 @@ GROUP BY x.query_id ORDER BY x.query_id"""
 SELECT vec_a, vec_b, cos_sim FROM banded
 WHERE cos_sim >= 0.9 AND NOT isnan(cos_sim)
 ORDER BY vec_a, vec_b"""
+    },
+
+    // kNN join: the banded-signature replay over the FULL corpus
+    // (geometry data-dependent on its count, like the engine), query
+    // side restricted to every 97th vector, exact cosine per
+    // candidate, top-10 per query
+    "emb_knn_join" -> {
+      s"""WITH pe AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+), $BandSigCtes, cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id
+  FROM bvt x JOIN bvt y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.vec_id % 97 = 0 AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("eb.embedding", "ea.embedding")} / (eb.norm * ea.norm), 4) AS cos_sim
+  FROM cand c JOIN nn ea ON ea.vec_id = c.query_id
+  JOIN nn eb ON eb.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""
     },
 
     "emb_near_dup_clusters" -> (s"WITH $PlantedNearDupCtes" +

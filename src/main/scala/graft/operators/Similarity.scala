@@ -1630,6 +1630,54 @@ object Similarity {
       .filter(col("cos_sim") >= minCos && !isnan(col("cos_sim")))
   }
 
+  /** Approximate kNN JOIN — ANN as a table-vs-table JOIN rather than a
+    * driver-side query list: for EVERY row of `queries` (a DataFrame,
+    * potentially millions of rows — hard-negative mining, retrieval
+    * augmentation, cross-corpus linking), the top `k` rows of `corpus`
+    * by exact cosine among banded sign-LSH candidates. The same
+    * AND-then-OR construction as [[embeddingNearDups]] — a (query,
+    * corpus) pair is a candidate iff it agrees exactly on ≥ 1 of
+    * `bands` bands of r sign bits — so recall follows the same
+    * [[GeometryLadder]] model (high for close pairs; distant true
+    * k-th neighbors are where any LSH kNN trades recall for the
+    * blocked join, the tuning dial being planes/bands).
+    *
+    * Scale shape: both sides' band signatures are scan-local column
+    * math, the candidate stage is an EQUI-join on (band, value) —
+    * shuffle by 8-byte keys, never an n×m product — candidates dedup
+    * BEFORE the exact-cosine verification, and per-query ranking is
+    * the bounded CollectTopK aggregate. Neither side is broadcast:
+    * this is the form that runs when the query side is itself a
+    * corpus. Geometry: planes = bands = 0 selects the
+    * [[GeometryLadder]] rung for the CORPUS size (the side that
+    * dominates bucket occupancy); explicit values pin it.
+    *
+    * Self-matches (query_id = corpus vec_id) are excluded, so a
+    * self-join (queries ⊆ corpus) ranks true neighbors.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              planes: Int = 0, bands: Int = 0): DataFrame = {
+    val (pl, bd) =
+      if (planes > 0 && bands > 0) (planes, bands)
+      else nearDupGeometry(corpus.count())
+    val qb = bandedSignatures(queries, pl, bd)
+      .withColumnRenamed("vec_id", "query_id")
+    val cb = bandedSignatures(corpus, pl, bd)
+    val cand = qb.join(cb, Seq("band", "bv"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val qsides = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec"), l2norm(col("embedding")).as("qnorm"))
+    val csides = corpus.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val scored = cand.join(csides, "vec_id").join(qsides, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** [[embeddingNearDups]] in cluster-representative mode: connected
     * components of the verified pair graph, one membership row per
     * clustered vector — the same O(corpus) output bound the text dedup

@@ -372,6 +372,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(top == ((999L, 1.0)))
   }
 
+  test("knn join: returned scores are exact; a disjoint query table finds sign-identical originals at rank 1") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    // self-join: every returned (query, vec) carries the exact brute
+    // cosine — the candidate blocker restricts, never rescores
+    val got = Similarity.knnJoin(vecs.filter($"vec_id" < 5L), vecs,
+        k = 5, planes = 4, bands = 2)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val bruteAll = (0L until 5L).flatMap { q =>
+      Similarity.bruteForceTopK(vecs, Seq(q), k = 59)
+        .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+        .map { case (v, c) => ((q, v), c) }
+    }.toMap
+    got.foreach { case (q, v, c) => assert(bruteAll((q, v)) == c) }
+    // disjoint query table (ids 1000+): a positively-scaled clone has
+    // identical signs — it collides in EVERY band, so its original is
+    // always a candidate and ranks first at exact cosine 1.0
+    val queries = (0L until 6L)
+      .map(i => (1000L + i, Array.tabulate(8)(j =>
+        (((i * 11 + j * 5) % 13) - 6).toFloat / 6f * 3f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.knnJoin(queries, vecs, k = 1,
+        planes = 4, bands = 2)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, (v, c)) }.toMap
+    for (i <- 0L until 6L)
+      assert(top1(1000L + i) == ((i, 1.0)),
+        s"query ${1000 + i}: got ${top1(1000L + i)}")
+  }
+
   test("bq index: stored-bits probe equals the one-shot verbatim; dim mismatch fails fast") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)

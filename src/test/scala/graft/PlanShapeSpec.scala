@@ -28,7 +28,7 @@ class PlanShapeSpec extends SparkSpecBase {
   test("ANN rankings carry no per-query window funnel and stay in the SQL engine") {
     for (q <- Seq("emb_knn_brute", "emb_lsh_ann", "emb_ivf_ann",
       "emb_pq_ann", "emb_sq8_ann", "emb_ivfpq_res_ann", "emb_bq_ann",
-      "emb_bq_indexed")) {
+      "emb_bq_indexed", "emb_knn_join")) {
       val p = executedPlan(q)
       assert(!p.contains("Window"), s"$q must use bounded top-k, got a Window")
       // the round-2 heap dropped to the RDD layer, severing codegen/AQE
