@@ -2864,6 +2864,18 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       val emb = Tables.embeddings(s, d)
       Similarity.knnJoin(emb.filter(col("vec_id") % 97 === 0), emb)
     }),
+    // quality dial for the joinful form: per-query recall@10 of the
+    // banded candidate funnel vs exact brute force over the same
+    // query table
+    "emb_knn_join_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 97 === 0)
+      import s.implicits._
+      val qids = q.select(col("vec_id")).as[Long].collect().sorted.toSeq
+      Similarity.recallAtK(
+        Similarity.knnJoin(q, emb),
+        Similarity.bruteForceTopK(emb, qids))
+    }),
     // incremental ingest, embedding leg: a new batch (planted corpus
     // clones + novel noise vectors) deduped against the corpus with
     // the corpus only scanned — bloom of the batch's band keys prunes
@@ -3938,6 +3950,27 @@ ORDER BY vec_a, vec_b"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""
+    },
+
+    // recall@10 of the joinful candidate funnel vs brute force over
+    // the same query table (the shared recall tail; q carries the
+    // exact norms nn already computed)
+    "emb_knn_join_recall" -> {
+      s"""WITH pe AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+), $BandSigCtes, cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id
+  FROM bvt x JOIN bvt y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.vec_id % 97 = 0 AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("eb.embedding", "ea.embedding")} / (eb.norm * ea.norm), 4) AS cos_sim
+  FROM cand c JOIN nn ea ON ea.vec_id = c.query_id
+  JOIN nn eb ON eb.vec_id = c.vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding, norm AS qnorm
+  FROM nn WHERE vec_id % 97 = 0
+)""" + recallTailSql("knnk")
     },
 
     "emb_near_dup_clusters" -> (s"WITH $PlantedNearDupCtes" +
