@@ -2793,6 +2793,17 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // re-rank of the top candidates
     "emb_sq8_ann" -> ((s, d) =>
       Similarity.sq8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // durable SQ8 sidecar: quantized once at write time, probe scans
+    // the stored codes — must equal the one-shot emb_sq8_ann exactly
+    "emb_sq8_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensureSq8Index(s, s"$d/embeddings.parquet", emb)
+      import s.implicits._
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.sq8SearchIndexed(s, idx, emb, qvecs)
+    }),
     // quality dial for 8-bit codes: recall@10 vs brute force (expected
     // ≫ PQ's 4-byte codes, ≤ 1.0)
     "emb_sq8_recall" -> ((s, d) => {
@@ -4099,6 +4110,14 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"
     // recall@10 of the SQ8 funnel vs exact brute force
     "emb_sq8_recall" -> (sq8ScoredCtes(cand = 50,
       queryIds = Seq(0L, 1L, 2L)) + recallTailSql("sqk")),
+
+    // the durable-sidecar probe replays the SAME funnel — stored
+    // codes are a pure function of the vectors
+    "emb_sq8_indexed" -> (sq8ScoredCtes(cand = 50,
+      queryIds = Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
 
     // binary quantization: sign bits → Hamming (sign-mismatch count)
     // → candidate cut → exact re-rank, all replayed

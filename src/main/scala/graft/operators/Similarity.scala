@@ -948,6 +948,64 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** Durable SQ8 sidecar: (vec_id, int8 codes, per-vector scale) at
+    * ~¼ the float bytes — the at-rest form of [[sq8TopK]]'s corpus,
+    * quantized ONCE at write time instead of per search. With this,
+    * every rung of the compression ladder has a durable layout: IVF
+    * ([[writeIvfIndex]]), IVF-PQ ([[writeIvfPqIndex]]), SQ8, binary
+    * ([[writeBqIndex]]).
+    */
+  def writeSq8Index(embeddings: DataFrame, dir: String): Unit =
+    quantizeInt8(embeddings)
+      .select(col("vec_id"), col("codes"), col("scale"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+
+  /** [[ensureIvfIndex]]'s build-once contract for the SQ8 sidecar. */
+  def ensureSq8Index(spark: org.apache.spark.sql.SparkSession,
+                     sourcePath: String, embeddings: DataFrame,
+                     indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath, "sq8", indexRoot)(
+      dir => writeSq8Index(embeddings, dir))
+
+  /** Probe a [[writeSq8Index]] sidecar: the approximate-cosine scan
+    * reconstructs per row from the STORED codes (¼ the scan bytes of
+    * the float corpus; recall loss = exactly the measured
+    * [[quantizationError]]), and the float column of the
+    * caller-supplied `corpus` is point-looked-up for just the `cand`
+    * survivors — the [[bqSearchIndexed]] contract one rung up the
+    * quality ladder. Equals the one-shot [[sq8TopK]] verbatim on the
+    * same corpus (spec-locked).
+    */
+  def sq8SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, corpus: DataFrame,
+                       queries: Seq[(Long, Array[Float])],
+                       k: Int = 10, cand: Int = 50): DataFrame = {
+    import spark.implicits._
+    val qdf = queries.sortBy(_._1).map { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      (qid, qv.toSeq, math.sqrt(dotExactLocal(qd, qd)))
+    }.toDF("query_id", "qvec", "qnorm")
+    val rec = spark.read.parquet(s"$dir/codes")
+      .withColumn("rvec",
+        transform(col("codes"), c => c.cast("double") * col("scale")))
+      .select(col("vec_id"), col("rvec"), l2norm(col("rvec")).as("rnorm"))
+    val approx = rec.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("rvec"), col("qvec")) /
+          (col("rnorm") * col("qnorm")), 4).as("cos_sim"))
+    val candidates = topKPerQuery(approx, cand)
+      .select(col("query_id"), col("vec_id"))
+    val nn = corpus.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val exact = candidates.join(nn, Seq("vec_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
   /** Durable binary-quantization sidecar: (vec_id, packed sign words)
     * at d/8 bytes per vector — the at-rest form that makes
     * [[bqTopK]]'s 32×-smaller scan real (the one-shot packs signs

@@ -372,6 +372,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(top == ((999L, 1.0)))
   }
 
+  test("sq8 index: stored-codes probe equals the one-shot verbatim") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    Similarity.writeSq8Index(vecs, dir)
+    // the sidecar stores ONLY (vec_id, codes, scale)
+    assert(spark.read.parquet(s"$dir/codes").columns.toSeq
+      == Seq("vec_id", "codes", "scale"))
+    val qvecs = vecs.filter($"vec_id".isin(0L, 1L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val viaIndex = Similarity.sq8SearchIndexed(spark, dir, vecs, qvecs,
+        k = 5, cand = 12)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val oneShot = Similarity.sq8TopK(vecs, Seq(0L, 1L), k = 5, cand = 12)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == oneShot && viaIndex.nonEmpty)
+  }
+
   test("knn join: returned scores are exact; a disjoint query table finds sign-identical originals at rank 1") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 11 + j * 5) % 13) - 6).toFloat / 6f), (i % 3).toInt)
