@@ -844,14 +844,7 @@ object Similarity {
           (col("rnorm") * col("qnorm")), 4).as("cos_sim"))
     val candidates = topKPerQuery(approx, cand)
       .select(col("query_id"), col("vec_id"))
-    val nn = embeddings.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("norm"))
-    val exact = candidates.join(nn, Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("embedding"), col("qvec")) /
-          (col("norm") * col("qnorm")), 4).as("cos_sim"))
-    topKPerQuery(exact, k)
+    exactRerank(candidates, embeddings, queries, k)
   }
 
   /** Per-dimension sign bits packed into 64-bit words — the storage
@@ -938,10 +931,24 @@ object Similarity {
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         l2norm(col("embedding")).as("qnorm"))
-    val nn = embeddings.select(col("vec_id"), col("embedding"),
+    exactRerank(candidates, embeddings, queries, k)
+  }
+
+  /** The shared exact-cosine re-rank tail of the compression-ladder
+    * funnels: candidate (query_id, vec_id) pairs join the corpus
+    * floats (point-lookup of survivors only) and the broadcast query
+    * rows (query_id, qvec, qnorm), score at exact cosine, and rank
+    * through the bounded top-k. One definition serves the bq/sq8
+    * one-shots and both sidecar probes, so the re-rank semantics
+    * cannot drift between a rung and its at-rest form.
+    */
+  private def exactRerank(candidates: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val nn = corpus.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     val exact = candidates.join(nn, Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"),
+        col("qnorm"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("embedding"), col("qvec")) /
           (col("norm") * col("qnorm")), 4).as("cos_sim"))
@@ -996,14 +1003,7 @@ object Similarity {
           (col("rnorm") * col("qnorm")), 4).as("cos_sim"))
     val candidates = topKPerQuery(approx, cand)
       .select(col("query_id"), col("vec_id"))
-    val nn = corpus.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("norm"))
-    val exact = candidates.join(nn, Seq("vec_id"))
-      .join(broadcast(qdf), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("embedding"), col("qvec")) /
-          (col("norm") * col("qnorm")), 4).as("cos_sim"))
-    topKPerQuery(exact, k)
+    exactRerank(candidates, corpus, qdf, k)
   }
 
   /** Durable binary-quantization sidecar: (vec_id, packed sign words)
@@ -1057,15 +1057,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), bqAngularScore(dim))
     val candidates = topKPerQuery(approx, cand)
       .select(col("query_id"), col("vec_id"))
-    val nn = corpus.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("norm"))
-    val exact = candidates.join(nn, Seq("vec_id"))
-      .join(broadcast(qdf.select(col("query_id"), col("qvec"),
-        col("qnorm"))), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("embedding"), col("qvec")) /
-          (col("norm") * col("qnorm")), 4).as("cos_sim"))
-    topKPerQuery(exact, k)
+    exactRerank(candidates, corpus, qdf, k)
   }
 
   // ----------------------------------------------------------------
