@@ -865,25 +865,6 @@ object Similarity {
     }: _*)
   }
 
-  /** Binary (sign-bit) quantization ANN — the cheapest rung of the
-    * compression ladder (float32 → SQ8 (4×) → PQ (64×) → binary,
-    * 32× vs float32 at one BIT per dimension): the corpus is stored
-    * as packed sign words ([[signPackWords]]), a query's Hamming
-    * distance to a corpus row is XOR + popcount over ceil(dim/64)
-    * longs (codegen'd `bit_count`), and the approximate score is the
-    * monotone angular estimate 1 − h/d (ranking-equivalent to the
-    * standard cos(π·h/d); one exact IEEE division, so the oracle
-    * replays it bit-for-bit). Top `cand` survivors re-rank at exact
-    * float cosine — the two-stage shape every vector store ships as
-    * "binary quantization with rescoring" (e.g. Qdrant/Weaviate docs).
-    *
-    * Scale shape: the scan touches d/8 bytes per corpus vector (a
-    * 100 TB float corpus becomes ~3 TB of sign words — memory-resident
-    * on a modest cluster), queries broadcast, bounded CollectTopK per
-    * stage, floats re-read only for the `cand` survivors. The packed
-    * words column can be written beside an IVF index's list
-    * partitions for an in-list pre-filter at probe time.
-    */
   /** Driver-side replica of [[signPackWords]] for query vectors. */
   private def packWordsLocal(qv: Array[Float], dim: Int): Seq[Long] =
     (0 until (dim + 63) / 64).map { w =>
@@ -909,6 +890,25 @@ object Similarity {
         lit(0L), (acc, x) => acc + x).cast("double") /
       lit(dim.toDouble)).as("cos_sim")
 
+  /** Binary (sign-bit) quantization ANN — the cheapest rung of the
+    * compression ladder (float32 → SQ8 (4×) → PQ (64×) → binary,
+    * 32× vs float32 at one BIT per dimension): the corpus is stored
+    * as packed sign words ([[signPackWords]]), a query's Hamming
+    * distance to a corpus row is XOR + popcount over ceil(dim/64)
+    * longs (codegen'd `bit_count`), and the approximate score is the
+    * monotone angular estimate 1 − h/d (ranking-equivalent to the
+    * standard cos(π·h/d); one exact IEEE division, so the oracle
+    * replays it bit-for-bit). Top `cand` survivors re-rank at exact
+    * float cosine — the two-stage shape every vector store ships as
+    * "binary quantization with rescoring" (e.g. Qdrant/Weaviate docs).
+    *
+    * Scale shape: the scan touches d/8 bytes per corpus vector (a
+    * 100 TB float corpus becomes ~3 TB of sign words — memory-resident
+    * on a modest cluster), queries broadcast, bounded CollectTopK per
+    * stage, floats re-read only for the `cand` survivors. The packed
+    * words column can be written beside an IVF index's list
+    * partitions for an in-list pre-filter at probe time.
+    */
   def bqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
              cand: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
