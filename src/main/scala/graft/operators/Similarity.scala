@@ -434,6 +434,40 @@ object Similarity {
     }
   }
 
+  /** STREAMING index maintenance: append every micro-batch of a
+    * streaming (vec_id, embedding) source to a durable IVF / IVF-PQ
+    * index through [[appendToIvfIndex]] — the daily-ingest append
+    * automated at the stream boundary, with the same PQ-aware encode
+    * path and the same fail-fast drift guard. A drifted batch THROWS
+    * inside foreachBatch and fails the stream: a feed whose
+    * distribution has left the coarse quantizer should stop the
+    * pipeline for a rebuild, not silently degrade probe recall (the
+    * rule-TTL fallback-budget stream takes the same stance). Compose
+    * with [[graft.streaming.Ingest.streamDedup]] upstream when the
+    * feed is at-least-once.
+    *
+    * Durability caveat, inherited from the batch append and documented
+    * there: the list append is a plain parquet file append, so a
+    * post-crash REPLAY of a committed batch would double-append — a
+    * production deployment stages-and-renames per batch id. The guard
+    * semantics and the encode path are what this sink locks.
+    */
+  def startIndexMaintenance(source: DataFrame, dir: String,
+                            checkpointDir: String,
+                            maxDriftRatio: Double = 4.0,
+                            triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendToIvfIndex(batch.sparkSession, dir, batch, maxDriftRatio)
+        ()
+      }
+      .start()
+
   /** Durable IVF-PQ index — [[writeIvfIndex]]'s layout (lists
     * partitioned by coarse-list id + centroid dim + drift-guard
     * stats) extended with the PQ codebooks as a dim table and the

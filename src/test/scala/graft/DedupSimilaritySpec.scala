@@ -1583,6 +1583,59 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ex.getMessage.contains("no pq_books"))
   }
 
+  test("streaming index maintenance: micro-batches append PQ-encoded and probe-visible; a drifted batch fails the stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    def blobVec(blob: Int): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)
+      v(blob) = v(blob) + (if (blob == 0) 3.0f else -3.0f)
+      v
+    }
+    val corpus = (0L until 40L).map(i => (i, blobVec((i % 2).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-stream").toString
+    Similarity.writeIvfPqIndex(corpus, dir, nlist = 4, itersIvf = 2,
+      m = 4, ksub = 8, itersPq = 2, residual = true)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivfpq-stream-ckpt").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.startIndexMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt, triggerMs = 50L)
+    try {
+      // two micro-batches of in-distribution vectors
+      mem.addData((100L, blobVec(0)), (101L, blobVec(1)))
+      q.processAllAvailable()
+      mem.addData((102L, blobVec(0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n")
+        == 43L)
+      // appended rows carry PQ codes and are probe-visible at 1.0
+      val qv = spark.read.parquet(s"$dir/lists")
+        .filter($"vec_id" === 102L)
+        .select($"embedding").as[Array[Float]].head()
+      val hits = Similarity.ivfPqSearchIndexed(spark, dir,
+        Seq((902L, qv)), k = 1, nprobe = 2)
+        .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+      assert(hits.head == ((102L, 1.0)), s"got ${hits.toSeq}")
+      // a drifted batch fails the stream loudly instead of degrading
+      mem.addData((200L, Array.fill(64)(100.0f)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("drift guard") ||
+        Option(ex.getCause).exists(_.getMessage.contains("drift guard")))
+      // the refused batch left neither rows nor stats behind
+      assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n")
+        == 43L)
+      assert(spark.read.parquet(s"$dir/lists")
+        .filter($"vec_id" === 200L).count() == 0L)
+    } finally { if (q.isActive) q.stop() }
+  }
+
   test("mergeable dims: merge(dim(a), dim(b)) = dim(a ∪ b); withDim = full recompute on the batch") {
     import org.apache.spark.sql.functions._
     // corpus ∪ batch share boilerplate lines whose df crosses the
