@@ -742,19 +742,8 @@ FROM t"""
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(head.getAs[Array[Byte]]("cms"))
     val slack = 2L * math.ceil(0.0005d * head.getAs[Long]("n")).toLong
-    val types = ev.select(col("event_type")).distinct()
-      .limit(maxEnum + 1).collect()
-      .map(r => if (r.isNullAt(0)) null else r.getString(0))
-    // a null group would read a MISSING map key below and silently
-    // null the contract flags instead of failing them — refuse it
-    require(!types.contains(null),
-      "cmsCounts: null event_type — the bounded-enum contract needs a " +
-        "non-null grouping column")
-    require(types.length <= maxEnum,
-      s"cmsCounts: grouping domain exceeds the bounded-enum contract " +
-        s"(> $maxEnum distinct values) — driver-held estimate maps are " +
-        "for bounded dims only")
-    val estMap = map(types.sorted.flatMap(t =>
+    val types = boundedEnumDomain(ev, maxEnum)
+    val estMap = map(types.flatMap(t =>
       Seq(lit(t), lit(cms.estimateCount(t)))): _*)
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_count"))
@@ -762,6 +751,73 @@ FROM t"""
         (element_at(estMap, col("event_type")) >= col("exact_count"))
           .as("one_sided"),
         (element_at(estMap, col("event_type")) <=
+          col("exact_count") + lit(slack)).as("within_eps"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sorted bounded grouping domain for driver-held estimate maps:
+    * LIMIT maxEnum+1 fetch, fail-fast past the cap or on a null key —
+    * the executable bounded-enum contract shared by [[cmsCounts]] and
+    * [[cmsMergeContract]].
+    */
+  private def boundedEnumDomain(ev: DataFrame, maxEnum: Int): Seq[String] = {
+    val types = ev.select(col("event_type")).distinct()
+      .limit(maxEnum + 1).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // a null group would read a MISSING map key downstream and
+    // silently null the contract flags instead of failing them
+    require(!types.contains(null),
+      "cmsCounts: null event_type — the bounded-enum contract needs a " +
+        "non-null grouping column")
+    require(types.length <= maxEnum,
+      s"cmsCounts: grouping domain exceeds the bounded-enum contract " +
+        s"(> $maxEnum distinct values) — driver-held estimate maps are " +
+        "for bounded dims only")
+    types.toIndexedSeq.sorted
+  }
+
+  /** The MERGEABLE-CMS contract row (`ev_cms_merge` — the CMS analog
+    * of `ev_reach_merge` on the same daily-pipeline story): the
+    * corpus/batch split is sketched in ONE pass (two conditional
+    * aggregates; the sketch skips the nulls the `when` leaves on the
+    * other part's rows), the halves merge driver-side via
+    * [[graft.operators.Analytics.mergeCms]], and an INDEPENDENTLY
+    * built full-stream sketch is the yardstick. The merge contract is
+    * the strongest of the sketch family: CMS counters add
+    * element-wise at seed-determined hashes, so every per-key merged
+    * estimate must be BIT-IDENTICAL to the full recompute's (not
+    * merely within bounds) — on top of [[cmsCounts]]'s one-sided and
+    * 2ε flags, now checked on the MERGED estimate.
+    */
+  private[graft] def cmsMergeContract(ev: DataFrame,
+                                      maxEnum: Int = 64): DataFrame = {
+    val eps = 0.0005d
+    val parts = ev.agg(
+      count_min_sketch(when(col("event_id") % 5 =!= 0, col("event_type")),
+        lit(eps), lit(0.999d), lit(42)).as("cms_corpus"),
+      count_min_sketch(when(col("event_id") % 5 === 0, col("event_type")),
+        lit(eps), lit(0.999d), lit(42)).as("cms_batch"),
+      count(lit(1)).as("n")).head()
+    val merged = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      Analytics.mergeCms(
+        parts.getAs[Array[Byte]]("cms_corpus"),
+        parts.getAs[Array[Byte]]("cms_batch")))
+    val full = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      Analytics.cmsSketch(ev).head().getAs[Array[Byte]]("cms"))
+    val slack = 2L * math.ceil(eps * parts.getAs[Long]("n")).toLong
+    val types = boundedEnumDomain(ev, maxEnum)
+    val mergedMap = map(types.flatMap(t =>
+      Seq(lit(t), lit(merged.estimateCount(t)))): _*)
+    val fullMap = map(types.flatMap(t =>
+      Seq(lit(t), lit(full.estimateCount(t)))): _*)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+      .select(col("event_type"), col("exact_count"),
+        (element_at(mergedMap, col("event_type")) ===
+          element_at(fullMap, col("event_type"))).as("merge_equals_full"),
+        (element_at(mergedMap, col("event_type")) >= col("exact_count"))
+          .as("one_sided"),
+        (element_at(mergedMap, col("event_type")) <=
           col("exact_count") + lit(slack)).as("within_eps"))
       .orderBy(col("event_type"))
   }
@@ -2275,6 +2331,10 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         .orderBy(col("event_type"))
     }),
     "ev_cms_counts" -> ((s, d) => cmsCounts(Tables.events(s, d))),
+    // mergeable-CMS contract: persisted-sketch state folded batch-wise
+    // must answer per-key frequencies BIT-IDENTICALLY to a full
+    // recompute (see cmsMergeContract)
+    "ev_cms_merge" -> ((s, d) => cmsMergeContract(Tables.events(s, d))),
     "doc_top_per_source" -> ((s, d) =>
       // top-1-per-group as a map-side-combinable min_by — source has
       // FEW distinct values, so a window over it would funnel the
@@ -2915,7 +2975,17 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // int8 scalar quantization error profile (embedding compression
     // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
     "emb_quant_error" -> ((s, d) =>
-      Similarity.quantizationError(Tables.embeddings(s, d))))
+      Similarity.quantizationError(Tables.embeddings(s, d))),
+    // SEMANTIC DECONTAMINATION: drop corpus docs whose embedding sits
+    // at cosine >= 0.9 to ANY eval-benchmark embedding — the eval set
+    // (every 95th base vector, so exact leaks AND their planted
+    // near-clones exist in the corpus) rides as broadcast literals;
+    // the corpus is scanned once with a scan-local max-cos projection
+    "emb_decontam" -> ((s, d) =>
+      Similarity.semanticDecontam(
+        plantedEmbeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") % 95 === 0),
+        minCos = 0.9)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash/LSH sketch ops →
@@ -3355,6 +3425,15 @@ FROM events GROUP BY event_type ORDER BY event_type""",
     "ev_cms_counts" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count,
   TRUE AS one_sided, TRUE AS within_eps
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // mergeable-CMS contract: exact counts + the three engine flags
+    // all TRUE — a lossy merge (merged ≠ full recompute, per-key and
+    // bit-exact), a lost one-sided guarantee, or a blown ε bound each
+    // flips a flag and fails the hash gate
+    "ev_cms_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count,
+  TRUE AS merge_equals_full, TRUE AS one_sided, TRUE AS within_eps
 FROM events GROUP BY event_type ORDER BY event_type""",
 
     // rank-error contract of the quantile sketch, same shape: exact
@@ -4335,6 +4414,35 @@ FROM c ORDER BY doc_id""",
 
     "emb_semdedup" ->
       semDedupOracleSql(nlist = 8, iters = 3, dim = 64, minCos = 0.9),
+
+    // semantic decontamination: max rounded cosine of each planted-
+    // corpus vector against the eval set (every 95th base vector),
+    // tie → smallest eval id; keep iff max < 0.9. NaN pairs (zero
+    // norms) are skipped on both engines; a row with no valid pair
+    // keeps nulls + keep = true.
+    "emb_decontam" ->
+      s"""WITH $PlantedCorpusCte,
+ev AS (
+  SELECT * FROM (
+    SELECT vec_id AS eid, embedding, ${normSql("embedding")} AS nrm
+    FROM embeddings WHERE vec_id % 95 = 0) WHERE nrm > 0
+), cn AS MATERIALIZED (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM pe
+), pairs AS (
+  SELECT c.vec_id, e.eid,
+    round(${dotSql("c.embedding", "e.embedding")} / (c.nrm * e.nrm), 4) AS c4
+  FROM cn c CROSS JOIN ev e
+), valid AS (SELECT * FROM pairs WHERE NOT isnan(c4)),
+best AS (SELECT vec_id, max(c4) AS mc FROM valid GROUP BY vec_id),
+hit AS (
+  SELECT v.vec_id, min(v.eid) AS hid
+  FROM valid v JOIN best b ON v.vec_id = b.vec_id AND v.c4 = b.mc
+  GROUP BY v.vec_id
+)
+SELECT c.vec_id, b.mc AS max_cos, h.hid AS hit_id,
+  NOT COALESCE(b.mc >= 0.9, FALSE) AS keep
+FROM cn c LEFT JOIN best b USING (vec_id) LEFT JOIN hit h USING (vec_id)
+ORDER BY c.vec_id""",
 
     "emb_quant_error" ->
       """WITH q AS (

@@ -399,4 +399,39 @@ object Analytics {
   def reachEstimates(sketches: DataFrame): DataFrame =
     sketches.select(col("event_type"),
       hll_sketch_estimate(col("reach_sketch")).as("est_users"))
+
+  /** Whole-stream Count-Min frequency sketch as MERGEABLE persisted
+    * state — the point-query dual of [[reachSketches]] on the same
+    * daily-pipeline story: persist one ~KB sketch, fold each new
+    * batch in with [[mergeCms]], answer per-key frequency estimates
+    * without rescanning the corpus. One distributive pass (Spark's
+    * `count_min_sketch` aggregate merges partials internally); `n`
+    * rides along for the ε·N error-bound arithmetic.
+    */
+  def cmsSketch(events: DataFrame, keyCol: String = "event_type",
+                eps: Double = 0.0005, conf: Double = 0.999,
+                seed: Int = 42): DataFrame =
+    events.agg(
+      count_min_sketch(col(keyCol), lit(eps), lit(conf), lit(seed))
+        .as("cms"),
+      count(lit(1)).as("n"))
+
+  /** Fold one serialized CMS into another. CMS counters are a
+    * depth×width matrix of EXACT sums and the hash functions are
+    * seed-determined, so merging is element-wise addition and
+    * `estimate(mergeCms(cms(A), cms(B)))` is BIT-IDENTICAL to
+    * `estimate(cms(A ∪ B))` at equal (eps, conf, seed) — stronger
+    * than the HLL contract's estimate equality, and exactly why
+    * persisted CMS state never needs a corpus rescan. KB-scale
+    * driver-side op, like the frequency dims (`TextOps.mergeDim`).
+    */
+  def mergeCms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    sa.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(b)))
+    val bos = new java.io.ByteArrayOutputStream()
+    sa.writeTo(bos)
+    bos.toByteArray
+  }
 }

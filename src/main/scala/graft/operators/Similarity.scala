@@ -1951,4 +1951,89 @@ object Similarity {
         col("__drop").isNull.as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Above this eval-set size the per-eval cosine terms switch from
+    * unrolled expressions to the literal-matrix higher-order-function
+    * form (the [[centroidDistArray]] dial): plan size stays O(1) in
+    * the eval-set size instead of growing one expression tree per
+    * eval vector.
+    */
+  private val UnrollEvalMax = 16
+
+  /** SEMANTIC DECONTAMINATION (the embedding analog of the n-gram
+    * `TextOps.contamination`, as Llama-3-style pipelines run it): drop
+    * every corpus document whose embedding has cosine ≥ `minCos` to
+    * ANY benchmark/eval embedding. Reference scope: the DAM reference
+    * has no corpus ops at all; this extends the training-data surface
+    * (decontamination per GPT-3 appx C / PaLM §6, lifted from token
+    * overlap to embedding similarity).
+    *
+    * Scale shape: the eval set is small BY CONSTRUCTION (it is a
+    * benchmark), so it is collected driver-side under a fail-fast cap
+    * (`maxEval`, the bounded-enum contract) and enters the plan as
+    * literals — the corpus is scanned ONCE with a scan-local max-cosine
+    * projection: no join, no shuffle, no corpus movement of any kind.
+    * Per corpus row: max over eval vectors of round(cos, 4), the
+    * matching eval id (ties → smallest id), and the keep flag
+    * (max < minCos). Zero-norm pairs (NaN cosine) are skipped exactly
+    * as [[topKPerQuery]] drops NaN scores; a corpus row with NO valid
+    * pair keeps null max_cos/hit_id and keep = true.
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+                       minCos: Double = 0.9, maxEval: Int = 10000): DataFrame = {
+    val rows = evalSet
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .limit(maxEval + 1).collect()
+    require(rows.length <= maxEval,
+      s"semanticDecontam: eval set exceeds the $maxEval-row driver cap " +
+        "(an eval benchmark is small by construction; a larger set " +
+        "means the wrong frame was passed)")
+    // zero-norm eval vectors have no defined cosine to anything — drop
+    // them up front (the oracle carries the identical nrm > 0 filter)
+    val evs = rows.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), v, math.sqrt(dotExactLocal(v, v)))
+    }.filter(_._3 > 0.0)
+
+    val vnorm = l2norm(col("embedding"))
+    // element i: struct(c = round(cos_i, 4), nid = -eval_id) — array_max
+    // picks max cosine, ties resolved to the SMALLEST eval id (max of
+    // -id). A zero-norm corpus row has no defined cosine: the guard
+    // yields null elements (array_max skips them) BEFORE the division
+    // runs — under ANSI mode 0/0 is an error, not a quiet NaN (eval
+    // zero norms were already dropped driver-side, so the corpus norm
+    // is the only zero divisor possible)
+    def term(c: => Column, eid: Column): Column =
+      when(vnorm === lit(0.0), lit(null)).otherwise(
+        struct(c.as("c"), (-eid).as("nid")))
+    if (evs.isEmpty)
+      return corpus.select(
+        col("vec_id"),
+        lit(null).cast("double").as("max_cos"),
+        lit(null).cast("long").as("hit_id"),
+        lit(true).as("keep")).orderBy(col("vec_id"))
+    val terms: Column =
+      if (evs.length <= UnrollEvalMax)
+        array(evs.map { case (eid, v, nrm) =>
+          term(round(dot(col("embedding"),
+            typedlit(v.toSeq)) / (vnorm * lit(nrm)), 4), lit(eid))
+        }.toIndexedSeq: _*)
+      else {
+        val matLit = typedlit(evs.map(_._2.toSeq).toSeq)
+        val eidLit = typedlit(evs.map(_._1).toSeq)
+        val nrmLit = typedlit(evs.map(_._3).toSeq)
+        transform(sequence(lit(0), lit(evs.length - 1)), i =>
+          term(round(graft.functions.DotExact.dot_exact(col("embedding"),
+              element_at(matLit, i + 1)) /
+            (vnorm * element_at(nrmLit, i + 1)), 4),
+            element_at(eidLit, i + 1)))
+      }
+    val best = array_max(terms)
+    corpus.select(
+      col("vec_id"),
+      best.getField("c").as("max_cos"),
+      (-best.getField("nid")).cast("long").as("hit_id"),
+      (!coalesce(best.getField("c") >= minCos, lit(false))).as("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -79,6 +79,40 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getAs[Boolean]("one_sided") &&
       r.getAs[Boolean]("within_eps")))
   }
+
+  test("mergeCms: element-wise merge is bit-identical to sketching the union") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // skewed keys + a batch-only key: the merged sketch must answer
+    // every per-key estimate exactly as a union resketch would, and
+    // at this cardinality CMS is exact, so estimates == true counts
+    val corpus = (0 until 300)
+      .map(i => (i.toLong * 5 + 1, s"k${i % 3}")).toDF("event_id", "event_type")
+    val batch = (0 until 90)
+      .map(i => (i.toLong * 5, s"k${i % 4}")).toDF("event_id", "event_type")
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      Analytics.cmsSketch(df).head().getAs[Array[Byte]]("cms")
+    val merged = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(Analytics.mergeCms(sketchOf(corpus), sketchOf(batch)))
+    val full = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(sketchOf(corpus.unionByName(batch)))
+    val truth = corpus.unionByName(batch).groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    truth.keys.foreach { k =>
+      assert(merged.estimateCount(k) == full.estimateCount(k),
+        s"merge not lossless at $k")
+      assert(merged.estimateCount(k) == truth(k),
+        s"not exact at small cardinality for $k")
+    }
+    // the batch-only key k3 is visible through the merged state
+    assert(merged.estimateCount("k3") > 0L)
+    // the contract row composes the same pieces end-to-end
+    val contract = SparkEntry.cmsMergeContract(corpus.unionByName(batch))
+      .collect()
+    assert(contract.length == 4)
+    assert(contract.forall(r => r.getAs[Boolean]("merge_equals_full") &&
+      r.getAs[Boolean]("one_sided") && r.getAs[Boolean]("within_eps")))
+  }
   import spark.implicits._
 
   private def mkActivity(rows: Seq[(Long, Long, String, String, String, String, Long)]): DataFrame =
