@@ -1277,6 +1277,71 @@ GROUP BY x.query_id ORDER BY x.query_id"""
 )"""
   }
 
+  /** DuckDB replay of [[graft.operators.TextOps.trainBpe]]: the
+    * weighted word vocab (`v0`), then per merge step s a weighted
+    * pair count (`p{s}`), the deterministic argmax (`m{s}`: count
+    * desc, lexicographic pair), and the greedy left-to-right
+    * non-overlap rewrite stated POSITIONALLY — marked positions,
+    * runs of consecutive marks (only possible when tok_l = tok_r),
+    * alternate-keep from each run head, then rebuild (`v{s}`).
+    * The engine's fold formulation and this positional one are
+    * brute-force-equivalence-checked in BpeSpec. CTEs materialize
+    * because each step references its predecessor three times —
+    * inlining would re-derive v0 exponentially.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    def step(s: Int): String = {
+      val p = s - 1
+      s"""
+p$s AS (
+  SELECT v.toks[u.i] AS tok_l, v.toks[u.i+1] AS tok_r, sum(wc) AS c
+  FROM v$p v, unnest(range(1, len(v.toks))) AS u(i)
+  GROUP BY 1, 2
+),
+m$s AS MATERIALIZED (
+  SELECT tok_l, tok_r, CAST(c AS BIGINT) AS c FROM p$s
+  ORDER BY c DESC, tok_l, tok_r LIMIT 1),
+mk$s AS (
+  SELECT v.w, u.i
+  FROM v$p v, m$s, unnest(range(1, len(v.toks))) AS u(i)
+  WHERE v.toks[u.i] = m$s.tok_l AND v.toks[u.i+1] = m$s.tok_r
+),
+r$s AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, min(i) OVER (PARTITION BY w, rn) AS rs FROM (
+      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+      FROM mk$s))
+  WHERE (i - rs) % 2 = 0
+),
+pos$s AS (
+  SELECT v.w, v.wc, u.i, v.toks[u.i] AS tk
+  FROM v$p v, unnest(range(1, len(v.toks)+1)) AS u(i)
+),
+v$s AS MATERIALIZED (
+  SELECT q.w, q.wc, list(q.t ORDER BY q.i) AS toks FROM (
+    SELECT p.w, p.wc, p.i,
+      CASE WHEN x.i IS NOT NULL THEN (SELECT tok_l || tok_r FROM m$s)
+           ELSE p.tk END AS t,
+      xp.i AS skip
+    FROM pos$s p
+    LEFT JOIN r$s x ON x.w = p.w AND x.i = p.i
+    LEFT JOIN r$s xp ON xp.w = p.w AND xp.i = p.i - 1
+  ) q WHERE q.skip IS NULL
+  GROUP BY q.w, q.wc
+)"""
+    }
+    s"""WITH v0 AS MATERIALIZED (
+  SELECT w, wc, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents) t
+    WHERE len(w) > 0 GROUP BY w)
+),""" + (1 to k).map(step).mkString(",") + "\n" +
+      (1 to k).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS step, tok_l, tok_r, c AS pair_count FROM m$s")
+        .mkString("\nUNION ALL\n") + "\nORDER BY step"
+  }
+
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
     * 16-slot signatures → 4-band bucket join → exact-jaccard-verified
@@ -2752,6 +2817,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_chunks" -> ((s, d) =>
       TextOps.chunkWindows(Tables.documents(s, d))),
 
+    // BPE tokenizer training (Sennrich et al. 2016): 8 merge rules
+    // learned from the corpus — one corpus pass builds the weighted
+    // word-vocab dim, each iteration is a map-side-combinable pair
+    // count over the KB-scale vocab + a scan-local greedy rewrite
+    "doc_bpe_merges" -> ((s, d) =>
+      TextOps.trainBpe(Tables.documents(s, d), merges = 8)),
+
     // ---- similarity search ----
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
@@ -3926,6 +3998,8 @@ SELECT doc_id, CAST(start_tok // 16 AS BIGINT) AS chunk_idx,
   CAST(len(array_slice(toks, start_tok + 1, start_tok + 32)) AS BIGINT) AS chunk_len,
   md5(array_to_string(array_slice(toks, start_tok + 1, start_tok + 32), ' ')) AS chunk_hash
 FROM s ORDER BY doc_id, chunk_idx""",
+
+    "doc_bpe_merges" -> bpeOracleSql(8),
 
     "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}\n" +
       """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3

@@ -775,6 +775,94 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // ------------------------------------------------------------------
+  // BPE tokenizer TRAINING (Sennrich et al. 2016) — the distributed
+  // inner loop of learning a subword vocabulary from the corpus.
+  // ------------------------------------------------------------------
+
+  /** The weighted word vocabulary BPE trains over: ONE corpus pass
+    * (whitespace words → counts → char-symbol arrays) produces a dim
+    * that is orders of magnitude smaller than the corpus (distinct
+    * words, Zipf-bounded); every subsequent merge iteration runs over
+    * THIS frame weighted by `wc` — the published algorithm's shape,
+    * and the only one that survives 100 TB (iterating over raw text k
+    * times would pay k corpus scans for identical information).
+    */
+  def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("toks",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))))
+
+  /** Corpus-weighted adjacent-pair counts over a (w, wc, toks) vocab
+    * frame — the map-side-combinable aggregate at the heart of each
+    * BPE iteration. Only (pair, partial-count) rows shuffle.
+    */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("toks")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("tok_l"),
+          element_at(col("toks"), i + 1).as("tok_r")))).as("p"))
+      .groupBy(col("p.tok_l").as("tok_l"), col("p.tok_r").as("tok_r"))
+      .agg(sum(col("wc")).as("c"))
+
+  /** One merge applied scan-locally: greedy left-to-right non-overlap
+    * replacement of adjacent (l, r) with the fused symbol — a left
+    * fold whose accumulator merges when its LAST symbol is `l` and the
+    * incoming one is `r`. Equivalent to positional greedy because the
+    * fused symbol `l+r` can never equal `l` (r is non-empty), so a
+    * fresh merge never re-triggers within the same pass; the
+    * BpeSpec brute-forces this equivalence against a reference
+    * implementation. O(|word|²) array copies per word — words are
+    * short and the vocab is small, so this never touches the corpus.
+    */
+  private[graft] def bpeMergePair(toks: Column, l: String, r: String): Column =
+    aggregate(toks, typedlit(Seq.empty[String]),
+      (acc, t) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(t))))
+
+  /** Train `merges` BPE merge rules: per iteration, one distributed
+    * weighted pair count over the vocab dim, a deterministic driver
+    * argmax (count desc, then lexicographic pair — exact integer
+    * arithmetic, no float tie ambiguity), and a scan-local merge
+    * rewrite; each rewritten vocab is localCheckpoint-ed so iteration
+    * k+1 reads KB of arrays, not k nested fold lineages. Returns the
+    * merge table (step, tok_l, tok_r, pair_count) — the trained
+    * tokenizer IS this table.
+    */
+  def trainBpe(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = bpeVocab(docs).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var dry = false
+    for (step <- 1 to merges if !dry) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("c").desc, col("tok_l"), col("tok_r"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step.toLong, l, r, c))
+        val prev = vocab
+        vocab = vocab
+          .withColumn("toks", bpeMergePair(col("toks"), l, r))
+          .localCheckpoint()
+        prev.unpersist()
+        ()
+      }
+    }
+    vocab.unpersist()
+    spark.createDataFrame(out.toSeq)
+      .toDF("step", "tok_l", "tok_r", "pair_count")
+      .orderBy(col("step"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

@@ -1062,6 +1062,54 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got._3 == 0.3333)
   }
 
+  test("BPE: greedy fold merge ≡ reference greedy; trainBpe learns hand-computable merges") {
+    // reference greedy left-to-right non-overlap merge
+    def refMerge(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // brute-force equivalence of the engine fold on random sequences
+    // over a 2-symbol alphabet (maximizes overlapping-run conflicts,
+    // the only place greedy semantics bite) for all 4 merge pairs
+    val rng = new scala.util.Random(7)
+    val seqs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(2 + rng.nextInt(9))(if (rng.nextBoolean()) "a" else "b")))
+    val df = seqs.toDF("id", "toks")
+    for (l <- Seq("a", "b"); r <- Seq("a", "b")) {
+      val got = df.select($"id",
+          TextOps.bpeMergePair($"toks", l, r).as("m"))
+        .as[(Long, Seq[String])].collect().toMap
+      seqs.foreach { case (id, s) =>
+        assert(got(id) == refMerge(s, l, r),
+          s"fold != greedy for $s on ($l,$r): ${got(id)}")
+      }
+    }
+    // the canonical run case: aaaa + (a,a) -> [aa, aa], not [aa, a, a]
+    val run = Seq((1L, Seq("a", "a", "a", "a"))).toDF("id", "toks")
+      .select(TextOps.bpeMergePair($"toks", "a", "a"))
+      .as[Seq[String]].collect()(0)
+    assert(run == Seq("aa", "aa"))
+    // trainBpe on a hand-computable corpus: "ababab abab" twice over —
+    // (a,b) x5 wins step 1, (ab,ab) x3 step 2, (abab,ab) x1 step 3;
+    // word weighting doubles the counts
+    val docs = Seq((1L, "ababab abab"), (2L, "ababab abab"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.trainBpe(docs, merges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "b", 10L), (2L, "ab", "ab", 6L),
+      (3L, "abab", "ab", 2L)), s"got $merges")
+    // running dry stops early instead of looping
+    val dry = TextOps.trainBpe(Seq((1L, "x y")).toDF("doc_id", "text"),
+      merges = 5).collect()
+    assert(dry.isEmpty)
+  }
+
   test("semDedup: within-cluster cosine prune keeps the min-id representative") {
     // 40 Gaussian base vectors (random 64-dim pairs sit near cos 0,
     // far below threshold) + exact duplicates of every 10th: identical
