@@ -126,6 +126,14 @@ object SparkEntry {
 
   private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
 
+  /** Dotted-quad IPv4 column → uint32 BIGINT (DuckDB twin of
+    * Analytics.ipToLong). */
+  private def ipIntSql(c: String): String =
+    s"""(CAST(split_part($c, '.', 1) AS BIGINT) * 16777216 +
+  CAST(split_part($c, '.', 2) AS BIGINT) * 65536 +
+  CAST(split_part($c, '.', 3) AS BIGINT) * 256 +
+  CAST(split_part($c, '.', 4) AS BIGINT))"""
+
   /** Blacklist dim + temporal-validity filter (Detect.ipBlacklist /
     * Detect.activeBlacklist), generated from the same seed seq as the
     * Spark fixture. `abl` holds the ACTIVE entries (expires_at anchored
@@ -2252,6 +2260,17 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // ---- enrichment / set ops / sessions (A10, J5, S4, windows) ----
     "dam_geo_top" -> ((s, d) =>
       Analytics.geoTopCountries(Tables.activity(s, d))),
+    // CIDR range-table geo enrichment: the range join runs as a
+    // broadcast EQUI-join on /24 blocks (dim exploded across the
+    // blocks each range spans) with the lo<=ip<=hi residual — no
+    // nested loop, no fact shuffle; uncovered tail -> 'unknown'
+    "dam_geo_range" -> ((s, d) =>
+      Analytics.geoRangeLookup(Tables.activity(s, d),
+          Analytics.geoRangeDim(s), prefixBits = 24)
+        .groupBy(coalesce(col("country"), lit("unknown")).as("country"))
+        .agg(count(lit(1)).as("hits"),
+          count_distinct(col("user_id")).as("users"))
+        .orderBy(col("country"))),
     "dam_orphans" -> ((s, d) => Analytics.orphanActivity(
       Tables.activity(s, d),
       Tables.customer(s, d).select("c_custkey"), "c_custkey")),
@@ -3404,6 +3423,24 @@ SELECT country, count(*) AS n
 FROM activity a JOIN geo g
   ON CAST(string_split(a.ip_address, '.')[3] AS BIGINT) = g.octet
 GROUP BY country ORDER BY n DESC, country LIMIT 10"""),
+
+    // range-table enrichment: DuckDB states the range join directly
+    // (its IEJoin handles BETWEEN natively); the engine's prefix
+    // blocking is a physical strategy, not a semantic one
+    "dam_geo_range" -> act(
+      s""", geod(lo_s, hi_s, country) AS (VALUES
+  ${Analytics.GeoRangeSeed.map { case (lo, hi, c) =>
+        s"('$lo', '$hi', '$c')" }.mkString(",\n  ")}
+), g AS (
+  SELECT ${ipIntSql("lo_s")} AS lo, ${ipIntSql("hi_s")} AS hi, country
+  FROM geod
+), a2 AS (
+  SELECT user_id, ${ipIntSql("ip_address")} AS ip_int FROM activity
+)
+SELECT COALESCE(g.country, 'unknown') AS country,
+  count(*) AS hits, count(DISTINCT user_id) AS users
+FROM a2 LEFT JOIN g ON a2.ip_int BETWEEN g.lo AND g.hi
+GROUP BY 1 ORDER BY 1"""),
 
     "dam_orphans" -> act(
       """SELECT user_id, count(*) AS n FROM activity

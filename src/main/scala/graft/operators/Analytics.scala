@@ -416,6 +416,70 @@ object Analytics {
         .as("cms"),
       count(lit(1)).as("n"))
 
+  /** Seeded (lo, hi, country) range dim for the `dam_geo_range`
+    * fixture, covering the synthetic activity IP space 10.0.0-49.x
+    * with deliberately UNALIGNED boundaries (so prefix blocking is
+    * exercised mid-range) and the 10.0.45-49.x tail uncovered
+    * (→ 'unknown'). Dotted quads for legibility; both engines derive
+    * the integer bounds from these strings.
+    */
+  val GeoRangeSeed: Seq[(String, String, String)] = Seq(
+    ("10.0.0.0", "10.0.9.127", "US"),
+    ("10.0.9.128", "10.0.19.255", "DE"),
+    ("10.0.20.0", "10.0.34.17", "IN"),
+    ("10.0.34.18", "10.0.44.255", "BR"))
+
+  /** [[GeoRangeSeed]] as the (lo, hi, country) integer-bounds frame
+    * [[geoRangeLookup]] consumes. */
+  def geoRangeDim(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val rows = GeoRangeSeed.map { case (lo, hi, c) => (lo, hi, c) }
+    spark.createDataFrame(rows).toDF("lo_ip", "hi_ip", "country")
+      .select(ipToLong(col("lo_ip")).as("lo"),
+        ipToLong(col("hi_ip")).as("hi"), col("country"))
+  }
+
+  /** Dotted-quad IPv4 → uint32 as a long (scan-local; the range-join
+    * key for [[geoRangeLookup]]). */
+  def ipToLong(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long")
+  }
+
+  /** CIDR / range-table geo enrichment — the production form of the
+    * reference's per-IP geo dim (C7, app.py:709-731): real deployments
+    * ship (lo, hi, country) RANGE tables (GeoLite-style), and a naive
+    * range join is a broadcast nested loop over every (row, range)
+    * pair. This one is an EQUI-join: each dim range explodes across
+    * the /prefixBits blocks it spans (dim-side blowup only, bounded by
+    * range width / 2^(32-prefixBits)), the fact side computes its
+    * block scan-locally, and the join runs hash-equi on the block id
+    * with the lo<=ip<=hi check as a residual filter. The dim stays
+    * KB-scale → broadcast → ZERO fact-side shuffle; unmatched rows
+    * fall through as null country (callers coalesce to 'unknown').
+    *
+    * Precondition: ranges must be non-overlapping (an overlap would
+    * duplicate fact rows — the spec locks the fan-out contract).
+    */
+  def geoRangeLookup(logs: DataFrame, ranges: DataFrame,
+                     prefixBits: Int = 16): DataFrame = {
+    require(prefixBits >= 0 && prefixBits <= 32,
+      s"geoRangeLookup: prefixBits must be in [0,32], got $prefixBits")
+    val shift = 32 - prefixBits
+    val dim = ranges.select(col("lo"), col("hi"), col("country"),
+      explode(sequence(shiftright(col("lo"), shift),
+        shiftright(col("hi"), shift))).as("pfx"))
+    val keyed = logs.withColumn("ip_int", ipToLong(col("ip_address")))
+      .withColumn("pfx", shiftright(col("ip_int"), shift))
+    keyed.join(broadcast(dim),
+        keyed("pfx") === dim("pfx") &&
+          keyed("ip_int") >= dim("lo") && keyed("ip_int") <= dim("hi"),
+        "left")
+      .drop(dim("pfx")).drop("lo", "hi")
+  }
+
   /** Fold one serialized CMS into another. CMS counters are a
     * depth×width matrix of EXACT sums and the hash functions are
     * seed-determined, so merging is element-wise addition and

@@ -80,6 +80,37 @@ class AnalyticsSpec extends SparkSpecBase {
       r.getAs[Boolean]("within_eps")))
   }
 
+  test("geoRangeLookup: exact boundaries, unmatched fall-through, no fan-out on disjoint ranges") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val ranges = Seq(
+      ("10.0.0.0", "10.0.9.127", "US"),
+      ("10.0.9.128", "10.0.19.255", "DE"))
+      .toDF("lo_ip", "hi_ip", "country")
+      .select(Analytics.ipToLong($"lo_ip").as("lo"),
+        Analytics.ipToLong($"hi_ip").as("hi"), $"country")
+    // boundary probes: last IP of US, first of DE, one past DE's end
+    val logs = Seq(
+      (1L, "10.0.9.127"), (2L, "10.0.9.128"),
+      (3L, "10.0.20.0"), (4L, "10.0.0.0"))
+      .toDF("user_id", "ip_address")
+    val got = Analytics.geoRangeLookup(logs, ranges, prefixBits = 24)
+      .select($"user_id", $"country").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "US", 2L -> "DE", 3L -> null, 4L -> "US"))
+    // disjoint ranges: every log row appears exactly once (the
+    // fan-out contract a production GeoLite dim relies on)
+    assert(Analytics.geoRangeLookup(logs, ranges, prefixBits = 24)
+      .count() == 4L)
+    // the /16 default also works when ranges straddle block interiors
+    val wide = Analytics.geoRangeLookup(logs, ranges, prefixBits = 16)
+      .select($"user_id", $"country").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(wide == got)
+  }
+
   test("mergeCms: element-wise merge is bit-identical to sketching the union") {
     import spark.implicits._
     import graft.operators.Analytics

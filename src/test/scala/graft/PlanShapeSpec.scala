@@ -128,6 +128,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!sd.contains("Window"), "semDedup must not rank with a window")
   }
 
+  test("geo range join is a broadcast equi-join on prefix blocks, not a nested loop") {
+    // the whole point of the prefix blocking: a naive range join is a
+    // BroadcastNestedLoopJoin over every (row, range) pair
+    val p = executedPlan("dam_geo_range")
+    assert(p.contains("BroadcastHashJoin"),
+      "range lookup must hash-join on the prefix block")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range lookup must not degrade to a nested loop")
+  }
+
   test("dsir weights broadcast the frequency dims; cluster-best keeps no window") {
     // dsirWeights: both corpus-wide frequency tables are KB-scale
     // roll-ups and must reach the doc×bigram stream as broadcast
