@@ -365,4 +365,197 @@ object Curation {
           .otherwise(col("lhs") >= col("rhs")))
       .select(col("doc_id"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted corpus state + STREAMING curation maintenance — the
+  // daily run as a continuously running job (the curation analog of
+  // Similarity.startIndexMaintenance).
+  // ------------------------------------------------------------------
+
+  private val StateParts =
+    Seq("corpus_text", "line_dim", "bench_grams", "dsir_dim", "dsir_glob")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def partFrames(state: CorpusState): Seq[(String, DataFrame)] =
+    StateParts.zip(Seq(state.corpusText, state.lineDim, state.benchGrams,
+      state.dsirDim, state.dsirGlob))
+
+  /** Publish `state` as version `v` of the state dir, atomically:
+    * components land in a dot-prefixed staging dir (invisible to
+    * [[latestVersion]]'s v-prefix scan), then ONE rename exposes the
+    * finished version. `batchId` rides in the dir name — replay
+    * detection needs to know which batch produced a version without
+    * opening it.
+    */
+  private def publishVersion(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, state: CorpusState,
+                             v: Long, batchId: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".staging-v$v")
+    fs.delete(tmp, true)
+    partFrames(state).foreach { case (name, df) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(tmp, name).toString)
+    }
+    val fin = new org.apache.hadoop.fs.Path(dir, s"v${v}_b$batchId")
+    fs.delete(fin, true)
+    require(fs.rename(tmp, fin),
+      s"curation state: failed to publish $fin")
+    ()
+  }
+
+  /** All published (version, batchId) pairs, ascending by version. */
+  private def versions(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[(Long, Long)] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        "^v(\\d+)_b(-?\\d+)$".r.findFirstMatchIn(n)
+          .map(m => (m.group(1).toLong, m.group(2).toLong))
+      }.sortBy(_._1)
+  }
+
+  private def loadVersion(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, v: Long, b: Long): CorpusState = {
+    def part(name: String) = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, s"v${v}_b$b/$name").toString)
+    CorpusState(part("corpus_text"), part("line_dim"), part("bench_grams"),
+      part("dsir_dim"), part("dsir_glob"))
+  }
+
+  /** Bootstrap a state dir from a prior full run (version 0, no
+    * producing batch). */
+  def writeState(state: CorpusState, dir: String): Unit = {
+    val spark = state.corpusText.sparkSession
+    require(versions(spark, dir).isEmpty,
+      s"curation state: $dir already initialized")
+    publishVersion(spark, dir, state, 0L, -1L)
+  }
+
+  /** The latest published state (a maintenance stream's read point). */
+  def readState(spark: org.apache.spark.sql.SparkSession,
+                dir: String): CorpusState = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"curation state: $dir has no published version")
+    val (v, b) = vs.last
+    loadVersion(spark, dir, v, b)
+  }
+
+  /** Advance the persisted state by one admitted batch — the
+    * merge-forward of every component, at state scale (the raw corpus
+    * is never rescanned):
+    *  - corpus_text ∪ the batch's curated-text layer (quality gate +
+    *    line dedup against the MERGED line dim — stages 2-3 of
+    *    [[incrementalStages]], corpus-seniority semantics: history is
+    *    immutable, only the batch is re-judged)
+    *  - line_dim / dsir_dim via [[TextOps.mergeDim]] (exact:
+    *    dim(a ∪ b) = merge(dim(a), dim(b)))
+    *  - bench_grams ∪ the batch bench split's grams
+    *  - dsir_glob recomputed over the grown curated-text layer under
+    *    the merged dim — ONE state-scale pass, so the aggregate ratio
+    *    is exact for the corpus the next batch actually joins
+    */
+  def advanceState(state: CorpusState, batch: DataFrame,
+                   lineMinDf: Long = 5, benchMod: Long = 29,
+                   decontamN: Int = 8,
+                   targetSources: Seq[String] = Seq("src0", "src2", "src4"))
+      : CorpusState = {
+    val raw = batch.select(col("doc_id"), col("text"), col("source"))
+    val b2 = raw.join(
+      TextOps.gopherQuality(raw).filter(col("gopher_pass"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val mergedLine = TextOps.mergeDim(state.lineDim,
+      TextOps.lineDfDim(b2), key = "h")
+    val b3 = b2.select(col("doc_id"), col("source"))
+      .join(TextOps.dedupLinesWithDim(b2, mergedLine, lineMinDf)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_deduped").as("text")),
+        Seq("doc_id"))
+    val grownText = state.corpusText.unionByName(b3).localCheckpoint(true)
+    val tgt = col("source").isin(targetSources: _*)
+    val mergedDsir = TextOps.mergeDim(state.dsirDim,
+      TextOps.dsirDim(b3, tgt), key = "b")
+    val d38 = "decimal(38,0)"
+    val glob = TextOps.dsirMassesWithDim(grownText, mergedDsir).agg(
+      sum(col("tmass").cast(d38)).cast(d38).as("st"),
+      sum(col("rmass").cast(d38)).cast(d38).as("sr"))
+    CorpusState(grownText, mergedLine,
+      state.benchGrams.unionByName(
+        TextOps.benchGrams(b3.filter(col("doc_id") % benchMod === 0),
+          decontamN, Dedup.md5Seeded)).distinct(),
+      mergedDsir, glob)
+  }
+
+  /** Continuous curation: each micro-batch of raw documents is
+    * curated against the persisted corpus state
+    * ([[curateIncremental]]), its packed product written under
+    * `outDir/batch-<id>`, and the state advanced one version
+    * ([[advanceState]]) — the daily run as a stream.
+    *
+    * EFFECTIVELY-ONCE across crashes: the output write is a per-batch
+    * OVERWRITE (replay rewrites the same directory), and the state
+    * version carries the producing batch id in its name — a replayed
+    * batch that already advanced the state detects itself and curates
+    * against the PREVIOUS version (the state it originally saw),
+    * skipping the second advance. Without that check, a replayed
+    * batch would cross-dedup against a corpus that already contains
+    * it and emit an empty (wrong) product.
+    */
+  def startCurationMaintenance(source: DataFrame, stateDir: String,
+                               outDir: String, checkpointDir: String,
+                               lineMinDf: Long = 5,
+                               minJaccard: Double = 0.3,
+                               benchMod: Long = 29, decontamN: Int = 8,
+                               targetSources: Seq[String] =
+                                 Seq("src0", "src2", "src4"),
+                               budget: Long = 512, shards: Int = 4,
+                               triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val pinned = batch.localCheckpoint(true)
+        val vs = versions(spark, stateDir)
+        require(vs.nonEmpty,
+          s"curation maintenance: $stateDir not bootstrapped (writeState)")
+        val already = vs.last._2 >= id
+        val (v, b) =
+          if (already) {
+            val prior = vs.filter(_._2 < id)
+            require(prior.nonEmpty,
+              s"curation maintenance: batch $id replayed but no prior " +
+                "state version survives — cannot reproduce its input")
+            prior.last
+          } else vs.last
+        val st = loadVersion(spark, stateDir, v, b)
+        curateIncremental(pinned, st, lineMinDf, minJaccard, benchMod,
+            decontamN, targetSources, budget, shards)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch-$id")
+            .toString)
+        if (!already) {
+          publishVersion(spark, stateDir,
+            advanceState(st, pinned, lineMinDf, benchMod, decontamN,
+              targetSources),
+            v + 1, id)
+          // retain one prior version for replay; prune older ones
+          versions(spark, stateDir).dropRight(2).foreach { case (ov, ob) =>
+            fsOf(spark, stateDir).delete(
+              new org.apache.hadoop.fs.Path(stateDir, s"v${ov}_b$ob"), true)
+            ()
+          }
+        }
+        ()
+      }
+      .start()
 }

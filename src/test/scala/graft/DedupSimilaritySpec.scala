@@ -1924,4 +1924,90 @@ class DedupSimilaritySpec extends SparkSpecBase {
       m.contains("dsirKeep") || m.toLowerCase.contains("overflow")),
       s"got: $ex")
   }
+
+  test("advanceState ≡ stateOf over the grown corpus (fixture without cross-boundary df flips)") {
+    import org.apache.spark.sql.functions._
+    def body(i: Long): String =
+      (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+    val corpus = (0L until 40L)
+      .map(i => (i, s"BOILER HEADER\n${body(i)}\nBOILER FOOTER", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (1100L, s"BOILER HEADER\n${body(100)}\nBOILER FOOTER", "src0"),
+      (1101L, body(200), "src1")).toDF("doc_id", "text", "source")
+    val adv = Curation.advanceState(Curation.stateOf(corpus), batch)
+    val full = Curation.stateOf(corpus.unionByName(batch))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(adv.corpusText) == rows(full.corpusText))
+    assert(rows(adv.lineDim) == rows(full.lineDim))
+    assert(rows(adv.benchGrams) == rows(full.benchGrams))
+    assert(rows(adv.dsirDim) == rows(full.dsirDim))
+    assert(rows(adv.dsirGlob) == rows(full.dsirGlob))
+  }
+
+  test("curation maintenance: micro-batches curate against versioned state; crash replay reproduces output") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    def body(i: Long): String =
+      (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+    val corpus = (0L until 40L)
+      .map(i => (i, s"BOILER HEADER\n${body(i)}\nBOILER FOOTER", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("cur_maint").toString
+    val (stateDir, outDir, srcDir, ckpt) =
+      (s"$dir/state", s"$dir/out", s"$dir/src", s"$dir/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    Curation.writeState(Curation.stateOf(corpus), stateDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    def doc(id: Long, text: String, src: String): String =
+      s"""{"doc_id":$id,"text":"${text.replace("\n", "\\n")}","source":"$src"}"""
+    // batch 0: a clone of CORPUS doc 3 (seniority vs v0) + two fresh
+    Files.write(Paths.get(s"$srcDir/b1.json"), Seq(
+      doc(1003L, body(3) + " tail", "src0"),
+      doc(1100L, s"BOILER HEADER\n${body(100)}\nBOILER FOOTER", "src0"),
+      doc(1101L, body(200), "src0")).mkString("\n").getBytes)
+    def startStream() = Curation.startCurationMaintenance(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir),
+      stateDir, outDir, ckpt, triggerMs = 100L)
+    val q1 = startStream()
+    q1.processAllAvailable()
+    // batch 1: a clone of BATCH-0 doc 1100 — only an ADVANCED state
+    // can drop it — plus one fresh doc
+    Files.write(Paths.get(s"$srcDir/b2.json"), Seq(
+      doc(2100L, body(100) + " tail", "src0"),
+      doc(2101L, body(300), "src0")).mkString("\n").getBytes)
+    q1.processAllAvailable(); q1.stop()
+    def productIds(batch: Int): Set[Long] =
+      spark.read.parquet(s"$outDir/batch-$batch")
+        .select($"doc_id").as[Long].collect().toSet
+    val (p0, p1) = (productIds(0), productIds(1))
+    assert(!p0.contains(1003L), "corpus clone must not ship")
+    assert(!p1.contains(2100L),
+      "batch-0 clone must be dropped by the ADVANCED state")
+    assert(p1.contains(2101L), "fresh doc must survive batch 1")
+    // state versions: v0 pruned, latest carries the producing batch id
+    val names = new java.io.File(stateDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(names == Seq("v1_b0", "v2_b1"), s"got $names")
+    // crash between sink write and checkpoint commit: batch 1 replays
+    // against the PRIOR version and rewrites the identical product
+    // without advancing the state again
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc"))
+    val q2 = startStream()
+    q2.processAllAvailable(); q2.stop()
+    assert(productIds(1) == p1, "replayed product must be identical")
+    val names2 = new java.io.File(stateDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(names2 == Seq("v1_b0", "v2_b1"),
+      s"replay must not double-advance: $names2")
+  }
 }
