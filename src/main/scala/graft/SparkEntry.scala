@@ -2836,6 +2836,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_chunks" -> ((s, d) =>
       TextOps.chunkWindows(Tables.documents(s, d))),
 
+    // hashed-feature linear quality scorer (fastText-shaped, NB
+    // centroid weights, decimal-exact): target = the DSIR target
+    // sources — "how target-like is each doc's hashed profile"
+    "doc_quality_linear" -> ((s, d) =>
+      TextOps.linearQuality(Tables.documents(s, d),
+        col("source").isin("src0", "src2", "src4"))),
+
     // BPE tokenizer training (Sennrich et al. 2016): 8 merge rules
     // learned from the corpus — one corpus pass builds the weighted
     // word-vocab dim, each iteration is a map-side-combinable pair
@@ -4037,6 +4044,32 @@ SELECT doc_id, CAST(start_tok // 16 AS BIGINT) AS chunk_idx,
 FROM s ORDER BY doc_id, chunk_idx""",
 
     "doc_bpe_merges" -> bpeOracleSql(8),
+
+    // hashed-feature linear scorer: HUGEINT replay of the decimal
+    // NB-centroid weights and per-doc scores
+    "doc_quality_linear" ->
+      s"""WITH tf AS MATERIALIZED (
+  SELECT doc_id, tgt,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 4096 AS b,
+    count(*) AS tf
+  FROM (
+    SELECT doc_id, source IN ('src0', 'src2', 'src4') AS tgt,
+      unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents) x
+  WHERE len(w) > 0 GROUP BY 1, 2, 3
+), dim AS (
+  SELECT b, sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tft,
+    sum(tf) AS tfr
+  FROM tf GROUP BY b
+), tot AS (SELECT sum(tft) AS nt, sum(tfr) AS nr FROM dim),
+wt AS (
+  SELECT b, CAST(tft AS HUGEINT) * nr - CAST(tfr AS HUGEINT) * nt AS wt
+  FROM dim, tot
+)
+SELECT t.doc_id,
+  CAST(sum(CAST(t.tf AS HUGEINT) * w.wt) AS BIGINT) AS score,
+  sum(CAST(t.tf AS HUGEINT) * w.wt) >= 0 AS keep
+FROM tf t JOIN wt w USING (b) GROUP BY t.doc_id ORDER BY t.doc_id""",
 
     "doc_minhash_neardups" -> (s"WITH ${minhashPairsCtes(s"$ScopedDocsSql sdocs")}\n" +
       """SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3

@@ -776,6 +776,61 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Hashed-feature linear quality scorer — the fastText-shaped
+  // model-based quality filter (CCNet / Llama-style data prep), with
+  // closed-form integer weights so the decision is oracle-exact.
+  // ------------------------------------------------------------------
+
+  /** Score each document by how target-like its HASHED-FEATURE profile
+    * is: word unigrams hash into a FIXED table of `buckets` (the
+    * fastText trick — the model is B parameters regardless of vocab
+    * size, so the trained dim stays KB at 100 TB), weights are the
+    * closed-form Naive-Bayes centroid difference
+    * `w(b) = tf_target(b)·N_raw − tf_raw(b)·N_target` (positive where
+    * the bucket is over-represented in the target distribution), and
+    * `score(doc) = Σ_b tf_doc(b)·w(b)` with `keep = score ≥ 0`.
+    *
+    * All arithmetic is decimal(38,0) — exact cross-multiplication in
+    * place of frequency ratios, the [[graft.operators.Curation]] DSIR
+    * contract — so the keep decision has NO float threshold and
+    * replays bit-for-bit in the oracle's HUGEINT.
+    *
+    * Scale shape: tokens hash to bucket ids IN THE SCAN (text never
+    * shuffles); the (doc, bucket, tf) stream aggregates map-side; the
+    * weight dim is B rows → broadcast back; one final per-doc sum.
+    */
+  def linearQuality(docs: DataFrame, isTarget: Column,
+                    buckets: Int = 4096): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tf = docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        (Dedup.md5Seeded(0, col("w")) % buckets).as("b"))
+      .groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both the dim and the scoring pass
+    val dim = tf.groupBy(col("b")).agg(
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("tft"),
+      sum(col("tf")).as("tfr"))
+    val tot = dim.agg(sum(col("tft")).as("nt"), sum(col("tfr")).as("nr"))
+    val weights = dim.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (col("tft").cast(d38) * col("nr").cast(d38) -
+          col("tfr").cast(d38) * col("nt").cast(d38)).cast(d38).as("wt"))
+    tf.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf").cast(d38) * col("wt")).cast(d38).as("s"))
+      // the DECISION is decimal-exact; the reported score column is
+      // int64 (under ANSI a score past 2^63 fails the cast LOUDLY —
+      // a reporting cap, never a silent wrong keep flag)
+      .select(col("doc_id"), col("s").cast("long").as("score"),
+        (col("s") >= lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // BPE tokenizer TRAINING (Sennrich et al. 2016) — the distributed
   // inner loop of learning a subword vocabulary from the corpus.
   // ------------------------------------------------------------------

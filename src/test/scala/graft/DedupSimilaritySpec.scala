@@ -1062,6 +1062,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got._3 == 0.3333)
   }
 
+  test("linearQuality: target-shaped docs score positive, raw-shaped negative; model stays B-bounded") {
+    import org.apache.spark.sql.functions._
+    // target docs speak vocabulary T, raw docs vocabulary R, one
+    // probe doc each side; NB-centroid weights must separate them
+    val tWords = (0 until 20).map(i => s"tw$i")
+    val rWords = (0 until 20).map(i => s"rw$i")
+    val docs = ((0 until 10).map(i =>
+        (i.toLong, tWords.mkString(" "), "src0")) ++
+      (0 until 10).map(i =>
+        (100L + i, rWords.mkString(" "), "src1")) ++
+      Seq((500L, tWords.take(10).mkString(" "), "src1"),
+        (501L, rWords.take(10).mkString(" "), "src0")))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.linearQuality(docs, col("source") === "src0")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    // probe 500 is pure target vocabulary (regardless of its own
+    // label), probe 501 pure raw vocabulary
+    assert(got(500L)._1 > 0L && got(500L)._2, s"got ${got(500L)}")
+    assert(got(501L)._1 < 0L && !got(501L)._2)
+    // keep flag is exactly the sign
+    got.values.foreach { case (s, k) => assert(k == (s >= 0L)) }
+    // feature hashing bounds the model: tiny bucket table still
+    // scores every doc (collisions degrade, never crash), and every
+    // bucket id stays within the table
+    val tiny = TextOps.linearQuality(docs, col("source") === "src0",
+      buckets = 8)
+    assert(tiny.count() == docs.count())
+  }
+
   test("BPE: greedy fold merge ≡ reference greedy; trainBpe learns hand-computable merges") {
     // reference greedy left-to-right non-overlap merge
     def refMerge(toks: Seq[String], l: String, r: String): Seq[String] = {
