@@ -1297,10 +1297,15 @@ GROUP BY x.query_id ORDER BY x.query_id"""
     * because each step references its predecessor three times —
     * inlining would re-derive v0 exponentially.
     */
-  private def bpeOracleSql(k: Int): String = {
-    def step(s: Int): String = {
-      val p = s - 1
-      s"""
+  private def bpeOracleSql(k: Int): String =
+    bpeCtes(k) + "\n" +
+      (1 to k).map(s =>
+        s"SELECT CAST($s AS BIGINT) AS step, tok_l, tok_r, c AS pair_count FROM m$s")
+        .mkString("\nUNION ALL\n") + "\nORDER BY step"
+
+  private def bpeStepCte(s: Int): String = {
+    val p = s - 1
+    s"""
 p$s AS (
   SELECT v.toks[u.i] AS tok_l, v.toks[u.i+1] AS tok_r, sum(wc) AS c
   FROM v$p v, unnest(range(1, len(v.toks))) AS u(i)
@@ -1337,18 +1342,31 @@ v$s AS MATERIALIZED (
   ) q WHERE q.skip IS NULL
   GROUP BY q.w, q.wc
 )"""
-    }
+  }
+
+  private def bpeCtes(k: Int): String =
     s"""WITH v0 AS MATERIALIZED (
   SELECT w, wc, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM (
     SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents) t
     WHERE len(w) > 0 GROUP BY w)
-),""" + (1 to k).map(step).mkString(",") + "\n" +
-      (1 to k).map(s =>
-        s"SELECT CAST($s AS BIGINT) AS step, tok_l, tok_r, c AS pair_count FROM m$s")
-        .mkString("\nUNION ALL\n") + "\nORDER BY step"
-  }
+),""" + (1 to k).map(bpeStepCte).mkString(",")
+
+  /** The [[bpeOracleSql]] chain ending in per-doc subword counts
+    * under the step-`k` vocab (TextOps.bpeTokenCounts): segmentation
+    * is a function of the word, so docs join v{k} on the word.
+    */
+  private def bpeApplyOracleSql(k: Int): String =
+    s"""${bpeCtes(k)}
+SELECT d.doc_id, count(*) AS n_words,
+  CAST(sum(len(v.toks)) AS BIGINT) AS n_subwords
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents) d
+JOIN v$k v ON v.w = d.w
+WHERE len(d.w) > 0
+GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
@@ -2850,6 +2868,12 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_bpe_merges" -> ((s, d) =>
       TextOps.trainBpe(Tables.documents(s, d), merges = 8)),
 
+    // APPLY the trained tokenizer: per-doc word/subword counts under
+    // the 8 learned rules — segmentation is a function of the word,
+    // so docs join the KB-scale post-training vocab (broadcast)
+    "doc_bpe_tokens" -> ((s, d) =>
+      TextOps.bpeTokenCounts(Tables.documents(s, d), merges = 8)),
+
     // ---- similarity search ----
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
@@ -4044,6 +4068,8 @@ SELECT doc_id, CAST(start_tok // 16 AS BIGINT) AS chunk_idx,
 FROM s ORDER BY doc_id, chunk_idx""",
 
     "doc_bpe_merges" -> bpeOracleSql(8),
+
+    "doc_bpe_tokens" -> bpeApplyOracleSql(8),
 
     // hashed-feature linear scorer: HUGEINT replay of the decimal
     // NB-centroid weights and per-doc scores

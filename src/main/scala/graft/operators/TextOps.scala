@@ -891,7 +891,19 @@ object TextOps {
     * tokenizer IS this table.
     */
   def trainBpe(docs: DataFrame, merges: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
+    val (rules, vocab) = trainBpeState(docs, merges)
+    vocab.unpersist()
+    docs.sparkSession.createDataFrame(rules)
+      .toDF("step", "tok_l", "tok_r", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** [[trainBpe]] plus the POST-TRAINING vocab (w, wc, toks) — the
+    * segmentation table [[bpeTokenCounts]] applies. The returned
+    * vocab is localCheckpoint-ed; the caller owns unpersisting it.
+    */
+  private[graft] def trainBpeState(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = bpeVocab(docs).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var dry = false
@@ -912,10 +924,31 @@ object TextOps {
         ()
       }
     }
+    (out.toSeq, vocab)
+  }
+
+  /** APPLY the trained tokenizer: per-doc word and subword counts
+    * under `merges` learned rules. Segmentation is a pure function of
+    * the word, so docs join the KB-scale post-training vocab
+    * (broadcast) on the word — the corpus is never re-segmented
+    * per-document, the same dim-reuse that makes the trainer scale.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val (_, vocab) = trainBpeState(docs, merges)
+    val segLen = vocab
+      .select(col("w"), size(col("toks")).cast("long").as("n_sub"))
+    val out = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(segLen), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+    // the join above is the last consumer of the checkpointed vocab,
+    // but the frame is lazy — materialize before releasing the blocks
+    val pinned = out.localCheckpoint(true)
     vocab.unpersist()
-    spark.createDataFrame(out.toSeq)
-      .toDF("step", "tok_l", "tok_r", "pair_count")
-      .orderBy(col("step"))
+    pinned
   }
 
   /** Per-document report combining the signals above. */

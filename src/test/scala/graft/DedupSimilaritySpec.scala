@@ -1138,6 +1138,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val dry = TextOps.trainBpe(Seq((1L, "x y")).toDF("doc_id", "text"),
       merges = 5).collect()
     assert(dry.isEmpty)
+    // applying the tokenizer: after 3 merges both words collapse to a
+    // single subword; after 1 merge "ababab"=3 + "abab"=2 subwords
+    val applied3 = TextOps.bpeTokenCounts(docs, merges = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(applied3 == Set((1L, 2L, 2L), (2L, 2L, 2L)), s"got $applied3")
+    val applied1 = TextOps.bpeTokenCounts(docs, merges = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(applied1 == Set((1L, 2L, 5L), (2L, 2L, 5L)))
   }
 
   test("semDedup: within-cluster cosine prune keeps the min-id representative") {
