@@ -2534,6 +2534,38 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           col("__asof.o_totalprice").as("last_totalprice"))
         .orderBy(col("event_id"))
     }),
+    // forward as-of with a 30-day tolerance: the next order AT OR
+    // AFTER each event — the backward algorithm on reversed time,
+    // still one shuffle (second window over the same union)
+    "ev_asof_forward" -> ((s, d) => {
+      import graft.operators.AsOf
+      AsOf.asofJoinDirected(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts",
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"),
+        direction = "forward", toleranceSec = Some(30L * 86400L))
+        .select(col("event_id"), col("user_id"),
+          col("__asof.o_orderkey").as("next_orderkey"),
+          fmtTs(col("__asof_ts")).as("next_orderdate"),
+          col("__asof.o_totalprice").as("next_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+    // nearest as-of (tie -> backward): whichever order is closer in
+    // time on either side of the event
+    "ev_asof_nearest" -> ((s, d) => {
+      import graft.operators.AsOf
+      AsOf.asofJoinDirected(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts",
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey"),
+        direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("__asof.o_orderkey").as("near_orderkey"),
+          fmtTs(col("__asof_ts")).as("near_orderdate"))
+        .orderBy(col("event_id"))
+    }),
 
     // ---- text analysis / fingerprinting ----
     "doc_profile" -> ((s, d) => TextOps.profile(Tables.documents(s, d))),
@@ -3729,6 +3761,59 @@ FROM (
   FROM events e LEFT JOIN orders o
     ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 ) WHERE rn = 1 ORDER BY event_id""",
+
+    // forward as-of, 30-day tolerance: first order at/after the event
+    "ev_asof_forward" ->
+      """SELECT event_id, user_id, next_orderkey,
+  strftime(next_orderdate, '%Y-%m-%d %H:%M:%S') AS next_orderdate,
+  next_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey,
+    o.o_orderdate AS next_orderdate, o.o_totalprice AS next_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    AND date_diff('microsecond', e.ts, o.o_orderdate) <= 2592000000000
+) WHERE rn = 1 ORDER BY event_id""",
+
+    // nearest as-of: the closer of the backward/forward candidates,
+    // ties to backward — stated as the two rn=1 candidates joined back
+    "ev_asof_nearest" ->
+      """WITH b AS (
+  SELECT event_id, bk, bts FROM (
+    SELECT e.event_id, o.o_orderkey AS bk, o.o_orderdate AS bts,
+      row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ) WHERE rn = 1
+), f AS (
+  SELECT event_id, fk, fts FROM (
+    SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fts,
+      row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN f.fk IS NULL THEN b.bk
+       WHEN b.bk IS NOT NULL
+         AND date_diff('microsecond', b.bts, e.ts)
+           <= date_diff('microsecond', e.ts, f.fts) THEN b.bk
+       ELSE f.fk END AS near_orderkey,
+  strftime(
+    CASE WHEN f.fk IS NULL THEN b.bts
+         WHEN b.bk IS NOT NULL
+           AND date_diff('microsecond', b.bts, e.ts)
+             <= date_diff('microsecond', e.ts, f.fts) THEN b.bts
+         ELSE f.fts END,
+    '%Y-%m-%d %H:%M:%S') AS near_orderdate
+FROM events e
+LEFT JOIN b ON b.event_id = e.event_id
+LEFT JOIN f ON f.event_id = e.event_id
+ORDER BY e.event_id""",
 
     "doc_profile" -> ("WITH x AS (SELECT 1)" + DocProfileCte +
       """
