@@ -1012,12 +1012,14 @@ ORDER BY m.vec_id"""
   }
 
   private def ivfScoredCtes(nlist: Int, nprobe: Int, iters: Int,
-                            dim: Int, queryIds: Seq[Long]): String = {
+                            dim: Int, queryIds: Seq[Long],
+                            corpusFilter: Option[String] = None): String = {
     val qIn = queryIds.mkString(", ")
     val cf = s"c$iters"
+    val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
     s"""WITH ${kmeansAssignCtes("embeddings", nlist, iters, dim)},
 nn AS (
-  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM embeddings
+  SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm FROM embeddings
 ), qp AS (
   SELECT query_id, qe, qnorm, cid FROM (
     SELECT q.vec_id AS query_id, q.embedding AS qe, nq.norm AS qnorm, c.cid,
@@ -1031,13 +1033,14 @@ nn AS (
   SELECT qp.query_id, nn.vec_id,
     round(${dotSql("nn.embedding", "qp.qe")} / (nn.norm * qp.qnorm), 4) AS cos_sim
   FROM nn JOIN af ON af.vec_id = nn.vec_id
-  JOIN qp ON qp.cid = af.cid AND nn.vec_id <> qp.query_id
+  JOIN qp ON qp.cid = af.cid AND nn.vec_id <> qp.query_id$cFil
 )"""
   }
 
   private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
-                           dim: Int, queryIds: Seq[Long]): String =
-    ivfScoredCtes(nlist, nprobe, iters, dim, queryIds) + s"""
+                           dim: Int, queryIds: Seq[Long],
+                           corpusFilter: Option[String] = None): String =
+    ivfScoredCtes(nlist, nprobe, iters, dim, queryIds, corpusFilter) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"""
@@ -2976,6 +2979,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // cold path: per-call training (index-build cost made visible)
     "emb_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // FILTERED vector search: metadata predicate restricts the corpus
+    // side inside the pruned-list scan (a pushed parquet filter on
+    // the durable layout) — one shared index serves every filter;
+    // wider probes keep recall under the thinner lists
+    "emb_ivf_filtered" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L),
+        nprobe = 4, pred = Some(col("label").isin(3, 7)))),
     // quality dial for nprobe: recall@10 of the pruned probe vs exact
     "emb_ivf_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -4418,6 +4428,12 @@ ORDER BY d.doc_id"""),
 
     "emb_ivf_ann" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
+
+    // filtered search: identical replay with the label predicate on
+    // the corpus side of the scoring stage
+    "emb_ivf_filtered" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 3,
+      k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L),
+      corpusFilter = Some("nn.label IN (3, 7)")),
 
     // identical replay: the indexed path changes the physical layout
     // (durable lists + pruned probe), not the answer

@@ -282,7 +282,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
               nlist: Int = 16, nprobe: Int = 2,
-              iters: Int = 3): DataFrame = {
+              iters: Int = 3, pred: Option[Column] = None): DataFrame = {
     val cents = trainCentroids(embeddings, nlist, iters)
     val assigned = embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
@@ -295,7 +295,15 @@ object Similarity {
           centroidDistArray(col("embedding"), cents)), 1, nprobe)).as("probe"))
       .select(col("query_id"), col("qvec"), col("qnorm"),
         col("probe.cid").as("cid"))
-    val scored = assigned.join(broadcast(queries), Seq("cid"))
+    // FILTERED vector search: the metadata predicate restricts the
+    // CORPUS side only (queries search regardless of their own
+    // label), applied before scoring so it rides the pruned-list scan
+    // — on the durable layout this is a pushed parquet filter inside
+    // the partition-pruned lists, never a post-ranking drop (which
+    // would return < k survivors). Centroids stay trained on the FULL
+    // corpus: one shared index serves every filter.
+    val corpus = pred.map(assigned.filter).getOrElse(assigned)
+    val scored = corpus.join(broadcast(queries), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("embedding"), col("qvec")) /
@@ -676,7 +684,8 @@ object Similarity {
     */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queries: Seq[(Long, Array[Float])],
-                       k: Int = 10, nprobe: Int = 2): DataFrame = {
+                       k: Int = 10, nprobe: Int = 2,
+                       pred: Option[Column] = None): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -704,8 +713,13 @@ object Similarity {
       probes.map { case (qid, v, n, cid) => (qid, v.toSeq, n, cid) }
         .toDF("query_id", "qvec", "qnorm", "cid")
     }
-    // literal IN on the partition column → pruned scan
-    val scored = lists.filter(col("cid").isin(probeCids: _*))
+    // literal IN on the partition column → pruned scan; a metadata
+    // predicate (FILTERED vector search) lands on the same scan as a
+    // pushed parquet filter inside the pruned lists — the shared
+    // index serves every filter, and the filter never degrades to a
+    // post-ranking drop
+    val pruned = lists.filter(col("cid").isin(probeCids: _*))
+    val scored = pred.map(pruned.filter).getOrElse(pruned)
       .join(broadcast(queriesDf), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

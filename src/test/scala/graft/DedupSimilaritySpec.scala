@@ -1174,6 +1174,44 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(none == 0L)
   }
 
+  test("filtered IVF search: corpus-side predicate, exhaustive probes match filtered brute force") {
+    val rng = new scala.util.Random(31)
+    val dim = 64
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, i % 3, Array.fill(dim)((rng.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val pred = col("label") === 1
+    // query 0 has label 0 — a query searches regardless of its own
+    // label; with nprobe = nlist the probe is exhaustive, so the
+    // filtered result must equal brute force over the filtered corpus
+    val got = graft.operators.Similarity.ivfTopK(corpus, Seq(0L),
+        k = 5, nlist = 4, nprobe = 4, pred = Some(pred))
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // every survivor satisfies the predicate
+    val labels = corpus.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (_, v, _, _) => assert(labels(v) == 1) }
+    val brute = graft.operators.Similarity.bruteForceTopK(
+        corpus.filter(pred).unionByName(corpus.filter($"vec_id" === 0L)),
+        Seq(0L), k = 5)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == brute, s"filtered != brute: $got vs $brute")
+    // the durable layout serves the same filter through the pruned
+    // lists (pushed parquet predicate, shared index)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fil").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, dir, nlist = 4)
+    val qv = corpus.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].collect()(0)
+    val indexed = graft.operators.Similarity.ivfSearchIndexed(spark, dir,
+        Seq((0L, qv)), k = 5, nprobe = 4, pred = Some(pred))
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(indexed == brute, s"indexed filtered != brute")
+  }
+
   test("semanticDecontam: exact leaks drop, min-id tie-break, NaN/empty handling, unrolled = HOF") {
     val rng = new scala.util.Random(41)
     val dim = 64
