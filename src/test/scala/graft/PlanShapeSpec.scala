@@ -128,6 +128,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!sd.contains("Window"), "semDedup must not rank with a window")
   }
 
+  test("semantic decontam is one scan-local projection; linear quality broadcasts its dim") {
+    // semanticDecontam itself: the eval set rides as literals — the
+    // corpus max-cosine projection must not join or exchange (the
+    // fixture's planted corpus adds its own join upstream, so lock
+    // the operator over the raw table)
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val dec = graft.operators.Similarity.semanticDecontam(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") % 95 === 0))
+    dec.collect()
+    val d = dec.queryExecution.executedPlan.toString
+    assert(!d.contains("Join") && !d.contains("CartesianProduct"),
+      "semanticDecontam must be join-free (eval set is literal)")
+    // doc_quality_linear: the B-bucket weight dim must reach the
+    // (doc, bucket, tf) stream broadcast, never sort-merge
+    val q = executedPlan("doc_quality_linear")
+    assert(q.contains("BroadcastHashJoin"),
+      "linearQuality must broadcast the weight dim")
+    assert(!q.contains("SortMergeJoin"),
+      "a sort-merge join here shuffles the tf stream a second time")
+  }
+
   test("geo range join is a broadcast equi-join on prefix blocks, not a nested loop") {
     // the whole point of the prefix blocking: a naive range join is a
     // BroadcastNestedLoopJoin over every (row, range) pair
