@@ -2889,6 +2889,21 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_chunks" -> ((s, d) =>
       TextOps.chunkWindows(Tables.documents(s, d))),
 
+    // temperature-based mixture sampling (alpha = 1/2, Pile/GPT-3
+    // style): per-source keep rate ∝ sqrt(size)/size, expected total
+    // = 200 docs; thresholds derive from a fixed IEEE op sequence so
+    // both engines compute identical integer cut points
+    "doc_temp_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Sampling.temperatureSample(docs, budgetDocs = 200L)
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n"),
+          coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy(col("source"))
+    }),
+
     // hashed-feature linear quality scorer (fastText-shaped, NB
     // centroid weights, decimal-exact): target = the DSIR target
     // sources — "how target-like is each doc's hashed profile"
@@ -4165,6 +4180,33 @@ FROM s ORDER BY doc_id, chunk_idx""",
     "doc_bpe_merges" -> bpeOracleSql(8),
 
     "doc_bpe_tokens" -> bpeApplyOracleSql(8),
+
+    // temperature sampling: the threshold replay is the IDENTICAL
+    // IEEE op sequence (sqrt fold over name-sorted sources, the same
+    // multiply/divide chain, floor * 2^60) — sqrt is correctly
+    // rounded per IEEE 754, so the integer thresholds agree
+    // bit-for-bit across engines
+    "doc_temp_mix" ->
+      """WITH cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+  GROUP BY source
+), ss AS (
+  SELECT list_reduce(list_prepend(0.0, list_transform(
+    (SELECT list(n ORDER BY source) FROM cnt),
+    x -> sqrt(CAST(x AS DOUBLE)))), (a, b) -> a + b) AS ssum
+), thr AS (
+  SELECT source, n,
+    CAST(floor(least(CAST(200 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+      / ss.ssum / CAST(n AS DOUBLE), 1.0)
+      * 1152921504606846976.0) AS BIGINT) AS t
+  FROM cnt, ss
+)
+SELECT t.source, t.n,
+  CAST(coalesce(sum(CASE
+    WHEN CAST(('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) < t.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept
+FROM thr t LEFT JOIN documents d ON d.source = t.source
+GROUP BY t.source, t.n ORDER BY t.source""",
 
     // hashed-feature linear scorer: HUGEINT replay of the decimal
     // NB-centroid weights and per-doc scores

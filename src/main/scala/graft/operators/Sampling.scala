@@ -116,4 +116,49 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** TEMPERATURE-based mixture sampling (α = 1/2 — the Pile/GPT-3
+    * style "sample ∝ size^α" rebalance): per-source keep probability
+    * `p_s = budgetDocs · √n_s / (Σ_j √n_j) / n_s`, capped at 1, so
+    * small sources are up-weighted relative to their share and the
+    * expected total is `budgetDocs`. Rows are kept by the same
+    * hash-threshold discipline as every other sampler here —
+    * deterministic, repartition-stable, scan-local.
+    *
+    * Cross-engine exactness: √ is correctly rounded by IEEE 754 (so
+    * bit-identical in both engines, unlike pow), and the threshold is
+    * derived with a FIXED left-to-right op sequence — the oracle
+    * replays the identical expression tree (sqrt fold over sources
+    * sorted by name, multiply/divide chain, floor·2^60) so the
+    * integer thresholds agree bit-for-bit and no float boundary
+    * exists at comparison time.
+    *
+    * The per-source count fetch is the bounded-enum contract (sources
+    * are FEW by construction; fail fast past `maxSources`).
+    */
+  def temperatureSample(docs: DataFrame, budgetDocs: Long, seed: Int = 7,
+                        maxSources: Int = 64): DataFrame = {
+    require(budgetDocs >= 0, s"negative budget: $budgetDocs")
+    val rows = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"temperatureSample: source domain exceeds the bounded-enum " +
+        s"contract (> $maxSources) — driver-held threshold maps are " +
+        "for bounded dims only")
+    require(rows.forall(!_.isNullAt(0)),
+      "temperatureSample: null source")
+    val srcs = rows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ssum = srcs.foldLeft(0.0) { case (a, (_, n)) =>
+      a + math.sqrt(n.toDouble)
+    }
+    val thr = srcs.map { case (s, n) =>
+      val p = budgetDocs.toDouble * math.sqrt(n.toDouble) / ssum /
+        n.toDouble
+      (s, math.floor(math.min(p, 1.0) * HashDomain.toDouble).toLong)
+    }
+    val thrCol = coalesce(thr.toSeq.map { case (s, t) =>
+      when(col("source") === s, lit(t))
+    } :+ lit(null).cast("long"): _*)
+    docs.filter(sampleHash(col("doc_id"), seed) < thrCol)
+  }
 }

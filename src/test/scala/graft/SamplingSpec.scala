@@ -92,4 +92,36 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.budgetSample(docs, Map("a" -> 11L), shards = 2)
     }
   }
+
+  test("temperatureSample: small sources up-weighted, cap at 1, bounded-enum guard") {
+    import org.apache.spark.sql.functions._
+    // skewed corpus: A 400 docs, B 100, C 2 (tiny → rate capped at 1)
+    val tdocs = ((0 until 400).map(i => (i.toLong, "srcA")) ++
+      (1000 until 1100).map(i => (i.toLong, "srcB")) ++
+      Seq((2000L, "srcC"), (2001L, "srcC")))
+      .toDF("doc_id", "source").withColumn("text", lit("t"))
+    val kept = Sampling.temperatureSample(tdocs, budgetDocs = 200L)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    // alpha = 1/2: p_A = 200*20/(20+10+sqrt(2))/400 ≈ 0.318,
+    // p_B ≈ 0.636 — the small source keeps a ~2x higher fraction
+    val rateA = kept("srcA").toDouble / 400
+    val rateB = kept("srcB").toDouble / 100
+    assert(rateB > rateA * 1.5, s"rates: A=$rateA B=$rateB")
+    // capped source keeps everything (p > 1 -> threshold = 2^60)
+    assert(kept("srcC") == 2L)
+    // deterministic and layout-stable: a repartitioned run selects
+    // the identical rows
+    val ids1 = Sampling.temperatureSample(tdocs, 200L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.temperatureSample(tdocs.repartition(7), 200L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "hash-threshold sampling must be layout-stable")
+    // bounded-enum guard fails fast on a wide source domain
+    val wide = (0 until 200).map(i => (i.toLong, s"s$i"))
+      .toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(wide, 10L, maxSources = 64)
+    }
+    assert(e.getMessage.contains("bounded-enum"))
+  }
 }
