@@ -3135,6 +3135,16 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Similarity.embeddingNovel(batch, ref, minCos = 0.9)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // hard-negative triplet mining for contrastive training: anchors
+    // = the planted clones (each has its base at cos >= 0.9); among
+    // each anchor's banded top-k, positive = best candidate >= 0.9,
+    // hard negative = best candidate < 0.7
+    "emb_triplets" -> ((s, d) => {
+      val pe = plantedEmbeddings(s, d)
+      Similarity.mineTriplets(
+        pe.filter(col("vec_id") >= PlantedIdBase), pe,
+        posMin = 0.9, negMax = 0.7)
+    }),
     // measured pair recall of the banded blocker vs exact brute force
     // (anchored on the planted clones — the truth set is linear): the
     // round-4 lossy-blocking finding's answer, as a checked row
@@ -4347,6 +4357,40 @@ ORDER BY vec_a, vec_b"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""
+    },
+
+    // triplet mining: the knnJoin funnel over the planted corpus with
+    // clone anchors, then the two per-anchor argmax selections
+    // (highest cos, ties to smallest id) replayed as rn = 1 windows
+    "emb_triplets" -> {
+      s"""WITH $PlantedCorpusCte, $BandSigCtes, cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id
+  FROM bvt x JOIN bvt y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.vec_id >= $PlantedIdBase AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("eb.embedding", "ea.embedding")} / (eb.norm * ea.norm), 4) AS cos_sim
+  FROM cand c JOIN nn ea ON ea.vec_id = c.query_id
+  JOIN nn eb ON eb.vec_id = c.vec_id
+), topk AS (
+  SELECT query_id, vec_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored WHERE NOT isnan(cos_sim)) WHERE rank <= 10
+), pos AS (
+  SELECT query_id, vec_id AS pos_id, cos_sim AS pos_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM topk WHERE cos_sim >= 0.9) WHERE rn = 1
+), neg AS (
+  SELECT query_id, vec_id AS neg_id, cos_sim AS neg_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM topk WHERE cos_sim < 0.7) WHERE rn = 1
+)
+SELECT p.query_id AS anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM pos p JOIN neg n USING (query_id)
+ORDER BY anchor_id"""
     },
 
     // recall@10 of the joinful candidate funnel vs brute force over

@@ -1776,6 +1776,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** HARD-NEGATIVE TRIPLET MINING for contrastive embedding training
+    * (the retrieval-training data op: anchor, positive, hard
+    * negative). For each anchor in the query table, among its
+    * banded-ANN top-k ([[knnJoin]] — neither side broadcast):
+    * positive = the highest-cosine candidate at or above `posMin`
+    * (a near-duplicate / paraphrase), hard negative = the
+    * highest-cosine candidate BELOW `negMax` (close enough to be
+    * hard, far enough to be wrong). Anchors lacking either are
+    * dropped — a contrastive pair needs both sides.
+    *
+    * The per-anchor selections are packed-struct MAX aggregates
+    * ((cos, −vec_id) — highest cosine, ties to the smallest id),
+    * map-side combinable on top of knnJoin's bounded CollectTopK: no
+    * window, no second shuffle beyond the per-anchor aggregate.
+    */
+  def mineTriplets(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                   posMin: Double = 0.9, negMax: Double = 0.5,
+                   planes: Int = 0, bands: Int = 0): DataFrame = {
+    require(negMax <= posMin,
+      s"mineTriplets: negMax ($negMax) must not exceed posMin ($posMin)")
+    val nn = knnJoin(queries, corpus, k, planes, bands)
+    def best(cond: Column): Column =
+      max(when(cond,
+        struct(col("cos_sim").as("c"), (-col("vec_id")).as("nid"))))
+    nn.groupBy(col("query_id"))
+      .agg(best(col("cos_sim") >= posMin).as("p"),
+        best(col("cos_sim") < negMax).as("ng"))
+      .filter(col("p").isNotNull && col("ng").isNotNull)
+      .select(col("query_id").as("anchor_id"),
+        (-col("p.nid")).cast("long").as("pos_id"),
+        col("p.c").as("pos_cos"),
+        (-col("ng.nid")).cast("long").as("neg_id"),
+        col("ng.c").as("neg_cos"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** [[embeddingNearDups]] in cluster-representative mode: connected
     * components of the verified pair graph, one membership row per
     * clustered vector — the same O(corpus) output bound the text dedup

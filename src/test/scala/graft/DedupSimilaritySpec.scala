@@ -1174,6 +1174,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(none == 0L)
   }
 
+  test("mineTriplets: best positive and hard negative per anchor, both required") {
+    val rng = new scala.util.Random(53)
+    val dim = 64
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)((rng.nextGaussian() * 0.5).toFloat))
+    }
+    // anchors: positive-scaled clones of vectors 3 and 17 (cos 1.0 to
+    // their base — every band collides) + one fresh vector with NO
+    // near-dup anywhere (it must be dropped: no positive)
+    val anchors = Seq(
+      (1003L, base(3)._2.map(_ * 2.0f)),
+      (1017L, base(17)._2.map(_ * 0.5f)),
+      (1999L, Array.fill(dim)((rng.nextGaussian() * 0.5).toFloat)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val q = anchors.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mineTriplets(q, corpus,
+        posMin = 0.9, negMax = 0.7, planes = 12, bands = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // the clones pair with their bases at cos 1.0
+    assert(got.keySet.subsetOf(Set(1003L, 1017L)))
+    got.get(1003L).foreach { case (p, pc, ng, nc) =>
+      assert(p == 3L && pc == 1.0)
+      assert(ng != 3L && nc < 0.7, s"negative must be hard but wrong: $nc")
+    }
+    got.get(1017L).foreach { case (p, pc, _, nc) =>
+      assert(p == 17L && pc == 1.0 && nc < 0.7)
+    }
+    // anchors may drop only for lack of a candidate side, and the
+    // no-positive anchor always does
+    assert(!got.contains(1999L))
+    // invalid thresholds fail fast
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Similarity.mineTriplets(q, corpus,
+        posMin = 0.5, negMax = 0.9)
+    }
+  }
+
   test("filtered IVF search: corpus-side predicate, exhaustive probes match filtered brute force") {
     val rng = new scala.util.Random(31)
     val dim = 64
