@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   *  - every query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3)
   *    and the MINIMUM is reported — transient load inflates individual
   *    runs but cannot deflate the floor;
-  *  - the 1-minute load average is recorded at start and end so a
-  *    contaminated recording is identifiable from the artifact itself;
+  *  - the 1-minute load average is recorded at wait-exit (BEFORE the
+  *    bench's own session spin-up — self-load is not contention) and
+  *    at end, so a contaminated recording is identifiable from the
+  *    artifact itself;
   *  - WAIT-FOR-IDLE: before measuring, the run blocks (polling every
   *    10 s, up to `SPARK_GRAFT_BENCH_WAIT_SEC`, default 600) until
   *    the 1-minute load drops under the gate — an end-of-round
@@ -95,8 +97,12 @@ object Bench {
     val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toInt
     // block (bounded) until the machine is idle BEFORE measuring —
     // the refuse-to-overwrite gate alone left two consecutive rounds'
-    // driver artifacts as hot captures
-    waitForIdle(maxLoad, maxWaitSec)
+    // driver artifacts as hot captures. The gate input is the AMBIENT
+    // load at wait-exit: sampling after session creation (the old
+    // order) reads the bench's own local[32] spin-up back as
+    // contention — a deep-idle box measured 1.5 purely from JVM/Spark
+    // startup, self-contaminating every capture.
+    val load0 = waitForIdle(maxLoad, maxWaitSec)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -106,7 +112,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val load0 = loadAvg()
     if (load0 > maxLoad)
       System.err.println(s"[bench] WARNING: load average $load0 at start " +
         s"exceeds gate $maxLoad — run marked contaminated; the committed " +
