@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Analytics, Dedup, Detect, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, Detect, Layout, Relational, Sampling, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY §2
   * plus the training-data-pipeline surface, each with an equivalent
@@ -2345,6 +2345,25 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
             .as("click_ts"),
           round(col("value"), 4).as("value"))
         .orderBy(col("purchase_id"), col("click_id"))),
+    // Z-order layout key (Layout.zkey): Morton-interleaved (user_id,
+    // epoch-second) buckets — the clustering key writeZOrdered sorts
+    // files by. The row checks the full 32-bit key algebra per event
+    // (grouped to 256 coarse cells so the output stays bounded); the
+    // file-skipping payoff itself is LayoutSpec's measured audit.
+    "ev_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      val b = ev.agg(min("user_id").as("umn"), max("user_id").as("umx"),
+        min("tsec").as("tmn"), max("tsec").as("tmx"))
+      ev.crossJoin(broadcast(b))
+        .withColumn("zkey", Layout.zkey(
+          col("user_id"), col("umn"), col("umx"),
+          col("tsec"), col("tmn"), col("tmx")))
+        .groupBy(shiftright(col("zkey"), 24).as("zcell"))
+        .agg(count(lit(1)).as("n"), min("zkey").as("key_min"),
+          max("zkey").as("key_max"))
+        .orderBy(col("zcell"))
+    }),
     "ev_funnel" -> ((s, d) =>
       Analytics.funnel(Tables.events(s, d), "signup", "purchase")),
     "ev_retention" -> ((s, d) =>
@@ -3722,6 +3741,43 @@ FROM events p JOIN events c ON c.user_id = p.user_id
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
 ORDER BY purchase_id, click_id""",
+
+    // Morton key replay: identical IEEE double bucket scaling, then
+    // the 4 magic spreading steps per dimension as chained CTEs
+    "ev_zorder" ->
+      """WITH b AS (
+  SELECT min(user_id) AS umn, max(user_id) AS umx,
+    CAST(floor(epoch(min(ts))) AS BIGINT) AS tmn,
+    CAST(floor(epoch(max(ts))) AS BIGINT) AS tmx
+  FROM events
+), k0 AS (
+  SELECT event_id,
+    CASE WHEN umx <= umn THEN 0
+         ELSE CAST(floor((user_id - umn) * 65535.0 / (umx - umn)) AS BIGINT)
+    END AS ub,
+    CASE WHEN tmx <= tmn THEN 0
+         ELSE CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - tmn) * 65535.0
+                         / (tmx - tmn)) AS BIGINT)
+    END AS tb
+  FROM events, b
+), k1 AS (
+  SELECT event_id, ((ub | (ub << 8)) & 16711935) AS u,
+    ((tb | (tb << 8)) & 16711935) AS t FROM k0
+), k2 AS (
+  SELECT event_id, ((u | (u << 4)) & 252645135) AS u,
+    ((t | (t << 4)) & 252645135) AS t FROM k1
+), k3 AS (
+  SELECT event_id, ((u | (u << 2)) & 858993459) AS u,
+    ((t | (t << 2)) & 858993459) AS t FROM k2
+), k4 AS (
+  SELECT event_id, ((u | (u << 1)) & 1431655765) AS u,
+    ((t | (t << 1)) & 1431655765) AS t FROM k3
+), z AS (
+  SELECT event_id, (u | (t << 1)) AS zkey FROM k4
+)
+SELECT zkey >> 24 AS zcell, count(*) AS n,
+  min(zkey) AS key_min, max(zkey) AS key_max
+FROM z GROUP BY zcell ORDER BY zcell""",
 
     "doc_top_per_source" ->
       """SELECT source, doc_id, n_chars FROM (
