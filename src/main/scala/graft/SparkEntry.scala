@@ -501,6 +501,29 @@ ORDER BY sink, ts, username, detail"""
   private def act(sql: String): String = ActivityPrelude + "\n" + sql
   private def sev(sql: String): String = ActivityPrelude + SeverityCte + "\n" + sql
 
+  /** Latest-event-per-user snapshot compaction: packed-struct max
+    * AGGREGATE (map-side partial, no window) keyed on (ts, event_id) —
+    * unique, so ≡ the oracle's row_number(ts DESC, event_id DESC).
+    */
+  private def eventSnapshot(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("m.event_type").as("last_type"),
+        round(col("m.value"), 4).as("last_value"))
+
+  /** Oracle face of [[eventSnapshot]] over an events predicate. */
+  private def snapshotSql(pred: String): String =
+    s"""SELECT user_id, event_id AS last_event_id,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+    event_type AS last_type, round(value, 4) AS last_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE $pred)
+  WHERE rn = 1"""
+
   // ---------------------------------------------------------------- //
   // ANN oracle building blocks: the LSH hyperplanes are fixed         //
   // hash-derived constants, so DuckDB replays bucket assignment from  //
@@ -2364,6 +2387,33 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           max("zkey").as("key_max"))
         .orderBy(col("zcell"))
     }),
+    // CDC snapshot maintenance: latest-event-per-user snapshot kept
+    // incrementally — compact the delta, MERGE it into the base
+    // snapshot (Mutations.mergeUpsert, one anti-join). The spec
+    // asserts the merged snapshot ≡ full recompute; the oracle states
+    // the incremental form itself.
+    "ev_snapshot_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-20").cast("timestamp_ntz")
+      graft.sources.Mutations.mergeUpsert(
+          eventSnapshot(ev.filter(col("ts") < cut)),
+          eventSnapshot(ev.filter(col("ts") >= cut)), Seq("user_id"))
+        .orderBy(col("user_id"))
+    }),
+    // op-coded CDC apply: the delta batch carries upserts AND deletes
+    // (users whose latest event is an 'error' are retired) — lakehouse
+    // MERGE semantics in one anti-join (Mutations.applyCdc)
+    "ev_cdc_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-20").cast("timestamp_ntz")
+      val changes = eventSnapshot(ev.filter(col("ts") >= cut))
+        .withColumn("op",
+          when(col("last_type") === "error", "D").otherwise("U"))
+      graft.sources.Mutations.applyCdc(
+          eventSnapshot(ev.filter(col("ts") < cut)), changes,
+          Seq("user_id"), "op")
+        .orderBy(col("user_id"))
+    }),
     "ev_funnel" -> ((s, d) =>
       Analytics.funnel(Tables.events(s, d), "signup", "purchase")),
     "ev_retention" -> ((s, d) =>
@@ -3778,6 +3828,31 @@ ORDER BY purchase_id, click_id""",
 SELECT zkey >> 24 AS zcell, count(*) AS n,
   min(zkey) AS key_min, max(zkey) AS key_max
 FROM z GROUP BY zcell ORDER BY zcell""",
+
+    // incremental snapshot MERGE: anti-join + union replay
+    "ev_snapshot_merge" ->
+      s"""WITH base AS (
+  ${snapshotSql("ts < TIMESTAMP '2024-01-20'")}
+), delta AS (
+  ${snapshotSql("ts >= TIMESTAMP '2024-01-20'")}
+)
+SELECT user_id, last_event_id, last_ts, last_type, last_value FROM (
+  SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM delta)
+  UNION ALL SELECT * FROM delta
+) ORDER BY user_id""",
+
+    // op-coded CDC: every change key leaves the base; non-deletes
+    // union back
+    "ev_cdc_apply" ->
+      s"""WITH base AS (
+  ${snapshotSql("ts < TIMESTAMP '2024-01-20'")}
+), delta AS (
+  ${snapshotSql("ts >= TIMESTAMP '2024-01-20'")}
+)
+SELECT user_id, last_event_id, last_ts, last_type, last_value FROM (
+  SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM delta)
+  UNION ALL SELECT * FROM delta WHERE last_type <> 'error'
+) ORDER BY user_id""",
 
     "doc_top_per_source" ->
       """SELECT source, doc_id, n_chars FROM (

@@ -169,6 +169,35 @@ object Mutations {
     n
   }
 
+  /** MERGE / upsert as a pure frame transform: rows of `source` win on
+    * key match, unmatched `target` rows survive, unmatched `source`
+    * rows insert — SQL MERGE with WHEN MATCHED UPDATE SET * / WHEN NOT
+    * MATCHED INSERT *. ONE anti-join: the target is scanned once and
+    * only its key columns compare; when the source (a CDC batch,
+    * typically ≪ target) fits the broadcast threshold AQE makes it a
+    * broadcast anti-join, so the target never shuffles. At 100 TB the
+    * target side would additionally be partition-restricted to the
+    * partitions the batch's keys touch before the rewrite (the
+    * dynamic-overwrite pattern `Ingest.start` uses).
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(source)
+
+  /** Apply an op-coded CDC batch: `changes` carries `opCol` with 'D'
+    * (delete — the key's row is removed) or anything else (upsert —
+    * the change row replaces/inserts). Exactly lakehouse MERGE
+    * semantics: matched+D deletes, matched+U updates, unmatched+U
+    * inserts, unmatched+D is a no-op. Same single-anti-join shape as
+    * [[mergeUpsert]] — every change key (delete or not) drops from the
+    * target, then the non-delete rows union back.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String): DataFrame =
+    target.join(changes.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+
   /** Alert lifecycle (reference app.py:1132): status → Resolved with
     * a resolution timestamp.
     */

@@ -12,6 +12,41 @@ import graft.sources.{Mutations, Tables}
 class MutationsReportSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("mergeUpsert: source wins on match, inserts new keys, incremental ≡ full recompute") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "tag", "v")
+    val source = Seq((2L, "B", 200), (4L, "d", 40)).toDF("k", "tag", "v")
+    val merged = Mutations.mergeUpsert(target, source, Seq("k"))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(merged == Seq((1L, "a", 10), (2L, "B", 200), (3L, "c", 30),
+      (4L, "d", 40)))
+
+    // incremental snapshot maintenance ≡ full recompute on real data:
+    // latest-per-user over all events == merge(delta compaction into
+    // base compaction) — the invariant ev_snapshot_merge relies on
+    val ev = Tables.events(spark, sf("sf0.001"))
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("last_event_id"))
+    val cut = lit("2024-01-20").cast("timestamp_ntz")
+    val inc = Mutations.mergeUpsert(compact(ev.filter(col("ts") < cut)),
+      compact(ev.filter(col("ts") >= cut)), Seq("user_id"))
+    val full = compact(ev)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    // merge is an aggregate + anti-join shape: no window anywhere
+    assert(!inc.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("applyCdc: deletes remove, upserts replace, unmatched delete is a no-op") {
+    val target = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "v")
+    val changes = Seq((2L, 0, "D"), (3L, 300, "U"), (4L, 40, "U"),
+      (9L, 0, "D")).toDF("k", "v", "op")
+    val out = Mutations.applyCdc(target, changes, Seq("k"), "op")
+      .orderBy("k").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 10), (3L, 300), (4L, 40)))
+  }
+
   test("updateRows mutates matching rows, swaps table atomically") {
     val dir = Files.createTempDirectory("mut").toString + "/alerts"
     Seq((1L, "New"), (2L, "New"), (3L, "Investigating"))
