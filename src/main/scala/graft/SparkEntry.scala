@@ -3234,6 +3234,11 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
     "emb_quant_error" -> ((s, d) =>
       Similarity.quantizationError(Tables.embeddings(s, d))),
+    // per-label exact centroid + medoid (representative-example
+    // primitive): one decimal-sum groupBy, broadcast centroid dim,
+    // packed-struct min medoid — no window
+    "emb_prototypes" -> ((s, d) =>
+      Similarity.classPrototypes(Tables.embeddings(s, d))),
     // SEMANTIC DECONTAMINATION: drop corpus docs whose embedding sits
     // at cosine >= 0.9 to ANY eval-benchmark embedding — the eval set
     // (every 95th base vector, so exact leaks AND their planted
@@ -4956,6 +4961,33 @@ SELECT vec_id, round(scale, 6) AS scale,
   round(CAST(list_sum(list_transform(err,
     x -> CAST(x * x AS DECIMAL(30,15)))) AS DOUBLE) / dim, 9) AS mse
 FROM e ORDER BY vec_id""",
+
+    // class prototypes: decimal-exact per-dimension sums → identical
+    // IEEE centroid divide and distance fold on both engines, so the
+    // medoid argmin replay needs no tolerance
+    "emb_prototypes" -> {
+      val sums = (1 to 64).map(i =>
+        s"CAST(sum(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) / count(*)")
+        .mkString(",\n    ")
+      s"""WITH s AS (
+  SELECT label, count(*) AS n, [$sums] AS centroid
+  FROM embeddings GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label, s.n, s.centroid,
+    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, s.centroid),
+      x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))),
+      (a, b) -> a + b) AS dist
+  FROM embeddings e JOIN s USING (label)
+), m AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT label, n,
+  round(sqrt(list_reduce(list_prepend(0.0, list_transform(centroid, x -> x * x)),
+    (a, b) -> a + b)), 6) AS centroid_norm,
+  vec_id AS medoid_id, round(dist, 6) AS medoid_dist
+FROM m WHERE rn = 1 ORDER BY label"""
+    },
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

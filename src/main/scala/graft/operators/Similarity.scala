@@ -2086,4 +2086,50 @@ object Similarity {
       (!coalesce(best.getField("c") >= minCos, lit(false))).as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-label class prototypes: the exact centroid and the MEDOID
+    * (the member nearest the centroid) of every label's embeddings —
+    * the representative-example primitive behind prototype-based
+    * filtering, few-shot exemplar picking, and per-class drift
+    * monitoring.
+    *
+    * Scale shape: ONE groupBy(label) carrying `dim` decimal partial
+    * sums (map-side combine — the shuffle moves labels × dim decimals,
+    * never vectors), the centroid dim broadcasts back (labels are a
+    * KB-scale domain by construction), the distance is a scan-local
+    * fixed-order fold, and the medoid is a packed-struct min AGGREGATE
+    * — no window, no second shuffle beyond the label key.
+    *
+    * Cross-engine exactness: per-dimension sums go through
+    * decimal(30,15) (order-independent), the centroid divide and the
+    * distance fold are then fixed IEEE double sequences both engines
+    * replay bit-identically — so the medoid argmin needs no tolerance.
+    */
+  def classPrototypes(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 15)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double").cast(dec))
+        .as(s"__s$i"))
+    val aggd = emb.groupBy(col("label"))
+      .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+    val centroid = array((0 until dim).map(i =>
+      col(s"__s$i").cast("double") / col("n")): _*)
+    val cents = aggd.select(col("label"), col("n"), centroid.as("centroid"))
+    val scored = emb.join(broadcast(cents), Seq("label"))
+      .withColumn("__dist", aggregate(
+        zip_with(col("embedding"), col("centroid"), (x, c) => {
+          val d = x.cast("double") - c
+          d * d
+        }), lit(0.0d), (a, v) => a + v))
+    scored.groupBy(col("label"))
+      .agg(first(col("n")).as("n"),
+        min(struct(col("__dist"), col("vec_id"))).as("m"),
+        first(col("centroid")).as("c"))
+      .select(col("label"), col("n"),
+        round(sqrt(aggregate(transform(col("c"), x => x * x),
+          lit(0.0d), (a, v) => a + v)), 6).as("centroid_norm"),
+        col("m.vec_id").as("medoid_id"),
+        round(col("m.__dist"), 6).as("medoid_dist"))
+      .orderBy(col("label"))
+  }
 }

@@ -2125,4 +2125,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(names2 == Seq("v1_b0", "v2_b1"),
       s"replay must not double-advance: $names2")
   }
+
+  test("classPrototypes: medoid minimizes distance-to-centroid; singleton label is its own prototype") {
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    // plant a singleton label: one known vector under label 99
+    val one = emb.filter(col("vec_id") === 7)
+      .withColumn("label", lit(99))
+      .withColumn("vec_id", lit(100000L))
+    val proto = Similarity.classPrototypes(emb.unionByName(one))
+    val rows = proto.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    // singleton: medoid is itself at distance 0, centroid = the vector
+    val (n99, med99, d99) = rows(99)
+    assert(n99 == 1L && med99 == 100000L && d99 == 0.0)
+
+    // brute-force check one real label: the reported medoid beats (or
+    // ties with lower id) every member's distance to the exact centroid
+    val lbl = emb.select(min("label")).as[Int].head()
+    val members = emb.filter(col("label") === lbl)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val dim = members.head._2.length
+    val cent = Array.tabulate(dim) { i =>
+      // mirror the engine: decimal-exact sum, then double divide
+      val s = members.map(m => new java.math.BigDecimal(m._2(i).toDouble)
+        .setScale(15, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_))
+      s.doubleValue() / members.length
+    }
+    def dist(v: Array[Float]): Double = {
+      var a = 0.0; var i = 0
+      while (i < dim) { val d = v(i) - cent(i); a += d * d; i += 1 }
+      a
+    }
+    val best = members.map { case (id, v) => (dist(v), id) }.min
+    assert(rows(lbl)._2 == best._2,
+      s"medoid ${rows(lbl)._2} != brute-force ${best._2}")
+    // aggregate shape: no window anywhere in the plan
+    assert(!proto.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
