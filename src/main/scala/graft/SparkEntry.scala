@@ -3239,6 +3239,12 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // packed-struct min medoid — no window
     "emb_prototypes" -> ((s, d) =>
       Similarity.classPrototypes(Tables.embeddings(s, d))),
+    // cluster-balanced coverage sample: per k-means cell, the 10
+    // members closest to the centroid via bounded CollectTopK — every
+    // region represented regardless of cluster population skew
+    "emb_coverage_sample" -> ((s, d) =>
+      Similarity.coverageSample(Tables.embeddings(s, d),
+        nlist = 8, iters = 3, perCell = 10)),
     // SEMANTIC DECONTAMINATION: drop corpus docs whose embedding sits
     // at cosine >= 0.9 to ANY eval-benchmark embedding — the eval set
     // (every 95th base vector, so exact leaks AND their planted
@@ -4988,6 +4994,22 @@ SELECT label, n,
   vec_id AS medoid_id, round(dist, 6) AS medoid_dist
 FROM m WHERE rn = 1 ORDER BY label"""
     },
+
+    // coverage sample: the shared Lloyd replay, then per-cell
+    // nearest-first ranking capped at 10
+    "emb_coverage_sample" ->
+      s"""WITH ${kmeansAssignCtes("embeddings", 8, 3, 64)},
+dd AS (
+  SELECT a.vec_id, a.cid, ${sqDistSql("e.embedding", "c.cent")} AS dist
+  FROM af a JOIN embeddings e USING (vec_id) JOIN c3 c ON c.cid = a.cid
+), r AS (
+  SELECT cid, vec_id, dist,
+    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rank
+  FROM dd
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, round(dist, 6) AS dist,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY cluster_id, rank""",
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

@@ -2087,6 +2087,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-balanced coverage sample (representative coreset): train
+    * the deterministic k-means quantizer, assign every vector to its
+    * cell scan-locally, keep the `perCell` members CLOSEST to each
+    * cell centroid — per-region representatives for data pruning /
+    * few-shot pools, with every region of embedding space guaranteed
+    * representation regardless of cluster population skew (a global
+    * top-k would drain from the densest cluster).
+    *
+    * Scale shape: centroids are a driver-side k×dim literal broadcast
+    * into the assignment expression (one corpus pass), and selection
+    * is the bounded-heap CollectTopK aggregate keyed on cell — the
+    * shuffle carries ≤ tasks × cells × perCell survivor structs, never
+    * the corpus ([[topKPerQuery]]'s bound). No window, no self-join.
+    */
+  def coverageSample(embeddings: DataFrame, nlist: Int = 8,
+                     iters: Int = 3, perCell: Int = 10): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, iters)
+    val best = array_min(centroidDistArray(col("embedding"), cents))
+    val scored = embeddings.select(
+      best.getField("cid").cast("long").as("query_id"),
+      col("vec_id"),
+      // topKPerQuery ranks cos_sim DESC: negate so nearest-first
+      (-best.getField("d")).as("cos_sim"))
+    topKPerQuery(scored, perCell)
+      .select(col("query_id").as("cluster_id"), col("vec_id"),
+        round(-col("cos_sim"), 6).as("dist"), col("rank"))
+      .orderBy(col("cluster_id"), col("rank"))
+  }
+
   /** Per-label class prototypes: the exact centroid and the MEDOID
     * (the member nearest the centroid) of every label's embeddings —
     * the representative-example primitive behind prototype-based

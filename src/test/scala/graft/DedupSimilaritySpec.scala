@@ -2126,6 +2126,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"replay must not double-advance: $names2")
   }
 
+  test("coverageSample: every populated cell capped at perCell, ranks contiguous nearest-first") {
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val perCell = 5
+    val sample = Similarity.coverageSample(emb, nlist = 4, iters = 2,
+      perCell = perCell).collect()
+    val byCell = sample.groupBy(_.getLong(0))
+    assert(byCell.nonEmpty && byCell.values.forall(_.length <= perCell))
+    byCell.values.foreach { rows =>
+      val ranks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to rows.length.toLong), s"ranks $ranks")
+      // nearest-first: dist non-decreasing with rank
+      val d = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(d == d.sorted, s"dists not ascending: $d")
+    }
+    // balanced by construction: a global top-(cells × perCell) cut
+    // would be free to drain one cluster; here no cell exceeds perCell
+    assert(sample.length <= 4 * perCell)
+    // plan shape: bounded CollectTopK aggregate, no Window
+    val plan = Similarity.coverageSample(emb, 4, 2, perCell)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("collect_top_k"))
+  }
+
   test("classPrototypes: medoid minimizes distance-to-centroid; singleton label is its own prototype") {
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     // plant a singleton label: one known vector under label 99
