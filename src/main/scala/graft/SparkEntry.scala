@@ -3245,6 +3245,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "emb_coverage_sample" -> ((s, d) =>
       Similarity.coverageSample(Tables.embeddings(s, d),
         nlist = 8, iters = 3, perCell = 10)),
+    // the same sample over the DURABLE IVF index: training/assignment
+    // amortized in the index build — re-sampling costs one list scan
+    "emb_coverage_indexed" -> ((s, d) => {
+      val idx = Similarity.ensureIvfIndex(s, s"$d/embeddings.parquet",
+        Tables.embeddings(s, d))
+      Similarity.coverageSampleIndexed(s, idx, perCell = 5)
+    }),
     // SEMANTIC DECONTAMINATION: drop corpus docs whose embedding sits
     // at cosine >= 0.9 to ANY eval-benchmark embedding — the eval set
     // (every 95th base vector, so exact leaks AND their planted
@@ -5010,6 +5017,22 @@ dd AS (
 SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, round(dist, 6) AS dist,
   CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10 ORDER BY cluster_id, rank""",
+
+    // indexed coverage sample: the ensureIvfIndex defaults (nlist 16,
+    // 3 iters) replayed through the same Lloyd CTEs
+    "emb_coverage_indexed" ->
+      s"""WITH ${kmeansAssignCtes("embeddings", 16, 3, 64)},
+dd AS (
+  SELECT a.vec_id, a.cid, ${sqDistSql("e.embedding", "c.cent")} AS dist
+  FROM af a JOIN embeddings e USING (vec_id) JOIN c3 c ON c.cid = a.cid
+), r AS (
+  SELECT cid, vec_id, dist,
+    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rank
+  FROM dd
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, round(dist, 6) AS dist,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY cluster_id, rank""",
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

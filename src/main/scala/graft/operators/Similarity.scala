@@ -2116,6 +2116,36 @@ object Similarity {
       .orderBy(col("cluster_id"), col("rank"))
   }
 
+  /** [[coverageSample]] over a materialized IVF index: training and
+    * assignment are already amortized in the index build, so the
+    * sample is ONE pass over the stored lists — the per-row distance
+    * to the OWN centroid comes from the broadcast centroid literal
+    * selected by the stored cid (scan-local; same IEEE fold as the
+    * index build), then the bounded per-cell CollectTopK. The daily
+    * production form: re-sampling after an append costs a list scan,
+    * never a re-train.
+    */
+  def coverageSampleIndexed(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, perCell: Int = 10): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val own = element_at(centsLit, col("cid").cast("int") + 1)
+    val dist = aggregate(
+      zip_with(col("embedding"), own, (x, w) => {
+        val dlt = x.cast("double") - w
+        dlt * dlt
+      }), lit(0.0d), (acc, v) => acc + v)
+    val scored = spark.read.parquet(s"$dir/lists")
+      .select(col("cid").cast("long").as("query_id"), col("vec_id"),
+        (-dist).as("cos_sim"))
+    topKPerQuery(scored, perCell)
+      .select(col("query_id").as("cluster_id"), col("vec_id"),
+        round(-col("cos_sim"), 6).as("dist"), col("rank"))
+      .orderBy(col("cluster_id"), col("rank"))
+  }
+
   /** Per-label class prototypes: the exact centroid and the MEDOID
     * (the member nearest the centroid) of every label's embeddings —
     * the representative-example primitive behind prototype-based

@@ -2149,6 +2149,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!plan.contains("Window") && plan.contains("collect_top_k"))
   }
 
+  test("coverageSampleIndexed ≡ coverageSample at the index geometry; partition-pruned scan") {
+    val dir = sf("sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val idx = Similarity.ensureIvfIndex(spark, s"$dir/embeddings.parquet", emb)
+    val viaIndex = Similarity.coverageSampleIndexed(spark, idx, perCell = 5)
+    val oneShot = Similarity.coverageSample(emb, nlist = 16, iters = 3,
+      perCell = 5)
+    assert(viaIndex.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(viaIndex).isEmpty)
+  }
+
   test("classPrototypes: medoid minimizes distance-to-centroid; singleton label is its own prototype") {
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     // plant a singleton label: one known vector under label 99
