@@ -2420,6 +2420,19 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Analytics.retentionCohorts(Tables.events(s, d))),
     "doc_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    // hashed-unigram document embedding (feature-hashing seam for an
+    // external encoder): integer-exact per-doc profile
+    "doc_hash_embed" -> ((s, d) =>
+      TextOps.hashEmbedProfile(Tables.documents(s, d))),
+    // text→vector→ANN bridge: cosine top-5 neighbors of 3 query docs
+    // over the hashed embeddings (bag-of-words cosine), through the
+    // same bounded brute-force path as emb_knn_brute
+    "doc_embed_knn" -> ((s, d) => {
+      val emb = TextOps.hashEmbed(Tables.documents(s, d))
+        .select(col("doc_id").as("vec_id"), col("source").as("label"),
+          transform(col("counts"), _.cast("float")).as("embedding"))
+      Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), k = 5)
+    }),
     "ev_percentiles" -> ((s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
@@ -5033,6 +5046,67 @@ dd AS (
 SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, round(dist, 6) AS dist,
   CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5 ORDER BY cluster_id, rank""",
+
+    // hashed-unigram embedding profile: all-integer replay (counts,
+    // nnz, norm², dominant bucket) — no float tolerance anywhere
+    "doc_hash_embed" ->
+      s"""WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
+    count(*) AS cnt
+  FROM t GROUP BY doc_id, bucket
+), s AS (
+  SELECT doc_id, count(*) AS nnz, sum(cnt * cnt) AS norm_sq
+  FROM c GROUP BY doc_id
+), top AS (
+  SELECT doc_id, bucket AS top_bucket, cnt AS top_count,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bucket) AS rn
+  FROM c
+)
+SELECT d.doc_id,
+  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+  s.nnz, s.norm_sq, t2.top_bucket, t2.top_count
+FROM documents d JOIN s USING (doc_id)
+JOIN top t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+ORDER BY doc_id""",
+
+    // text→vector→ANN: integer dot products over shared buckets, then
+    // the emb_knn_brute ranking tail
+    "doc_embed_knn" ->
+      s"""WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
+    count(*) AS cnt
+  FROM t GROUP BY doc_id, bucket
+), n AS (
+  SELECT doc_id, sum(cnt * cnt) AS norm_sq FROM c GROUP BY doc_id
+), q AS (
+  SELECT doc_id, bucket, cnt FROM c WHERE doc_id IN (0, 1, 2)
+), dotp AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS vec_id, sum(q.cnt * c.cnt) AS dp
+  FROM q JOIN c ON c.bucket = q.bucket AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.vec_id, l.source AS label,
+    round(d.dp / (sqrt(CAST(ne.norm_sq AS DOUBLE))
+      * sqrt(CAST(nq.norm_sq AS DOUBLE))), 4) AS cos_sim
+  FROM dotp d
+  JOIN n ne ON ne.doc_id = d.vec_id
+  JOIN n nq ON nq.doc_id = d.query_id
+  JOIN documents l ON l.doc_id = d.vec_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored WHERE NOT isnan(cos_sim)
+)
+SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

@@ -123,6 +123,47 @@ object TextOps {
     * Both aggregations are hash-aggs with map-side partials; the only
     * wide rows are (doc, term) pairs — linear in corpus tokens.
     */
+  /** Deterministic hashed-unigram document embedding (feature-hashing
+    * / "hashing trick"): every token hashes into one of `dim` buckets
+    * via the portable md5-seeded family and the per-doc bucket-count
+    * vector is the embedding. This is the featurization seam where a
+    * production pipeline calls an external encoder model — here the
+    * encoder is a deterministic bag-of-words hasher, but the Spark
+    * shape is the production one: ONE scan-local fold per document
+    * (token buckets → count vector via higher-order functions), no
+    * explode, no shuffle — text never leaves its partition, and the
+    * output plugs directly into the ANN / near-dup / prototype surface
+    * (`vec_id`, `embedding` convention).
+    *
+    * Integer exactness: counts are int64 (norm² is an exact BIGINT),
+    * so the profile row is hash-exact cross-engine with no float
+    * tolerance anywhere.
+    */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val toks = tokens(col("text"))
+    val buckets = transform(toks, t =>
+      pmod(graft.functions.Md5Seeded60.md5_seeded60(0, t), lit(dim.toLong)))
+    val counts = aggregate(buckets, array_repeat(lit(0L), dim),
+      (acc, b) => transform(acc, (v, i) =>
+        when(i.cast("long") === b, v + 1L).otherwise(v)))
+    docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"), counts.as("counts"))
+  }
+
+  /** Integer-exact profile of [[hashEmbed]] vectors: nnz, squared
+    * norm, and the dominant bucket (ties → lowest bucket id).
+    */
+  def hashEmbedProfile(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashEmbed(docs, dim)
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("counts"), _ > 0L)).cast("long").as("nnz"),
+        aggregate(col("counts"), lit(0L), (a, v) => a + v * v).as("norm_sq"),
+        array_max(transform(col("counts"), (v, i) =>
+          struct(v.as("c"), (-i).cast("long").as("ni")))).as("m"))
+      .select(col("doc_id"), col("n_tokens"), col("nnz"), col("norm_sq"),
+        (-col("m.ni")).as("top_bucket"), col("m.c").as("top_count"))
+      .orderBy(col("doc_id"))
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     // corpus size as a lazy 1-row broadcast, not an eager driver count
     val total = docs.agg(count(lit(1)).cast("double").as("total"))

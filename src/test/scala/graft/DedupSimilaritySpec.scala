@@ -2149,6 +2149,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!plan.contains("Window") && plan.contains("collect_top_k"))
   }
 
+  test("hashEmbed: hand-checked bucket counts, scan-local (no Exchange), ANN-compatible") {
+    val docs = Seq((1L, "a b a", "s1"), (2L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.hashEmbed(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getSeq[Long](3))).toMap
+    // doc 1: tokens a, b, a — 3 tokens, counts sum 3, bucket("a") twice
+    val (n1, c1) = out(1L)
+    assert(n1 == 3L && c1.sum == 3L && c1.max == 2L && c1.count(_ > 0) == 2)
+    // empty text tokenizes to one empty token (split semantics) — the
+    // oracle replays the same, so the engine must not special-case it
+    val (n2, c2) = out(2L)
+    assert(n2 == 1L && c2.sum == 1L)
+    // featurization is scan-local: no Exchange anywhere in the plan
+    val plan = TextOps.hashEmbed(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // cosine of a doc against itself through the ANN path is 1
+    val emb = TextOps.hashEmbed(docs.unionByName(
+        Seq((3L, "a b a", "s1")).toDF("doc_id", "text", "source")))
+      .select(col("doc_id").as("vec_id"), col("source").as("label"),
+        transform(col("counts"), _.cast("float")).as("embedding"))
+    val knn = Similarity.bruteForceTopK(emb, Seq(1L), k = 1).collect()
+    assert(knn.head.getAs[Long]("vec_id") == 3L &&
+      knn.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
   test("coverageSampleIndexed ≡ coverageSample at the index geometry; partition-pruned scan") {
     val dir = sf("sf0.001")
     val emb = graft.sources.Tables.embeddings(spark, dir)
