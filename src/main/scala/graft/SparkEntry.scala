@@ -2418,6 +2418,10 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Analytics.funnel(Tables.events(s, d), "signup", "purchase")),
     "ev_retention" -> ((s, d) =>
       Analytics.retentionCohorts(Tables.events(s, d))),
+    // SCD-2 dimension build: per-user validity intervals of the
+    // tracked attribute — one user-keyed shuffle, three shared-window
+    // passes (the effective-dated shape the as-of join consumes)
+    "ev_scd2" -> ((s, d) => Analytics.scd2(Tables.events(s, d))),
     "doc_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(Tables.documents(s, d))),
     // hashed-unigram document embedding (feature-hashing seam for an
@@ -3859,6 +3863,24 @@ ORDER BY purchase_id, click_id""",
 SELECT zkey >> 24 AS zcell, count(*) AS n,
   min(zkey) AS key_min, max(zkey) AS key_max
 FROM z GROUP BY zcell ORDER BY zcell""",
+
+    // SCD-2: change rows survive, lead() closes each interval
+    "ev_scd2" ->
+      """WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+    '%Y-%m-%d %H:%M:%S') AS valid_to,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS BIGINT) AS version
+FROM ch ORDER BY user_id, version""",
 
     // incremental snapshot MERGE: anti-join + union replay
     "ev_snapshot_merge" ->

@@ -324,6 +324,35 @@ object Analytics {
         (col("converted") * 10000L).cast("double")
           .divide(greatest(col("entered"), lit(1L))).as("conv_bp"))
 
+  /** SCD-2 dimension build from a change log: collapse each user's
+    * event stream into validity intervals of the tracked attribute
+    * (here event_type) — rows survive only where the attribute CHANGES,
+    * each carrying [valid_from, valid_to) with valid_to = the next
+    * change (NULL = current) and a 1-based version. The standard
+    * effective-dated dimension a warehouse keeps for point-in-time
+    * joins (the as-of join surface consumes exactly this shape).
+    *
+    * Scale shape: all three window passes share ONE (user_id) hash
+    * partitioning and one intra-partition sort — a single shuffle
+    * keyed on the natural dimension key, never a global sort. State is
+    * one row of look-behind per pass (lag/lead), nothing accumulates.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    changes
+      .withColumn("__next_ts", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("__next_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        row_number().over(byUser).cast("long").as("version"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Retention cohorts: users grouped by first-seen week; for each
     * (cohort, weeks-since) cell, how many cohort users were active.
     * Two aggregations over one scan lineage — cohort assignment is a

@@ -40,6 +40,36 @@ object Layout {
     s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
   }
 
+  /** Spread the low 21 bits of `c` to every third bit position (3-D
+    * Morton spreading, 5 codegen'd steps).
+    */
+  def spread21(c: Column): Column = {
+    val c0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val s1 = c0.bitwiseOR(shiftleft(c0, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val s4 = s3.bitwiseOR(shiftleft(s3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Scale `v` from [mn, mx] onto the 21-bit bucket grid (the 3-D
+    * analog of [[bucket16]]; same IEEE-double exactness contract with
+    * the span bound relaxed to 2^32).
+    */
+  def bucket21(v: Column, mn: Column, mx: Column): Column =
+    when(mx <= mn, lit(0L)).otherwise(
+      floor((v - mn).cast("double") * lit(2097151.0d) /
+        (mx - mn).cast("double")).cast("long"))
+
+  /** 63-bit Morton key over three 21-bit buckets — three-dimensional
+    * clustering (e.g. user × time × entity) for box scans over three
+    * predicates; same write/audit machinery as the 2-D key.
+    */
+  def mortonKey3(xb: Column, yb: Column, zb: Column): Column =
+    spread21(xb)
+      .bitwiseOR(shiftleft(spread21(yb), 1))
+      .bitwiseOR(shiftleft(spread21(zb), 2))
+
   /** Scale `v` from [mn, mx] onto the 16-bit bucket grid 0..65535.
     * Pure IEEE double arithmetic (see the exactness contract above);
     * a degenerate domain (mx == mn) maps everything to bucket 0.

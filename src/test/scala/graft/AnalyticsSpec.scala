@@ -245,4 +245,31 @@ class AnalyticsSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toMap
     assert(m2("purchase") == 1L)
   }
+
+  test("scd2: intervals tile per user, one open interval, attribute changes at every boundary") {
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val rows = Analytics.scd2(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._5)
+      // versions are contiguous from 1
+      assert(sorted.map(_._5).toSeq == (1L to rs.length.toLong), s"user $u")
+      // exactly the LAST interval is open; each valid_to chains to the
+      // next valid_from, and the attribute changes across the boundary
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: ${a._4} != ${b._3}")
+          assert(a._2 != b._2, s"user $u: no change at version ${b._5}")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty && sorted.init.forall(_._4.nonEmpty))
+    }
+    // all three window passes share one user-keyed hash partitioning
+    val plan = Analytics.scd2(ev).queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 user-keyed exchange:\n$plan")
+  }
 }

@@ -28,6 +28,37 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  private def refSpread3(x: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 21) { r |= ((x >> i) & 1L) << (3 * i); i += 1 }
+    r
+  }
+
+  test("spread21 / mortonKey3 match the bit-by-bit reference") {
+    val samples = (0L to 100L) ++ Seq(0x1FFFFFL, 0x155555L, 0xAAAAAL,
+      0x100000L, 999983L) ++ (0 until 100).map(i => (i * 524287L) % 2097152L)
+    val got = samples.toDF("x").select(Layout.spread21(col("x")).as("s"))
+      .as[Long].collect()
+    samples.zip(got).foreach { case (x, s) =>
+      assert(s == refSpread3(x), s"spread21($x)")
+    }
+    val rows = Seq((0x1FFFFFL, 0L, 0L), (0L, 0x1FFFFFL, 0L),
+      (0L, 0L, 0x1FFFFFL), (12345L, 67890L, 54321L))
+    val k = rows.toDF("x", "y", "z")
+      .select(Layout.mortonKey3(col("x"), col("y"), col("z")).as("k"))
+      .as[Long].collect()
+    rows.zip(k).foreach { case ((x, y, z), kk) =>
+      assert(kk == (refSpread3(x) | (refSpread3(y) << 1) |
+        (refSpread3(z) << 2)), s"morton3($x,$y,$z)")
+    }
+    // 21-bit bucket grid spans exactly 0..2097151
+    val b = spark.range(0, 4096).toDF("v")
+      .select(Layout.bucket21(col("v"), lit(0L), lit(4095L)).as("b"))
+    val (mn, mx) = b.agg(min("b"), max("b")).as[(Long, Long)].head()
+    assert(mn == 0L && mx == 2097151L)
+  }
+
   test("mortonKey interleaves x into even and y into odd bits") {
     val rows = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
       (0xAAAAL, 0x5555L), (12345L, 54321L))
