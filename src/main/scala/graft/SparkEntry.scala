@@ -2437,6 +2437,11 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           transform(col("counts"), _.cast("float")).as("embedding"))
       Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), k = 5)
     }),
+    // document clustering (topic-discovery shape): deterministic
+    // k-means over the hashed embeddings; docs never shuffle —
+    // assignment is scan-local, the shuffle carries (cid, source)
+    "doc_clusters" -> ((s, d) =>
+      TextOps.docClusters(Tables.documents(s, d), nlist = 4, iters = 2)),
     "ev_percentiles" -> ((s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
@@ -5129,6 +5134,43 @@ ORDER BY doc_id""",
 )
 SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // doc clustering: hashed count vectors densified on the bucket
+    // grid, then the shared Lloyd replay parameterized over that CTE
+    "doc_clusters" -> {
+      val vecCtes = s"""t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
+    count(*) AS cnt
+  FROM t GROUP BY doc_id, bucket
+), v AS (
+  SELECT d.doc_id AS vec_id, list(COALESCE(c.cnt, 0) ORDER BY g.i) AS embedding
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(64) g(i)
+  LEFT JOIN c ON c.doc_id = d.doc_id AND c.bucket = g.i
+  GROUP BY d.doc_id
+)"""
+      s"""WITH $vecCtes,
+${kmeansAssignCtes("v", 4, 2, 64)},
+agg AS (
+  SELECT a.cid, d.source, count(*) AS sn, min(a.vec_id) AS mn
+  FROM af a JOIN documents d ON d.doc_id = a.vec_id
+  GROUP BY 1, 2
+), top AS (
+  SELECT cid, source, sn,
+    row_number() OVER (PARTITION BY cid ORDER BY sn DESC, source DESC) AS rn
+  FROM agg
+)
+SELECT CAST(g.cid AS BIGINT) AS cluster_id, CAST(g.n_docs AS BIGINT) AS n_docs,
+  g.min_doc, t2.source AS top_source, t2.sn AS top_source_docs
+FROM (SELECT cid, sum(sn) AS n_docs, min(mn) AS min_doc
+      FROM agg GROUP BY cid) g
+JOIN top t2 ON t2.cid = g.cid AND t2.rn = 1
+ORDER BY cluster_id"""
+    },
 
     "emb_knn_brute" ->
       """WITH dotsq AS (

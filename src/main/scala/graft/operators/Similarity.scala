@@ -220,6 +220,13 @@ object Similarity {
   private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     array_min(centroidDistArray(vec, cents)).getField("cid")
 
+  /** Public face of [[nearestCentroid]] for consumers composing their
+    * own clustering (e.g. [[TextOps.docClusters]]): scan-local
+    * assignment against the broadcast centroid literal.
+    */
+  def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    nearestCentroid(vec, cents)
+
   /** Deterministic k-means training: init = the k lowest vec_ids,
     * fixed Lloyd iterations, decimal-exact means (bit-reproducible
     * across runs/partitionings). Centroids are driver-side — k×dim

@@ -150,6 +150,43 @@ object TextOps {
       size(toks).cast("long").as("n_tokens"), counts.as("counts"))
   }
 
+  /** [[hashEmbed]] output in the ANN surface's (vec_id, embedding)
+    * convention — the adapter every vector operator consumes.
+    */
+  def hashEmbedVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashEmbed(docs, dim)
+      .select(col("doc_id").as("vec_id"), col("source"),
+        transform(col("counts"), _.cast("float")).as("embedding"))
+
+  /** Document clustering over the hashed embeddings: deterministic
+    * k-means (same trainer as the IVF coarse quantizer) assigns every
+    * document a cluster; the row per cluster reports its size and the
+    * dominant source (ties → lexicographically greatest, the packed
+    * struct-max order). The topic-discovery /
+    * corpus-cartography primitive: one featurization scan + the
+    * trainer's bounded Lloyd passes + one aggregate — the documents
+    * themselves never shuffle (assignment is scan-local against the
+    * broadcast centroid literal; the shuffle carries (cid, source)
+    * pairs).
+    */
+  def docClusters(docs: DataFrame, nlist: Int = 4, iters: Int = 2,
+                  dim: Int = 64): DataFrame = {
+    val vecs = hashEmbedVectors(docs, dim)
+    val cents = Similarity.trainCentroids(vecs, nlist, iters)
+    val assigned = vecs.select(
+      Similarity.assignCentroid(col("embedding"), cents)
+        .cast("long").as("cluster_id"),
+      col("vec_id"), col("source"))
+    val bySource = assigned.groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("sn"), min(col("vec_id")).as("mn"))
+    bySource.groupBy(col("cluster_id"))
+      .agg(sum(col("sn")).as("n_docs"), min(col("mn")).as("min_doc"),
+        max(struct(col("sn").as("c"), col("source").as("s"))).as("m"))
+      .select(col("cluster_id"), col("n_docs"), col("min_doc"),
+        col("m.s").as("top_source"), col("m.c").as("top_source_docs"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Integer-exact profile of [[hashEmbed]] vectors: nnz, squared
     * norm, and the dominant bucket (ties → lowest bucket id).
     */

@@ -2174,6 +2174,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
       knn.head.getAs[Double]("cos_sim") == 1.0)
   }
 
+  test("docClusters: partition of the corpus, dominant source consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val out = TextOps.docClusters(docs, nlist = 4, iters = 2).collect()
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1)) // top-source count ≤ cluster size
+    }
+    // cluster ids are a subset of 0..3 and distinct
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == ids.distinct.sorted && ids.forall(i => i >= 0 && i < 4))
+  }
+
   test("coverageSampleIndexed ≡ coverageSample at the index geometry; partition-pruned scan") {
     val dir = sf("sf0.001")
     val emb = graft.sources.Tables.embeddings(spark, dir)
