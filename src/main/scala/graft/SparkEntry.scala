@@ -514,6 +514,27 @@ ORDER BY sink, ts, username, detail"""
         col("m.event_type").as("last_type"),
         round(col("m.value"), 4).as("last_value"))
 
+  /** Full-recompute SCD-2 replay (Analytics.scd2): shared by the
+    * batch row and the incremental-merge row — the merge leg's oracle
+    * is the full recompute itself.
+    */
+  private val Scd2FullSql: String =
+    """WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+    '%Y-%m-%d %H:%M:%S') AS valid_to,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS BIGINT) AS version
+FROM ch ORDER BY user_id, version"""
+
   /** Oracle face of [[eventSnapshot]] over an events predicate. */
   private def snapshotSql(pred: String): String =
     s"""SELECT user_id, event_id AS last_event_id,
@@ -2422,6 +2443,16 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // tracked attribute — one user-keyed shuffle, three shared-window
     // passes (the effective-dated shape the as-of join consumes)
     "ev_scd2" -> ((s, d) => Analytics.scd2(Tables.events(s, d))),
+    // incremental SCD-2 maintenance: scd2 runs on the BATCH only and
+    // merges into the persisted dim (continuations fold into the open
+    // interval, versions renumber) — the ORACLE is the full recompute,
+    // so incremental ≡ full is hash-proven, not just spec'd
+    "ev_scd2_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-20").cast("timestamp_ntz")
+      Analytics.scd2Merge(Analytics.scd2(ev.filter(col("ts") < cut)),
+        ev.filter(col("ts") >= cut))
+    }),
     "doc_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(Tables.documents(s, d))),
     // hashed-unigram document embedding (feature-hashing seam for an
@@ -3870,22 +3901,10 @@ SELECT zkey >> 24 AS zcell, count(*) AS n,
 FROM z GROUP BY zcell ORDER BY zcell""",
 
     // SCD-2: change rows survive, lead() closes each interval
-    "ev_scd2" ->
-      """WITH o AS (
-  SELECT user_id, event_type, ts, event_id,
-    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
-), ch AS (
-  SELECT user_id, event_type, ts, event_id FROM o
-  WHERE prev IS NULL OR prev <> event_type
-)
-SELECT user_id, event_type,
-  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-    '%Y-%m-%d %H:%M:%S') AS valid_to,
-  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-    AS BIGINT) AS version
-FROM ch ORDER BY user_id, version""",
+    "ev_scd2" -> Scd2FullSql,
+    // incremental SCD-2: the oracle IS the full recompute — the merge
+    // leg must hash-match it exactly
+    "ev_scd2_merge" -> Scd2FullSql,
 
     // incremental snapshot MERGE: anti-join + union replay
     "ev_snapshot_merge" ->

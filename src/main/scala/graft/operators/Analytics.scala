@@ -353,6 +353,50 @@ object Analytics {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Incremental [[scd2]] maintenance: apply a NEW batch of change-log
+    * events to an existing effective-dated dimension — the daily-run
+    * form. Precondition (the change-data-capture contract): every
+    * batch event is later than every event already folded into `dim`
+    * for that user.
+    *
+    * Semantics proven by the oracle: the output hash-matches the full
+    * recompute `scd2(all events)` — a batch interval that merely
+    * CONTINUES a user's open interval merges into it (no new row),
+    * otherwise the open interval closes at the batch's first change
+    * and batch versions renumber on top of the user's last version.
+    * New users append verbatim.
+    *
+    * Scale shape: [[scd2]] runs on the BATCH only; the dim joins once
+    * on user_id (its open rows are one per user) — the history rows
+    * pass through untouched. Nothing rescans the events that built
+    * `dim`.
+    */
+  def scd2Merge(dim: DataFrame, delta: DataFrame): DataFrame = {
+    val open = dim.filter(col("valid_to").isNull)
+      .select(col("user_id"), col("event_type").as("__cur"),
+        col("version").as("__curv"))
+    val d = scd2(delta).join(open, Seq("user_id"), "left")
+    val continuation = col("version") === 1L && col("event_type") === col("__cur")
+    val kept = d.filter(col("__cur").isNull || !continuation)
+    val keptAgg = kept.groupBy(col("user_id"))
+      .agg(min(col("valid_from")).as("__first_from"))
+    val drops = d.filter(continuation)
+      .select(col("user_id"), lit(1L).as("__drop1"))
+    val history = dim.filter(col("valid_to").isNotNull)
+    val openOut = dim.filter(col("valid_to").isNull)
+      .join(keptAgg, Seq("user_id"), "left")
+      .withColumn("valid_to", col("__first_from"))
+      .drop("__first_from")
+    val deltaOut = kept
+      .join(drops, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"),
+        (col("version") + coalesce(col("__curv"), lit(0L)) -
+          coalesce(col("__drop1"), lit(0L))).as("version"))
+    history.unionByName(openOut).unionByName(deltaOut)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Retention cohorts: users grouped by first-seen week; for each
     * (cohort, weeks-since) cell, how many cohort users were active.
     * Two aggregations over one scan lineage — cohort assignment is a

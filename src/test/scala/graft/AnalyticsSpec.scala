@@ -272,4 +272,31 @@ class AnalyticsSpec extends SparkSpecBase {
       .findAllIn(plan).length
     assert(hashExchanges == 1, s"expected 1 user-keyed exchange:\n$plan")
   }
+
+  test("scd2Merge edge cases: continuation folds, change closes, new user appends, all-continuation batch") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(Long, Long, String)]) = rows
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L)
+        .cast("timestamp_ntz"))
+    // base: u1 a→b (open b), u2 only a (open a)
+    val base = evFrame(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a")))
+    // delta: u1 continues b then switches to c; u2 only continues;
+    // u3 is brand new
+    val delta = evFrame(Seq((10L, 1L, "b"), (11L, 1L, "c"),
+      (12L, 2L, "a"), (13L, 3L, "x")))
+    val merged = Analytics.scd2Merge(Analytics.scd2(base), delta)
+    val full = Analytics.scd2(base.unionByName(delta))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental must equal full recompute")
+    val m = merged.collect().map(r => (r.getLong(0), r.getLong(4)) ->
+      (r.getString(1), Option(r.getString(3)))).toMap
+    // u1: b's interval closed at the c change; c open at version 3
+    assert(m((1L, 2L))._1 == "b" && m((1L, 2L))._2.nonEmpty)
+    assert(m((1L, 3L)) == ("c", None))
+    // u2: single interval still open (all-continuation batch)
+    assert(m((2L, 1L)) == ("a", None))
+    // u3: new user appended at version 1, open
+    assert(m((3L, 1L)) == ("x", None))
+  }
 }
