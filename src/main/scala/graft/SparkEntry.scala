@@ -5105,7 +5105,7 @@ FROM r WHERE rank <= 5 ORDER BY cluster_id, rank""",
     count(*) AS cnt
   FROM t GROUP BY doc_id, bucket
 ), s AS (
-  SELECT doc_id, count(*) AS nnz, sum(cnt * cnt) AS norm_sq
+  SELECT doc_id, count(*) AS nnz, CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq
   FROM c GROUP BY doc_id
 ), top AS (
   SELECT doc_id, bucket AS top_bucket, cnt AS top_count,
@@ -5131,7 +5131,7 @@ ORDER BY doc_id""",
     count(*) AS cnt
   FROM t GROUP BY doc_id, bucket
 ), n AS (
-  SELECT doc_id, sum(cnt * cnt) AS norm_sq FROM c GROUP BY doc_id
+  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq FROM c GROUP BY doc_id
 ), q AS (
   SELECT doc_id, bucket, cnt FROM c WHERE doc_id IN (0, 1, 2)
 ), dotp AS (

@@ -45,15 +45,24 @@ def main(sfdir, outdir):
         if len(g) != len(e):
             bad.append((name, f"ROWS spark={len(g)} oracle={len(e)}"))
             continue
-        diff_cols = []
+        diff_cols, dtype_cols = [], []
         for c in g.columns:
             a, b = g[c], e[c]
+            # Driver hashes canonical STRING values, so an int64 column on
+            # one side vs float64 on the other ("25" vs "25.0") is a hash
+            # mismatch even when numerically equal (DuckDB HUGEINT sums
+            # surface as float64/object). Flag the dtype skew explicitly.
+            if {a.dtype.kind, b.dtype.kind} == {"i", "f"}:
+                dtype_cols.append(f"{c} (spark={a.dtype} oracle={b.dtype})")
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 same = ((a.isna() & b.isna()) | (a == b)).all()
             else:
                 same = a.astype(str).equals(b.astype(str))
             if not same:
                 diff_cols.append(c)
+        if dtype_cols and not diff_cols:
+            bad.append((name, f"DTYPE int-vs-float (driver hash mismatch): {dtype_cols}"))
+            continue
         if diff_cols:
             c = diff_cols[0]
             mism = (g[c].astype(str) != e[c].astype(str))
