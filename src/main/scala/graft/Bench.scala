@@ -89,6 +89,29 @@ object Bench {
         .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
     } catch { case _: Throwable => Double.MaxValue }
 
+  private[graft] def msFmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+
+  /** Pack the stdout record under `budget` bytes: headline aggregates
+    * plus as many per-query rows as fit, failures (-1) first, then
+    * slowest-first — the rows a reader of a truncated capture most
+    * needs. `queries_elided` + the `queries_full` pointer make the
+    * truncation explicit instead of silent. Exposed for the spec.
+    */
+  private[graft] def packShortLine(results: Seq[(String, Double)],
+                                   meta: String, totalStr: String,
+                                   budget: Int): String = {
+    val ordered = results.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fixedLen = 170 + meta.length
+    var used = fixedLen
+    ordered.foreach { case (k, v) =>
+      val frag = "\"" + k + "\":" + msFmt(v)
+      if (used + frag.length + 1 <= budget) { picked += frag; used += frag.length + 1 }
+    }
+    s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${picked.mkString("{", ",", "}")},"queries_elided":${results.size - picked.size},"queries_full":"BENCH_LOCAL.json",$meta,"total_sec_tail":$totalStr}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -156,21 +179,34 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val load1 = loadAvg()
-    // milliseconds are the honest resolution at these run counts, and
-    // the short form keeps the WHOLE per-query map inside the tail
-    // window the round driver captures (the r4/r5 artifacts lost the
-    // leading ~half of the full-precision line)
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def ms(v: Double): String = msFmt(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // headline totals appear at BOTH ends of the line: the round-4
-    // artifact captured only the tail of the output and lost the
-    // leading total + first ~28 queries — the trailing copy makes any
-    // suffix of the line self-contained
     val gate = if (load0 >= 0 && load0 <= maxLoad) "pass" else "contaminated"
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs","n_queries":${results.size},"total_sec_tail":${ms(total)}}"""
-    println(line)
+    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs","n_queries":${results.size}"""
+    // full record: every query — the committed artifact and the
+    // last-run scratch file hold this
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$meta,"total_sec_tail":${ms(total)}}"""
+    // stdout record: the round driver keeps only the LAST ~2000 chars
+    // of the sbt output, and the full per-query map outgrew that
+    // window at 152 queries — the r8 driver artifact holds a mid-line
+    // fragment and parsed:null. So the one line stdout carries is a
+    // SHORT, self-contained record sized to the window: headline
+    // aggregates + the slowest queries (plus every failed -1 row),
+    // greedily packed under a byte budget, with a pointer to the full
+    // committed record and an explicit count of elided rows.
+    val tailBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1600").toInt
+    val shortLine = packShortLine(results.toSeq, meta, ms(total), tailBudget)
+    // every run also leaves the full record on disk, ungated — a
+    // contaminated run is still inspectable without clobbering the
+    // clean committed artifact below
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL_LASTRUN.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    println(shortLine)
+    val line = fullLine
     // Committed artifact: never degrade a cleaner capture. A run that
     // fails the load gate may only replace an artifact recorded at an
     // even HIGHER load (or none at all) — the r6 failure mode where an

@@ -37,6 +37,28 @@ class AnalyticsSpec extends SparkSpecBase {
       "the exact round-7 scenario must be refused")
   }
 
+  test("bench short line: fits the driver's tail window, failures first") {
+    // round-8 advice #1: the driver keeps only the last ~2000 chars of
+    // sbt output, and the full 152-query record outgrew it — the r8
+    // driver artifact holds a mid-line fragment (parsed:null). The
+    // stdout line must therefore pack under the budget, keep every -1
+    // failure row, prefer the slowest rows, and declare what it elided.
+    val results = (1 to 200).map(i => (f"q$i%03d", i * 0.01)) :+ ("q_broken", -1.0)
+    val meta = """"sf":"/x","runs_per_query":5,"agg":"min","load_avg_start":0.5,"load_avg_end":0.6,"load_gate":"pass","load_gate_max":1.0,"cold_classify_build_sec":1.000,"warm":"w","n_queries":201"""
+    val line = Bench.packShortLine(results, meta, "201.000", 1600)
+    assert(line.length <= 1600, s"line must fit the budget, was ${line.length}")
+    assert(line.contains("\"q_broken\":-1"), "failed rows are never elided")
+    assert(line.contains("\"q200\":2.000"), "slowest row survives packing")
+    assert(!line.contains("\"q001\":"), "fastest rows are the ones elided")
+    assert(line.contains("\"queries_elided\":"), "elision is declared")
+    assert(line.contains("\"queries_full\":\"BENCH_LOCAL.json\""))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // a tiny budget still yields a parseable envelope (zero query rows)
+    val tiny = Bench.packShortLine(results, meta, "201.000", 170 + meta.length)
+    assert(tiny.contains("\"queries\":{}") &&
+      tiny.contains(s"\"queries_elided\":${results.size}"))
+  }
+
   test("bench wait-for-idle: blocks until load clears the gate, bounded") {
     // round-7 verdict #2: the bench must WAIT for idle (bounded poll),
     // not merely refuse a hot capture afterwards. Injected load/sleep
