@@ -397,7 +397,8 @@ object Similarity {
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, batch: DataFrame,
-                       maxDriftRatio: Double = 4.0): Unit = {
+                       maxDriftRatio: Double = 4.0,
+                       sourcePath: Option[String] = None): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -447,6 +448,9 @@ object Similarity {
       out.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
       writeIvfStats(spark, dir, n0 + nb, s0 + sb)
     }
+    // the marker advances even for an empty batch: the caller is
+    // asserting the index now reflects the source as it stands
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
   /** STREAMING index maintenance: append every micro-batch of a
@@ -802,6 +806,27 @@ object Similarity {
     dir.toString
   }
 
+  /** Advance an index directory's build-once marker to the CURRENT
+    * fingerprint of its source. The append paths
+    * ([[appendToIvfIndex]]/[[appendToSq8Index]]/[[appendToBqIndex]])
+    * incorporate a batch the source has also received — without this,
+    * the marker written at build time goes stale the moment the source
+    * grows, and the next `ensure*` call rebuilds the very index the
+    * append just maintained. Call it only AFTER the source contains
+    * the appended rows (the fingerprint is read from the source, so a
+    * premature refresh just records the pre-append state and the next
+    * ensure rebuilds as before — stale-safe, never wrong-safe).
+    */
+  def refreshIndexMarker(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, sourcePath: String): Unit = {
+    val fp = sourceFingerprint(spark, sourcePath)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, "_source_fingerprint")
+    val out = fs.create(marker, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   private def sourceFingerprint(spark: org.apache.spark.sql.SparkSession,
                                 sourcePath: String): String = {
     val p = new org.apache.hadoop.fs.Path(sourcePath)
@@ -1017,10 +1042,79 @@ object Similarity {
     * ([[writeIvfIndex]]), IVF-PQ ([[writeIvfPqIndex]]), SQ8, binary
     * ([[writeBqIndex]]).
     */
-  def writeSq8Index(embeddings: DataFrame, dir: String): Unit =
+  def writeSq8Index(embeddings: DataFrame, dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     quantizeInt8(embeddings)
       .select(col("vec_id"), col("codes"), col("scale"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    // dimension dim-table, mirroring [[writeBqIndex]]'s meta: the
+    // append path fail-fasts a wrong-dimension batch instead of
+    // letting zip_with against shorter codes null out probe scores
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
+    Seq(dim).toDF("dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a batch to a [[writeSq8Index]] sidecar WITHOUT a rebuild.
+    * SQ8 encoding is a pure per-row function (per-vector symmetric
+    * scale, [[quantizeInt8]]) — no trained state, hence no drift
+    * concern and no guard: the appended rows are encoded exactly as a
+    * full rebuild would encode them, scan-local over the batch only.
+    * Before this, the sidecar was build-once: any primary-index append
+    * left its source fingerprint stale and the next
+    * [[ensureSq8Index]] re-encoded the WHOLE corpus — a daily append
+    * pipeline rebuilding its cheapest-rung index every day. A
+    * wrong-dimension batch fails fast inside the scan (meta dim,
+    * when present — pre-meta layouts skip the check). Pass
+    * `sourcePath` once the source itself contains the batch rows and
+    * the build-once marker advances too ([[refreshIndexMarker]]).
+    */
+  def appendToSq8Index(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, batch: DataFrame,
+                       sourcePath: Option[String] = None): Unit = {
+    val metaDim: Option[Int] =
+      try Some(spark.read.parquet(s"$dir/meta").head().getInt(0))
+      catch { case _: Throwable => None }
+    val guarded = metaDim match {
+      case Some(dim) => batch.withColumn("embedding",
+        when(assert_true(size(col("embedding")) === lit(dim),
+          concat(lit(s"SQ8 append: vector dim "),
+            size(col("embedding")).cast("string"),
+            lit(s" != index dim $dim for vec_id "),
+            col("vec_id").cast("string"))).isNull,
+          col("embedding")))
+      case None => batch
+    }
+    quantizeInt8(guarded)
+      .select(col("vec_id"), col("codes"), col("scale"))
+      .write.mode("append").parquet(s"$dir/codes")
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Append a batch to a [[writeBqIndex]] sidecar WITHOUT a rebuild —
+    * [[appendToSq8Index]]'s contract one rung down the quality
+    * ladder: sign-bit packing is stateless per-row math, so appended
+    * rows are bit-identical to what a full rebuild would store. The
+    * index's recorded dimension gates the batch (the angular score
+    * divides by d — a d-mismatched append would silently corrupt
+    * every probe that touches its rows).
+    */
+  def appendToBqIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, batch: DataFrame,
+                      sourcePath: Option[String] = None): Unit = {
+    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    batch.select(col("vec_id"),
+        when(assert_true(size(col("embedding")) === lit(dim),
+          concat(lit(s"BQ append: vector dim "),
+            size(col("embedding")).cast("string"),
+            lit(s" != index dim $dim for vec_id "),
+            col("vec_id").cast("string"))).isNull,
+          signPackWords(col("embedding"), dim)).as("bits"))
+      .write.mode("append").parquet(s"$dir/bits")
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
 
   /** [[ensureIvfIndex]]'s build-once contract for the SQ8 sidecar. */
   def ensureSq8Index(spark: org.apache.spark.sql.SparkSession,

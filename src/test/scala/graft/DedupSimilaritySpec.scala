@@ -1852,6 +1852,98 @@ class DedupSimilaritySpec extends SparkSpecBase {
     } finally { if (q.isActive) q.stop() }
   }
 
+  test("SQ8/BQ sidecar append: appended rows probe-visible and rebuild-identical; ensure* no longer rebuilds after an append") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpusRows = (0L until 30L).map(i => (i, vec()))
+    val batchRows = (100L until 106L).map(i => (i, vec()))
+    val src = java.nio.file.Files.createTempDirectory("sidecar-src").toString + "/emb.parquet"
+    corpusRows.toDF("vec_id", "embedding").write.parquet(src)
+    val root = java.nio.file.Files.createTempDirectory("sidecar-root").toString
+    def listing(d: String): Set[(String, Long)] = {
+      val f = new java.io.File(d)
+      if (!f.exists()) Set.empty
+      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(x => (x.getName, x.lastModified())).toSet
+    }
+
+    // ---- SQ8 ----
+    val sq8 = Similarity.ensureSq8Index(spark, src, spark.read.parquet(src),
+      indexRoot = Some(root))
+    val batch = batchRows.toDF("vec_id", "embedding")
+    // the source receives the batch, then the sidecar appends it
+    batch.write.mode("append").parquet(src)
+    Similarity.appendToSq8Index(spark, sq8, batch, sourcePath = Some(src))
+    val sq8Files = listing(s"$sq8/codes")
+    // appended codes are byte-identical to what a rebuild would store
+    // (encoding is a pure per-row function)
+    val storedCodes = spark.read.parquet(s"$sq8/codes")
+      .filter($"vec_id" >= 100L)
+      .select($"vec_id", $"codes", $"scale")
+      .as[(Long, Array[Int], Double)].collect()
+      .map { case (id, c, s) => (id, (c.toSeq, s)) }.toMap
+    val freshCodes = Similarity.quantizeInt8(batch)
+      .select($"vec_id", $"codes", $"scale")
+      .as[(Long, Array[Int], Double)].collect()
+      .map { case (id, c, s) => (id, (c.toSeq, s)) }.toMap
+    assert(storedCodes == freshCodes)
+    // append-then-probe: an appended vector's own embedding finds it
+    // at exact cosine 1.0 through the sidecar scan + rerank
+    val full = spark.read.parquet(src)
+    val qv = batchRows(3)._2
+    val sq8Hit = Similarity.sq8SearchIndexed(spark, sq8, full,
+      Seq((903L, qv)), k = 1)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(sq8Hit.head == ((103L, 1.0)), s"got ${sq8Hit.toSeq}")
+    // the marker advanced with the append: a fresh ensure over the
+    // GROWN source must not rebuild (file set + mtimes unchanged)
+    val sq8Again = Similarity.ensureSq8Index(spark, src,
+      spark.read.parquet(src), indexRoot = Some(root))
+    assert(sq8Again == sq8 && listing(s"$sq8/codes") == sq8Files,
+      "append left the fingerprint stale: ensureSq8Index rebuilt")
+    // a wrong-dimension batch fails fast inside the scan
+    val badDim = Seq((500L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(e => Option(e.getMessage).exists(_.contains(s)))
+    val exS = intercept[Exception] {
+      Similarity.appendToSq8Index(spark, sq8, badDim)
+    }
+    assert(chainHas(exS, "SQ8 append"), s"unexpected failure: $exS")
+
+    // ---- BQ ----
+    val bq = Similarity.ensureBqIndex(spark, src, full, indexRoot = Some(root))
+    val batch2 = (200L until 206L).map(i => (i, vec()))
+    batch2.toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    Similarity.appendToBqIndex(spark, bq,
+      batch2.toDF("vec_id", "embedding"), sourcePath = Some(src))
+    val bqFiles = listing(s"$bq/bits")
+    // appended bits = a rebuild's bits for the same vectors
+    val storedBits = spark.read.parquet(s"$bq/bits")
+      .filter($"vec_id" >= 200L)
+      .select($"vec_id", $"bits").as[(Long, Array[Long])].collect()
+      .map { case (id, b) => (id, b.toSeq) }.toMap
+    val freshBits = batch2.toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.signPackWords($"embedding", 64).as("b"))
+      .as[(Long, Array[Long])].collect()
+      .map { case (id, b) => (id, b.toSeq) }.toMap
+    assert(storedBits == freshBits)
+    val full2 = spark.read.parquet(src)
+    val bqHit = Similarity.bqSearchIndexed(spark, bq, full2,
+      Seq((904L, batch2(2)._2)), k = 1)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(bqHit.head == ((202L, 1.0)), s"got ${bqHit.toSeq}")
+    val bqAgain = Similarity.ensureBqIndex(spark, src, full2,
+      indexRoot = Some(root))
+    assert(bqAgain == bq && listing(s"$bq/bits") == bqFiles,
+      "append left the fingerprint stale: ensureBqIndex rebuilt")
+    val exB = intercept[Exception] {
+      Similarity.appendToBqIndex(spark, bq, badDim)
+    }
+    assert(chainHas(exB, "BQ append"), s"unexpected failure: $exB")
+  }
+
   test("mergeable dims: merge(dim(a), dim(b)) = dim(a ∪ b); withDim = full recompute on the batch") {
     import org.apache.spark.sql.functions._
     // corpus ∪ batch share boilerplate lines whose df crosses the
