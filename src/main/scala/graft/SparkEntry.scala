@@ -1750,10 +1750,66 @@ banded AS (
     * bigram dim are judged against the CORPUS aggregate ratio.
     */
   private def curationNovelOracleSql: String = {
-    val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
     val nt = s"CAST(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT)"
     def stageRow(name: String, src: String): String =
       s"SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs, $nt AS n_tokens FROM $src"
+    s"""$curationNovelCtes
+SELECT stage, n_docs, n_tokens FROM (
+  ${stageRow("1_raw", "plb")}
+  UNION ALL ${stageRow("2_quality", "bs2")}
+  UNION ALL ${stageRow("3_line_dedup", "b3")}
+  UNION ALL ${stageRow("4_near_dedup", "b4")}
+  UNION ALL ${stageRow("5_decontam", "b5")}
+  UNION ALL ${stageRow("6_dsir_sample", "b6")}
+  UNION ALL SELECT '7_packed',
+    CAST((SELECT count(*) FROM
+      (SELECT DISTINCT source, shard, bin_id FROM pk)) AS BIGINT),
+    CAST(coalesce((SELECT sum(n_tokens) FROM pk), 0) AS BIGINT)
+) ORDER BY stage"""
+  }
+
+  /** The composed nightly job's BATCH FACE (round-8 verdict #5's
+    * oracle row): the curated batch product (the `b6` layer + its
+    * packing coordinates) joined to its hash-embed featurization
+    * profile — exactly what `startCorpusMaintenance` derives from one
+    * micro-batch before the index append (the append itself is a
+    * filesystem transaction, locked by the crash-replay spec, not
+    * SQL-replayable). Shares every CTE with the funnel oracle so the
+    * two rows cannot drift.
+    */
+  private def maintainBatchOracleSql: String =
+    s"""$curationNovelCtes, mt AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM b6
+), mc AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
+    count(*) AS cnt
+  FROM mt GROUP BY doc_id, bucket
+), ms AS (
+  SELECT doc_id, count(*) AS nnz, CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq
+  FROM mc GROUP BY doc_id
+), mtop AS (
+  SELECT doc_id, bucket AS top_bucket, cnt AS top_count,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bucket) AS rn
+  FROM mc
+)
+SELECT b.doc_id, pk.shard, pk.bin_id,
+  CAST(len(string_split_regex(trim(b.text), '\\s+')) AS BIGINT) AS n_tokens,
+  ms.nnz, ms.norm_sq, t2.top_bucket, t2.top_count
+FROM b6 b
+JOIN pk ON pk.doc_id = b.doc_id
+JOIN ms ON ms.doc_id = b.doc_id
+JOIN mtop t2 ON t2.doc_id = b.doc_id AND t2.rn = 1
+ORDER BY b.doc_id"""
+
+  /** Shared CTE chain of the incremental-curation oracles: raw %7
+    * split → quality → line dedup under the merged dim →
+    * corpus-seniority near-dup → decontam under merged grams → DSIR
+    * vs the corpus aggregate → packing (`pk`, doc_id retained).
+    */
+  private def curationNovelCtes: String = {
+    val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
     def linesOf(src: String, out: String): String =
       s"""$out AS MATERIALIZED (
   SELECT doc_id, u.pos AS pos, u.line AS line FROM (
@@ -1888,26 +1944,14 @@ cbest AS (
     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM b6
 ), pk AS (
-  SELECT source, shard,
+  SELECT doc_id, source, shard,
     CAST(coalesce(sum(n_tokens) OVER (
       PARTITION BY source, shard ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       // 512 AS bin_id,
     n_tokens
   FROM pkt
-)
-SELECT stage, n_docs, n_tokens FROM (
-  ${stageRow("1_raw", "plb")}
-  UNION ALL ${stageRow("2_quality", "bs2")}
-  UNION ALL ${stageRow("3_line_dedup", "b3")}
-  UNION ALL ${stageRow("4_near_dedup", "b4")}
-  UNION ALL ${stageRow("5_decontam", "b5")}
-  UNION ALL ${stageRow("6_dsir_sample", "b6")}
-  UNION ALL SELECT '7_packed',
-    CAST((SELECT count(*) FROM
-      (SELECT DISTINCT source, shard, bin_id FROM pk)) AS BIGINT),
-    CAST(coalesce((SELECT sum(n_tokens) FROM pk), 0) AS BIGINT)
-) ORDER BY stage"""
+)"""
   }
 
   /** [[clusterCtesSql]] + the membership projection — the oracle for
@@ -2808,6 +2852,25 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       val batch = pl.filter(col("doc_id") % 7 === 0)
       graft.operators.Curation.incrementalFunnel(batch,
         graft.operators.Curation.stateOf(corpus))
+    }),
+    // the composed nightly job's BATCH FACE (curate → featurize —
+    // what Curation.startCorpusMaintenance derives per micro-batch
+    // before its transactional index append): the curated product's
+    // identity + packing coordinates joined to its hash-embed
+    // integer profile. Same %7 split and the SAME oracle CTE chain
+    // as doc_curation_novel, so the two rows cannot drift.
+    "doc_maintain_batch" -> ((s, d) => {
+      val pl = plantedLineDocs(Tables.documents(s, d))
+      val corpus = pl.filter(col("doc_id") % 7 =!= 0)
+      val batch = pl.filter(col("doc_id") % 7 === 0)
+      val product = graft.operators.Curation.curateIncremental(batch,
+        graft.operators.Curation.stateOf(corpus))
+      product.select(col("doc_id"), col("shard"), col("bin_id"))
+        .join(TextOps.hashEmbedProfile(product), Seq("doc_id"))
+        .select(col("doc_id"), col("shard"), col("bin_id"),
+          col("n_tokens"), col("nnz"), col("norm_sq"),
+          col("top_bucket"), col("top_count"))
+        .orderBy(col("doc_id"))
     }),
     // incremental-ingest dedup: bloom the "new batch" (doc_id % 5 = 0),
     // scan the reference corpus with the codegen'd might_contain
@@ -4874,6 +4937,7 @@ GROUP BY p.doc_id ORDER BY p.doc_id""",
     // the incremental (daily-run) funnel, stage by stage against the
     // corpus-state replay (see curationNovelOracleSql)
     "doc_curation_novel" -> curationNovelOracleSql,
+    "doc_maintain_batch" -> maintainBatchOracleSql,
 
     // the HLL flag is the sketch contract (replayed TRUE), exactly
     // like ev_user_reach_approx

@@ -523,38 +523,116 @@ object Curation {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintenanceStep(batch, id, stateDir, outDir, lineMinDf, minJaccard,
+          benchMod, decontamN, targetSources, budget, shards)
+        ()
+      }
+      .start()
+
+  /** One curation-maintenance micro-batch: curate against the replay-
+    * correct state version, publish the product at `outDir/batch-<id>`
+    * (overwrite — replays rewrite the same bytes), advance the state
+    * unless this batch already did. Returns the published product
+    * path — the composed pipeline's featurization reads the PUBLISHED
+    * bytes, so a replay derives byte-identical features. Shared by
+    * [[startCurationMaintenance]] and [[startCorpusMaintenance]].
+    */
+  private[graft] def maintenanceStep(batch: DataFrame, id: Long,
+      stateDir: String, outDir: String, lineMinDf: Long,
+      minJaccard: Double, benchMod: Long, decontamN: Int,
+      targetSources: Seq[String], budget: Long, shards: Int): String = {
+    val spark = batch.sparkSession
+    val pinned = batch.localCheckpoint(true)
+    val vs = versions(spark, stateDir)
+    require(vs.nonEmpty,
+      s"curation maintenance: $stateDir not bootstrapped (writeState)")
+    val already = vs.last._2 >= id
+    val (v, b) =
+      if (already) {
+        val prior = vs.filter(_._2 < id)
+        require(prior.nonEmpty,
+          s"curation maintenance: batch $id replayed but no prior " +
+            "state version survives — cannot reproduce its input")
+        prior.last
+      } else vs.last
+    val st = loadVersion(spark, stateDir, v, b)
+    val productPath =
+      new org.apache.hadoop.fs.Path(outDir, s"batch-$id").toString
+    curateIncremental(pinned, st, lineMinDf, minJaccard, benchMod,
+        decontamN, targetSources, budget, shards)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(productPath)
+    if (!already) {
+      publishVersion(spark, stateDir,
+        advanceState(st, pinned, lineMinDf, benchMod, decontamN,
+          targetSources),
+        v + 1, id)
+      // retain one prior version for replay; prune older ones
+      versions(spark, stateDir).dropRight(2).foreach { case (ov, ob) =>
+        fsOf(spark, stateDir).delete(
+          new org.apache.hadoop.fs.Path(stateDir, s"v${ov}_b$ob"), true)
+        ()
+      }
+    }
+    productPath
+  }
+
+  /** THE COMPOSED NIGHTLY JOB: curation maintenance → featurization →
+    * ANN-index append as ONE streaming orchestration — the operation
+    * a production corpus actually runs per ingest batch, rather than
+    * three crash-stories that each hold alone:
+    *
+    *  1. [[maintenanceStep]] curates the batch against the persisted
+    *     corpus state and advances it one version (replay-aware via
+    *     the version's producing-batch id);
+    *  2. the featurization seam re-reads the PUBLISHED product bytes
+    *     and hash-embeds them ([[TextOps.hashEmbedVectors]] — swap in
+    *     a real encoder behind the same (vec_id, embedding) shape);
+    *  3. [[Similarity.appendToIvfIndexCommitted]] appends the vectors
+    *     under the batch id — staged, deterministically named,
+    *     marker-committed.
+    *
+    * CRASH-REPLAY CONSISTENCY ACROSS BOTH STATES: every stage is
+    * either replay-detecting (1: a version stamped with this batch id
+    * already exists → curate against the PRIOR version and skip the
+    * advance; 3: a commit marker for this batch id → no-op) or a pure
+    * function of published bytes (2). Whichever prefix of {product
+    * write, state advance, index append} a crash leaves behind, the
+    * replay re-runs the missing suffix exactly once: curation state
+    * versions and index rows/stats cannot diverge, and a re-run of a
+    * FULLY committed batch touches nothing. The index must be
+    * bootstrapped over the SAME featurization of the initial corpus
+    * (writeIvfIndex over hashEmbedVectors of the state's curated
+    * text) — the drift guard then polices encoder/corpus skew.
+    */
+  def startCorpusMaintenance(source: DataFrame, stateDir: String,
+                             outDir: String, indexDir: String,
+                             checkpointDir: String,
+                             embedDim: Int = 64,
+                             maxDriftRatio: Double = 4.0,
+                             lineMinDf: Long = 5,
+                             minJaccard: Double = 0.3,
+                             benchMod: Long = 29, decontamN: Int = 8,
+                             targetSources: Seq[String] =
+                               Seq("src0", "src2", "src4"),
+                             budget: Long = 512, shards: Int = 4,
+                             triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val pinned = batch.localCheckpoint(true)
-        val vs = versions(spark, stateDir)
-        require(vs.nonEmpty,
-          s"curation maintenance: $stateDir not bootstrapped (writeState)")
-        val already = vs.last._2 >= id
-        val (v, b) =
-          if (already) {
-            val prior = vs.filter(_._2 < id)
-            require(prior.nonEmpty,
-              s"curation maintenance: batch $id replayed but no prior " +
-                "state version survives — cannot reproduce its input")
-            prior.last
-          } else vs.last
-        val st = loadVersion(spark, stateDir, v, b)
-        curateIncremental(pinned, st, lineMinDf, minJaccard, benchMod,
-            decontamN, targetSources, budget, shards)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch-$id")
-            .toString)
-        if (!already) {
-          publishVersion(spark, stateDir,
-            advanceState(st, pinned, lineMinDf, benchMod, decontamN,
-              targetSources),
-            v + 1, id)
-          // retain one prior version for replay; prune older ones
-          versions(spark, stateDir).dropRight(2).foreach { case (ov, ob) =>
-            fsOf(spark, stateDir).delete(
-              new org.apache.hadoop.fs.Path(stateDir, s"v${ov}_b$ob"), true)
-            ()
-          }
-        }
+        val productPath = maintenanceStep(batch, id, stateDir, outDir,
+          lineMinDf, minJaccard, benchMod, decontamN, targetSources,
+          budget, shards)
+        val feats = graft.operators.TextOps
+          .hashEmbedVectors(spark.read.parquet(productPath), embedDim)
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.Similarity.appendToIvfIndexCommitted(
+          spark, indexDir, feats, id, maxDriftRatio)
         ()
       }
       .start()

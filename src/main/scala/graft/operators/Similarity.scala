@@ -355,6 +355,19 @@ object Similarity {
     coalesce(sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
       .cast("double"), lit(0.0))
 
+  /** Row count of a durable IVF/IVF-PQ index, from its stats sidecar —
+    * one tiny-file read instead of a full corpus pass. Appends keep
+    * the figure current ([[appendToIvfIndex]] merges its batch count
+    * into the stats distributively), so this is the `corpusCount` /
+    * `totalCount` feed for [[knnJoin]] / [[mineTriplets]] /
+    * [[embeddingNovel]]'s GeometryLadder sizing: the rung lookup only
+    * needs the ORDER OF MAGNITUDE of n (rungs are 4× apart), so a
+    * between-maintenance-runs stale count is harmless by construction.
+    */
+  def indexedCorpusCount(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Long =
+    readIvfStats(spark, dir)._1
+
   private def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
                             dir: String, n: Long, sumSq: Double): Unit = {
     import spark.implicits._
@@ -399,12 +412,37 @@ object Similarity {
                        dir: String, batch: DataFrame,
                        maxDriftRatio: Double = 4.0,
                        sourcePath: Option[String] = None): Unit = {
+    encodeBatchForIndex(spark, dir, batch, maxDriftRatio).foreach {
+      case (out, nb, sb) =>
+        out.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+        // the FILE carries only baseline + plain appends; committed
+        // appends contribute through their markers (readIvfStats sums
+        // both) — merging the composite total back into the file would
+        // double-count every marker
+        val f = spark.read.parquet(s"$dir/stats").head()
+        writeIvfStats(spark, dir, f.getAs[Long]("n") + nb,
+          f.getAs[Double]("sum_sqdist") + sb)
+    }
+    // the marker advances even for an empty batch: the caller is
+    // asserting the index now reflects the source as it stands
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Shared encode + drift-guard stage of the IVF append paths:
+    * assign the batch to the STORED centroids, PQ-encode when the
+    * index carries codebooks, and fail fast when the batch's mean
+    * squared nearest-centroid distance exceeds `maxDriftRatio` × the
+    * index baseline ([[readIvfStats]] — baseline plus every committed
+    * contribution). None for an empty batch.
+    */
+  private def encodeBatchForIndex(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, batch: DataFrame,
+                                  maxDriftRatio: Double)
+      : Option[(DataFrame, Long, Double)] = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val stats = spark.read.parquet(s"$dir/stats").head()
-    val n0 = stats.getAs[Long]("n")
-    val s0 = stats.getAs[Double]("sum_sqdist")
+    val (n0, s0) = readIvfStats(spark, dir)
     require(n0 > 0, s"index at $dir has an empty baseline — rebuild it")
     val best = array_min(centroidDistArray(col("embedding"), cents))
     // pinned: one batch pass feeds the guard aggregate AND the append
@@ -418,7 +456,8 @@ object Similarity {
       .head()
     val nb = agg.getAs[Long]("n")
     val sb = agg.getAs[Double]("sum_sqdist")
-    if (nb > 0) {
+    if (nb == 0) None
+    else {
       val baseline = s0 / n0
       val batchMean = sb / nb
       if (batchMean > maxDriftRatio * baseline)
@@ -445,12 +484,106 @@ object Similarity {
           assigned
             .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
       }
-      out.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
-      writeIvfStats(spark, dir, n0 + nb, s0 + sb)
+      Some((out, nb, sb))
     }
-    // the marker advances even for an empty batch: the caller is
-    // asserting the index now reflects the source as it stands
+  }
+
+  /** EXACTLY-ONCE index append, keyed by a caller-supplied batch id —
+    * the form a crash-replaying maintenance pipeline needs
+    * ([[graft.operators.Curation]]'s composed nightly job). The plain
+    * [[appendToIvfIndex]] is a bare parquet append: replaying a batch
+    * that already committed double-appends its rows and re-merges its
+    * stats. Here the append is transactional per batch id:
+    *
+    *  1. a committed batch is detected by its marker
+    *     (`_commits/batch-<id>`) and the whole call is a no-op;
+    *  2. rows are staged (`.staging-batch-<id>`, overwrite-safe),
+    *     then moved into the list partitions under DETERMINISTIC
+    *     names (`b<id>-p<n>.parquet`) — a replay of a half-moved
+    *     batch first deletes every `b<id>-*` file, so the move is
+    *     idempotent;
+    *  3. the stats contribution is the marker's CONTENT (`n sumSq`),
+    *     written last via create-then-rename: [[readIvfStats]] sums
+    *     the build-time baseline file plus every marker, so a crash
+    *     anywhere before the marker leaves stats exactly consistent
+    *     with a replay re-running the batch.
+    *
+    * The drift guard and the PQ-aware encode are [[appendToIvfIndex]]'s
+    * (shared stage). Probes read the lists directory unchanged —
+    * deterministic file names are invisible to partition discovery.
+    */
+  def appendToIvfIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, batch: DataFrame,
+                                batchId: Long,
+                                maxDriftRatio: Double = 4.0,
+                                sourcePath: Option[String] = None): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
+    if (!fs.exists(marker)) {
+      encodeBatchForIndex(spark, dir, batch, maxDriftRatio).foreach {
+        case (out, nb, sb) =>
+          val staging = new org.apache.hadoop.fs.Path(d,
+            s".staging-batch-$batchId")
+          out.write.mode("overwrite").partitionBy("cid")
+            .parquet(staging.toString)
+          // sweep any half-moved files of a crashed prior attempt
+          val lists = new org.apache.hadoop.fs.Path(d, "lists")
+          val stale = fs.globStatus(new org.apache.hadoop.fs.Path(lists,
+            s"*/b$batchId-*.parquet"))
+          if (stale != null) stale.foreach(f => fs.delete(f.getPath, false))
+          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(staging,
+            "cid=*/*.parquet"))
+          (if (parts == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+           else parts)
+            .sortBy(_.getPath.toString).zipWithIndex.foreach { case (f, i) =>
+              val destDir = new org.apache.hadoop.fs.Path(lists,
+                f.getPath.getParent.getName)
+              fs.mkdirs(destDir)
+              val dest = new org.apache.hadoop.fs.Path(destDir,
+                s"b$batchId-p$i.parquet")
+              require(fs.rename(f.getPath, dest),
+                s"index commit: failed to move ${f.getPath} to $dest")
+            }
+          fs.delete(staging, true)
+          // marker last, atomically: content is the stats contribution
+          val tmp = new org.apache.hadoop.fs.Path(d,
+            s"_commits/.batch-$batchId.tmp")
+          fs.mkdirs(marker.getParent)
+          val os = fs.create(tmp, true)
+          try os.write(s"$nb $sb".getBytes("UTF-8")) finally os.close()
+          fs.delete(marker, false)
+          require(fs.rename(tmp, marker),
+            s"index commit: failed to publish $marker")
+      }
+    }
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Composite stats of an IVF index: the build-time baseline file
+    * (merged forward by plain appends) PLUS every committed-append
+    * marker's contribution. The single read point for the drift
+    * guard and [[indexedCorpusCount]].
+    */
+  def readIvfStats(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (Long, Double) = {
+    val f = spark.read.parquet(s"$dir/stats").head()
+    var n = f.getAs[Long]("n")
+    var s = f.getAs[Double]("sum_sqdist")
+    val d = new org.apache.hadoop.fs.Path(dir, "_commits")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      if (st.getPath.getName.startsWith("batch-")) {
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val Array(nb, sb) = txt.trim.split(" ")
+        n += nb.toLong
+        s += sb.toDouble
+      }
+    }
+    (n, s)
   }
 
   /** STREAMING index maintenance: append every micro-batch of a
@@ -1771,8 +1904,9 @@ object Similarity {
     * count avoids the sizing `count()`).
     */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.9,
-                        planes: Int = 0, bands: Int = 0): DataFrame =
-    embeddingNearDupsRaw(embeddings, minCos, planes, bands)
+                        planes: Int = 0, bands: Int = 0,
+                        maxBandDf: Int = 0): DataFrame =
+    embeddingNearDupsRaw(embeddings, minCos, planes, bands, maxBandDf)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** [[embeddingNearDups]] without the presentation sort — the form
@@ -1786,12 +1920,60 @@ object Similarity {
     * as the candidate-volume instrument ([[nearDupCandidateCount]]
     * sweeps it across corpus sizes).
     */
-  private[graft] def nearDupCandidates(embeddings: DataFrame,
-      planes: Int, bands: Int): DataFrame = {
+  /** Hot-band cap: drop band buckets whose occupancy exceeds
+    * `maxBandDf` from BLOCKING (`maxBandDf <= 0` disables — the
+    * default). The GeometryLadder's constant-occupancy candidate
+    * model assumes near-uniform vectors; on CLUSTERED real embeddings
+    * a mega-cluster concentrates in a few buckets — one k-row bucket
+    * emits k²/2 candidates and lands on ONE shuffle partition (the
+    * [[Multimodal.videoNearDups]] stop-frame failure on the sign-LSH
+    * surface). The semantics differ from stop-frames, and the doc
+    * must say so: a ubiquitous video frame carries no evidence of
+    * duplication, but a hot sign-LSH bucket CAN hold true near-dup
+    * pairs — capping trades recall INSIDE mega-clusters (a pair
+    * survives only via some rarer band) for bounded per-bucket
+    * volume (≤ maxBandDf²/2) and a skew-free shuffle. The trade is
+    * measurable, not silent: [[nearDupPairRecall]] takes the same cap
+    * and scores exactly what it costs, and [[hotBandStats]] reports
+    * how many buckets/rows the cap removed. Mega-cluster interiors
+    * are near-dup-saturated anyway — the production pairing is a cap
+    * here plus [[semDedup]] for intra-cluster pruning.
+    */
+  private def rareBands(banded: DataFrame, maxBandDf: Int): DataFrame =
+    if (maxBandDf <= 0) banded
+    else banded.join(
+      banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxBandDf).select(col("band"), col("bv")),
+      Seq("band", "bv"), "left_semi")
+
+  /** Occupancy accounting for the hot-band cap: one row —
+    * (buckets, hot_buckets, rows_in_hot_buckets, max_df) at the given
+    * geometry and cap. The number a 100 TB operator reads BEFORE
+    * choosing `maxBandDf`: rows_in_hot_buckets is the blocking mass
+    * the cap would drop, max_df the worst single-bucket skew a
+    * capless run would ship to one shuffle partition.
+    */
+  def hotBandStats(embeddings: DataFrame, planes: Int = 0,
+                   bands: Int = 0, maxBandDf: Int = 64): DataFrame = {
     val (pl, bd) =
       if (planes > 0 && bands > 0) (planes, bands)
       else nearDupGeometry(embeddings.count())
-    val banded = bandedSignatures(embeddings, pl, bd)
+    bandedSignatures(embeddings, pl, bd)
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("df") > maxBandDf, 1L).otherwise(0L)).cast("long")
+          .as("hot_buckets"),
+        sum(when(col("df") > maxBandDf, col("df")).otherwise(0L))
+          .cast("long").as("rows_in_hot_buckets"),
+        max(col("df")).as("max_df"))
+  }
+
+  private[graft] def nearDupCandidates(embeddings: DataFrame,
+      planes: Int, bands: Int, maxBandDf: Int = 0): DataFrame = {
+    val (pl, bd) =
+      if (planes > 0 && bands > 0) (planes, bands)
+      else nearDupGeometry(embeddings.count())
+    val banded = rareBands(bandedSignatures(embeddings, pl, bd), maxBandDf)
     // candidate ids deduped FIRST (×bands multiplicity collapses on two
     // longs), so the 64-dim exact cosine runs once per candidate pair
     banded.alias("a")
@@ -1807,12 +1989,13 @@ object Similarity {
     * (NearDupProf prints the sweep; SCALE.md records it).
     */
   def nearDupCandidateCount(embeddings: DataFrame, planes: Int = 0,
-                            bands: Int = 0): Long =
-    nearDupCandidates(embeddings, planes, bands).count()
+                            bands: Int = 0, maxBandDf: Int = 0): Long =
+    nearDupCandidates(embeddings, planes, bands, maxBandDf).count()
 
   private[graft] def embeddingNearDupsRaw(embeddings: DataFrame,
-      minCos: Double, planes: Int, bands: Int): DataFrame = {
-    val cand = nearDupCandidates(embeddings, planes, bands)
+      minCos: Double, planes: Int, bands: Int,
+      maxBandDf: Int = 0): DataFrame = {
+    val cand = nearDupCandidates(embeddings, planes, bands, maxBandDf)
     val sides = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     cand
@@ -1855,13 +2038,24 @@ object Similarity {
     * self-join (queries ⊆ corpus) ranks true neighbors.
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              planes: Int = 0, bands: Int = 0): DataFrame = {
+              planes: Int = 0, bands: Int = 0, maxBandDf: Int = 0,
+              corpusCount: Long = -1L): DataFrame = {
     val (pl, bd) =
       if (planes > 0 && bands > 0) (planes, bands)
-      else nearDupGeometry(corpus.count())
+      // corpusCount > 0 amortizes the sizing pass: the rung count is
+      // read from durable-index stats ([[indexedCorpusCount]]) or a
+      // caller-maintained figure instead of a full corpus count() per
+      // invocation — at 100 TB the count job costs more than the join
+      else nearDupGeometry(if (corpusCount > 0) corpusCount
+        else corpus.count())
     val qb = bandedSignatures(queries, pl, bd)
       .withColumnRenamed("vec_id", "query_id")
-    val cb = bandedSignatures(corpus, pl, bd)
+    // hot-band cap on the CORPUS side (the side whose occupancy the
+    // ladder models): dropping a hot bucket there starves the
+    // equi-join for both sides — see [[rareBands]] for the recall
+    // semantics of capping sign-LSH (unlike video stop-frames, a hot
+    // bucket can hold true neighbors; the cap is a measured trade)
+    val cb = rareBands(bandedSignatures(corpus, pl, bd), maxBandDf)
     val cand = qb.join(cb, Seq("band", "bv"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
@@ -1894,10 +2088,12 @@ object Similarity {
     */
   def mineTriplets(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                    posMin: Double = 0.9, negMax: Double = 0.5,
-                   planes: Int = 0, bands: Int = 0): DataFrame = {
+                   planes: Int = 0, bands: Int = 0, maxBandDf: Int = 0,
+                   corpusCount: Long = -1L): DataFrame = {
     require(negMax <= posMin,
       s"mineTriplets: negMax ($negMax) must not exceed posMin ($posMin)")
-    val nn = knnJoin(queries, corpus, k, planes, bands)
+    val nn = knnJoin(queries, corpus, k, planes, bands, maxBandDf,
+      corpusCount)
     def best(cond: Column): Column =
       max(when(cond,
         struct(col("cos_sim").as("c"), (-col("vec_id")).as("nid"))))
@@ -1921,9 +2117,10 @@ object Similarity {
     * exactly as it was for documents).
     */
   def embeddingNearDupClusters(embeddings: DataFrame, minCos: Double = 0.9,
-                               planes: Int = 0, bands: Int = 0): DataFrame =
+                               planes: Int = 0, bands: Int = 0,
+                               maxBandDf: Int = 0): DataFrame =
     Dedup.clusterMembershipRaw(
-      embeddingNearDupsRaw(embeddings, minCos, planes, bands),
+      embeddingNearDupsRaw(embeddings, minCos, planes, bands, maxBandDf),
       aCol = "vec_a", bCol = "vec_b")
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"))
@@ -1972,11 +2169,16 @@ object Similarity {
   def embeddingNovel(batch: DataFrame, ref: DataFrame, minCos: Double = 0.9,
                      planes: Int = 0, bands: Int = 0,
                      expectedItems: Long = 1L << 16,
-                     fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01, maxBandDf: Int = 0,
+                     totalCount: Long = -1L): DataFrame = {
     import org.apache.spark.sql.graftshim.BloomShim
     val (pl, bd) =
       if (planes > 0 && bands > 0) (planes, bands)
-      else nearDupGeometry(batch.count() + ref.count())
+      // totalCount > 0 (= |batch ∪ corpus|, from index stats or the
+      // pipeline's running tally) skips the sizing count() — at scale
+      // the corpus-side count is a full pass a daily job repays never
+      else nearDupGeometry(if (totalCount > 0) totalCount
+        else batch.count() + ref.count())
     val r = pl / bd
     def compositeKey(band: Column, bv: Column): Column =
       band.cast("long") * lit(1L << r) + bv.cast("long")
@@ -2001,9 +2203,22 @@ object Similarity {
       // exact band check vs the broadcast batch keys; candidate pairs
       // dedup BEFORE the exact-cosine stage (band multiplicity ≤ bands
       // collapses on two longs)
-      val cand = bandedSignatures(ref, pl, bd)
+      val refKeys = bandedSignatures(ref, pl, bd)
         .select(col("vec_id"), compositeKey(col("band"), col("bv")).as("bk"))
         .filter(BloomShim.mightContain(bf, col("bk")))
+      // hot-band cap on the bloom-surviving corpus keys: a mega-
+      // cluster band key that the batch also carries would otherwise
+      // emit (bucket df × batch multiplicity) candidates into one
+      // partition — the df aggregate runs over the PRUNED key stream
+      // (per-key df is unchanged by key-level pruning), so the cap
+      // costs one small extra shuffle only when enabled
+      val refRare =
+        if (maxBandDf <= 0) refKeys
+        else refKeys.join(
+          refKeys.groupBy(col("bk")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxBandDf).select(col("bk")),
+          Seq("bk"), "left_semi")
+      val cand = refRare
         .join(broadcast(batchBand), Seq("bk"))
         .select(col("vec_id"), col("batch_id"))
         .dropDuplicates("vec_id", "batch_id")
@@ -2034,8 +2249,9 @@ object Similarity {
     */
   def nearDupPairRecall(embeddings: DataFrame, anchorPred: Column,
                         minCos: Double = 0.9, planes: Int = 0,
-                        bands: Int = 0): DataFrame = {
-    val approx = embeddingNearDupsRaw(embeddings, minCos, planes, bands)
+                        bands: Int = 0, maxBandDf: Int = 0): DataFrame = {
+    val approx =
+      embeddingNearDupsRaw(embeddings, minCos, planes, bands, maxBandDf)
       .select(col("vec_a"), col("vec_b"), lit(1).as("__hit"))
     val sides = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))

@@ -31,6 +31,71 @@ object NearDupProf {
         (i, Array.fill(64)(r.nextGaussian().toFloat))
       }
       .toDF("vec_id", "embedding")
+    // skewed-corpus sweep (round-8 verdict #4): clustered real
+    // embeddings break the ladder's near-uniform occupancy model — a
+    // mega-cluster concentrates its members into one bucket per band,
+    // and that bucket is both a candidate blow-up (k²/2 pairs) and ONE
+    // skewed shuffle partition. The sweep plants a 20% mega-cluster,
+    // measures candidates capless vs maxBandDf=64 (16× the ladder's
+    // ~4-row design occupancy), prints the occupancy accounting row
+    // (hotBandStats), and scores planted SPREAD-pair recall under the
+    // cap — the claim being: volume collapses to ~the uniform column,
+    // rare-pair recall holds at the rung model. SPARK_GRAFT_PROF=skew
+    // runs only this section.
+    val skewOnly = sys.env.get("SPARK_GRAFT_PROF").contains("skew")
+    println("[neardupprof] skew sweep: 20% mega-cluster, cap=64")
+    val megaBase = {
+      val r = new scala.util.Random(99)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    def skewed(n: Int) = spark.range(n.toLong)
+      .map { i =>
+        val r = new scala.util.Random(99L * 1000003L + i)
+        val v =
+          if (i % 5 == 0) megaBase.map(x => x + r.nextGaussian().toFloat * 0.005f)
+          else if (i % 50 == 1)
+            // planted spread clone of the NEXT row (i+1 is ≡2 mod 5 and
+            // ≡2 mod 50 — a plain random row, so the pair (i, i+1) is a
+            // true spread near-dup): α=0.25 → cos ≈ 0.97
+            {
+              val rp = new scala.util.Random(99L * 1000003L + (i + 1))
+              val base = Array.fill(64)(rp.nextGaussian().toFloat)
+              base.map(x => (x + 0.25f * r.nextGaussian().toFloat))
+            }
+          else Array.fill(64)(r.nextGaussian().toFloat)
+        (i, v)
+      }
+      .toDF("vec_id", "embedding")
+    for (n <- Seq(4000, 16000, 64000)) {
+      val c = skewed(n).localCheckpoint()
+      val (planes, bands) = Similarity.nearDupGeometry(n.toLong)
+      val cap = 64
+      val occ = Similarity.hotBandStats(c, planes, bands, cap).collect()(0)
+      val t0 = System.nanoTime()
+      val capped = Similarity.nearDupCandidateCount(c, planes, bands, cap)
+      val tCap = (System.nanoTime() - t0) / 1e9
+      val capless =
+        if (n <= 16000) {
+          val t1 = System.nanoTime()
+          val x = Similarity.nearDupCandidateCount(c, planes, bands)
+          f"capless=$x%10d (${(System.nanoTime() - t1) / 1e9}%5.1f s)"
+        } else "capless=(skipped: quadratic in the mega-cluster)"
+      val rec = Similarity.nearDupPairRecall(c,
+        org.apache.spark.sql.functions.col("vec_id") % 50 === 1 &&
+          org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0,
+        minCos = 0.9, planes = planes, bands = bands, maxBandDf = cap)
+        .collect()(0)
+      println(f"[neardupprof] skew n=$n%6d geo=($planes%4d,$bands%2d) " +
+        f"capped=$capped%9d ($tCap%5.1f s) $capless " +
+        f"hot_buckets=${occ.getAs[Long]("hot_buckets")}%4d " +
+        f"rows_in_hot=${occ.getAs[Long]("rows_in_hot_buckets")}%8d " +
+        f"max_df=${occ.getAs[Long]("max_df")}%6d " +
+        f"spread_recall=${rec.getAs[Double]("recall")}%.4f " +
+        f"(${rec.getAs[Long]("hits")}/${rec.getAs[Long]("expected")})")
+      c.unpersist()
+    }
+    if (skewOnly) { spark.stop(); return }
+
     // the fixed-geometry comparison column is flatly quadratic
     // (model bands·n²/2^(r+1) = 6·n²/128) — countable to 16k vectors,
     // prohibitive past it; the ladder column runs the full sweep to

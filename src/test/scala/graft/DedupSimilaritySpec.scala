@@ -1852,6 +1852,113 @@ class DedupSimilaritySpec extends SparkSpecBase {
     } finally { if (q.isActive) q.stop() }
   }
 
+  test("hot-band cap: mega-cluster candidates bounded, recall trade measured, rare pairs intact; pinned counts skip the sizing pass") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val dim = 64
+    // mega-cluster: 200 copies of one direction with tiny noise — on
+    // clustered data they land in the SAME bucket of every band
+    val u = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def megaVec(): Array[Float] =
+      u.map(x => x + rnd.nextGaussian().toFloat * 0.005f)
+    // spread: 96 well-separated random vectors + 2 planted rare pairs
+    def spreadVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val s1 = spreadVec(); val s2 = spreadVec()
+    val rows =
+      (0L until 200L).map(i => (i, megaVec())) ++
+      (200L until 296L).map(i => (i, spreadVec())) ++
+      Seq((296L, s1), (297L, s1.map(x => x + rnd.nextGaussian().toFloat * 0.005f)),
+          (298L, s2), (299L, s2.map(x => x + rnd.nextGaussian().toFloat * 0.005f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (pl, bd, cap) = (24, 4, 16)
+
+    // occupancy accounting: the pre-flight read for choosing the cap
+    val stats = Similarity.hotBandStats(emb, pl, bd, cap)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats._2 >= 4L, s"expected >=4 hot buckets, got $stats")
+    assert(stats._3 >= 600L, s"expected the mega-cluster's blocking mass, got $stats")
+    assert(stats._4 >= 150L, s"expected a ~200-row bucket, got $stats")
+
+    // capped blocking: candidate volume collapses from the mega-
+    // cluster's ~C(200,2) to the rare-bucket residue
+    val uncapped = Similarity.nearDupCandidateCount(emb, pl, bd)
+    val capped = Similarity.nearDupCandidateCount(emb, pl, bd, cap)
+    assert(uncapped > 15000L, s"mega-cluster should dominate uncapped: $uncapped")
+    assert(capped < 1000L, s"cap must bound candidates: $capped (uncapped $uncapped)")
+
+    // rare planted pairs survive the cap end-to-end
+    val pairs = Similarity.embeddingNearDups(emb, minCos = 0.97,
+      planes = pl, bands = bd, maxBandDf = cap)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((296L, 297L)) && pairs.contains((298L, 299L)),
+      s"rare pairs lost under cap: $pairs")
+    // interior pairs are BOUNDED (only noise-flip side-buckets with
+    // df <= cap survive blocking), not zero — the cap's contract is
+    // volume, not exclusion
+    val interior = pairs.count { case (a, b) => a < 200L && b < 200L }
+    assert(interior < 1000, s"cap must bound interior pairs: $interior of ~19900")
+
+    // the recall trade is MEASURED, not silent: anchors inside the
+    // mega-cluster report the loss; without the cap recall is 1.0
+    val rCap = Similarity.nearDupPairRecall(emb, col("vec_id") === 0L,
+      minCos = 0.97, planes = pl, bands = bd, maxBandDf = cap)
+      .as[(Long, Long, Double)].head()
+    assert(rCap._2 > 150L && rCap._3 < 0.25,
+      s"cap cost on mega anchors must be visible: $rCap")
+    val rFree = Similarity.nearDupPairRecall(emb, col("vec_id") === 0L,
+      minCos = 0.97, planes = pl, bands = bd)
+      .as[(Long, Long, Double)].head()
+    assert(rFree._3 == 1.0, s"uncapped recall should be 1.0: $rFree")
+
+    // knnJoin under the cap: a spread query still finds its planted
+    // partner; a mega query's corpus matches are starved (bounded)
+    val knnCap = Similarity.knnJoin(
+      emb.filter($"vec_id".isin(296L, 0L)), emb, k = 3,
+      planes = pl, bands = bd, maxBandDf = cap)
+    val byQuery = knnCap.select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(byQuery(296L).map(_._2).contains(297L))
+    // the mega query's matches can only arrive via noise-flip side-
+    // buckets (df <= cap) — far fewer than its ~199 true neighbors
+    assert(byQuery.get(0L).forall(_.length <= 3))
+
+    // pinned corpusCount = same geometry as the counted path, no
+    // sizing count() — results identical
+    val q = emb.filter($"vec_id" === 296L)
+    val counted = Similarity.knnJoin(q, emb, k = 5).collect().toSeq
+    val pinned = Similarity.knnJoin(q, emb, k = 5,
+      corpusCount = 300L).collect().toSeq
+    assert(counted == pinned)
+
+    // embeddingNovel: the cap's miss shows up as a (documented) extra
+    // novel row — the mega-adjacent batch vector only matches inside
+    // hot buckets; the genuinely novel row is unaffected
+    val batch = Seq((900L, megaVec()), (901L, spreadVec()))
+      .toDF("vec_id", "embedding")
+    val novelFree = Similarity.embeddingNovel(batch, emb, minCos = 0.9,
+      planes = pl, bands = bd).select($"vec_id").as[Long].collect().toSet
+    assert(novelFree == Set(901L), s"uncapped: $novelFree")
+    val novelCap = Similarity.embeddingNovel(batch, emb, minCos = 0.9,
+      planes = pl, bands = bd, maxBandDf = cap)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(novelCap == Set(900L, 901L), s"capped: $novelCap")
+    // pinned totalCount reproduces the counted path
+    val novelPinned = Similarity.embeddingNovel(batch, emb, minCos = 0.9,
+      totalCount = 302L).select($"vec_id").as[Long].collect().toSet
+    val novelAuto = Similarity.embeddingNovel(batch, emb, minCos = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(novelPinned == novelAuto)
+
+    // indexedCorpusCount: the durable-index stats feed the rung
+    // lookup — one tiny read, kept current by appends
+    val dir = java.nio.file.Files.createTempDirectory("ivf-count").toString
+    Similarity.writeIvfIndex(emb, dir, nlist = 4, iters = 2)
+    assert(Similarity.indexedCorpusCount(spark, dir) == 300L)
+    Similarity.appendToIvfIndex(spark, dir,
+      (500L until 510L).map(i => (i, megaVec())).toDF("vec_id", "embedding"))
+    assert(Similarity.indexedCorpusCount(spark, dir) == 310L)
+  }
+
   test("SQ8/BQ sidecar append: appended rows probe-visible and rebuild-identical; ensure* no longer rebuilds after an append") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(19)
@@ -2216,6 +2323,108 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .filter(_.startsWith("v")).sorted.toSeq
     assert(names2 == Seq("v1_b0", "v2_b1"),
       s"replay must not double-advance: $names2")
+  }
+
+  test("composed corpus maintenance: curation -> featurize -> index append; crash replay consistent across BOTH states") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    def body(i: Long): String =
+      (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+    val corpus = (0L until 40L)
+      .map(i => (i, s"BOILER HEADER\n${body(i)}\nBOILER FOOTER", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("corpus_maint").toString
+    val (stateDir, outDir, idxDir, srcDir, ckpt) =
+      (s"$dir/state", s"$dir/out", s"$dir/idx", s"$dir/src", s"$dir/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    val st0 = Curation.stateOf(corpus)
+    Curation.writeState(st0, stateDir)
+    // index bootstrapped over the SAME featurization of the state's
+    // curated text — the composed job's contract
+    Similarity.writeIvfIndex(
+      TextOps.hashEmbedVectors(Curation.readState(spark, stateDir).corpusText),
+      idxDir, nlist = 4, iters = 2)
+    val n0 = Similarity.indexedCorpusCount(spark, idxDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    def doc(id: Long, text: String, src: String): String =
+      s"""{"doc_id":$id,"text":"${text.replace("\n", "\\n")}","source":"$src"}"""
+    Files.write(Paths.get(s"$srcDir/b1.json"), Seq(
+      doc(1003L, body(3) + " tail", "src0"),
+      doc(1100L, s"BOILER HEADER\n${body(100)}\nBOILER FOOTER", "src0"),
+      doc(1101L, body(200), "src0")).mkString("\n").getBytes)
+    def startStream() = Curation.startCorpusMaintenance(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir),
+      stateDir, outDir, idxDir, ckpt,
+      maxDriftRatio = 100.0, triggerMs = 100L)
+    val q1 = startStream()
+    q1.processAllAvailable()
+    Files.write(Paths.get(s"$srcDir/b2.json"), Seq(
+      doc(2100L, body(100) + " tail", "src0"),
+      doc(2101L, body(300), "src0")).mkString("\n").getBytes)
+    q1.processAllAvailable(); q1.stop()
+    def productIds(batch: Int): Set[Long] =
+      spark.read.parquet(s"$outDir/batch-$batch")
+        .select($"doc_id").as[Long].collect().toSet
+    val (p0, p1) = (productIds(0), productIds(1))
+    assert(p0.nonEmpty && p1.nonEmpty)
+    // the index received EXACTLY the published products, once each
+    def appendedIds(): Seq[Long] = spark.read.parquet(s"$idxDir/lists")
+      .filter($"vec_id" >= 1000L).select($"vec_id").as[Long].collect().toSeq
+    assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted,
+      s"index rows ${appendedIds()} != products ${p0 ++ p1}")
+    // stats track both states: baseline + the two committed batches
+    assert(Similarity.indexedCorpusCount(spark, idxDir)
+      == n0 + p0.size + p1.size)
+    // probe-visibility through the composed featurization: a product
+    // doc's own hash-embedding finds it at cosine 1.0
+    val someId = p1.head
+    val qv = spark.read.parquet(s"$idxDir/lists")
+      .filter($"vec_id" === someId)
+      .select($"embedding").as[Array[Float]].head()
+    val hits = Similarity.ivfSearchIndexed(spark, idxDir,
+      Seq((9000L, qv)), k = 1, nprobe = 4)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(hits.head == ((someId, 1.0)), s"got ${hits.toSeq}")
+    // ---- crash between sink commit and checkpoint commit: batch 1
+    // replays END TO END; neither state may double-apply
+    val vBefore = new java.io.File(stateDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc"))
+    val q2 = startStream()
+    q2.processAllAvailable(); q2.stop()
+    assert(productIds(1) == p1, "replayed product must be identical")
+    val vAfter = new java.io.File(stateDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(vAfter == vBefore, s"replay double-advanced state: $vAfter")
+    assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted,
+      "replay double-appended the index")
+    assert(Similarity.indexedCorpusCount(spark, idxDir)
+      == n0 + p0.size + p1.size, "replay double-counted stats")
+    // ---- crash BEFORE the marker (the not-yet-committed half of the
+    // append): deleting the marker simulates it — the replay re-moves
+    // deterministically named files over the stale ones, never doubles
+    assert(Files.deleteIfExists(Paths.get(s"$idxDir/_commits/batch-1")))
+    val feats1 = TextOps.hashEmbedVectors(
+      spark.read.parquet(s"$outDir/batch-1"))
+      .select($"vec_id", $"embedding")
+    Similarity.appendToIvfIndexCommitted(spark, idxDir, feats1, 1L,
+      maxDriftRatio = 100.0)
+    assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted,
+      "pre-marker replay doubled list rows")
+    assert(Similarity.indexedCorpusCount(spark, idxDir)
+      == n0 + p0.size + p1.size, "pre-marker replay doubled stats")
+    // fully committed batch: the whole call is a no-op
+    Similarity.appendToIvfIndexCommitted(spark, idxDir, feats1, 1L,
+      maxDriftRatio = 100.0)
+    assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted)
   }
 
   test("coverageSample: every populated cell capped at perCell, ranks contiguous nearest-first") {
