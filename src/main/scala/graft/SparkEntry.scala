@@ -2142,6 +2142,24 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           .otherwise(concat(lit("u"), col("doc_id").cast("string"))))
         .as("text"))
 
+  /** Planted multilingual corpus for the language-ID oracle: three
+    * pseudo-languages derived from the documents text by token
+    * suffixing (doc_id % 3: 0 → 'von'-suffixed "de", 1 → unchanged
+    * "en", 2 → 'le'-suffixed "fr") — disjoint vocabularies, so the
+    * true label is pure id arithmetic while the classifier earns it
+    * through real hashing + per-class frequency dims + the exact
+    * rational argmax. doc_id < 60 is the labeled training split.
+    */
+  private def plantedLangDocs(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    def sfx(suffix: String): Column =
+      array_join(transform(toks, t => concat(t, lit(suffix))), " ")
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, sfx("von"))
+        .when(col("doc_id") % 3 === 1, col("text"))
+        .otherwise(sfx("le")).as("text"))
+  }
+
   private def scopedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val key = new java.io.File(d).getCanonicalPath
@@ -2852,6 +2870,20 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       val batch = pl.filter(col("doc_id") % 7 === 0)
       graft.operators.Curation.incrementalFunnel(batch,
         graft.operators.Curation.stateOf(corpus))
+    }),
+    // multi-class hashed-feature language ID (the fastText-shaped
+    // model langGuess stubs heuristically): per-class bucket
+    // frequency dims trained on the labeled split, broadcast; exact
+    // rational argmax (cross-multiplied, no float log-likelihood) —
+    // the planted pseudo-language truth is recovered by real hashing
+    // + frequency arithmetic, and the oracle replays every step
+    "doc_lang_id" -> ((s, d) => {
+      val pd = plantedLangDocs(Tables.documents(s, d))
+      val labeled = pd.filter(col("doc_id") < 60)
+        .select(when(col("doc_id") % 3 === 0, "de")
+          .when(col("doc_id") % 3 === 1, "en")
+          .otherwise("fr").as("lang"), col("text"))
+      TextOps.langIdLinear(pd.filter(col("doc_id") >= 60), labeled)
     }),
     // the composed nightly job's BATCH FACE (curate → featurize —
     // what Curation.startCorpusMaintenance derives per micro-batch
@@ -4938,6 +4970,50 @@ GROUP BY p.doc_id ORDER BY p.doc_id""",
     // corpus-state replay (see curationNovelOracleSql)
     "doc_curation_novel" -> curationNovelOracleSql,
     "doc_maintain_batch" -> maintainBatchOracleSql,
+
+    // multi-class language ID: the planted suffix transform, the
+    // per-class bucket dims over the doc_id < 60 training split, and
+    // the exact rational argmax (HUGEINT cross-products; ties to the
+    // lexicographically smallest class; zero-overlap docs → 'und')
+    "doc_lang_id" ->
+      s"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
+    t -> t || CASE WHEN doc_id % 3 = 0 THEN 'von'
+                   WHEN doc_id % 3 = 2 THEN 'le' ELSE '' END) AS toks
+  FROM documents
+), ltf AS MATERIALIZED (
+  SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'de'
+              WHEN 1 THEN 'en' ELSE 'fr' END AS lang,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 4096 AS b,
+    count(*) AS ctf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM tl WHERE doc_id < 60)
+  WHERE length(w) > 0 GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(ctf) AS HUGEINT) AS n FROM ltf GROUP BY lang
+), dtf AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 4096 AS b,
+    count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM tl WHERE doc_id >= 60)
+  WHERE length(w) > 0 GROUP BY 1, 2
+), scn AS MATERIALIZED (
+  SELECT s.doc_id, s.lang, s.num, t.n FROM (
+    SELECT d.doc_id, l.lang,
+      CAST(sum(CAST(d.tf AS HUGEINT) * l.ctf) AS HUGEINT) AS num
+    FROM dtf d JOIN ltf l USING (b) GROUP BY 1, 2) s
+  JOIN tot t USING (lang)
+), win AS (
+  SELECT doc_id, lang, num FROM scn s1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM scn s2 WHERE s2.doc_id = s1.doc_id AND (
+      s2.num * s1.n > s1.num * s2.n OR
+      (s2.num * s1.n = s1.num * s2.n AND s2.lang < s1.lang)))
+)
+SELECT d.doc_id,
+  CASE WHEN w.lang IS NULL OR w.num = 0 THEN 'und' ELSE w.lang END AS lang
+FROM (SELECT DISTINCT doc_id FROM tl WHERE doc_id >= 60) d
+LEFT JOIN win w USING (doc_id)
+ORDER BY d.doc_id""",
 
     // the HLL flag is the sketch contract (replayed TRUE), exactly
     // like ev_user_reach_approx

@@ -598,11 +598,12 @@ object Similarity {
     * with [[graft.streaming.Ingest.streamDedup]] upstream when the
     * feed is at-least-once.
     *
-    * Durability caveat, inherited from the batch append and documented
-    * there: the list append is a plain parquet file append, so a
-    * post-crash REPLAY of a committed batch would double-append — a
-    * production deployment stages-and-renames per batch id. The guard
-    * semantics and the encode path are what this sink locks.
+    * Durability: each micro-batch lands through
+    * [[appendToIvfIndexCommitted]] keyed by the STREAM's batch id —
+    * a post-crash replay of a committed batch is a marker-detected
+    * no-op, and a half-landed batch is swept and re-moved under its
+    * deterministic file names (the round-8 caveat, where a replay
+    * double-appended through the plain parquet append, is closed).
     */
   def startIndexMaintenance(source: DataFrame, dir: String,
                             checkpointDir: String,
@@ -614,8 +615,9 @@ object Similarity {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendToIvfIndex(batch.sparkSession, dir, batch, maxDriftRatio)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendToIvfIndexCommitted(batch.sparkSession, dir, batch, id,
+          maxDriftRatio)
         ()
       }
       .start()

@@ -76,6 +76,68 @@ object TextOps {
       .otherwise("other")
   }
 
+  /** MULTI-CLASS hashed-feature linear language ID — the fastText-
+    * shaped classifier real pipelines run where [[langGuess]] is the
+    * heuristic seam (round-8 verdict stretch): tokens hash into a
+    * FIXED bucket table in the scan (the model stays B·classes
+    * parameters at any vocab — [[linearQuality]]'s trick, one class
+    * up), per-class weights are the training split's bucket
+    * frequencies, and the prediction is the EXACT rational argmax of
+    * `score_c = Σ_b tf_doc(b)·tf_c(b) / N_c` — cross-multiplied in
+    * decimal, never a float log-likelihood, so the decision replays
+    * bit-for-bit in the oracle's HUGEINT. Ties break to the
+    * lexicographically smallest class; a doc sharing no bucket with
+    * any class (or empty text) is `und`.
+    *
+    * Scale shape: `labeled` is the training dim — its (lang, bucket)
+    * frequency table is B·classes rows, broadcast; the corpus
+    * contributes one scan (text never shuffles past hashed bucket
+    * ids) + a map-side-combinable (doc, bucket) count; the per-doc
+    * argmax is one aggregate over ≤ classes rows. Reported arithmetic
+    * rides decimal(38,0) and casts down loudly under ANSI (the
+    * [[linearQuality]] reporting contract).
+    */
+  def langIdLinear(docs: DataFrame, labeled: DataFrame,
+                   buckets: Int = 4096): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    def bucketTf(src: DataFrame, key: String) = src
+      .select(col(key), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(key), (Dedup.md5Seeded(0, col("w")) % buckets).as("b"))
+      .groupBy(col(key), col("b")).agg(count(lit(1)).as("tf"))
+    val ltf = bucketTf(labeled, "lang")
+      .withColumnRenamed("tf", "ctf")
+      .localCheckpoint(true) // KB-scale dim; feeds weights + totals
+    val totals = ltf.groupBy(col("lang")).agg(sum(col("ctf")).as("n"))
+    val scored = bucketTf(docs, "doc_id")
+      .join(broadcast(ltf), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf").cast(d38) * col("ctf").cast(d38)).cast("long")
+        .as("num"))
+      .join(broadcast(totals), Seq("lang"))
+    // exact rational argmax: fold over the lang-sorted score structs,
+    // a/na > b/nb decided by cross-products in decimal — equal keeps
+    // the earlier (lexicographically smaller) class
+    val best = scored.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("lang"), col("num"), col("n")))).as("cs"))
+      .select(col("doc_id"),
+        aggregate(col("cs"), element_at(col("cs"), 1),
+          (bst, x) => when(
+            x.getField("num").cast(d20) * bst.getField("n").cast(d18) >
+              bst.getField("num").cast(d20) * x.getField("n").cast(d18),
+            x).otherwise(bst)).as("m"))
+      .select(col("doc_id"),
+        when(col("m.num") === 0L, lit("und"))
+          .otherwise(col("m.lang")).as("lang"))
+    docs.select(col("doc_id")).distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction patterns (pattern → tag) for training-data
     * scrubbing: emails, US-style SSNs, dash/space phone numbers. Kept
     * to syntax valid AND identical in Java regex and RE2 so the scrub

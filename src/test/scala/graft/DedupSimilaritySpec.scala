@@ -1827,8 +1827,12 @@ class DedupSimilaritySpec extends SparkSpecBase {
       q.processAllAvailable()
       mem.addData((102L, blobVec(0)))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n")
-        == 43L)
+      // stats are composite now: baseline file + per-batch commit
+      // markers (the stream appends transactionally per batch id)
+      assert(Similarity.indexedCorpusCount(spark, dir) == 43L)
+      assert(new java.io.File(s"$dir/_commits").listFiles()
+        .count(_.getName.startsWith("batch-")) == 2,
+        "each micro-batch must leave its commit marker")
       // appended rows carry PQ codes and are probe-visible at 1.0
       val qv = spark.read.parquet(s"$dir/lists")
         .filter($"vec_id" === 102L)
@@ -1845,8 +1849,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(ex.getMessage.contains("drift guard") ||
         Option(ex.getCause).exists(_.getMessage.contains("drift guard")))
       // the refused batch left neither rows nor stats behind
-      assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n")
-        == 43L)
+      assert(Similarity.indexedCorpusCount(spark, dir) == 43L)
       assert(spark.read.parquet(s"$dir/lists")
         .filter($"vec_id" === 200L).count() == 0L)
     } finally { if (q.isActive) q.stop() }
@@ -2473,6 +2476,41 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val knn = Similarity.bruteForceTopK(emb, Seq(1L), k = 1).collect()
     assert(knn.head.getAs[Long]("vec_id") == 3L &&
       knn.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("langIdLinear: planted languages recovered; exact tie to smaller class; und for no-overlap/empty") {
+    import org.apache.spark.sql.functions._
+    // three toy languages with mostly-disjoint vocab plus a shared
+    // function word ("im") that appears in two classes — the
+    // classifier must win on frequency mass, not token presence
+    val labeled = Seq(
+      ("en", "the cat sat on the mat the end"),
+      ("en", "the dog ran to the door"),
+      ("fr", "le chat est sur le tapis im"),
+      ("fr", "le chien court vers la porte"),
+      ("de", "die katze sass auf der matte im"),
+      ("de", "der hund lief zur tuer jetzt")).toDF("lang", "text")
+    val docs = Seq(
+      (1L, "the cat sat"),          // en
+      (2L, "le chat est la"),       // fr
+      (3L, "der hund und die katze"), // de
+      (4L, "zzz qqq www"),          // no overlap -> und
+      (5L, ""),                     // empty -> und
+      (6L, "im")                    // shared word: fr vs de by exact ratio
+    ).toDF("doc_id", "text")
+    val got = TextOps.langIdLinear(docs, labeled)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "fr" && got(3L) == "de")
+    assert(got(4L) == "und" && got(5L) == "und")
+    // doc 6: "im" has ctf 1 in fr (n=13) and 1 in de (n=13) — exact
+    // rational tie, broken to the lexicographically smaller class
+    assert(got(6L) == "de", s"tie must break to the smaller class: $got")
+    // the tie really is exact: both classes have 13 training tokens
+    val counts = labeled
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    assert(counts("fr") == counts("de"), s"fixture drifted: $counts")
   }
 
   test("docClusters: partition of the corpus, dominant source consistent") {
