@@ -1057,10 +1057,15 @@ ORDER BY m.vec_id"""
 
   private def ivfScoredCtes(nlist: Int, nprobe: Int, iters: Int,
                             dim: Int, queryIds: Seq[Long],
-                            corpusFilter: Option[String] = None): String = {
+                            corpusFilter: Option[String] = None,
+                            queryPred: Option[String] = None): String = {
     val qIn = queryIds.mkString(", ")
     val cf = s"c$iters"
     val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
+    // queryPred replaces the driver-side id list — the table-vs-index
+    // (knnJoinIndexed) replay, where the query side is a predicate
+    // over the same table rather than an enumerated list
+    val qSel = queryPred.getOrElse(s"q.vec_id IN ($qIn)")
     s"""WITH ${kmeansAssignCtes("embeddings", nlist, iters, dim)},
 nn AS (
   SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm FROM embeddings
@@ -1071,7 +1076,7 @@ nn AS (
         ORDER BY ${sqDistSql("q.embedding", "c.cent")}, c.cid) AS rn
     FROM embeddings q JOIN nn nq ON nq.vec_id = q.vec_id
     CROSS JOIN $cf c
-    WHERE q.vec_id IN ($qIn)
+    WHERE $qSel
   ) WHERE rn <= $nprobe
 ), scored AS (
   SELECT qp.query_id, nn.vec_id,
@@ -1083,8 +1088,10 @@ nn AS (
 
   private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
                            dim: Int, queryIds: Seq[Long],
-                           corpusFilter: Option[String] = None): String =
-    ivfScoredCtes(nlist, nprobe, iters, dim, queryIds, corpusFilter) + s"""
+                           corpusFilter: Option[String] = None,
+                           queryPred: Option[String] = None): String =
+    ivfScoredCtes(nlist, nprobe, iters, dim, queryIds, corpusFilter,
+      queryPred) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"""
@@ -3343,6 +3350,18 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         Similarity.knnJoin(q, emb),
         Similarity.bruteForceTopK(emb, qids))
     }),
+    // table-vs-index kNN join: every query ROW (a DataFrame side, no
+    // driver-side list) assigned its nprobe nearest STORED centroids
+    // scan-locally, equi-joined against the durable index's cid
+    // partitions, exact cosine + bounded top-k — the production
+    // retrieval join (no per-call training, recall dialed by
+    // nprobe/nlist instead of band width)
+    "emb_knn_join_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensureIvfIndex(s, s"$d/embeddings.parquet", emb)
+      Similarity.knnJoinIndexed(s, idx,
+        emb.filter(col("vec_id") % 97 === 0), k = 5, nprobe = 2)
+    }),
     // incremental ingest, embedding leg: a new batch (planted corpus
     // clones + novel noise vectors) deduped against the corpus with
     // the corpus only scanned — bloom of the batch's band keys prunes
@@ -4828,6 +4847,12 @@ ORDER BY d.doc_id"""),
     // (durable lists + pruned probe), not the answer
     "emb_ivf_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
+
+    // the table-vs-index join: same Lloyd replay, query side a
+    // predicate over the table instead of an enumerated id list
+    "emb_knn_join_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2,
+      iters = 3, k = 5, dim = 64, queryIds = Nil,
+      queryPred = Some("q.vec_id % 97 = 0")),
 
     // PQ-ADC search: codebooks, codes, ADC ranking, candidate cut and
     // exact re-rank all replayed (Similarity.pqTopK is deterministic

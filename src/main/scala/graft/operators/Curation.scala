@@ -610,6 +610,8 @@ object Curation {
                              checkpointDir: String,
                              embedDim: Int = 64,
                              maxDriftRatio: Double = 4.0,
+                             sq8Dir: Option[String] = None,
+                             bqDir: Option[String] = None,
                              lineMinDf: Long = 5,
                              minJaccard: Double = 0.3,
                              benchMod: Long = 29, decontamN: Int = 8,
@@ -628,11 +630,22 @@ object Curation {
         val productPath = maintenanceStep(batch, id, stateDir, outDir,
           lineMinDf, minJaccard, benchMod, decontamN, targetSources,
           budget, shards)
+        // featurization is a pure function of the published product
+        // bytes, so the frame is pinned once and feeds every index leg
         val feats = graft.operators.TextOps
           .hashEmbedVectors(spark.read.parquet(productPath), embedDim)
           .select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
         graft.operators.Similarity.appendToIvfIndexCommitted(
           spark, indexDir, feats, id, maxDriftRatio)
+        // sidecar legs ride their own committed appends under the
+        // same batch id — each index dir carries its own marker set,
+        // so a replay that crashed between legs re-runs only the
+        // legs whose markers are missing
+        sq8Dir.foreach(sd => graft.operators.Similarity
+          .appendToSq8IndexCommitted(spark, sd, feats, id))
+        bqDir.foreach(bd => graft.operators.Similarity
+          .appendToBqIndexCommitted(spark, bd, feats, id))
         ()
       }
       .start()

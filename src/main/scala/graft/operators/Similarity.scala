@@ -560,6 +560,55 @@ object Similarity {
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
+  /** Compact an IVF/IVF-PQ index's list partitions: every daily
+    * append adds a file per touched list, and a year of appends makes
+    * a probe open hundreds of small files per pruned list — the
+    * standard lakehouse small-files decay. The compaction rewrites
+    * the lists directory (one coalesced write, partitioned by cid as
+    * before) into a staging dir and swaps it in by rename —
+    * probes see either the old file set or the new one, never a
+    * half-written mix. CONTENT is untouched (rows, codes, stats), so
+    * probe results are identical before and after.
+    *
+    * Replay safety: the `_commits` markers are deliberately RETAINED
+    * — they are the replay guards of [[appendToIvfIndexCommitted]]
+    * and [[readIvfStats]]'s stats contributions, both still correct
+    * after the rewrite (a replayed batch short-circuits on its
+    * marker; folding markers into the baseline instead would let a
+    * post-compaction replay of an already-committed batch
+    * double-append). The deterministic `b<id>-*` names vanish with
+    * the rewrite, which is fine: a replay that reaches the
+    * file-sweep stage finds nothing to sweep and its marker stops it
+    * earlier anyway.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val lists = new org.apache.hadoop.fs.Path(d, "lists")
+    val staging = new org.apache.hadoop.fs.Path(d, ".compact-staging")
+    val retired = new org.apache.hadoop.fs.Path(d, ".compact-retired")
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    // hash-repartition by cid → each list's rows land in ONE task →
+    // one file per list (maxRecordsPerFile re-splits oversized lists
+    // at the writer, the dial for huge lists at warehouse scale)
+    val w = spark.read.parquet(lists.toString)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w)
+      .parquet(staging.toString)
+    // swap: old lists aside, staging in, old removed — two renames
+    // bound the window; a crash between them leaves `.compact-retired`
+    // holding the complete old layout for manual recovery
+    require(fs.rename(lists, retired), s"compact: failed to retire $lists")
+    require(fs.rename(staging, lists), s"compact: failed to publish $lists")
+    fs.delete(retired, true)
+    ()
+  }
+
   /** Composite stats of an IVF index: the build-time baseline file
     * (merged forward by plain appends) PLUS every committed-append
     * marker's contribution. The single read point for the drift
@@ -867,6 +916,50 @@ object Similarity {
     val pruned = lists.filter(col("cid").isin(probeCids: _*))
     val scored = pred.map(pruned.filter).getOrElse(pruned)
       .join(broadcast(queriesDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Approximate kNN JOIN against a DURABLE IVF index — the
+    * table-vs-index form of [[knnJoin]] and the table-scale form of
+    * [[ivfSearchIndexed]]: `queries` is a DataFrame (vec_id,
+    * embedding), potentially millions of rows, so nothing ever
+    * routes through a driver-side query list. Each query row is
+    * assigned its `nprobe` nearest STORED centroids scan-locally
+    * (sorted (d, cid) struct array against the broadcast centroid
+    * literal — ties to the smaller cid, the [[ivfSearchIndexed]]
+    * order), exploded to (cid, query), and equi-joined against the
+    * index lists on the partition column; exact cosine scores the
+    * pruned candidates and per-query ranking is the bounded
+    * CollectTopK aggregate.
+    *
+    * Scale shape vs the LSH [[knnJoin]]: recall is governed by
+    * nprobe/nlist geometry instead of band width, there is no
+    * per-call training (the index is built once and append-
+    * maintained), and the shuffle carries (cid, query) pairs — at
+    * warehouse scale nlist grows ∝ corpus so lists stay balanced and
+    * the join co-locates with the index's cid partitioning.
+    * Self-matches (query vec_id = indexed vec_id) are excluded, so a
+    * self-join ranks true neighbors.
+    */
+  def knnJoinIndexed(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, queries: DataFrame, k: Int = 10,
+                     nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val assigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qnorm"),
+        explode(transform(
+          slice(array_sort(centroidDistArray(col("embedding"), cents)),
+            1, nprobe),
+          p => p.getField("cid"))).as("cid"))
+    val scored = spark.read.parquet(s"$dir/lists")
+      .join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("embedding"), col("qvec")) /
@@ -1209,6 +1302,15 @@ object Similarity {
   def appendToSq8Index(spark: org.apache.spark.sql.SparkSession,
                        dir: String, batch: DataFrame,
                        sourcePath: Option[String] = None): Unit = {
+    sq8EncodeGuarded(spark, dir, batch)
+      .write.mode("append").parquet(s"$dir/codes")
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** [[appendToSq8Index]]'s encode + dimension guard, shared with the
+    * committed form. */
+  private def sq8EncodeGuarded(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, batch: DataFrame): DataFrame = {
     val metaDim: Option[Int] =
       try Some(spark.read.parquet(s"$dir/meta").head().getInt(0))
       catch { case _: Throwable => None }
@@ -1224,8 +1326,77 @@ object Similarity {
     }
     quantizeInt8(guarded)
       .select(col("vec_id"), col("codes"), col("scale"))
-      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** EXACTLY-ONCE [[appendToSq8Index]], keyed by batch id — the
+    * sidecar leg of a crash-replaying maintenance pipeline
+    * ([[appendToIvfIndexCommitted]]'s contract on the flat sidecar
+    * layout: marker short-circuit, staged write, deterministic file
+    * names, replay sweeps half-moved files).
+    */
+  def appendToSq8IndexCommitted(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, batch: DataFrame,
+                                batchId: Long,
+                                sourcePath: Option[String] = None): Unit = {
+    commitFlatBatch(spark, dir, "codes", batchId)(staging =>
+      sq8EncodeGuarded(spark, dir, batch)
+        .write.mode("overwrite").parquet(staging))
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** EXACTLY-ONCE [[appendToBqIndex]], keyed by batch id — see
+    * [[appendToSq8IndexCommitted]]. */
+  def appendToBqIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, batch: DataFrame,
+                               batchId: Long,
+                               sourcePath: Option[String] = None): Unit = {
+    commitFlatBatch(spark, dir, "bits", batchId)(staging =>
+      bqEncodeGuarded(spark, dir, batch)
+        .write.mode("overwrite").parquet(staging))
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Shared exactly-once landing for the FLAT (unpartitioned) sidecar
+    * layouts: stage the batch under `.staging-batch-<id>`, sweep any
+    * `b<id>-*` files a crashed prior attempt half-moved into
+    * `dir/sub`, move the staged part files in under deterministic
+    * names, then publish the `_commits/batch-<id>` marker by
+    * create-then-rename. A marker present short-circuits the whole
+    * call.
+    */
+  private def commitFlatBatch(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, sub: String, batchId: Long)
+                             (stage: String => Unit): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
+    if (fs.exists(marker)) return
+    val staging = new org.apache.hadoop.fs.Path(d, s".staging-batch-$batchId")
+    stage(staging.toString)
+    val target = new org.apache.hadoop.fs.Path(d, sub)
+    fs.mkdirs(target)
+    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(target,
+      s"b$batchId-*.parquet"))
+    if (stale != null) stale.foreach(f => fs.delete(f.getPath, false))
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(staging,
+      "*.parquet"))
+    (if (parts == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+     else parts)
+      .sortBy(_.getPath.toString).zipWithIndex.foreach { case (f, i) =>
+        val dest = new org.apache.hadoop.fs.Path(target,
+          s"b$batchId-p$i.parquet")
+        require(fs.rename(f.getPath, dest),
+          s"sidecar commit: failed to move ${f.getPath} to $dest")
+      }
+    fs.delete(staging, true)
+    val tmp = new org.apache.hadoop.fs.Path(d, s"_commits/.batch-$batchId.tmp")
+    fs.mkdirs(marker.getParent)
+    val os = fs.create(tmp, true)
+    try os.write("committed".getBytes("UTF-8")) finally os.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker),
+      s"sidecar commit: failed to publish $marker")
+    ()
   }
 
   /** Append a batch to a [[writeBqIndex]] sidecar WITHOUT a rebuild —
@@ -1239,16 +1410,23 @@ object Similarity {
   def appendToBqIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String, batch: DataFrame,
                       sourcePath: Option[String] = None): Unit = {
-    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    batch.select(col("vec_id"),
-        when(assert_true(size(col("embedding")) === lit(dim),
-          concat(lit(s"BQ append: vector dim "),
-            size(col("embedding")).cast("string"),
-            lit(s" != index dim $dim for vec_id "),
-            col("vec_id").cast("string"))).isNull,
-          signPackWords(col("embedding"), dim)).as("bits"))
+    bqEncodeGuarded(spark, dir, batch)
       .write.mode("append").parquet(s"$dir/bits")
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** [[appendToBqIndex]]'s encode + dimension guard, shared with the
+    * committed form. */
+  private def bqEncodeGuarded(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, batch: DataFrame): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    batch.select(col("vec_id"),
+      when(assert_true(size(col("embedding")) === lit(dim),
+        concat(lit(s"BQ append: vector dim "),
+          size(col("embedding")).cast("string"),
+          lit(s" != index dim $dim for vec_id "),
+          col("vec_id").cast("string"))).isNull,
+        signPackWords(col("embedding"), dim)).as("bits"))
   }
 
   /** [[ensureIvfIndex]]'s build-once contract for the SQ8 sidecar. */

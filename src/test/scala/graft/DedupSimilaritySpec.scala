@@ -2339,15 +2339,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("corpus_maint").toString
     val (stateDir, outDir, idxDir, srcDir, ckpt) =
       (s"$dir/state", s"$dir/out", s"$dir/idx", s"$dir/src", s"$dir/ckpt")
+    val (sq8Dir, bqDir) = (s"$dir/sq8", s"$dir/bq")
     new java.io.File(srcDir).mkdirs()
     val st0 = Curation.stateOf(corpus)
     Curation.writeState(st0, stateDir)
-    // index bootstrapped over the SAME featurization of the state's
-    // curated text — the composed job's contract
-    Similarity.writeIvfIndex(
-      TextOps.hashEmbedVectors(Curation.readState(spark, stateDir).corpusText),
-      idxDir, nlist = 4, iters = 2)
+    // indexes bootstrapped over the SAME featurization of the state's
+    // curated text — the composed job's contract (primary + sidecars)
+    val bootVecs = TextOps.hashEmbedVectors(
+      Curation.readState(spark, stateDir).corpusText).localCheckpoint()
+    Similarity.writeIvfIndex(bootVecs, idxDir, nlist = 4, iters = 2)
+    Similarity.writeSq8Index(bootVecs, sq8Dir)
+    Similarity.writeBqIndex(bootVecs, bqDir)
     val n0 = Similarity.indexedCorpusCount(spark, idxDir)
+    val sq8N0 = spark.read.parquet(s"$sq8Dir/codes").count()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -2365,7 +2369,8 @@ class DedupSimilaritySpec extends SparkSpecBase {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).json(srcDir),
       stateDir, outDir, idxDir, ckpt,
-      maxDriftRatio = 100.0, triggerMs = 100L)
+      maxDriftRatio = 100.0, sq8Dir = Some(sq8Dir), bqDir = Some(bqDir),
+      triggerMs = 100L)
     val q1 = startStream()
     q1.processAllAvailable()
     Files.write(Paths.get(s"$srcDir/b2.json"), Seq(
@@ -2385,6 +2390,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // stats track both states: baseline + the two committed batches
     assert(Similarity.indexedCorpusCount(spark, idxDir)
       == n0 + p0.size + p1.size)
+    // sidecar legs landed the same products exactly once each
+    def sidecarIds(sub: String): Seq[Long] =
+      spark.read.parquet(sub).filter($"vec_id" >= 1000L)
+        .select($"vec_id").as[Long].collect().toSeq
+    assert(sidecarIds(s"$sq8Dir/codes").sorted == (p0 ++ p1).toSeq.sorted)
+    assert(sidecarIds(s"$bqDir/bits").sorted == (p0 ++ p1).toSeq.sorted)
+    assert(spark.read.parquet(s"$sq8Dir/codes").count()
+      == sq8N0 + p0.size + p1.size)
     // probe-visibility through the composed featurization: a product
     // doc's own hash-embedding finds it at cosine 1.0
     val someId = p1.head
@@ -2395,6 +2408,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
       Seq((9000L, qv)), k = 1, nprobe = 4)
       .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
     assert(hits.head == ((someId, 1.0)), s"got ${hits.toSeq}")
+    // ...and through the SQ8 sidecar scan (the state's curated text
+    // contains every product doc, so it serves as the rerank corpus)
+    val sqHit = Similarity.sq8SearchIndexed(spark, sq8Dir,
+      TextOps.hashEmbedVectors(
+        Curation.readState(spark, stateDir).corpusText),
+      Seq((9100L, qv)), k = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sqHit.contains(someId), s"sq8 sidecar probe missed: $sqHit")
     // ---- crash between sink commit and checkpoint commit: batch 1
     // replays END TO END; neither state may double-apply
     val vBefore = new java.io.File(stateDir).listFiles().map(_.getName)
@@ -2411,6 +2432,9 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "replay double-appended the index")
     assert(Similarity.indexedCorpusCount(spark, idxDir)
       == n0 + p0.size + p1.size, "replay double-counted stats")
+    assert(sidecarIds(s"$sq8Dir/codes").sorted == (p0 ++ p1).toSeq.sorted &&
+      sidecarIds(s"$bqDir/bits").sorted == (p0 ++ p1).toSeq.sorted,
+      "replay double-appended a sidecar")
     // ---- crash BEFORE the marker (the not-yet-committed half of the
     // append): deleting the marker simulates it — the replay re-moves
     // deterministically named files over the stale ones, never doubles
@@ -2476,6 +2500,90 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val knn = Similarity.bruteForceTopK(emb, Seq(1L), k = 1).collect()
     assert(knn.head.getAs[Long]("vec_id") == 3L &&
       knn.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("compactIvfIndex: one file per list, identical probes, markers retained as replay guards") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    Similarity.writeIvfIndex(corpus.toDF("vec_id", "embedding"), dir,
+      nlist = 4, iters = 2)
+    // a plain append and two committed appends — the daily decay
+    Similarity.appendToIvfIndex(spark, dir,
+      (100L until 105L).map(i => (i, vec())).toDF("vec_id", "embedding"))
+    Similarity.appendToIvfIndexCommitted(spark, dir,
+      (200L until 205L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
+    Similarity.appendToIvfIndexCommitted(spark, dir,
+      (300L until 305L).map(i => (i, vec())).toDF("vec_id", "embedding"), 2L)
+    def filesPerList(): Map[String, Int] =
+      new java.io.File(s"$dir/lists").listFiles()
+        .filter(_.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerList().values.max > 1, "fixture must show file decay")
+    val qv = corpus(5)._2
+    val before = Similarity.ivfSearchIndexed(spark, dir, Seq((900L, qv)),
+      k = 5, nprobe = 4).collect().toSeq
+    val nBefore = Similarity.indexedCorpusCount(spark, dir)
+
+    Similarity.compactIvfIndex(spark, dir)
+    assert(filesPerList().values.forall(_ == 1),
+      s"compaction must leave one file per list: ${filesPerList()}")
+    val after = Similarity.ivfSearchIndexed(spark, dir, Seq((900L, qv)),
+      k = 5, nprobe = 4).collect().toSeq
+    assert(after == before, "compaction must not change probe results")
+    assert(Similarity.indexedCorpusCount(spark, dir) == nBefore)
+    // markers survive: a post-compaction replay of a committed batch
+    // is still a marker-detected no-op (folding them away would let
+    // the replay double-append)
+    val rows0 = spark.read.parquet(s"$dir/lists").count()
+    Similarity.appendToIvfIndexCommitted(spark, dir,
+      (200L until 205L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(s"$dir/lists").count() == rows0,
+      "replay after compaction double-appended")
+    // a NEW batch still lands normally on the compacted layout
+    Similarity.appendToIvfIndexCommitted(spark, dir,
+      (400L until 403L).map(i => (i, vec())).toDF("vec_id", "embedding"), 3L)
+    assert(Similarity.indexedCorpusCount(spark, dir) == nBefore + 3)
+  }
+
+  test("knnJoinIndexed ≡ ivfSearchIndexed on the same queries; appended rows visible; no cartesian") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val idx = Similarity.ensureIvfIndex(spark, s"$dir/embeddings.parquet", emb)
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val qvecs = q.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    assert(qvecs.nonEmpty)
+    val viaTable = Similarity.knnJoinIndexed(spark, idx, q, k = 5, nprobe = 2)
+    val viaList = Similarity.ivfSearchIndexed(spark, idx, qvecs, k = 5,
+      nprobe = 2)
+    assert(viaTable.exceptAll(viaList).isEmpty &&
+      viaList.exceptAll(viaTable).isEmpty,
+      "table-vs-index join must equal the driver-list probe")
+    // plan: equi-join against the lists, never a cartesian/BNLJ, and
+    // the per-query ranking is the bounded CollectTopK aggregate
+    val plan = viaTable.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("collect_top_k") && !plan.contains("Window"))
+    // an appended batch is probe-visible through the table form
+    val tmpIdx = java.nio.file.Files.createTempDirectory("knni").toString
+    Similarity.writeIvfIndex(emb, tmpIdx, nlist = 4, iters = 2)
+    val rnd = new scala.util.Random(29)
+    val nv = emb.select($"embedding").as[Array[Float]].head()
+      .map(x => x + rnd.nextGaussian().toFloat * 0.001f)
+    Similarity.appendToIvfIndex(spark, tmpIdx,
+      Seq((7777L, nv)).toDF("vec_id", "embedding"))
+    // k = 2: the appended row ties its source vector at rounded cos
+    // 1.0 and the id tie-break ranks the original first
+    val hits = Similarity.knnJoinIndexed(spark, tmpIdx,
+      Seq((8888L, nv)).toDF("vec_id", "embedding"), k = 2, nprobe = 2)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toSet
+    assert(hits.contains((7777L, 1.0)), s"got $hits")
   }
 
   test("langIdLinear: planted languages recovered; exact tie to smaller class; und for no-overlap/empty") {
