@@ -1785,7 +1785,7 @@ SELECT stage, n_docs, n_tokens FROM (
     * two rows cannot drift.
     */
   private def maintainBatchOracleSql: String =
-    s"""$curationNovelCtes, mt AS (
+    s"""${curationNovelCtes(2)}, mt AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
   FROM b6
 ), mc AS (
@@ -1815,7 +1815,9 @@ ORDER BY b.doc_id"""
     * corpus-seniority near-dup → decontam under merged grams → DSIR
     * vs the corpus aggregate → packing (`pk`, doc_id retained).
     */
-  private def curationNovelCtes: String = {
+  private def curationNovelCtes: String = curationNovelCtes(0)
+
+  private def curationNovelCtes(batchRem: Int): String = {
     val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
     def linesOf(src: String, out: String): String =
       s"""$out AS MATERIALIZED (
@@ -1832,9 +1834,9 @@ ORDER BY b.doc_id"""
          ELSE 'u' || CAST(doc_id AS VARCHAR) END AS text
   FROM documents WHERE doc_id < 300
 ), plc AS MATERIALIZED (
-  SELECT * FROM pl WHERE doc_id % 7 <> 0
+  SELECT * FROM pl WHERE doc_id % 7 <> $batchRem
 ), plb AS MATERIALIZED (
-  SELECT * FROM pl WHERE doc_id % 7 = 0
+  SELECT * FROM pl WHERE doc_id % 7 = $batchRem
 ), ${gopherCtesSql("plc", "cg")},
 cs2 AS MATERIALIZED (
   SELECT p.doc_id, p.source, p.text
@@ -1864,13 +1866,13 @@ chot AS (
   SELECT doc_id, text FROM cs3 UNION ALL SELECT doc_id, text FROM b3
 ), ${minhashPairsCtes("m3")},
 bxl AS (
-  SELECT DISTINCT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id
-  FROM j WHERE jaccard >= 0.3 AND ((doc_a % 7 = 0) <> (doc_b % 7 = 0))
+  SELECT DISTINCT CASE WHEN doc_a % 7 = $batchRem THEN doc_a ELSE doc_b END AS doc_id
+  FROM j WHERE jaccard >= 0.3 AND ((doc_a % 7 = $batchRem) <> (doc_b % 7 = $batchRem))
 ), bsv AS MATERIALIZED (
   SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM bxl)
 )${clusterCtesSql(
-      """SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3
-    AND doc_a % 7 = 0 AND doc_b % 7 = 0
+      s"""SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3
+    AND doc_a % 7 = $batchRem AND doc_b % 7 = $batchRem
     AND doc_a IN (SELECT doc_id FROM bsv)
     AND doc_b IN (SELECT doc_id FROM bsv)""")},
 ${gopherCtesSql("b3", "bq2")},
@@ -2896,12 +2898,16 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // what Curation.startCorpusMaintenance derives per micro-batch
     // before its transactional index append): the curated product's
     // identity + packing coordinates joined to its hash-embed
-    // integer profile. Same %7 split and the SAME oracle CTE chain
-    // as doc_curation_novel, so the two rows cannot drift.
+    // integer profile. Same oracle CTE chain as doc_curation_novel
+    // (parameterized batch remainder), so the two rows cannot drift;
+    // remainder 2 because that batch slice survives the DSIR stage
+    // NON-degenerately at BOTH sf0.01 (19 docs) and sf0.1 (31) —
+    // slice 0's sf0.1 batch is entirely DSIR-dropped, a valid funnel
+    // value but a vacuous batch face
     "doc_maintain_batch" -> ((s, d) => {
       val pl = plantedLineDocs(Tables.documents(s, d))
-      val corpus = pl.filter(col("doc_id") % 7 =!= 0)
-      val batch = pl.filter(col("doc_id") % 7 === 0)
+      val corpus = pl.filter(col("doc_id") % 7 =!= 2)
+      val batch = pl.filter(col("doc_id") % 7 === 2)
       val product = graft.operators.Curation.curateIncremental(batch,
         graft.operators.Curation.stateOf(corpus))
       product.select(col("doc_id"), col("shard"), col("bin_id"))

@@ -609,6 +609,34 @@ object Similarity {
     ()
   }
 
+  /** [[compactIvfIndex]] for the FLAT sidecar layouts (`codes` /
+    * `bits`): rewrite into one file (or `maxRecordsPerFile`-bounded
+    * files), stage-and-swap by rename, markers retained — identical
+    * swap discipline, no partition column. `sub` defaults by layout:
+    * pass "codes" for SQ8, "bits" for BQ.
+    */
+  def compactSidecar(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, sub: String,
+                     maxRecordsPerFile: Long = 0L): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(d, sub)
+    val staging = new org.apache.hadoop.fs.Path(d, ".compact-staging")
+    val retired = new org.apache.hadoop.fs.Path(d, ".compact-retired")
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    val w = spark.read.parquet(target.toString)
+      .coalesce(1).write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w)
+      .parquet(staging.toString)
+    require(fs.rename(target, retired), s"compact: failed to retire $target")
+    require(fs.rename(staging, target), s"compact: failed to publish $target")
+    fs.delete(retired, true)
+    ()
+  }
+
   /** Composite stats of an IVF index: the build-time baseline file
     * (merged forward by plain appends) PLUS every committed-append
     * marker's contribution. The single read point for the drift

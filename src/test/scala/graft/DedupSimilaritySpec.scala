@@ -2547,6 +2547,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.appendToIvfIndexCommitted(spark, dir,
       (400L until 403L).map(i => (i, vec())).toDF("vec_id", "embedding"), 3L)
     assert(Similarity.indexedCorpusCount(spark, dir) == nBefore + 3)
+
+    // sidecar compaction: same swap discipline on the flat layout
+    val sq8 = java.nio.file.Files.createTempDirectory("sq8-compact").toString
+    Similarity.writeSq8Index(corpus.toDF("vec_id", "embedding"), sq8)
+    Similarity.appendToSq8IndexCommitted(spark, sq8,
+      (500L until 505L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
+    def codeFiles(): Int = new java.io.File(s"$sq8/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(codeFiles() > 1)
+    val codesBefore = spark.read.parquet(s"$sq8/codes")
+      .orderBy($"vec_id").collect().toSeq
+    Similarity.compactSidecar(spark, sq8, "codes")
+    assert(codeFiles() == 1, s"expected one file, got ${codeFiles()}")
+    assert(spark.read.parquet(s"$sq8/codes").orderBy($"vec_id")
+      .collect().toSeq == codesBefore, "sidecar compaction changed content")
+    // marker retained: replay of the committed batch is still a no-op
+    Similarity.appendToSq8IndexCommitted(spark, sq8,
+      (500L until 505L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(s"$sq8/codes").count() == 45L)
   }
 
   test("knnJoinIndexed ≡ ivfSearchIndexed on the same queries; appended rows visible; no cartesian") {
