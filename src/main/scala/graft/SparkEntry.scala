@@ -3356,6 +3356,12 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         Similarity.knnJoin(q, emb),
         Similarity.bruteForceTopK(emb, qids))
     }),
+    // hot-band occupancy accounting (the pre-flight read for choosing
+    // maxBandDf): bucket count, hot-bucket count and blocking mass
+    // above the cap, and the worst single-bucket skew — over the same
+    // planted corpus and auto-selected geometry as the near-dup rows
+    "emb_band_stats" -> ((s, d) =>
+      Similarity.hotBandStats(plantedEmbeddings(s, d), maxBandDf = 16)),
     // table-vs-index kNN join: every query ROW (a DataFrame side, no
     // driver-side list) assigned its nprobe nearest STORED centroids
     // scan-locally, equi-joined against the durable index's cid
@@ -4859,6 +4865,17 @@ ORDER BY d.doc_id"""),
     "emb_knn_join_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2,
       iters = 3, k = 5, dim = 64, queryIds = Nil,
       queryPred = Some("q.vec_id % 97 = 0")),
+
+    // band-occupancy accounting over the shared banded-signature
+    // replay: per-(band, bv) df, then the four accounting aggregates
+    "emb_band_stats" ->
+      s"""WITH $PlantedCorpusCte, $BandSigCtes,
+bdf AS (SELECT band, bv, count(*) AS df FROM bvt GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS buckets,
+  CAST(coalesce(sum(CASE WHEN df > 16 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_buckets,
+  CAST(coalesce(sum(CASE WHEN df > 16 THEN df ELSE 0 END), 0) AS BIGINT) AS rows_in_hot_buckets,
+  CAST(max(df) AS BIGINT) AS max_df
+FROM bdf""",
 
     // PQ-ADC search: codebooks, codes, ADC ranking, candidate cut and
     // exact re-rank all replayed (Similarity.pqTopK is deterministic
