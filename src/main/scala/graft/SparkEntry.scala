@@ -2526,6 +2526,21 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     }),
     "doc_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    // BM25 lexical top-k retrieval (sparse sibling of doc_embed_knn):
+    // docs 0..2 as queries, query terms broadcast, one corpus scan,
+    // exact-decimal score sum rounded before the CollectTopK tail
+    "doc_bm25_topk" -> ((s, d) =>
+      TextOps.bm25TopK(Tables.documents(s, d), Seq(0L, 1L, 2L))),
+    // token-run collapse (stutter cleanup): scan-local array
+    // expressions, no explode/shuffle; md5 of the collapsed text
+    // makes the repair byte-checkable without hauling bodies
+    "doc_run_collapse" -> ((s, d) =>
+      TextOps.collapseTokenRuns(Tables.documents(s, d))),
+    // hybrid retrieval: RRF fusion of the BM25 lexical top-5 and the
+    // hashed-embedding cosine top-5 — integer parts-per-billion RRF
+    // terms, so the fused score is an exact BIGINT on both engines
+    "doc_hybrid_rrf" -> ((s, d) =>
+      TextOps.hybridRrfTopK(Tables.documents(s, d), Seq(0L, 1L, 2L))),
     // hashed-unigram document embedding (feature-hashing seam for an
     // external encoder): integer-exact per-doc profile
     "doc_hash_embed" -> ((s, d) =>
@@ -3863,6 +3878,153 @@ SELECT doc_id,
   term, tf, df, score
 FROM scored
 QUALIFY rank <= 3 ORDER BY doc_id, rank""",
+
+    // BM25: identical expression tree (Lucene-shaped idf, k1=1.2,
+    // b=0.75 as explicit double casts), per-term doubles summed in
+    // exact DECIMAL(30,10), rounded to 4 dp BEFORE ranking
+    "doc_bm25_topk" ->
+      """WITH q AS (
+  SELECT doc_id AS query_id,
+    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+  FROM documents WHERE doc_id IN (0, 1, 2)
+), qv AS (SELECT query_id, term FROM q WHERE length(term) > 0),
+qt AS (SELECT DISTINCT term FROM qv),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+    unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks JOIN qt USING (term) GROUP BY 1, 2
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qv.query_id, tf.doc_id, count(*) AS matched_terms,
+    round(CAST(sum(CAST(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      (tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      (tf + CAST(1.2 AS DOUBLE) *
+        (1.0 - CAST(0.75 AS DOUBLE) +
+         CAST(0.75 AS DOUBLE) * dl / (n_toks / n_docs)))
+    AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qv USING (term), stats
+  WHERE tf.doc_id != qv.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+  doc_id, matched_terms, score
+FROM scored QUALIFY rank <= 5
+ORDER BY query_id, rank""",
+
+    // hybrid RRF: the BM25 chain (l-prefixed) and the hashed-embed
+    // cosine chain (e-prefixed) each ranked to top-5, full-outer
+    // fused on (query_id, doc_id); RRF terms are integer
+    // parts-per-billion (1e9 // (60+rank)) so the fused score is an
+    // exact BIGINT sum — no float summation anywhere in the fusion
+    "doc_hybrid_rrf" ->
+      """WITH q AS (
+  SELECT doc_id AS query_id,
+    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+  FROM documents WHERE doc_id IN (0, 1, 2)
+), qv AS (SELECT query_id, term FROM q WHERE length(term) > 0),
+qt AS (SELECT DISTINCT term FROM qv),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+    unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks JOIN qt USING (term) GROUP BY 1, 2
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+lscored AS (
+  SELECT qv.query_id, tf.doc_id,
+    round(CAST(sum(CAST(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      (tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      (tf + CAST(1.2 AS DOUBLE) *
+        (1.0 - CAST(0.75 AS DOUBLE) +
+         CAST(0.75 AS DOUBLE) * dl / (n_toks / n_docs)))
+    AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qv USING (term), stats
+  WHERE tf.doc_id != qv.query_id
+  GROUP BY 1, 2
+), lranked AS (
+  SELECT query_id, doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lscored QUALIFY lex_rank <= 5
+), et AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), ec AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
+    count(*) AS cnt
+  FROM et GROUP BY doc_id, bucket
+), en AS (
+  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq FROM ec GROUP BY doc_id
+), eq AS (
+  SELECT doc_id, bucket, cnt FROM ec WHERE doc_id IN (0, 1, 2)
+), edotp AS (
+  SELECT eq.doc_id AS query_id, ec.doc_id AS vec_id, sum(eq.cnt * ec.cnt) AS dp
+  FROM eq JOIN ec ON ec.bucket = eq.bucket AND ec.doc_id <> eq.doc_id
+  GROUP BY 1, 2
+), escored AS (
+  SELECT d.query_id, d.vec_id,
+    round(d.dp / (sqrt(CAST(ne.norm_sq AS DOUBLE))
+      * sqrt(CAST(nq.norm_sq AS DOUBLE))), 4) AS cos_sim
+  FROM edotp d
+  JOIN en ne ON ne.doc_id = d.vec_id
+  JOIN en nq ON nq.doc_id = d.query_id
+), eranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS drank
+  FROM escored WHERE NOT isnan(cos_sim) QUALIFY drank <= 5
+), f AS (
+  SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+    COALESCE(l.lex_rank, 0) AS lex_rank,
+    COALESCE(r.drank, 0) AS dense_rank,
+    COALESCE(1000000000 // (60 + l.lex_rank), 0) +
+      COALESCE(1000000000 // (60 + r.drank), 0) AS rrf_ppb
+  FROM lranked l FULL OUTER JOIN eranked r
+    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+)
+SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_ppb DESC, doc_id) AS BIGINT) AS rank,
+  doc_id, lex_rank, dense_rank, rrf_ppb
+FROM f QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    // token-run collapse: lag-window replay of the engine's
+    // predecessor-element array filter; md5 over the space-rejoined
+    // kept tokens is byte-exact on both engines
+    "doc_run_collapse" ->
+      """WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), u AS (
+  SELECT doc_id, len(l) AS n_tokens, unnest(l) AS w,
+    unnest(generate_series(1, len(l))) AS i
+  FROM d
+), m AS (
+  SELECT doc_id, n_tokens, i, w,
+    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS p
+  FROM u
+), k AS (SELECT doc_id, n_tokens, i, w FROM m WHERE p IS NULL OR w <> p)
+SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  md5(string_agg(w, ' ' ORDER BY i)) AS collapsed_md5
+FROM k GROUP BY doc_id ORDER BY doc_id""",
 
     "ev_percentiles" ->
       """SELECT event_type,

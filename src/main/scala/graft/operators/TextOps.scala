@@ -1091,6 +1091,162 @@ object TextOps {
     pinned
   }
 
+  /** BM25 lexical top-k retrieval (Robertson/Spärck Jones; the
+    * Lucene-shaped `ln(1 + (N−df+0.5)/(df+0.5))` idf): for each query
+    * document the k best corpus documents by BM25 score, self
+    * excluded. The lexical sibling of the ANN surface — real corpus
+    * pipelines run BOTH retrieval modes (sparse lexical + dense
+    * embedding) for decontamination review, near-dup triage, and
+    * retrieval-augmented eval-set construction.
+    *
+    * Scale shape: the query side collapses to a distinct-term dim
+    * (KB-scale, broadcast), so the corpus contributes ONE tokenizing
+    * scan whose explode is immediately semi-restricted to query terms
+    * — only matching (doc, term) pairs ever shuffle, and df for those
+    * terms falls out of the same frame (no second corpus pass; the
+    * corpus-size / avg-doclen stats ride a lazy 1-row broadcast, the
+    * [[tfidfTopTerms]] pattern). The ranking tail is the bounded
+    * CollectTopK funnel — no window over an unbounded candidate
+    * partition.
+    *
+    * Determinism: per-term scores are IEEE doubles with the identical
+    * expression tree on both engines; the per-(query,doc) sum rides
+    * exact decimal(30,10) (order-insensitive) and is rounded to 4 dp
+    * BEFORE ranking, ties broken by ascending doc_id.
+    */
+  def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
+    val d3010 = org.apache.spark.sql.types.DecimalType(30, 10)
+    // corpus stats (N docs, total tokens) as a lazy 1-row broadcast
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).cast("double")
+        .as("n_toks"))
+    // per-query distinct terms — the KB-scale query dim
+    val qterms = docs.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    // one corpus scan: (doc, term, tf, dl) restricted to query terms
+    val tf = docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // document frequency of the query terms, off the same frame
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("n_toks") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)
+    val scored = tf
+      .join(broadcast(dft), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", idf * (col("tf") * (lit(k1) + lit(1.0))) / denom)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"),
+        round(sum(col("tscore").cast(d3010)).cast("double"), 4).as("score"))
+    val item = struct((-col("score")).as("s0"), col("doc_id").as("s1"),
+      struct(col("doc_id"), col("matched_terms"), col("score")).as("p"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKShim.collectTopK(item, k, reverse = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.p.doc_id").as("doc_id"),
+        col("e.p.matched_terms").as("matched_terms"),
+        col("e.p.score").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack/Clarke/
+    * Büttcher RRF): fuse the lexical [[bm25TopK]] ranking with the
+    * dense [[hashEmbed]]-cosine ranking per query, score =
+    * Σ 1/(kRrf + rank) over the systems that returned the doc. The
+    * standard two-tower retrieval layout real pipelines run for
+    * decontamination review and eval-set construction — sparse
+    * lexical catches exact phrasing, dense catches paraphrase, RRF
+    * needs no score calibration between them.
+    *
+    * Determinism: the fractional RRF terms ride INTEGER
+    * parts-per-billion — `1e9 div (kRrf + rank)` — so the fused
+    * score is an exact BIGINT sum on both engines (no float
+    * summation at all); ties break by ascending doc_id. Absent-side
+    * ranks surface as 0 (not null) so the driver hash is
+    * null-layout-independent.
+    *
+    * Scale shape: both inputs are already bounded top-k frames
+    * (k rows per query), so the fusion is a KB-scale full-outer join
+    * + the bounded CollectTopK tail — the corpus is scanned only
+    * inside the two retrieval legs, each with its own documented
+    * 100 TB shape.
+    */
+  def hybridRrfTopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                    kRrf: Int = 60, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
+    val lex = bm25TopK(docs, queryIds, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val den = graft.operators.Similarity.bruteForceTopK(
+      hashEmbedVectors(docs, dim).withColumnRenamed("source", "label"),
+      queryIds, k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        (coalesce(expr(s"1000000000 div ($kRrf + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($kRrf + dense_rank)"), lit(0L)))
+          .as("rrf_ppb"))
+    val item = struct((-col("rrf_ppb")).as("s0"), col("doc_id").as("s1"),
+      struct(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf_ppb")).as("p"))
+    fused.groupBy(col("query_id"))
+      .agg(TopKShim.collectTopK(item, k, reverse = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.p.doc_id").as("doc_id"), col("e.p.lex_rank").as("lex_rank"),
+        col("e.p.dense_rank").as("dense_rank"),
+        col("e.p.rrf_ppb").as("rrf_ppb"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token-run collapse ("stutter" cleanup): within each document,
+    * runs of consecutive identical tokens collapse to one occurrence
+    * — the in-document repetition CLEANUP that complements the
+    * Gopher repetition SIGNALS ([[repetitionSignals]] measures, this
+    * repairs) and the corpus-wide [[dedupLines]] (which needs a
+    * frequency dim; this is purely local).
+    *
+    * Scale shape: pure array expressions on the scan — split →
+    * index-aware `filter` against the predecessor element →
+    * `array_join` — so there is NO explode, NO shuffle, and the text
+    * never leaves its input partition; at 100 TB this runs at scan
+    * speed alongside any other per-doc signal. The predecessor lookup
+    * rides `element_at(ts, greatest(i, 1))`: ANSI mode forbids index
+    * 0, and at i=0 the `i = 0` disjunct keeps the token regardless of
+    * the (self-comparing, false) right-hand side.
+    *
+    * Output is integer counts plus the md5 of the collapsed text —
+    * byte-exact parity without hauling document bodies through the
+    * compare.
+    */
+  def collapseTokenRuns(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val kept = filter(ts, (x, i) =>
+      (i === 0) || (x =!= element_at(ts, greatest(i, lit(1)))))
+    docs.select(col("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      md5(array_join(kept, " ")).as("collapsed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document report combining the signals above. */
   def profile(docs: DataFrame): DataFrame =
     withQualitySignals(docs)

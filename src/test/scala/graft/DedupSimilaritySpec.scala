@@ -2640,6 +2640,81 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(counts("fr") == counts("de"), s"fixture drifted: $counts")
   }
 
+  test("bm25TopK: hand-computed scores, self excluded, non-matching absent") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "apple banana"),        // the query doc
+      (1L, "apple apple apple"),   // tf mass on one term
+      (2L, "apple banana cherry"), // matches both query terms
+      (3L, "durian elderberry"),   // no overlap — must not appear
+      (4L, "banana")               // short doc, dl < avgdl
+    ).toDF("doc_id", "text").withColumn("source", lit("t"))
+    val got = TextOps.bm25TopK(docs, Seq(0L), k = 5)
+      .select($"rank", $"doc_id", $"matched_terms", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // expected via the same double expression tree (N=5, avgdl=11/5,
+    // df(apple)=df(banana)=3, Lucene idf, k1=1.2, b=0.75)
+    val (n, avgdl, k1, b) = (5.0, 11.0 / 5.0, 1.2, 0.75)
+    val idf = math.log(1.0 + (n - 3 + 0.5) / (3 + 0.5))
+    def term(tf: Long, dl: Long): Double =
+      idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Seq(
+      (1L, 2L, 2L, r4(term(1, 3) + term(1, 3))), // both terms match
+      (2L, 1L, 1L, r4(term(3, 3))),              // apple tf=3
+      (3L, 4L, 1L, r4(term(1, 1))))              // banana, short doc
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("hybridRrfTopK: integer RRF fusion, both-list docs outrank single-list, absent ranks are 0") {
+    import org.apache.spark.sql.functions._
+    // doc 1 dominates BOTH retrievals for query 0 (near-identical
+    // text); doc 2 is lexical-only overlap ("banana" without the
+    // apple mass), doc 3 disjoint from the query
+    val docs = Seq(
+      (0L, "apple banana apple banana"),
+      (1L, "apple banana apple cherry"),
+      (2L, "banana durian durian durian"),
+      (3L, "elderberry fig grape")
+    ).toDF("doc_id", "text").withColumn("source", lit("t"))
+    val got = TextOps.hybridRrfTopK(docs, Seq(0L), k = 3)
+      .select($"rank", $"doc_id", $"lex_rank", $"dense_rank", $"rrf_ppb")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1 is rank 1 in both lists -> 2 * (1e9 // 61)
+    assert(got.head == ((1L, 1L, 1L, 1L, 2L * (1000000000L / 61L))),
+      s"got $got")
+    // every fused score is a sum of the exact ppb terms of its ranks
+    got.foreach { case (_, _, lr, dr, s) =>
+      val exp = (if (lr > 0) 1000000000L / (60 + lr) else 0L) +
+        (if (dr > 0) 1000000000L / (60 + dr) else 0L)
+      assert(s == exp, s"ppb drift: lr=$lr dr=$dr s=$s exp=$exp")
+    }
+    // doc 3 shares no terms and no buckets' mass with the query at
+    // rank depth 3 of a 3-doc candidate set — it can only appear via
+    // the dense tail; doc 1 and 2 must both be present
+    assert(got.map(_._2).take(2).toSet == Set(1L, 2L), s"got $got")
+  }
+
+  test("collapseTokenRuns: runs collapse, non-adjacent repeats survive, md5 is of the rejoined text") {
+    import org.apache.spark.sql.functions._
+    def m(sx: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(sx.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "a a a b b a"),  // runs collapse; the non-adjacent a stays
+      (1L, "x y z"),        // no runs: identity
+      (2L, "q")             // single token
+    ).toDF("doc_id", "text").withColumn("source", lit("t"))
+    val got = TextOps.collapseTokenRuns(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val exp = Seq(
+      (0L, 6L, 3L, m("a b a")),
+      (1L, 3L, 3L, m("x y z")),
+      (2L, 1L, 1L, m("q")))
+    assert(got == exp, s"got $got")
+  }
+
   test("docClusters: partition of the corpus, dominant source consistent") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val out = TextOps.docClusters(docs, nlist = 4, iters = 2).collect()
