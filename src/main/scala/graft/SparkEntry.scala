@@ -1463,20 +1463,14 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
 )"""
   }
 
-  /** DuckDB replay of the END-TO-END curation funnel
-    * (graft.operators.Curation.funnel over plantedLineDocs): every
-    * stage re-stated in SQL over the PREVIOUS stage's corpus, reusing
-    * the shared builders (gopherCtesSql twice — raw gate and survivor
-    * rule — minhashPairsCtes, clusterCtesSql) so no stage's semantics
-    * can drift from its solo-query oracle. Inline stages (line dedup,
-    * decontamination, DSIR masses, packing) mirror the corresponding
-    * solo oracles with the source swapped to the stage input.
+  /** The shared WITH-chain of the full-curation oracles — planted
+    * corpus `pl` through the sampled corpus `s6`. Single-sourced so
+    * the funnel roll-up ([[curationE2eOracleSql]]) and the per-doc
+    * rejection attribution ([[curationRejectOracleSql]]) replay the
+    * SAME stage semantics and cannot drift from each other.
     */
-  private def curationE2eOracleSql: String = {
+  private def curationStageCtes: String = {
     val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
-    val nt = s"CAST(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT)"
-    def stageRow(name: String, src: String): String =
-      s"SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs, $nt AS n_tokens FROM $src"
     s"""WITH pl AS MATERIALIZED (
   SELECT doc_id, source,
     'NAV MENU HOME' || chr(10) || text || chr(10) ||
@@ -1558,7 +1552,19 @@ cbest AS (
 ), s6 AS MATERIALIZED (
   SELECT s5.* FROM s5 JOIN w USING (doc_id) CROSS JOIN gtot
   WHERE w.tmass * gtot.sr >= w.rmass * gtot.st
-), pkt AS (
+)"""
+  }
+
+  /** DuckDB replay of the END-TO-END curation funnel
+    * (graft.operators.Curation.funnel over plantedLineDocs): the
+    * shared [[curationStageCtes]] chain plus the packing tail and the
+    * per-stage roll-up.
+    */
+  private def curationE2eOracleSql: String = {
+    val nt = s"CAST(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT)"
+    def stageRow(name: String, src: String): String =
+      s"SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs, $nt AS n_tokens FROM $src"
+    s"""$curationStageCtes, pkt AS (
   SELECT doc_id, source, doc_id % 4 AS shard,
     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM s6
@@ -1584,6 +1590,28 @@ SELECT stage, n_docs, n_tokens FROM (
     CAST(coalesce((SELECT sum(n_tokens) FROM pk), 0) AS BIGINT)
 ) ORDER BY stage"""
   }
+
+  /** DuckDB replay of the per-doc rejection attribution
+    * (graft.operators.Curation.rejectReasons): same
+    * [[curationStageCtes]] chain; the final select left-joins each
+    * stage's id set and names the first stage a doc is absent from.
+    */
+  private def curationRejectOracleSql: String =
+    s"""$curationStageCtes
+SELECT pl.doc_id, pl.source,
+  CASE WHEN q2.doc_id IS NULL THEN '2_quality'
+       WHEN q3.doc_id IS NULL THEN '3_line_dedup'
+       WHEN q4.doc_id IS NULL THEN '4_near_dedup'
+       WHEN q5.doc_id IS NULL THEN '5_decontam'
+       WHEN q6.doc_id IS NULL THEN '6_dsir_sample'
+       ELSE 'kept' END AS rejected_at
+FROM pl
+LEFT JOIN (SELECT doc_id FROM s2) q2 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s3) q3 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s4) q4 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s5) q5 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s6) q6 USING (doc_id)
+ORDER BY pl.doc_id"""
 
   /** DuckDB replica of TextOps.langGuess over precomputed sub-exprs —
     * single-sourced so the three oracles that need language ID cannot
@@ -2883,6 +2911,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // battery COMPOSES (lineage, column contracts), not only runs solo.
     "doc_curation_e2e" -> ((s, d) =>
       graft.operators.Curation.funnel(
+        plantedLineDocs(Tables.documents(s, d)))),
+    // the funnel's drill-down: per raw doc, the FIRST curation stage
+    // that dropped it (or 'kept') — the audit table a pipeline owner
+    // opens when a source's yield drops; attribution rides slim
+    // id-only left joins over the shared stage lineage
+    "doc_reject_reason" -> ((s, d) =>
+      graft.operators.Curation.rejectReasons(
         plantedLineDocs(Tables.documents(s, d)))),
     // the DAILY-RUN form (round-7 verdict #6): a batch (doc_id % 7)
     // curated against persisted corpus state — merged line/bigram
@@ -5175,6 +5210,7 @@ GROUP BY p.doc_id ORDER BY p.doc_id""",
     // the end-to-end curation funnel, stage by stage over the planted
     // multi-line corpus (see curationE2eOracleSql)
     "doc_curation_e2e" -> curationE2eOracleSql,
+    "doc_reject_reason" -> curationRejectOracleSql,
 
     // the incremental (daily-run) funnel, stage by stage against the
     // corpus-state replay (see curationNovelOracleSql)

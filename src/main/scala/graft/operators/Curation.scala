@@ -155,6 +155,51 @@ object Curation {
     Stages(raw, s2, s3, s4, s5, s6, packed)
   }
 
+  /** Per-document rejection attribution — the funnel's drill-down:
+    * for every raw document, the FIRST stage that dropped it (or
+    * `kept` if it survived to the sampled corpus). [[funnel]] tells a
+    * pipeline owner HOW MANY docs each stage removed; this tells them
+    * WHICH — the table they actually open when a source's yield drops
+    * ("why did src3 lose 40% yesterday?"), and the audit trail data-
+    * governance reviews ask for (why was this document excluded?).
+    *
+    * `5_decontam` covers both exits at that stage — benchmark-split
+    * docs leaving the training corpus and training docs dropped for
+    * sharing an n-gram with the benchmark — matching the stage
+    * semantics the funnel reports.
+    *
+    * Scale shape: the stage corpora already exist (the [[stages]]
+    * lineage this reuses, hot frames localCheckpointed); attribution
+    * adds only id-level left joins — each stage contributes a slim
+    * (doc_id, flag) frame, text never enters any of the five joins.
+    * The output is one row per RAW doc: the same size as the input's
+    * id column, partitioned however the raw scan was.
+    */
+  def rejectReasons(docs: DataFrame, lineMinDf: Long = 5,
+                    minJaccard: Double = 0.3, benchMod: Long = 29,
+                    decontamN: Int = 8,
+                    targetSources: Seq[String] = Seq("src0", "src2", "src4"),
+                    budget: Long = 512, shards: Int = 4): DataFrame = {
+    val st = stages(docs, lineMinDf, minJaccard, benchMod, decontamN,
+      targetSources, budget, shards)
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id"), lit(true).as(name))
+    st.raw.select(col("doc_id"), col("source"))
+      .join(flag(st.quality, "s2"), Seq("doc_id"), "left")
+      .join(flag(st.lineDeduped, "s3"), Seq("doc_id"), "left")
+      .join(flag(st.nearDeduped, "s4"), Seq("doc_id"), "left")
+      .join(flag(st.decontaminated, "s5"), Seq("doc_id"), "left")
+      .join(flag(st.sampled, "s6"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("s2").isNull, "2_quality")
+          .when(col("s3").isNull, "3_line_dedup")
+          .when(col("s4").isNull, "4_near_dedup")
+          .when(col("s5").isNull, "5_decontam")
+          .when(col("s6").isNull, "6_dsir_sample")
+          .otherwise("kept").as("rejected_at"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // INCREMENTAL curation (round-7 verdict #6): the daily-run form of
   // the pipeline — a new batch curated against PERSISTED corpus state,

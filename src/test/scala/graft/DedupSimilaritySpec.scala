@@ -2168,6 +2168,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "shard", "n_tokens", "bin_id", "bin_offset"))
   }
 
+  test("rejectReasons: per-doc attribution partitions the corpus and sums to the funnel deltas") {
+    import org.apache.spark.sql.functions._
+    // the funnel test's fixture: boilerplate lines + planted clones
+    val docs = (0 until 60).map { i =>
+      val body =
+        if (i % 6 == 5) (0 until 60).map(j => s"w${(i - 1) * 7 + j}").mkString(" ") + " tail"
+        else (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+      (i.toLong, s"BOILER HEADER\n$body\nBOILER FOOTER", s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val reasons = Curation.rejectReasons(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("rejected_at"))
+    // exactly one attribution per raw doc
+    assert(reasons.length == 60 && reasons.map(_._1).distinct.length == 60)
+    val byStage = reasons.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // attribution counts must equal the funnel's stage-to-stage deltas
+    val f = Curation.funnel(docs).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val order = Seq("1_raw", "2_quality", "3_line_dedup", "4_near_dedup",
+      "5_decontam", "6_dsir_sample")
+    for (Seq(a, b) <- order.sliding(2))
+      assert(byStage.getOrElse(b, 0L) == f(a) - f(b),
+        s"delta mismatch at $b: $byStage vs $f")
+    assert(byStage.getOrElse("kept", 0L) == f("6_dsir_sample"))
+  }
+
   test("incremental curation: corpus seniority, merged-dim line dedup, batch product") {
     import org.apache.spark.sql.functions._
     // corpus: 40 quality docs with boilerplate lines (df 40 ≥ 5)
