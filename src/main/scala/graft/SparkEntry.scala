@@ -3184,6 +3184,15 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         .orderBy(col("source"))
     }),
 
+    // per-source quantile-calibrated keep rule (CCNet-style
+    // per-domain thresholding): exact discrete q=1/5 token-count
+    // quantile per source, computed on the (source, score) count dim
+    // with a cross-multiplied rational rank test — no float
+    // interpolation; threshold dim broadcast back for the flags
+    "doc_quality_quantile" -> ((s, d) =>
+      Sampling.quantileCalibrate(Tables.documents(s, d),
+        TextOps.tokenCount(col("text")), qNum = 1, qDen = 5)),
+
     // hashed-feature linear quality scorer (fastText-shaped, NB
     // centroid weights, decimal-exact): target = the DSIR target
     // sources — "how target-like is each doc's hashed profile"
@@ -4748,6 +4757,28 @@ SELECT t.source, t.n,
       AS BIGINT) < t.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept
 FROM thr t LEFT JOIN documents d ON d.source = t.source
 GROUP BY t.source, t.n ORDER BY t.source""",
+
+    // per-source discrete quantile: cumulative counts over the
+    // (source, score) dim, rank test cross-multiplied (cum·5 ≥ n·1),
+    // threshold = min qualifying score — all integer arithmetic
+    "doc_quality_quantile" ->
+      """WITH sc AS (
+  SELECT doc_id, source,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS score
+  FROM documents
+), cnt AS (
+  SELECT source, score, count(*) AS c FROM sc GROUP BY 1, 2
+), cum AS (
+  SELECT source, score,
+    sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+    sum(c) OVER (PARTITION BY source) AS n
+  FROM cnt
+), thr AS (
+  SELECT source, CAST(min(score) AS BIGINT) AS thr
+  FROM cum WHERE cum * 5 >= n * 1 GROUP BY source
+)
+SELECT sc.doc_id, sc.source, sc.score, t.thr, sc.score >= t.thr AS keep
+FROM sc JOIN thr t USING (source) ORDER BY sc.doc_id""",
 
     // hashed-feature linear scorer: HUGEINT replay of the decimal
     // NB-centroid weights and per-doc scores

@@ -161,4 +161,49 @@ object Sampling {
     } :+ lit(null).cast("long"): _*)
     docs.filter(sampleHash(col("doc_id"), seed) < thrCol)
   }
+
+  /** Per-source quantile-calibrated keep rule — the CCNet-style
+    * per-domain thresholding real pipelines run instead of one global
+    * cutoff (a threshold that keeps the best 80% of one domain would
+    * wipe out another; calibrating per source keeps each domain's own
+    * distribution). The threshold is the exact DISCRETE q-quantile of
+    * an integer score within each source — the smallest score whose
+    * cumulative count reaches ⌈q·n⌉ — so docs scoring below it (the
+    * bottom <q fraction by value) are cut.
+    *
+    * Exactness: q rides as a rational `qNum/qDen`; the rank test is
+    * the cross-multiplied `cum·qDen ≥ n·qNum` — no float quantile
+    * interpolation for engines to disagree on (continuous-percentile
+    * interpolation differs in expression order across engines at the
+    * last ulp, and a keep FLAG amplifies a 1-ulp threshold wobble
+    * into a row diff).
+    *
+    * Scale shape: the quantile is computed on the (source, score)
+    * COUNT dim, not the corpus — one map-side-combined shuffle of at
+    * most |sources|·|distinct scores| rows, a per-source window over
+    * that dim (bounded by score cardinality, e.g. ≤ max doc length for
+    * token counts), then a KB-scale threshold dim broadcast back over
+    * one corpus scan for the flags. The corpus itself never sorts and
+    * never shuffles.
+    */
+  def quantileCalibrate(docs: DataFrame, score: Column,
+                        qNum: Long, qDen: Long): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"quantile fraction out of range: $qNum/$qDen")
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      score.cast("long").as("score"))
+    val cum = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("source"), col("score"),
+        sum(col("c")).over(w.partitionBy(col("source"))
+          .orderBy(col("score"))).as("cum"),
+        sum(col("c")).over(w.partitionBy(col("source"))).as("n"))
+    val thr = cum.filter(col("cum") * qDen >= col("n") * qNum)
+      .groupBy(col("source")).agg(min(col("score")).as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"), col("thr"),
+        (col("score") >= col("thr")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -124,4 +124,36 @@ class SamplingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("bounded-enum"))
   }
+
+  test("quantileCalibrate: exact discrete per-source quantile, ties at the threshold kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // srcA scores 1..5 at q=2/5: cum(2)=2 ≥ ⌈2⌉ → thr=2, keep 4 docs;
+    // srcB has mass AT the quantile value: scores (1,1,1,5) at q=2/5
+    // → cum(1)=3·5 ≥ 4·2 → thr=1, EVERYTHING kept (discrete quantile
+    // never splits a tie group)
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "w " * i, "srcA")) ++
+        Seq((10L, "w", "srcB"), (11L, "w", "srcB"), (12L, "w", "srcB"),
+          (13L, "w " * 5, "srcB"))
+    ).toDF("doc_id", "text", "source")
+    val got = Sampling.quantileCalibrate(docs,
+        graft.operators.TextOps.tokenCount(col("text")), qNum = 2, qDen = 5)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    val exp = Seq(
+      (1L, "srcA", 1L, 2L, false), (2L, "srcA", 2L, 2L, true),
+      (3L, "srcA", 3L, 2L, true), (4L, "srcA", 4L, 2L, true),
+      (5L, "srcA", 5L, 2L, true),
+      (10L, "srcB", 1L, 1L, true), (11L, "srcB", 1L, 1L, true),
+      (12L, "srcB", 1L, 1L, true), (13L, "srcB", 5L, 1L, true))
+    assert(got == exp, s"got $got")
+    // q=0 keeps everything; q=1 keeps only the top tie group
+    val q0 = Sampling.quantileCalibrate(docs,
+      graft.operators.TextOps.tokenCount(col("text")), 0, 1)
+    assert(q0.filter(!col("keep")).count() == 0L)
+    val q1 = Sampling.quantileCalibrate(docs,
+        graft.operators.TextOps.tokenCount(col("text")), 1, 1)
+      .filter(col("keep")).select($"doc_id").as[Long].collect().toSet
+    assert(q1 == Set(5L, 13L), s"got $q1")
+  }
 }
