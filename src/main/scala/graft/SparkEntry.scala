@@ -2863,6 +2863,12 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_substring_dupes" -> ((s, d) =>
       TextOps.duplicateSpans(Tables.documents(s, d), n = 10,
         hashFn = Dedup.md5Seeded)),
+    // train/holdout split-leakage audit: 10-token windows of val/test
+    // docs contained in the train window-hash set (5%/5% splits so
+    // the holdout is non-degenerate at sf0.01)
+    "doc_split_leakage" -> ((s, d) =>
+      TextOps.splitLeakage(Tables.documents(s, d), n = 10,
+        valFrac = 0.05, testFrac = 0.05, hashFn = Dedup.md5Seeded)),
     // corpus-familiarity score (CCNet-style head/tail dial as an
     // integer-exact frequency proxy — avg corpus-wide occurrence
     // count of each doc's character bigrams, one division at the end)
@@ -3156,6 +3162,11 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // sharded integer running sums (unlisted sources drop out)
     "doc_budget_mix" -> ((s, d) =>
       Sampling.budgetSample(Tables.documents(s, d), TokenBudgets)),
+    // exactly-k-per-source draw: smallest k seeded hashes per stratum
+    // via ONE bounded-heap CollectTopK — no window over a stratum
+    "doc_stratified_k" -> ((s, d) =>
+      Sampling.stratifiedK(Tables.documents(s, d), "source", "doc_id",
+        k = 7)),
     "doc_token_budget" -> ((s, d) => Tables.documents(s, d)
       .select(col("source"), TextOps.langGuess(col("text")).as("lang_guess"),
         TextOps.tokenCount(col("text")).as("nt"),
@@ -4514,6 +4525,50 @@ SELECT p.doc_id,
 FROM perdoc p LEFT JOIN dupc d USING (doc_id) ORDER BY p.doc_id"""
     },
 
+    // split-leakage: the substring-window CTE chain with a split
+    // CASE up front; holdout windows semi-checked against the
+    // distinct train window-hash set
+    "doc_split_leakage" -> {
+      val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      val hKey = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+      val tVal = Sampling.thresholdFor(0.05)
+      val tTest = tVal + Sampling.thresholdFor(0.05)
+      s"""WITH sp AS (
+  SELECT doc_id, text,
+    CASE WHEN $hKey < $tVal THEN 'val'
+         WHEN $hKey < $tTest THEN 'test'
+         ELSE 'train' END AS split
+  FROM documents
+), tok AS (
+  SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS t
+  FROM sp
+), pos AS MATERIALIZED (
+  SELECT doc_id, split, len(t) - 9 AS n_windows,
+    unnest(list_transform(range(len(t) - 9), i ->
+      CAST(('0x' || substr(md5('0:' || $g10), 1, 15)) AS BIGINT))) AS h
+  FROM tok WHERE len(t) >= 10
+), bdh AS MATERIALIZED (
+  SELECT doc_id, split, h, count(*) AS c, min(n_windows) AS n_windows
+  FROM pos GROUP BY doc_id, split, h
+), trainh AS (
+  SELECT DISTINCT h FROM bdh WHERE split = 'train'
+), hold AS (
+  SELECT * FROM bdh WHERE split <> 'train'
+), leak AS (
+  SELECT doc_id, sum(c) AS lw
+  FROM hold WHERE h IN (SELECT h FROM trainh) GROUP BY doc_id
+), perdoc AS (
+  SELECT doc_id, split, min(n_windows) AS n_windows
+  FROM hold GROUP BY doc_id, split
+)
+SELECT p.doc_id, p.split,
+  CAST(coalesce(l.lw, 0) AS BIGINT) AS leaked_windows,
+  CAST(p.n_windows AS BIGINT) AS n_windows,
+  round(coalesce(l.lw, 0) / CAST(p.n_windows AS DOUBLE), 4)
+    AS leak_fraction
+FROM perdoc p LEFT JOIN leak l USING (doc_id) ORDER BY p.doc_id"""
+    },
+
     "doc_repetition" ->
       """WITH rt AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -4661,6 +4716,21 @@ SELECT cluster_id, doc_id AS best_doc, n_members, n_pass FROM (
        WHEN $h < $tTest THEN 'test'
        ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""
+    },
+
+    // exactly-k-per-source: row_number over the seeded-hash order
+    // replays the bounded-heap pick (ties by doc_id, as the struct
+    // lexicographic order breaks them)
+    "doc_stratified_k" -> {
+      val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+      s"""WITH r AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id)
+      AS pick_rank
+  FROM documents
+)
+SELECT source, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id
+FROM r WHERE pick_rank <= 7 ORDER BY source, pick_rank"""
     },
 
     "doc_sample_mix" -> {

@@ -206,4 +206,37 @@ object Sampling {
         (col("score") >= col("thr")).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exact k-per-stratum deterministic sample — the "give me exactly
+    * k docs from every source" draw (eval-set construction, per-domain
+    * inspection pools, few-shot prompt banks). Rate-based sampling
+    * ([[stratifiedSample]]) can only promise an EXPECTED count;
+    * this picks the k rows with the smallest seeded portable hash per
+    * stratum, so the count is exact (min(k, |stratum|)), the draw is
+    * uniform over each stratum, reproducible across runs and engines,
+    * and STABLE under corpus growth in the reservoir sense (a doc
+    * already in the sample leaves only when a new doc hashes below
+    * the stratum's current k-th hash).
+    *
+    * Scale shape: the per-stratum selection is ONE bounded-heap
+    * CollectTopK aggregate — the map-side partial buffer never holds
+    * more than k rows per stratum, so the shuffle carries
+    * ≤ tasks·|strata|·k slim (hash, key) structs and there is no
+    * window over a stratum partition (a mega-stratum costs one heap,
+    * not a sort). Ties (hash collisions) break by ascending key via
+    * the struct's lexicographic order.
+    */
+  def stratifiedK(df: DataFrame, stratumCol: String, keyCol: String,
+                  k: Int, seed: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
+    val item = struct(sampleHash(col(keyCol), seed).as("s0"),
+      col(keyCol).as("s1"))
+    df.groupBy(col(stratumCol))
+      .agg(TopKShim.collectTopK(item, k, reverse = true).as("top"))
+      .select(col(stratumCol), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("pick_rank"),
+        col("e.s1").as(keyCol))
+      .orderBy(col(stratumCol), col("pick_rank"))
+  }
 }

@@ -699,6 +699,62 @@ object Similarity {
       }
       .start()
 
+  /** Serve ONE micro-batch of ANN queries against the durable index —
+    * the replayable unit of [[startAnnServing]]: the batch runs the
+    * [[knnJoinIndexed]] retrieval join and its results land under
+    * `batch_id=<id>` via dynamic partition overwrite, so a
+    * crash-replayed batch OVERWRITES its own partition instead of
+    * double-appending result rows (the same idempotent-sink contract
+    * as the ingest streams' logs/alerts/blocks sinks). An empty batch
+    * touches no partitions and is a no-op.
+    */
+  def serveAnnBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    batch: DataFrame, batchId: Long, outDir: String,
+                    k: Int = 10, nprobe: Int = 2): Unit =
+    knnJoinIndexed(spark, dir, batch, k, nprobe)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** STREAMING ANN query serving — the retrieval side of the index
+    * lifecycle: [[startIndexMaintenance]] keeps the durable index
+    * current from the ingest feed, and this serves a STREAM of query
+    * vectors against it (the production "embed the request, return
+    * its neighbors" loop — retrieval-augmented generation feeds,
+    * online near-dup triage of incoming documents, semantic alert
+    * enrichment). Each micro-batch of (vec_id, embedding) query rows
+    * runs the table-vs-index [[knnJoinIndexed]] — centroid assignment
+    * scan-local against the broadcast centroid dim, candidates pruned
+    * to nprobe lists, bounded CollectTopK per query — and results
+    * land partitioned by batch id with replay-idempotent overwrite
+    * ([[serveAnnBatch]]). Because every batch re-reads the index
+    * directory, appends landed by the maintenance stream are visible
+    * to the NEXT serving batch with no restart — the two streams
+    * compose against the same at-rest layout.
+    *
+    * Scale shape: per batch the driver touches only the KB-scale
+    * centroid dim; query rows never collect, the corpus contributes
+    * only its pruned cid partitions, and result volume is exactly
+    * |batch|·k slim rows. At 100 TB this is the same probe path the
+    * batch oracles lock, executed per trigger.
+    */
+  def startAnnServing(queries: DataFrame, dir: String, outDir: String,
+                      checkpointDir: String, k: Int = 10, nprobe: Int = 2,
+                      triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        serveAnnBatch(batch.sparkSession, dir, batch, id, outDir, k, nprobe)
+        ()
+      }
+      .start()
+
   /** Durable IVF-PQ index — [[writeIvfIndex]]'s layout (lists
     * partitioned by coarse-list id + centroid dim + drift-guard
     * stats) extended with the PQ codebooks as a dim table and the

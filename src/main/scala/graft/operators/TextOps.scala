@@ -516,6 +516,68 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/holdout SPLIT-LEAKAGE audit over a frame that already
+    * carries a `split` column — for every val/test document, how many
+    * of its n-token windows also occur in ANY train document. The
+    * internal-split sibling of [[ngramDecontam]] (which screens
+    * against an EXTERNAL benchmark): eval numbers are only honest if
+    * the held-out text isn't substring-shared with the training set,
+    * and on template-heavy corpora hash-split documents share
+    * boilerplate constantly.
+    *
+    * Scale shape: identical cost class to [[duplicateSpans]] —
+    * window hashing is scan-local, (doc, split, hash) counts partial-
+    * aggregate map-side and are pinned ONCE (localCheckpoint) for the
+    * two consumers; the train side collapses to a distinct window-
+    * hash set and the holdout side semi-joins it on the 8-byte key
+    * (holdout is the 2–10 % minority, so the probe side is small by
+    * construction; at warehouse scale the train set can degrade to a
+    * bloom the same way the incremental-dedup legs do). Text never
+    * shuffles. Documents shorter than n tokens have no windows and
+    * are absent from the audit, both engines alike.
+    */
+  def splitLeakageWithSplits(docs: DataFrame, n: Int = 10,
+                             hashFn: (Int, Column) => Column =
+                               Dedup.xxSeeded): DataFrame = {
+    val byDocHash = docs
+      .select(col("doc_id"), col("split"),
+        Dedup.shingles(col("text"), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), col("split"),
+        size(col("gs")).cast("long").as("n_windows"),
+        explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("split"), col("n_windows"),
+        hashFn(0, col("g")).as("h"))
+      .groupBy(col("doc_id"), col("split"), col("h"))
+      .agg(count(lit(1)).as("c"), min(col("n_windows")).as("n_windows"))
+      .localCheckpoint(true)
+    val trainH = byDocHash.filter(col("split") === "train")
+      .select(col("h")).distinct()
+    val holdout = byDocHash.filter(col("split") =!= "train")
+    val leaked = holdout.join(trainH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("leaked_windows"))
+    holdout.groupBy(col("doc_id"), col("split"))
+      .agg(min(col("n_windows")).as("n_windows"))
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("leaked_windows"), lit(0L)).as("leaked_windows"),
+        col("n_windows"),
+        round(coalesce(col("leaked_windows"), lit(0L)).cast("double") /
+          col("n_windows").cast("double"), 4).as("leak_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[splitLeakageWithSplits]] over the standard hash-threshold
+    * split assignment ([[Sampling.withSplit]]) — the one-call audit
+    * for the default split layout.
+    */
+  def splitLeakage(docs: DataFrame, n: Int = 10,
+                   valFrac: Double = 0.01, testFrac: Double = 0.01,
+                   hashFn: (Int, Column) => Column =
+                     Dedup.xxSeeded): DataFrame =
+    splitLeakageWithSplits(
+      Sampling.withSplit(docs, "doc_id", valFrac, testFrac), n, hashFn)
+
   /** Corpus-familiarity score per document — the head/middle/tail
     * corpus-fit dial of CCNet-style curation (Wenzek et al. 2020
     * bucket documents by how well a reference LM predicts them; the

@@ -918,6 +918,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotMd5 == expect)
   }
 
+  test("splitLeakageWithSplits: holdout windows counted only vs train; multiplicity kept; short docs and within-holdout shares don't leak") {
+    val t = (1 to 11).map(i => s"w$i").mkString(" ")  // train: 2 windows
+    val a = (1 to 10).map(i => s"w$i").mkString(" ")  // test: 1 window, leaked
+    val b = (1 to 10).map(i => s"x$i").mkString(" ")  // test: 1 window, clean
+    val sharedHold = (1 to 10).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, t, "train"), (2L, a, "test"), (3L, b, "test"),
+      (4L, "short doc", "val"),                 // <10 tokens: absent
+      (5L, sharedHold, "test"), (6L, sharedHold, "val")
+    ).toDF("doc_id", "text", "split")
+    val got = TextOps.splitLeakageWithSplits(docs)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    val exp = Seq(
+      (2L, "test", 1L, 1L, 1.0),
+      (3L, "test", 0L, 1L, 0.0),
+      (5L, "test", 0L, 1L, 0.0),   // shared only within the holdout
+      (6L, "val", 0L, 1L, 0.0))
+    assert(got == exp, s"got $got")
+    // a holdout doc repeating a train window reports the multiplicity
+    val rep = ((1 to 10) ++ (1 to 10)).map(i => s"w$i").mkString(" ")
+    val got2 = TextOps.splitLeakageWithSplits(
+      Seq((1L, t, "train"), (7L, rep, "test"))
+        .toDF("doc_id", "text", "split"))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got2 == Seq((7L, "test", 2L, 11L, 0.1818)), s"got $got2")
+    // hash-family independence (md5 = the oracle path)
+    val gotMd5 = TextOps.splitLeakageWithSplits(docs,
+      hashFn = Dedup.md5Seeded)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(gotMd5 == exp)
+  }
+
   test("bigramFamiliarity: integer-exact avg corpus count of a doc's bigrams") {
     val docs = Seq(
       (1L, "ababa"), // ab,ba,ab,ba
@@ -1852,6 +1884,75 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(Similarity.indexedCorpusCount(spark, dir) == 43L)
       assert(spark.read.parquet(s"$dir/lists")
         .filter($"vec_id" === 200L).count() == 0L)
+    } finally { if (q.isActive) q.stop() }
+  }
+
+  test("streaming ANN serving: batches match the batch-face retrieval join; replay overwrites; appends visible without restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    def blobVec(blob: Int): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)
+      v(blob) = v(blob) + (if (blob == 0) 3.0f else -3.0f)
+      v
+    }
+    val corpus = (0L until 40L).map(i => (i, blobVec((i % 2).toInt)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann-serve-idx").toString
+    Similarity.writeIvfIndex(corpus, dir, nlist = 4, iters = 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ann-serve-out").toString + "/results"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ann-serve-ckpt").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.startAnnServing(
+      mem.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt,
+      k = 3, nprobe = 2, triggerMs = 50L)
+    try {
+      val (q0, q1, q2) = (blobVec(0), blobVec(1), blobVec(0))
+      mem.addData((900L, q0), (901L, q1))
+      q.processAllAvailable()
+      mem.addData((902L, q2))
+      q.processAllAvailable()
+      // fresh file listing per snapshot — the replay overwrite below
+      // swaps files under a cached FileIndex otherwise
+      def snap() = spark.read.parquet(outDir)
+        .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      // the streamed results ARE the batch-face retrieval join
+      val face = Similarity.knnJoinIndexed(spark, dir,
+        Seq((900L, q0), (901L, q1), (902L, q2))
+          .toDF("vec_id", "embedding"), k = 3, nprobe = 2)
+        .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(snap() == face, "stream results diverge from knnJoinIndexed")
+      // each query's rows landed under exactly one batch id
+      val perBatch = spark.read.parquet(outDir).groupBy($"query_id")
+        .agg(countDistinct($"batch_id").as("nb"))
+        .filter($"nb" =!= 1L).count()
+      assert(perBatch == 0L)
+      // crash replay of a landed batch overwrites its own partition —
+      // row set identical, no double-append
+      val b1 = spark.read.parquet(outDir).filter($"query_id" === 902L)
+        .select(max($"batch_id")).as[Long].head()
+      Similarity.serveAnnBatch(spark, dir,
+        Seq((902L, q2)).toDF("vec_id", "embedding"), b1, outDir,
+        k = 3, nprobe = 2)
+      assert(snap() == face, "replayed batch must not change results")
+      // maintenance append is visible to the NEXT serving batch with
+      // no restart: serve a query identical to the appended vector
+      val nv = blobVec(0)
+      Similarity.appendToIvfIndex(spark, dir,
+        Seq((500L, nv)).toDF("vec_id", "embedding"))
+      mem.addData((903L, nv))
+      q.processAllAvailable()
+      val top = spark.read.parquet(outDir)
+        .filter($"query_id" === 903L && $"rank" === 1L)
+        .select($"vec_id", $"cos_sim").as[(Long, Double)].head()
+      assert(top == ((500L, 1.0)), s"appended vector not served: $top")
     } finally { if (q.isActive) q.stop() }
   }
 

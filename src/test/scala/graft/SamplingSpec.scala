@@ -156,4 +156,39 @@ class SamplingSpec extends SparkSpecBase {
       .filter(col("keep")).select($"doc_id").as[Long].collect().toSet
     assert(q1 == Set(5L, 13L), s"got $q1")
   }
+
+  test("stratifiedK: exactly k per stratum, hash-minimal picks, growth-stable in the reservoir sense") {
+    val docs = (1L to 40L)
+      .map(i => (i, if (i <= 30L) "big" else "small"))
+      .toDF("doc_id", "source")
+    val got = Sampling.stratifiedK(docs, "source", "doc_id", k = 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.count(_._1 == "big") == 5)
+    assert(got.count(_._1 == "small") == 5)
+    // picks ARE the k smallest seeded hashes per stratum, ranked in
+    // hash order with ties to the smaller key — brute-force replay
+    val hv = docs.select($"source", $"doc_id",
+        Sampling.sampleHash(col("doc_id")).as("h"))
+      .as[(String, Long, Long)].collect().toSeq
+    val exp = hv.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+        .map { case (r, i) => (src, (i + 1).toLong, r._2) }
+    }.toSet
+    assert(got.toSet == exp, s"got $got")
+    // deterministic across runs
+    assert(Sampling.stratifiedK(docs, "source", "doc_id", 5)
+      .as[(String, Long, Long)].collect().toSeq == got)
+    // k beyond the stratum returns the whole stratum, never pads
+    assert(Sampling.stratifiedK(docs.filter($"source" === "small"),
+      "source", "doc_id", 99).count() == 10L)
+    // growth stability: new docs can only DISPLACE picks (hash below
+    // the incumbent k-th), never reshuffle survivors
+    val grown = docs.union(
+      Seq((100L, "big"), (101L, "big")).toDF("doc_id", "source"))
+    val g2 = Sampling.stratifiedK(grown, "source", "doc_id", 5)
+      .filter($"source" === "big").select($"doc_id").as[Long]
+      .collect().toSet
+    val g1 = got.filter(_._1 == "big").map(_._3).toSet
+    assert((g2 -- g1).forall(_ >= 100L), s"non-new entrants: ${g2 -- g1}")
+  }
 }
