@@ -3399,6 +3399,28 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         Similarity.pqTopK(emb, Seq(0L, 1L, 2L)),
         Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
     }),
+    // matryoshka prefix ranking: cosine over the first 16 of 64 dims
+    // (the truncate-then-rerank ladder's cheap first pass)
+    "emb_prefix_ann" -> ((s, d) =>
+      Similarity.prefixTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L),
+        prefixDim = 16)),
+    // recall@10 of the 16-dim prefix ranking vs the full-dim truth —
+    // the dial that says whether a prefix is servable
+    "emb_prefix_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.prefixTopK(emb, Seq(0L, 1L, 2L), prefixDim = 16),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
+    // per-label distribution drift between the base corpus and the
+    // vec_id % 10 == 0 "append" slice (the monitoring row behind the
+    // index drift guard's single global ratio)
+    "emb_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
+    }),
     // banded OR-amplified near-dup blocking over a PLANTED corpus: the
     // synthetic embeddings are random noise (max natural pair cosine
     // ≈ 0.51 — no true near-dups exist to find), so the query plants
@@ -5250,6 +5272,67 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"
     // recall@10 of the PQ-ADC candidate funnel vs exact brute force
     "emb_pq_recall" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
       dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L)) + recallTailSql("pqk")),
+
+    // matryoshka prefix ranking: the brute-force chain over the
+    // 16-component list slices
+    "emb_prefix_ann" -> s"""WITH nn AS (
+  SELECT vec_id, embedding[1:16] AS embedding,
+    ${normSql("embedding[1:16]")} AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding[1:16] AS embedding,
+    ${normSql("embedding[1:16]")} AS qnorm
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4)
+      AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
+ORDER BY query_id, rank""",
+
+    // prefix recall@10: approx side scores on the 16-dim slices, the
+    // shared recall tail bruteforces the full dims off the same nn/q
+    "emb_prefix_recall" -> (s"""WITH nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding[1:16]", "q.embedding[1:16]")} /
+      (${normSql("nn.embedding[1:16]")} * ${normSql("q.embedding[1:16]")}), 4)
+      AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+)""" + recallTailSql("pfx")),
+
+    // per-label drift: decimal centroid sums + decimal mean norms per
+    // slice, exact-decimal centroid cosine, full outer on label
+    "emb_drift" -> {
+      val sums = (1 to 64).map(i =>
+        s"CAST(sum(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) / count(*)")
+        .mkString(",\n    ")
+      def side(name: String, pred: String) = s"""$name AS (
+  SELECT label, count(*) AS n, [$sums] AS c,
+    CAST(sum(CAST(${normSql("embedding")} AS DECIMAL(30,15))) AS DOUBLE)
+      / count(*) AS mn
+  FROM embeddings WHERE $pred GROUP BY label
+)"""
+      s"""WITH ${side("b", "vec_id % 10 <> 0")},
+${side("t", "vec_id % 10 = 0")}
+SELECT coalesce(b.label, t.label) AS label,
+  CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+  CAST(coalesce(t.n, 0) AS BIGINT) AS n_batch,
+  round(${dotSql("b.c", "t.c")} / (${normSql("b.c")} * ${normSql("t.c")}), 6)
+    AS centroid_cos,
+  round(b.mn, 6) AS mean_norm_base,
+  round(t.mn, 6) AS mean_norm_batch
+FROM b FULL OUTER JOIN t ON b.label = t.label ORDER BY 1"""
+    },
 
     // recall@10 of the pruned IVF probe vs exact brute force — the
     // brute side reuses the same nn norms, so the only difference

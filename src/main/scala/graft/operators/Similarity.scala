@@ -110,6 +110,36 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka / prefix-dimension top-k (Kusupati et al. 2022, MRL):
+    * rank by cosine over only the FIRST `prefixDim` components —
+    * the cheap first pass of the truncate-then-rerank ladder that
+    * matryoshka-trained embeddings make possible (a d/4 prefix scan
+    * reads a quarter of the vector bytes; at 100 TB of embeddings
+    * that is the difference between scanning 25 TB and 100 TB).
+    * Same shape as [[bruteForceTopK]] — scan-local prefix slice +
+    * norms, broadcast query side, bounded CollectTopK — so recall
+    * against the full-dim ranking ([[recallAtK]]) is the dial that
+    * says whether a given prefix is servable.
+    */
+  def prefixTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                 prefixDim: Int, k: Int = 10): DataFrame = {
+    require(prefixDim > 0, s"prefixDim must be positive: $prefixDim")
+    def pre(c: Column): Column = slice(c, 1, prefixDim)
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        pre(col("embedding")).as("qvec"),
+        l2norm(pre(col("embedding"))).as("qnorm"))
+    val scored = embeddings
+      .withColumn("norm", l2norm(pre(col("embedding"))))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(pre(col("embedding")), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is
     * reproducible across runs and clusters.
@@ -2770,6 +2800,57 @@ object Similarity {
           lit(0.0d), (a, v) => a + v)), 6).as("centroid_norm"),
         col("m.vec_id").as("medoid_id"),
         round(col("m.__dist"), 6).as("medoid_dist"))
+      .orderBy(col("label"))
+  }
+
+  /** Embedding DISTRIBUTION-DRIFT report between two corpus
+    * snapshots — the per-class monitoring row a nightly pipeline
+    * reads before trusting an append: for every label, the cosine
+    * between the base and batch centroids and both mean vector
+    * norms. The index drift guard ([[appendToIvfIndex]]) answers
+    * "may this batch enter the index" with one global ratio; this
+    * answers the analyst's question — WHICH class moved, and how far.
+    * Labels present on only one side surface with n=0 and null
+    * metrics: appearance/disappearance IS drift, not an error.
+    *
+    * Determinism: centroid components ride exact decimal partial
+    * sums with ONE double division (the [[classPrototypes]] rule);
+    * the centroid cosine rides [[dot]]'s exact-decimal summation;
+    * per-row norms are correctly-rounded sqrt on both engines and
+    * their mean is again a decimal sum + one division.
+    *
+    * Scale shape: one scan per snapshot, shuffle carries
+    * labels × dim decimal partial sums (KB-scale), the drift join is
+    * a labels-sized full outer — the corpora never co-shuffle.
+    */
+  def embeddingDrift(base: DataFrame, batch: DataFrame,
+                     dim: Int = 64): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 15)
+    def stats(df: DataFrame, tag: String): DataFrame = {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("double").cast(dec))
+          .as(s"__s$i"))
+      df.groupBy(col("label"))
+        .agg(sums.head, sums.tail ++ Seq(
+          count(lit(1)).as(s"n_$tag"),
+          sum(l2norm(col("embedding")).cast(dec)).as("__nrm")): _*)
+        .select(col("label"), col(s"n_$tag"),
+          array((0 until dim).map(i =>
+            col(s"__s$i").cast("double") / col(s"n_$tag")): _*)
+            .as(s"__c_$tag"),
+          (col("__nrm").cast("double") / col(s"n_$tag"))
+            .as(s"__mn_$tag"))
+    }
+    stats(base, "base").join(stats(batch, "batch"), Seq("label"),
+        "full_outer")
+      .select(col("label"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        round(dot(col("__c_base"), col("__c_batch")) /
+          (l2norm(col("__c_base")) * l2norm(col("__c_batch"))), 6)
+          .as("centroid_cos"),
+        round(col("__mn_base"), 6).as("mean_norm_base"),
+        round(col("__mn_batch"), 6).as("mean_norm_batch"))
       .orderBy(col("label"))
   }
 }

@@ -918,6 +918,46 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotMd5 == expect)
   }
 
+  test("prefixTopK: prefix-dim ranking diverges from full-dim truth; recallAtK prices the truncation") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(1.0f, 0.1f, 0f, 0f), 0),   // full cos .995 (best)
+      (2L, Array(1.0f, 0f, 1f, 0f), 0),     // prefix cos 1.0, full .7071
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 0)    // full cos .9939 (2nd)
+    ).toDF("vec_id", "embedding", "label")
+    val pre = Similarity.prefixTopK(emb, Seq(0L), prefixDim = 2, k = 2)
+      .select($"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(pre == Seq((2L, 1.0, 1L), (1L, 0.995, 2L)), s"got $pre")
+    val rec = Similarity.recallAtK(
+      Similarity.prefixTopK(emb, Seq(0L), prefixDim = 2, k = 2),
+      Similarity.bruteForceTopK(emb, Seq(0L), k = 2))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rec == Seq((0L, 1L, 2L, 0.5)), s"got $rec")
+  }
+
+  test("embeddingDrift: per-label centroid cosine and mean norms; one-sided labels surface with n=0, not errors") {
+    import graft.operators.Similarity
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(2.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val batch = Seq(
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.0f, 3.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDrift(base, batch, dim = 2)
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // label 0: base centroid (0.5, 0.5) vs batch (1, 0) →
+    // cos = 0.5 / (√0.5 · 1) = 0.707107
+    assert(got == Seq(
+      (0, 2L, 1L, Some(0.707107), Some(1.0), Some(1.0)),
+      (1, 1L, 0L, None, Some(2.0), None),
+      (2, 0L, 1L, None, None, Some(3.0))), s"got $got")
+  }
+
   test("splitLeakageWithSplits: holdout windows counted only vs train; multiplicity kept; short docs and within-holdout shares don't leak") {
     val t = (1 to 11).map(i => s"w$i").mkString(" ")  // train: 2 windows
     val a = (1 to 10).map(i => s"w$i").mkString(" ")  // test: 1 window, leaked
