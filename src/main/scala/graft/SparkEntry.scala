@@ -1255,6 +1255,39 @@ FROM brute x LEFT JOIN $approxCte l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""
 
+  /** Matryoshka truncate-then-rerank replay
+    * (Similarity.prefixRerankTopK): prefix-dim candidate cut over the
+    * 16-component list slices, exact full-dim re-rank of the
+    * survivors — `scored` is the exact-rescored candidate set, as in
+    * [[pqScoredCtes]].
+    */
+  private def prefixRerankCtes(cand: Int, queryIds: Seq[Long]): String =
+    s"""WITH nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
+  FROM embeddings WHERE vec_id IN (${queryIds.mkString(", ")})
+), ps AS (
+  SELECT q.query_id, nn.vec_id,
+    round(${dotSql("nn.embedding[1:16]", "q.embedding[1:16]")} /
+      (${normSql("nn.embedding[1:16]")} * ${normSql("q.embedding[1:16]")}), 4)
+      AS cos_sim
+  FROM nn, q WHERE nn.vec_id <> q.query_id
+), cut AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM ps WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= $cand
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4)
+      AS cos_sim
+  FROM cut c JOIN nn ON nn.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)"""
+
   /** SQ8 asymmetric-search replay (Similarity.sq8TopK): per-vector
     * symmetric quantization (the emb_quant_error CTE), dequantized
     * reconstruction, approximate cosine against the reconstruction,
@@ -3421,6 +3454,30 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         emb.filter(col("vec_id") % 10 =!= 0),
         emb.filter(col("vec_id") % 10 === 0))
     }),
+    // the full truncate-then-rerank funnel: 16-dim prefix cuts 50
+    // candidates, full-dim exact rerank ranks the top 10
+    "emb_prefix_rerank" -> ((s, d) =>
+      Similarity.prefixRerankTopK(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L), prefixDim = 16, cand = 50)),
+    // recall of the rerank funnel vs brute force — the dial that says
+    // how much candidate width buys back from the truncation
+    "emb_prefix_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.prefixRerankTopK(emb, Seq(0L, 1L, 2L),
+          prefixDim = 16, cand = 50),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
+    // text-side snapshot drift per source: L1 distance between
+    // char-bigram frequency distributions (exact rational terms).
+    // batch slice = doc_id % 7 (coprime with the synthetic source
+    // cycle, so every source has mass on BOTH sides — % 10 would
+    // alias the source assignment and leave every distance NULL)
+    "doc_bigram_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.bigramDrift(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
     // banded OR-amplified near-dup blocking over a PLANTED corpus: the
     // synthetic embeddings are random noise (max natural pair cosine
     // ≈ 0.51 — no true near-dups exist to find), so the query plants
@@ -5310,6 +5367,18 @@ ORDER BY query_id, rank""",
   FROM nn, q WHERE nn.vec_id <> q.query_id
 )""" + recallTailSql("pfx")),
 
+    // truncate-then-rerank: prefix candidate cut + exact full-dim
+    // re-rank, the shared two-phase funnel shape
+    "emb_prefix_rerank" -> (prefixRerankCtes(50, Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
+ORDER BY query_id, rank"""),
+
+    // recall@10 of the rerank funnel vs exact brute force
+    "emb_prefix_rerank_recall" ->
+      (prefixRerankCtes(50, Seq(0L, 1L, 2L)) + recallTailSql("rrk")),
+
     // per-label drift: decimal centroid sums + decimal mean norms per
     // slice, exact-decimal centroid cosine, full outer on label
     "emb_drift" -> {
@@ -5381,6 +5450,38 @@ SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
   round(CAST(sum(p.c * t.tc) AS DOUBLE) / sum(p.c), 4) AS familiarity
 FROM pd p JOIN tr t USING (b)
 GROUP BY p.doc_id ORDER BY p.doc_id""",
+
+    // text-side snapshot drift: per-source bigram count dims for both
+    // slices, cross-multiplied integer L1 numerators (decimal-exact),
+    // one double division; one-sided sources report NULL
+    "doc_bigram_drift" -> {
+      val bg = "unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2)))"
+      s"""WITH db AS (
+  SELECT source, $bg AS b
+  FROM documents WHERE length(text) >= 2 AND doc_id % 7 <> 0
+), dt AS (
+  SELECT source, $bg AS b
+  FROM documents WHERE length(text) >= 2 AND doc_id % 7 = 0
+), cb AS (SELECT source, b, count(*) AS c FROM db GROUP BY 1, 2),
+ct AS (SELECT source, b, count(*) AS c FROM dt GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(cb.source, ct.source) AS source,
+    coalesce(cb.c, 0) AS cb, coalesce(ct.c, 0) AS ct
+  FROM cb FULL OUTER JOIN ct ON cb.source = ct.source AND cb.b = ct.b
+), tot AS (
+  SELECT source, CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(ct) AS BIGINT) AS nt
+  FROM j GROUP BY source
+)
+SELECT j.source, t.nb AS n_base, t.nt AS n_batch,
+  CASE WHEN t.nb = 0 OR t.nt = 0 THEN NULL ELSE
+    round(CAST(sum(abs(CAST(j.cb AS DECIMAL(19,0)) * t.nt -
+                       CAST(j.ct AS DECIMAL(19,0)) * t.nb)) AS DOUBLE) /
+          (CAST(t.nb AS DOUBLE) * CAST(t.nt AS DOUBLE)), 6)
+  END AS l1_dist
+FROM j JOIN tot t USING (source)
+GROUP BY j.source, t.nb, t.nt
+ORDER BY j.source"""
+    },
 
     // raw line STRINGS are the oracle's dedup key — the engine blocks
     // on 64-bit hashes, so the instrument cannot self-confirm

@@ -140,6 +140,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** TRUNCATE-THEN-RERANK — the full matryoshka funnel: the prefix
+    * ranking ([[prefixTopK]]) cuts `cand` candidates per query, and
+    * only those re-score against the FULL-dimension vectors. Same
+    * two-phase shape as the SQ8/BQ/PQ funnels (coarse cut → exact
+    * rerank), with the coarse metric being dimension truncation
+    * instead of quantization.
+    *
+    * Honest scale note: slicing an array column does NOT shrink
+    * parquet IO — the byte win of the prefix pass (d/4 of the scan)
+    * materializes only when the prefix is STORED as its own column /
+    * sidecar (the matryoshka layout). What holds regardless: the
+    * prefix pass does prefixDim/d of the multiply work per pair, and
+    * the full-dimension rerank touches only cand·|queries| rows
+    * instead of the corpus.
+    */
+  def prefixRerankTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                       prefixDim: Int, cand: Int = 50,
+                       k: Int = 10): DataFrame = {
+    val cut = prefixTopK(embeddings, queryIds, prefixDim, cand)
+      .select(col("query_id"), col("vec_id"))
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qnorm"))
+    val scored = embeddings
+      .withColumn("norm", l2norm(col("embedding")))
+      .join(broadcast(cut), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is
     * reproducible across runs and clusters.

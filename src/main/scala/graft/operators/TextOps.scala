@@ -578,6 +578,57 @@ object TextOps {
     splitLeakageWithSplits(
       Sampling.withSplit(docs, "doc_id", valFrac, testFrac), n, hashFn)
 
+  /** TEXT-side distribution drift between two corpus snapshots — the
+    * sibling of the embedding drift report
+    * ([[graft.operators.Similarity.embeddingDrift]]) for pipelines
+    * without an encoder in the loop: per source, the L1 distance
+    * between the base and batch character-bigram frequency
+    * distributions, `Σ_b |c_b/n − c'_b/n'| ∈ [0, 2]`. A source whose
+    * incoming batch drifts (new language, new template, encoding
+    * breakage) moves this dial before any model does.
+    *
+    * Exactness: the per-bigram term rides the cross-multiplied
+    * rational `|c_b·n' − c'_b·n| / (n·n')` — numerators are exact
+    * decimal(38,0) integer products summed exactly, with ONE double
+    * division at the end (the [[quantileCalibrate]] /
+    * [[bigramFamiliarity]] rule: no float accumulation for engines to
+    * disagree on). A source present in only one snapshot reports a
+    * NULL distance (n = 0 — appearance is drift the counts columns
+    * already show; a 0/0 ratio would fabricate a number).
+    *
+    * Scale shape: one scan per snapshot into (source, bigram) counts
+    * (map-side combined; the bigram alphabet keeps the dim KB-scale),
+    * a dim-sized full-outer join, totals broadcast back — the corpora
+    * never co-shuffle and text never leaves its scan.
+    */
+  def bigramDrift(base: DataFrame, batch: DataFrame): DataFrame = {
+    def dim(df: DataFrame, tag: String): DataFrame =
+      df.filter(length(col("text")) >= 2)
+        .select(col("source"), explode(charBigrams).as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as(s"c_$tag"))
+    val d19 = "decimal(19,0)"
+    val joined = dim(base, "base")
+      .join(dim(batch, "batch"), Seq("source", "b"), "full_outer")
+      .select(col("source"),
+        coalesce(col("c_base"), lit(0L)).as("cb"),
+        coalesce(col("c_batch"), lit(0L)).as("ct"))
+    val totals = joined.groupBy(col("source"))
+      .agg(sum(col("cb")).as("n_base"), sum(col("ct")).as("n_batch"))
+    joined.join(broadcast(totals), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_base")).as("n_base"),
+        first(col("n_batch")).as("n_batch"),
+        sum(abs(col("cb").cast(d19) * col("n_batch").cast(d19) -
+          col("ct").cast(d19) * col("n_base").cast(d19))).as("__num"))
+      .select(col("source"), col("n_base"), col("n_batch"),
+        when(col("n_base") === 0 || col("n_batch") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__num").cast("double") /
+            (col("n_base").cast("double") * col("n_batch").cast("double")),
+            6)).as("l1_dist"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-familiarity score per document — the head/middle/tail
     * corpus-fit dial of CCNet-style curation (Wenzek et al. 2020
     * bucket documents by how well a reference LM predicts them; the

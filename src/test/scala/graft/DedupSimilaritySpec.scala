@@ -937,6 +937,48 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rec == Seq((0L, 1L, 2L, 0.5)), s"got $rec")
   }
 
+  test("prefixRerankTopK: full-dim rerank repairs the truncation; candidate width is the dial") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(1.0f, 0.1f, 0f, 0f), 0),
+      (2L, Array(1.0f, 0f, 1f, 0f), 0),
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // cand = 3 readmits everything the prefix pass misranked —
+    // the rerank output IS the brute-force truth
+    val rr = Similarity.prefixRerankTopK(emb, Seq(0L), prefixDim = 2,
+        cand = 3, k = 2)
+      .select($"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 2)
+      .select($"vec_id", $"cos_sim", $"rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(rr == bf, s"got $rr vs $bf")
+    // cand = 1: only the prefix winner survives into the rerank
+    val narrow = Similarity.prefixRerankTopK(emb, Seq(0L), prefixDim = 2,
+        cand = 1, k = 2)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(narrow == Seq(2L), s"got $narrow")
+  }
+
+  test("bigramDrift: exact rational L1 between per-source bigram distributions; one-sided sources report NULL") {
+    val base = Seq((1L, "ab", "s"), (2L, "abb", "s"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq((10L, "ab", "s"), (11L, "xy", "t"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.bigramDrift(base, batch)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    // source s: base {ab:2, bb:1} n=3 vs batch {ab:1} n=1 →
+    // (|2·1 − 1·3| + |1·1 − 0·3|) / (3·1) = 2/3
+    assert(got == Seq(("s", 3L, 1L, Some(0.666667)),
+      ("t", 0L, 1L, None)), s"got $got")
+    // identical snapshots → zero drift
+    val same = TextOps.bigramDrift(base, base)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(same == Seq(("s", 3L, 3L, Some(0.0))), s"got $same")
+  }
+
   test("embeddingDrift: per-label centroid cosine and mean norms; one-sided labels surface with n=0, not errors") {
     import graft.operators.Similarity
     val base = Seq(
