@@ -601,14 +601,33 @@ object TextOps {
     * a dim-sized full-outer join, totals broadcast back — the corpora
     * never co-shuffle and text never leaves its scan.
     */
-  def bigramDrift(base: DataFrame, batch: DataFrame): DataFrame = {
-    def dim(df: DataFrame, tag: String): DataFrame =
-      df.filter(length(col("text")) >= 2)
-        .select(col("source"), explode(charBigrams).as("b"))
-        .groupBy(col("source"), col("b")).agg(count(lit(1)).as(s"c_$tag"))
+  def bigramDrift(base: DataFrame, batch: DataFrame): DataFrame =
+    bigramDriftDims(sourceBigramDim(base), sourceBigramDim(batch))
+
+  /** The (source, bigram, count) dim of a corpus snapshot — the
+    * MERGEABLE at-rest form [[bigramDrift]] consumes: like
+    * [[mergeDim]]'s line-frequency dims, `dim(a ∪ b)` equals the
+    * count-sum merge of `dim(a)` and `dim(b)` exactly, so a nightly
+    * pipeline maintains the baseline by merging each batch's dim
+    * instead of rescanning the corpus. KB-scale for any corpus (the
+    * bigram alphabet bounds it). The per-source sibling of the
+    * corpus-wide [[bigramDim]].
+    */
+  def sourceBigramDim(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 2)
+      .select(col("source"), explode(charBigrams).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** [[bigramDrift]] over two PRE-AGGREGATED [[sourceBigramDim]]s — the
+    * form the streaming monitor runs: the baseline dim is persisted
+    * once and each batch contributes one scan; nothing rescans the
+    * base corpus.
+    */
+  def bigramDriftDims(baseDim: DataFrame, batchDim: DataFrame): DataFrame = {
     val d19 = "decimal(19,0)"
-    val joined = dim(base, "base")
-      .join(dim(batch, "batch"), Seq("source", "b"), "full_outer")
+    val joined = baseDim.withColumnRenamed("c", "c_base")
+      .join(batchDim.withColumnRenamed("c", "c_batch"),
+        Seq("source", "b"), "full_outer")
       .select(col("source"),
         coalesce(col("c_base"), lit(0L)).as("cb"),
         coalesce(col("c_batch"), lit(0L)).as("ct"))
@@ -628,6 +647,54 @@ object TextOps {
             6)).as("l1_dist"))
       .orderBy(col("source"))
   }
+
+  /** Drift rows for ONE micro-batch against the persisted baseline
+    * dim — the replayable unit of [[startDriftMonitor]]: results land
+    * under `batch_id=<id>` via dynamic partition overwrite, so a
+    * crash-replayed batch overwrites its own partition (the
+    * [[graft.operators.Similarity.serveAnnBatch]] contract).
+    */
+  def serveDriftBatch(spark: org.apache.spark.sql.SparkSession,
+                      baselineDimPath: String, batch: DataFrame,
+                      batchId: Long, outDir: String): Unit =
+    bigramDriftDims(spark.read.parquet(baselineDimPath),
+      sourceBigramDim(batch))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** STREAMING drift monitor — the ops loop around [[bigramDrift]]:
+    * every micro-batch of incoming documents is compared against the
+    * persisted baseline [[sourceBigramDim]] and its per-source L1 drift
+    * rows land partitioned by batch id (replay-idempotent). The
+    * monitor WATCHES and records; acting on drift (pausing a feed,
+    * rebuilding an index) stays a policy decision read off these
+    * rows — unlike the index drift GUARD, which fails its stream,
+    * because an index append corrupts recall silently while drifted
+    * text lands harmlessly until curation reads it.
+    *
+    * Scale shape per trigger: one batch scan into a KB-scale dim,
+    * joined against the KB-scale persisted baseline — the base
+    * corpus is never rescanned, and the baseline advances by
+    * [[sourceBigramDim]] merges on whatever cadence the owner chooses.
+    */
+  def startDriftMonitor(docs: DataFrame, baselineDimPath: String,
+                        outDir: String, checkpointDir: String,
+                        triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        serveDriftBatch(batch.sparkSession, baselineDimPath, batch, id,
+          outDir)
+        ()
+      }
+      .start()
 
   /** Corpus-familiarity score per document — the head/middle/tail
     * corpus-fit dial of CCNet-style curation (Wenzek et al. 2020

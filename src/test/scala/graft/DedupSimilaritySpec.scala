@@ -979,6 +979,63 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(same == Seq(("s", 3L, 3L, Some(0.0))), s"got $same")
   }
 
+  test("sourceBigramDim merges exactly; streaming drift monitor lands per-batch rows against the persisted baseline, replay overwrites") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = Seq((1L, "abab", "s"), (2L, "xy", "t"))
+      .toDF("doc_id", "text", "source")
+    // the dim contract: dim(a ∪ b) = count-sum merge of the dims
+    val b = Seq((3L, "ab", "s")).toDF("doc_id", "text", "source")
+    val whole = TextOps.sourceBigramDim(a.union(b))
+      .as[(String, String, Long)].collect().toSet
+    val merged = TextOps.sourceBigramDim(a).union(TextOps.sourceBigramDim(b))
+      .groupBy($"source", $"b").agg(sum($"c").as("c"))
+      .as[(String, String, Long)].collect().toSet
+    assert(whole == merged)
+    // streaming monitor: baseline dim persisted ONCE, each batch is
+    // one scan compared against it
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("drift-dim").toString + "/dim"
+    TextOps.sourceBigramDim(a).write.parquet(dimPath)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("drift-out").toString + "/rows"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("drift-ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = TextOps.startDriftMonitor(
+      mem.toDF().toDF("doc_id", "text", "source"), dimPath, outDir, ckpt,
+      triggerMs = 50L)
+    try {
+      mem.addData((10L, "ab", "s"))
+      q.processAllAvailable()
+      mem.addData((11L, "zz", "s"))
+      q.processAllAvailable()
+      def snap() = spark.read.parquet(outDir)
+        .select($"batch_id", $"source", $"n_base", $"n_batch", $"l1_dist")
+        .as[(Long, String, Long, Long, Option[Double])].collect().toSet
+      val ids = snap().map(_._1).toSeq.sorted
+      assert(ids.size == 2, s"got batch ids $ids")
+      // batch faces: "ab" drifts 2/3 from the baseline, "zz" maxes at 2
+      def face(doc: (Long, String, String), bid: Long) =
+        TextOps.bigramDrift(a, Seq(doc).toDF("doc_id", "text", "source"))
+          .as[(String, Long, Long, Option[Double])].collect()
+          .map { case (src, nb, nt, l1) => (bid, src, nb, nt, l1) }.toSet
+      val expect = face((10L, "ab", "s"), ids.head) ++
+        face((11L, "zz", "s"), ids.last)
+      assert(snap() == expect, s"got ${snap()}")
+      assert(snap().find(r => r._1 == ids.head && r._2 == "s")
+        .flatMap(_._5).contains(0.666667))
+      assert(snap().find(r => r._1 == ids.last && r._2 == "s")
+        .flatMap(_._5).contains(2.0))
+      // crash replay of a landed batch overwrites its own partition
+      TextOps.serveDriftBatch(spark, dimPath,
+        Seq((11L, "zz", "s")).toDF("doc_id", "text", "source"),
+        ids.last, outDir)
+      assert(snap() == expect, "replayed batch must not change rows")
+    } finally { if (q.isActive) q.stop() }
+  }
+
   test("embeddingDrift: per-label centroid cosine and mean norms; one-sided labels surface with n=0, not errors") {
     import graft.operators.Similarity
     val base = Seq(
