@@ -1255,6 +1255,50 @@ FROM brute x LEFT JOIN $approxCte l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""
 
+  /** The BM25 ranking replay — shared verbatim by `doc_bm25_topk`
+    * (one-shot) and `doc_bm25_indexed` (durable postings probe): the
+    * stored index is a pure function of the corpus, so ONE oracle
+    * string locks both.
+    */
+  private val bm25TopkOracleSql: String =
+    """WITH q AS (
+  SELECT doc_id AS query_id,
+    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+  FROM documents WHERE doc_id IN (0, 1, 2)
+), qv AS (SELECT query_id, term FROM q WHERE length(term) > 0),
+qt AS (SELECT DISTINCT term FROM qv),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+    unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks JOIN qt USING (term) GROUP BY 1, 2
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qv.query_id, tf.doc_id, count(*) AS matched_terms,
+    round(CAST(sum(CAST(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      (tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      (tf + CAST(1.2 AS DOUBLE) *
+        (1.0 - CAST(0.75 AS DOUBLE) +
+         CAST(0.75 AS DOUBLE) * dl / (n_toks / n_docs)))
+    AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qv USING (term), stats
+  WHERE tf.doc_id != qv.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+  doc_id, matched_terms, score
+FROM scored QUALIFY rank <= 5
+ORDER BY query_id, rank"""
+
   /** Matryoshka truncate-then-rerank replay
     * (Similarity.prefixRerankTopK): prefix-dim candidate cut over the
     * 16-component list slices, exact full-dim re-rank of the
@@ -2592,6 +2636,17 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // exact-decimal score sum rounded before the CollectTopK tail
     "doc_bm25_topk" -> ((s, d) =>
       TextOps.bm25TopK(Tables.documents(s, d), Seq(0L, 1L, 2L))),
+    // the durable lexical index: build-once postings/df/stats under a
+    // source fingerprint; the probe feeds the stored counts into the
+    // SAME rank tail, so it must equal the one-shot ranking (and the
+    // oracle is literally the same SQL)
+    "doc_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = TextOps.ensureBm25Index(s, s"$d/documents.parquet", docs)
+      TextOps.bm25SearchIndexed(s, idx,
+        docs.filter(col("doc_id").isin(0L, 1L, 2L))
+          .select(col("doc_id").as("query_id"), col("text")))
+    }),
     // token-run collapse (stutter cleanup): scan-local array
     // expressions, no explode/shuffle; md5 of the collapsed text
     // makes the repair byte-checkable without hauling bodies
@@ -4016,44 +4071,8 @@ QUALIFY rank <= 3 ORDER BY doc_id, rank""",
     // BM25: identical expression tree (Lucene-shaped idf, k1=1.2,
     // b=0.75 as explicit double casts), per-term doubles summed in
     // exact DECIMAL(30,10), rounded to 4 dp BEFORE ranking
-    "doc_bm25_topk" ->
-      """WITH q AS (
-  SELECT doc_id AS query_id,
-    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
-  FROM documents WHERE doc_id IN (0, 1, 2)
-), qv AS (SELECT query_id, term FROM q WHERE length(term) > 0),
-qt AS (SELECT DISTINCT term FROM qv),
-stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_toks
-  FROM documents
-), toks AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
-    unnest(string_split_regex(trim(text), '\s+')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-  FROM toks JOIN qt USING (term) GROUP BY 1, 2
-), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT qv.query_id, tf.doc_id, count(*) AS matched_terms,
-    round(CAST(sum(CAST(
-      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      (tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-      (tf + CAST(1.2 AS DOUBLE) *
-        (1.0 - CAST(0.75 AS DOUBLE) +
-         CAST(0.75 AS DOUBLE) * dl / (n_toks / n_docs)))
-    AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
-  FROM tf JOIN dfq USING (term) JOIN qv USING (term), stats
-  WHERE tf.doc_id != qv.query_id
-  GROUP BY 1, 2
-)
-SELECT query_id,
-  CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-  doc_id, matched_terms, score
-FROM scored QUALIFY rank <= 5
-ORDER BY query_id, rank""",
+    "doc_bm25_topk" -> bm25TopkOracleSql,
+    "doc_bm25_indexed" -> bm25TopkOracleSql,
 
     // hybrid RRF: the BM25 chain (l-prefixed) and the hashed-embed
     // cosine chain (e-prefixed) each ranked to top-5, full-outer

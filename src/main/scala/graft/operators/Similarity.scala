@@ -1151,10 +1151,10 @@ object Similarity {
     * source-file fingerprint changes. `kind` keys the directory so
     * different index structures over the same source coexist.
     */
-  private def ensureIndexDir(spark: org.apache.spark.sql.SparkSession,
-                             sourcePath: String, kind: String,
-                             indexRoot: Option[String])
-                            (build: String => Unit): String = synchronized {
+  private[graft] def ensureIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                    sourcePath: String, kind: String,
+                                    indexRoot: Option[String])
+                                   (build: String => Unit): String = synchronized {
     val fp = sourceFingerprint(spark, sourcePath)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$sourcePath:$kind".getBytes("UTF-8"))

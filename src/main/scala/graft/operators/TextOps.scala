@@ -1296,8 +1296,6 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
-    val d3010 = org.apache.spark.sql.types.DecimalType(30, 10)
     // corpus stats (N docs, total tokens) as a lazy 1-row broadcast
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -1318,6 +1316,21 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     // document frequency of the query terms, off the same frame
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Rank(tf, dft, qterms, stats, k, k1, b)
+  }
+
+  /** The shared BM25 scoring + ranking tail: per-term scores joined
+    * onto the (doc, term, tf, dl) frame, decimal-exact per-(query,
+    * doc) sums rounded BEFORE ranking, bounded CollectTopK. One
+    * definition serves the one-shot [[bm25TopK]] and the durable
+    * [[bm25SearchIndexed]], so the indexed probe cannot drift from
+    * the oracle-locked expression tree.
+    */
+  private def bm25Rank(tf: DataFrame, dft: DataFrame, qterms: DataFrame,
+                       stats: DataFrame, k: Int, k1: Double,
+                       b: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
+    val d3010 = org.apache.spark.sql.types.DecimalType(30, 10)
     val avgdl = col("n_toks") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -1342,6 +1355,96 @@ object TextOps {
         col("e.p.matched_terms").as("matched_terms"),
         col("e.p.score").as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Durable BM25 lexical index — the Lucene-at-rest sibling of the
+    * ANN durable indexes: postings (term, doc_id, tf, dl) partitioned
+    * by a term-hash bucket so a probe's partition filter prunes the
+    * scan to its query terms' buckets, plus the per-term df dim and
+    * the 1-row corpus stats. Everything stored is an INTEGER count —
+    * a pure function of the corpus, so the indexed probe replays the
+    * one-shot scoring exactly.
+    *
+    * Scale shape: the postings build is [[bm25TopK]]'s corpus scan
+    * WITHOUT the query-term restriction (one tokenize + one
+    * (doc, term) partial-aggregated shuffle — corpus-linear, paid
+    * once); df falls out of the written postings, and stats come from
+    * the SAME aggregate the one-shot computes (count + token sum over
+    * `docs` — postings alone would under-count empty-token documents,
+    * which the one-shot stats include). At serve time nothing rescans
+    * the corpus.
+    */
+  def writeBm25Index(docs: DataFrame, dir: String,
+                     nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Build-once guard for the durable BM25 index (the
+    * [[graft.operators.Similarity.ensureIvfIndex]] contract: source
+    * fingerprint marker, rebuilt only when the source files change).
+    */
+  def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      sourcePath: String, docs: DataFrame,
+                      nBuckets: Int = 64,
+                      indexRoot: Option[String] = None): String =
+    Similarity.ensureIndexDir(spark, sourcePath, "bm25", indexRoot)(
+      dir => writeBm25Index(docs, dir, nBuckets))
+
+  /** BM25 retrieval against the durable index — [[bm25TopK]] with the
+    * corpus contribution read from postings instead of re-tokenized:
+    * the query docs tokenize scan-locally into the KB-scale term dim,
+    * their hash buckets prune the postings partitions (a driver-side
+    * bucket list, bounded and fail-fast like the enum guards), and
+    * the stored df/stats feed the SAME [[bm25Rank]] expression tree —
+    * so indexed and one-shot rankings are equal by construction.
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, queryDocs: DataFrame, k: Int = 5,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxQueryTerms: Int = 65536): DataFrame = {
+    val qterms = queryDocs
+      .select(col("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(true)
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val nBuckets = statsRow.getAs[Long]("n_buckets")
+    val distinctTerms = qterms.select(col("term")).distinct()
+    val buckets = distinctTerms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
+      .distinct().limit(maxQueryTerms + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(buckets.length <= maxQueryTerms,
+      s"bm25SearchIndexed: query-term bucket list exceeds the " +
+        s"bounded-enum cap $maxQueryTerms — batch the query side")
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(distinctTerms), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val dft = spark.read.parquet(s"$dir/df")
+      .join(broadcast(distinctTerms), Seq("term"))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        col("n_toks").cast("double").as("n_toks"))
+    bm25Rank(tf, dft, qterms, stats, k, k1, b)
   }
 
   /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack/Clarke/

@@ -979,6 +979,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(same == Seq(("s", 3L, 3L, Some(0.0))), s"got $same")
   }
 
+  test("durable BM25 index: probe equals the one-shot ranking; build-once under the source fingerprint") {
+    val docs = Seq(
+      (0L, "apple banana cherry", "s"),
+      (1L, "apple apple durian", "s"),
+      (2L, "elderberry fig grape", "s"),
+      (3L, "apple banana durian elderberry", "s"),
+      (4L, "banana banana cherry fig", "s")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-idx").toString
+    TextOps.writeBm25Index(docs, dir, nBuckets = 8)
+    def q01 = docs.filter($"doc_id".isin(0L, 1L))
+      .select($"doc_id".as("query_id"), $"text")
+    val probe = TextOps.bm25SearchIndexed(spark, dir, q01, k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val oneShot = TextOps.bm25TopK(docs, Seq(0L, 1L), k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(probe == oneShot && probe.nonEmpty, s"probe $probe vs $oneShot")
+    // build-once: ensure over a parquet source, second call is a no-op
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("bm25-src").toString + "/documents.parquet"
+    docs.write.parquet(srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25-root").toString
+    val idx = TextOps.ensureBm25Index(spark, srcDir,
+      spark.read.parquet(srcDir), nBuckets = 8, indexRoot = Some(root))
+    val marker = new java.io.File(idx, "_source_fingerprint")
+    assert(marker.exists())
+    val stamp = marker.lastModified()
+    val again = TextOps.ensureBm25Index(spark, srcDir,
+      spark.read.parquet(srcDir), nBuckets = 8, indexRoot = Some(root))
+    assert(again == idx && marker.lastModified() == stamp)
+    val viaEnsure = TextOps.bm25SearchIndexed(spark, idx, q01, k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(viaEnsure == oneShot)
+  }
+
   test("sourceBigramDim merges exactly; streaming drift monitor lands per-batch rows against the persisted baseline, replay overwrites") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
