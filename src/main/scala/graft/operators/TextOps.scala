@@ -1408,6 +1408,77 @@ object TextOps {
     Similarity.ensureIndexDir(spark, sourcePath, "bm25", indexRoot)(
       dir => writeBm25Index(docs, dir, nBuckets))
 
+  /** Append a batch of documents to a durable BM25 index WITHOUT a
+    * rebuild — everything stored is an integer count, so append ≡
+    * rebuild EXACTLY: batch postings land in their bucket partitions
+    * (scan-local tokenize, same bucketing), the df dim merges by sum
+    * (a doc contains a term in exactly one snapshot, so
+    * df(a ∪ b) = df(a) + df(b)), and the 1-row stats add. df and
+    * stats swap via stage-retire-publish renames (the
+    * [[graft.operators.Similarity.compactSidecar]] discipline), and
+    * `sourcePath` advances the build-once fingerprint so the next
+    * [[ensureBm25Index]] keeps the appended index (the SQ8/BQ append
+    * contract — a daily pipeline must not rebuild its cheapest index
+    * every day). Crash seam: a failure between the postings append
+    * and the dim swaps leaves idf marginally stale until the next
+    * append or rebuild — the same stance as the plain
+    * [[graft.operators.Similarity.appendToIvfIndex]]; streams that
+    * need exactly-once ride their committed forms.
+    */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, batch: DataFrame,
+                        sourcePath: Option[String] = None): Unit = {
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val nBuckets = statsRow.getAs[Long]("n_buckets")
+    val posted = batch
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .localCheckpoint(true)
+    posted.write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    val merged = spark.read.parquet(s"$dir/df")
+      .union(posted.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    swapIndexDim(spark, dir, "df", merged)
+    val bs = batch.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_toks")).head()
+    val batchToks = if (bs.isNullAt(1)) 0L else bs.getLong(1)
+    import spark.implicits._
+    swapIndexDim(spark, dir, "stats",
+      Seq((statsRow.getAs[Long]("n_docs") + bs.getLong(0),
+        statsRow.getAs[Long]("n_toks") + batchToks,
+        nBuckets)).toDF("n_docs", "n_toks", "n_buckets").coalesce(1))
+    sourcePath.foreach(
+      Similarity.refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Stage-retire-publish swap of an index dim directory: the new
+    * frame materializes fully into a staging dir (its lazy read of
+    * the CURRENT dim executes here, while the target is intact),
+    * then two renames publish it.
+    */
+  private def swapIndexDim(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, sub: String,
+                           df: DataFrame): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(d, sub)
+    val staging = new org.apache.hadoop.fs.Path(d, s".$sub-staging")
+    val retired = new org.apache.hadoop.fs.Path(d, s".$sub-retired")
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(target, retired), s"swap: failed to retire $target")
+    require(fs.rename(staging, target), s"swap: failed to publish $target")
+    fs.delete(retired, true)
+    ()
+  }
+
   /** BM25 retrieval against the durable index — [[bm25TopK]] with the
     * corpus contribution read from postings instead of re-tokenized:
     * the query docs tokenize scan-locally into the KB-scale term dim,

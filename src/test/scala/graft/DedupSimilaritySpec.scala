@@ -1016,6 +1016,58 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaEnsure == oneShot)
   }
 
+  test("appendToBm25Index: append equals a full rebuild exactly; the fingerprint advances so ensure keeps the appended index") {
+    val base = Seq(
+      (0L, "apple banana cherry", "s"),
+      (1L, "apple apple durian", "s"),
+      (2L, "elderberry fig grape", "s"),
+      (3L, "apple banana durian elderberry", "s")
+    ).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (4L, "banana banana cherry fig", "s"),
+      (5L, "apple cherry cherry honeydew", "s")
+    ).toDF("doc_id", "text", "source")
+    def q01(d: org.apache.spark.sql.DataFrame) =
+      d.filter($"doc_id".isin(0L, 1L))
+        .select($"doc_id".as("query_id"), $"text")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("bm25-app").toString
+    TextOps.writeBm25Index(base, dirA, nBuckets = 8)
+    TextOps.appendToBm25Index(spark, dirA, batch)
+    val dirB = java.nio.file.Files
+      .createTempDirectory("bm25-reb").toString
+    val union = base.union(batch)
+    TextOps.writeBm25Index(union, dirB, nBuckets = 8)
+    def probe(dir: String) =
+      TextOps.bm25SearchIndexed(spark, dir, q01(union), k = 4)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val appended = probe(dirA)
+    assert(appended == probe(dirB), "append diverged from rebuild")
+    assert(appended == TextOps.bm25TopK(union, Seq(0L, 1L), k = 4)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq,
+      "append diverged from the one-shot")
+    // appended doc is retrievable (doc 5 shares apple/cherry with 0)
+    assert(appended.filter(_._1 == 0L).map(_._3).contains(5L))
+    // fingerprint leg: append to the SOURCE, appendToBm25Index with
+    // sourcePath advances the marker, so ensure does NOT rebuild
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("bm25-app-src").toString + "/documents.parquet"
+    base.write.parquet(srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25-app-root").toString
+    val idx = TextOps.ensureBm25Index(spark, srcDir,
+      spark.read.parquet(srcDir), nBuckets = 8, indexRoot = Some(root))
+    batch.write.mode("append").parquet(srcDir)
+    TextOps.appendToBm25Index(spark, idx, batch, Some(srcDir))
+    val marker = new java.io.File(idx, "_source_fingerprint")
+    val stamp = marker.lastModified()
+    val again = TextOps.ensureBm25Index(spark, srcDir,
+      spark.read.parquet(srcDir), nBuckets = 8, indexRoot = Some(root))
+    assert(again == idx && marker.lastModified() == stamp,
+      "ensure after a marker-advancing append must not rebuild")
+    assert(probe(idx) == appended)
+  }
+
   test("sourceBigramDim merges exactly; streaming drift monitor lands per-batch rows against the persisted baseline, replay overwrites") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
