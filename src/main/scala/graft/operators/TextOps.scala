@@ -648,6 +648,50 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Serve ONE micro-batch of BM25 queries against the durable
+    * lexical index — the replayable unit of [[startBm25Serving]]:
+    * results land under `batch_id=<id>` via dynamic partition
+    * overwrite (the [[graft.operators.Similarity.serveAnnBatch]]
+    * contract — a crash-replayed batch overwrites its own partition).
+    */
+  def serveBm25Batch(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, batch: DataFrame, batchId: Long,
+                     outDir: String, k: Int = 5): Unit =
+    bm25SearchIndexed(spark, dir, batch, k)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** STREAMING BM25 query serving — the lexical mirror of
+    * [[graft.operators.Similarity.startAnnServing]]: each micro-batch
+    * of (query_id, text) rows tokenizes scan-locally, prunes the
+    * postings PARTITIONS to its term buckets, and ranks through the
+    * shared [[bm25Rank]] tail; results land batch_id-partitioned and
+    * replay-idempotent. Because every batch re-reads the index
+    * directory, [[appendToBm25Index]] appends are visible to the
+    * NEXT serving batch with no restart — maintenance and serving
+    * compose on the same at-rest layout, exactly as the dense pair
+    * does. Together the two serving streams are the production
+    * retrieval stack: sparse and dense legs over durable indexes,
+    * fused downstream by RRF when both are wanted.
+    */
+  def startBm25Serving(queries: DataFrame, dir: String, outDir: String,
+                       checkpointDir: String, k: Int = 5,
+                       triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        serveBm25Batch(batch.sparkSession, dir, batch, id, outDir, k)
+        ()
+      }
+      .start()
+
   /** Drift rows for ONE micro-batch against the persisted baseline
     * dim — the replayable unit of [[startDriftMonitor]]: results land
     * under `batch_id=<id>` via dynamic partition overwrite, so a

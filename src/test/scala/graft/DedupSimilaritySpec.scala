@@ -1016,6 +1016,61 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaEnsure == oneShot)
   }
 
+  test("streaming BM25 serving: batches match the indexed batch face; replay overwrites; appends visible without restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (0L, "apple banana cherry", "s"),
+      (1L, "apple apple durian", "s"),
+      (2L, "elderberry fig grape", "s"),
+      (3L, "apple banana durian elderberry", "s")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-serve").toString
+    TextOps.writeBm25Index(corpus, dir, nBuckets = 8)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bm25-serve-out").toString + "/results"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("bm25-serve-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.startBm25Serving(
+      mem.toDF().toDF("query_id", "text"), dir, outDir, ckpt,
+      k = 3, triggerMs = 50L)
+    try {
+      mem.addData((900L, "apple banana"), (901L, "elderberry fig"))
+      q.processAllAvailable()
+      mem.addData((902L, "durian"))
+      q.processAllAvailable()
+      def snap() = spark.read.parquet(outDir)
+        .select($"query_id", $"rank", $"doc_id", $"matched_terms",
+          $"score")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val face = TextOps.bm25SearchIndexed(spark, dir,
+        Seq((900L, "apple banana"), (901L, "elderberry fig"),
+          (902L, "durian")).toDF("query_id", "text"), k = 3)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(snap() == face, s"got ${snap()} vs $face")
+      // replay of a landed batch: row set unchanged
+      val b1 = spark.read.parquet(outDir)
+        .filter($"query_id" === 902L)
+        .select(max($"batch_id")).as[Long].head()
+      TextOps.serveBm25Batch(spark, dir,
+        Seq((902L, "durian")).toDF("query_id", "text"), b1, outDir, k = 3)
+      assert(snap() == face, "replayed batch must not change results")
+      // an appended doc is retrievable by the NEXT batch, no restart
+      TextOps.appendToBm25Index(spark, dir,
+        Seq((4L, "honeydew honeydew honeydew", "s"))
+          .toDF("doc_id", "text", "source"))
+      mem.addData((903L, "honeydew"))
+      q.processAllAvailable()
+      val hit = spark.read.parquet(outDir)
+        .filter($"query_id" === 903L && $"rank" === 1L)
+        .select($"doc_id").as[Long].head()
+      assert(hit == 4L, s"appended doc not served: $hit")
+    } finally { if (q.isActive) q.stop() }
+  }
+
   test("appendToBm25Index: append equals a full rebuild exactly; the fingerprint advances so ensure keeps the appended index") {
     val base = Seq(
       (0L, "apple banana cherry", "s"),
