@@ -1255,6 +1255,91 @@ FROM brute x LEFT JOIN $approxCte l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""
 
+  /** The hybrid-RRF replay — shared verbatim by `doc_hybrid_rrf`
+    * (one-shot legs) and `doc_hybrid_indexed` (durable-index legs at
+    * nprobe = nlist, where the IVF probe is exact): both stacks feed
+    * the same fusion, so ONE oracle string locks both.
+    */
+  private val hybridRrfOracleSql: String =
+    """WITH q AS (
+  SELECT doc_id AS query_id,
+    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+  FROM documents WHERE doc_id IN (0, 1, 2)
+), qv AS (SELECT query_id, term FROM q WHERE length(term) > 0),
+qt AS (SELECT DISTINCT term FROM qv),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+    unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks JOIN qt USING (term) GROUP BY 1, 2
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+lscored AS (
+  SELECT qv.query_id, tf.doc_id,
+    round(CAST(sum(CAST(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      (tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      (tf + CAST(1.2 AS DOUBLE) *
+        (1.0 - CAST(0.75 AS DOUBLE) +
+         CAST(0.75 AS DOUBLE) * dl / (n_toks / n_docs)))
+    AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qv USING (term), stats
+  WHERE tf.doc_id != qv.query_id
+  GROUP BY 1, 2
+), lranked AS (
+  SELECT query_id, doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lscored QUALIFY lex_rank <= 5
+), et AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), ec AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
+    count(*) AS cnt
+  FROM et GROUP BY doc_id, bucket
+), en AS (
+  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq FROM ec GROUP BY doc_id
+), eq AS (
+  SELECT doc_id, bucket, cnt FROM ec WHERE doc_id IN (0, 1, 2)
+), edotp AS (
+  SELECT eq.doc_id AS query_id, ec.doc_id AS vec_id, sum(eq.cnt * ec.cnt) AS dp
+  FROM eq JOIN ec ON ec.bucket = eq.bucket AND ec.doc_id <> eq.doc_id
+  GROUP BY 1, 2
+), escored AS (
+  SELECT d.query_id, d.vec_id,
+    round(d.dp / (sqrt(CAST(ne.norm_sq AS DOUBLE))
+      * sqrt(CAST(nq.norm_sq AS DOUBLE))), 4) AS cos_sim
+  FROM edotp d
+  JOIN en ne ON ne.doc_id = d.vec_id
+  JOIN en nq ON nq.doc_id = d.query_id
+), eranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS drank
+  FROM escored WHERE NOT isnan(cos_sim) QUALIFY drank <= 5
+), f AS (
+  SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+    COALESCE(l.lex_rank, 0) AS lex_rank,
+    COALESCE(r.drank, 0) AS dense_rank,
+    COALESCE(1000000000 // (60 + l.lex_rank), 0) +
+      COALESCE(1000000000 // (60 + r.drank), 0) AS rrf_ppb
+  FROM lranked l FULL OUTER JOIN eranked r
+    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+)
+SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_ppb DESC, doc_id) AS BIGINT) AS rank,
+  doc_id, lex_rank, dense_rank, rrf_ppb
+FROM f QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
   /** The BM25 ranking replay — shared verbatim by `doc_bm25_topk`
     * (one-shot) and `doc_bm25_indexed` (durable postings probe): the
     * stored index is a pure function of the corpus, so ONE oracle
@@ -2646,6 +2731,21 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       TextOps.bm25SearchIndexed(s, idx,
         docs.filter(col("doc_id").isin(0L, 1L, 2L))
           .select(col("doc_id").as("query_id"), col("text")))
+    }),
+    // the production retrieval stack at rest: BM25 postings + IVF
+    // over the hashed embeddings, fused by integer-ppb RRF; at
+    // nprobe = nlist the probe is exact, so the one-shot oracle
+    // string locks the whole stack
+    "doc_hybrid_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bmIdx = TextOps.ensureBm25Index(s, s"$d/documents.parquet", docs)
+      val annIdx = Similarity.ensureIvfIndex(s, s"$d/documents.parquet",
+        TextOps.hashEmbedVectors(docs)
+          .select(col("vec_id"), col("embedding")))
+      TextOps.hybridRrfIndexed(s, bmIdx, annIdx,
+        docs.filter(col("doc_id").isin(0L, 1L, 2L))
+          .select(col("doc_id").as("query_id"), col("text")),
+        nprobe = 16)
     }),
     // token-run collapse (stutter cleanup): scan-local array
     // expressions, no explode/shuffle; md5 of the collapsed text
@@ -4079,85 +4179,8 @@ QUALIFY rank <= 3 ORDER BY doc_id, rank""",
     // fused on (query_id, doc_id); RRF terms are integer
     // parts-per-billion (1e9 // (60+rank)) so the fused score is an
     // exact BIGINT sum — no float summation anywhere in the fusion
-    "doc_hybrid_rrf" ->
-      """WITH q AS (
-  SELECT doc_id AS query_id,
-    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
-  FROM documents WHERE doc_id IN (0, 1, 2)
-), qv AS (SELECT query_id, term FROM q WHERE length(term) > 0),
-qt AS (SELECT DISTINCT term FROM qv),
-stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_toks
-  FROM documents
-), toks AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
-    unnest(string_split_regex(trim(text), '\s+')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-  FROM toks JOIN qt USING (term) GROUP BY 1, 2
-), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-lscored AS (
-  SELECT qv.query_id, tf.doc_id,
-    round(CAST(sum(CAST(
-      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      (tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-      (tf + CAST(1.2 AS DOUBLE) *
-        (1.0 - CAST(0.75 AS DOUBLE) +
-         CAST(0.75 AS DOUBLE) * dl / (n_toks / n_docs)))
-    AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
-  FROM tf JOIN dfq USING (term) JOIN qv USING (term), stats
-  WHERE tf.doc_id != qv.query_id
-  GROUP BY 1, 2
-), lranked AS (
-  SELECT query_id, doc_id,
-    CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
-  FROM lscored QUALIFY lex_rank <= 5
-), et AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents
-), ec AS (
-  SELECT doc_id,
-    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS bucket,
-    count(*) AS cnt
-  FROM et GROUP BY doc_id, bucket
-), en AS (
-  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq FROM ec GROUP BY doc_id
-), eq AS (
-  SELECT doc_id, bucket, cnt FROM ec WHERE doc_id IN (0, 1, 2)
-), edotp AS (
-  SELECT eq.doc_id AS query_id, ec.doc_id AS vec_id, sum(eq.cnt * ec.cnt) AS dp
-  FROM eq JOIN ec ON ec.bucket = eq.bucket AND ec.doc_id <> eq.doc_id
-  GROUP BY 1, 2
-), escored AS (
-  SELECT d.query_id, d.vec_id,
-    round(d.dp / (sqrt(CAST(ne.norm_sq AS DOUBLE))
-      * sqrt(CAST(nq.norm_sq AS DOUBLE))), 4) AS cos_sim
-  FROM edotp d
-  JOIN en ne ON ne.doc_id = d.vec_id
-  JOIN en nq ON nq.doc_id = d.query_id
-), eranked AS (
-  SELECT query_id, vec_id AS doc_id,
-    CAST(row_number() OVER (PARTITION BY query_id
-      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS drank
-  FROM escored WHERE NOT isnan(cos_sim) QUALIFY drank <= 5
-), f AS (
-  SELECT COALESCE(l.query_id, r.query_id) AS query_id,
-    COALESCE(l.doc_id, r.doc_id) AS doc_id,
-    COALESCE(l.lex_rank, 0) AS lex_rank,
-    COALESCE(r.drank, 0) AS dense_rank,
-    COALESCE(1000000000 // (60 + l.lex_rank), 0) +
-      COALESCE(1000000000 // (60 + r.drank), 0) AS rrf_ppb
-  FROM lranked l FULL OUTER JOIN eranked r
-    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
-)
-SELECT query_id,
-  CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY rrf_ppb DESC, doc_id) AS BIGINT) AS rank,
-  doc_id, lex_rank, dense_rank, rrf_ppb
-FROM f QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "doc_hybrid_rrf" -> hybridRrfOracleSql,
+    "doc_hybrid_indexed" -> hybridRrfOracleSql,
 
     // token-run collapse: lag-window replay of the engine's
     // predecessor-element array filter; md5 over the space-rejoined

@@ -1586,7 +1586,6 @@ object TextOps {
     */
   def hybridRrfTopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5,
                     kRrf: Int = 60, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
     val lex = bm25TopK(docs, queryIds, k)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val den = graft.operators.Similarity.bruteForceTopK(
@@ -1594,6 +1593,17 @@ object TextOps {
       queryIds, k)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("dense_rank"))
+    rrfFuse(lex, den, k, kRrf)
+  }
+
+  /** The shared RRF fusion tail — integer parts-per-billion terms,
+    * exact BIGINT fused scores, bounded CollectTopK. One definition
+    * serves the one-shot [[hybridRrfTopK]] and the durable-index
+    * [[hybridRrfIndexed]].
+    */
+  private def rrfFuse(lex: DataFrame, den: DataFrame, k: Int,
+                      kRrf: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKShim
     val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
@@ -1612,6 +1622,36 @@ object TextOps {
         col("e.p.dense_rank").as("dense_rank"),
         col("e.p.rrf_ppb").as("rrf_ppb"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval over the DURABLE indexes — the production
+    * retrieval stack at rest: the lexical leg probes the BM25
+    * postings index ([[bm25SearchIndexed]]), the dense leg hashes the
+    * query text through the same [[hashEmbedVectors]] featurization
+    * and probes the IVF index
+    * ([[graft.operators.Similarity.knnJoinIndexed]]), and the two
+    * rankings fuse through the shared integer-ppb [[rrfFuse]] tail.
+    * With `nprobe = nlist` the IVF probe scans every list and the
+    * whole stack is EXACT — equal to the one-shot [[hybridRrfTopK]]
+    * by construction (both legs and the fusion are shared or proven-
+    * equal code); smaller nprobe trades dense-leg recall for probe
+    * cost exactly as the ANN ladder documents.
+    */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       bm25Dir: String, annDir: String,
+                       queryDocs: DataFrame, k: Int = 5, kRrf: Int = 60,
+                       dim: Int = 64, nprobe: Int = 2): DataFrame = {
+    val lex = bm25SearchIndexed(spark, bm25Dir, queryDocs, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val qvecs = hashEmbedVectors(
+      queryDocs.select(col("query_id").as("doc_id"), col("text"),
+        lit("q").as("source")), dim)
+      .select(col("vec_id"), col("embedding"))
+    val den = graft.operators.Similarity
+      .knnJoinIndexed(spark, annDir, qvecs, k, nprobe)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    rrfFuse(lex, den, k, kRrf)
   }
 
   /** Token-run collapse ("stutter" cleanup): within each document,

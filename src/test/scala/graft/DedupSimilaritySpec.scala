@@ -1016,6 +1016,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaEnsure == oneShot)
   }
 
+  test("hybridRrfIndexed: the at-rest retrieval stack equals the one-shot fusion when the probe is exact") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (0L, "apple banana cherry", "s"),
+      (1L, "apple apple durian", "s"),
+      (2L, "elderberry fig grape", "s"),
+      (3L, "apple banana durian elderberry", "s"),
+      (4L, "banana banana cherry fig", "s"),
+      (5L, "grape honeydew apple fig", "s")
+    ).toDF("doc_id", "text", "source")
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("hyb-bm").toString
+    TextOps.writeBm25Index(corpus, bmDir, nBuckets = 8)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("hyb-ann").toString
+    Similarity.writeIvfIndex(
+      TextOps.hashEmbedVectors(corpus).select($"vec_id", $"embedding"),
+      annDir, nlist = 2, iters = 2)
+    // nprobe = nlist → the IVF probe scans every list → exact
+    val indexed = TextOps.hybridRrfIndexed(spark, bmDir, annDir,
+      corpus.filter($"doc_id".isin(0L, 1L))
+        .select($"doc_id".as("query_id"), $"text"),
+      k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = TextOps.hybridRrfTopK(corpus, Seq(0L, 1L), k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(indexed == oneShot && indexed.nonEmpty,
+      s"indexed $indexed vs one-shot $oneShot")
+  }
+
   test("streaming BM25 serving: batches match the indexed batch face; replay overwrites; appends visible without restart") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
