@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only the last ~2000 chars of sbt output and
+// parses the FINAL stdout line as the bench record. sbt's
+// "[success] Total time: …" epilogue otherwise prints AFTER
+// graft.Bench's packed JSON line and breaks that parse, so suppress
+// it — exit code still signals success/failure.
+Global / showSuccess := false
+// Relay forked-process output directly to this process's
+// stdout/stderr instead of through sbt's "[info] "/"[error] "-prefixed
+// logger, so graft.Bench's final JSON line reaches the driver bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -205,7 +205,6 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_LASTRUN.json"), fullLine + "\n")
     catch { case _: Throwable => () }
-    println(shortLine)
     val line = fullLine
     // Committed artifact: never degrade a cleaner capture. A run that
     // fails the load gate may only replace an artifact recorded at an
@@ -224,5 +223,14 @@ object Bench {
       System.err.println(s"[bench] load gate: artifact NOT written " +
         s"(this run load $load0 vs existing artifact load $priorLoad)")
     spark.stop()
+    // The packed record must be the TRUE final stdout line: the round
+    // driver parses the last line of the (last ~2000 chars of) sbt
+    // output, so it prints AFTER spark.stop() — no Spark shutdown
+    // chatter can follow it, forked stdout relays bare
+    // (build.sbt outputStrategy := StdoutOutput), and sbt's
+    // "[success] Total time" epilogue is suppressed
+    // (Global / showSuccess := false).
+    println(shortLine)
+    System.out.flush()
   }
 }

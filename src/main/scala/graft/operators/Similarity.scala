@@ -591,37 +591,96 @@ object Similarity {
             s".staging-batch-$batchId")
           out.write.mode("overwrite").partitionBy("cid")
             .parquet(staging.toString)
-          // sweep any half-moved files of a crashed prior attempt
-          val lists = new org.apache.hadoop.fs.Path(d, "lists")
-          val stale = fs.globStatus(new org.apache.hadoop.fs.Path(lists,
-            s"*/b$batchId-*.parquet"))
-          if (stale != null) stale.foreach(f => fs.delete(f.getPath, false))
-          val parts = fs.globStatus(new org.apache.hadoop.fs.Path(staging,
-            "cid=*/*.parquet"))
-          (if (parts == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-           else parts)
-            .sortBy(_.getPath.toString).zipWithIndex.foreach { case (f, i) =>
-              val destDir = new org.apache.hadoop.fs.Path(lists,
-                f.getPath.getParent.getName)
-              fs.mkdirs(destDir)
-              val dest = new org.apache.hadoop.fs.Path(destDir,
-                s"b$batchId-p$i.parquet")
-              require(fs.rename(f.getPath, dest),
-                s"index commit: failed to move ${f.getPath} to $dest")
-            }
-          fs.delete(staging, true)
+          sweepAndMoveStaged(fs, staging,
+            new org.apache.hadoop.fs.Path(d, "lists"), batchId)
           // marker last, atomically: content is the stats contribution
-          val tmp = new org.apache.hadoop.fs.Path(d,
-            s"_commits/.batch-$batchId.tmp")
-          fs.mkdirs(marker.getParent)
-          val os = fs.create(tmp, true)
-          try os.write(s"$nb $sb".getBytes("UTF-8")) finally os.close()
-          fs.delete(marker, false)
-          require(fs.rename(tmp, marker),
-            s"index commit: failed to publish $marker")
+          writeCommitMarker(fs, marker, s"$nb $sb")
       }
     }
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** The idempotent file-landing step shared by every committed index
+    * append ([[appendToIvfIndexCommitted]], the SQ8/BQ committed
+    * sidecars, [[graft.operators.TextOps.appendToBm25IndexCommitted]]):
+    * sweep any half-moved `b<id>-*` files of a crashed prior attempt
+    * from `target`, then move the staged parquet files in under
+    * DETERMINISTIC names (`b<id>-p<n>.parquet`) — partition
+    * subdirectories (`col=value/`) are preserved, flat staging lands
+    * at the target root. Replaying a half-landed batch first deletes
+    * every `b<id>-*` file, so the move is idempotent.
+    */
+  private[graft] def sweepAndMoveStaged(fs: org.apache.hadoop.fs.FileSystem,
+                                        staging: org.apache.hadoop.fs.Path,
+                                        target: org.apache.hadoop.fs.Path,
+                                        batchId: Long): Unit = {
+    def glob(p: org.apache.hadoop.fs.Path) = {
+      val g = fs.globStatus(p)
+      if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus] else g
+    }
+    (glob(new org.apache.hadoop.fs.Path(target, s"*/b$batchId-*.parquet")) ++
+      glob(new org.apache.hadoop.fs.Path(target, s"b$batchId-*.parquet")))
+      .foreach(f => fs.delete(f.getPath, false))
+    val parts =
+      glob(new org.apache.hadoop.fs.Path(staging, "*=*/*.parquet")) ++
+        glob(new org.apache.hadoop.fs.Path(staging, "*.parquet"))
+    parts.sortBy(_.getPath.toString).zipWithIndex.foreach { case (f, i) =>
+      val destDir =
+        if (f.getPath.getParent.getName.contains("="))
+          new org.apache.hadoop.fs.Path(target, f.getPath.getParent.getName)
+        else target
+      fs.mkdirs(destDir)
+      val dest = new org.apache.hadoop.fs.Path(destDir,
+        s"b$batchId-p$i.parquet")
+      require(fs.rename(f.getPath, dest),
+        s"index commit: failed to move ${f.getPath} to $dest")
+    }
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Publish a commit marker atomically (create-then-rename); the
+    * content is the batch's stats contribution, read back by the
+    * composite stats readers ([[readIvfStats]],
+    * [[graft.operators.TextOps.readBm25Stats]]).
+    */
+  private[graft] def writeCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                       marker: org.apache.hadoop.fs.Path,
+                                       content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+      s".${marker.getName}.tmp")
+    fs.mkdirs(marker.getParent)
+    val os = fs.create(tmp, true)
+    try os.write(content.getBytes("UTF-8")) finally os.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker),
+      s"index commit: failed to publish $marker")
+    ()
+  }
+
+  /** Sum the `batch-<id>` commit-marker contributions under
+    * `dir/_commits`: each marker's content is whitespace-separated
+    * numerics, summed column-wise. Shared by [[readIvfStats]] and
+    * [[graft.operators.TextOps.readBm25Stats]].
+    */
+  private[graft] def sumCommitMarkers(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      width: Int): Array[Double] = {
+    val acc = Array.fill(width)(0.0)
+    val d = new org.apache.hadoop.fs.Path(dir, "_commits")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      if (st.getPath.getName.startsWith("batch-")) {
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.trim.split("\\s+").take(width).zipWithIndex.foreach {
+          case (v, i) => acc(i) += v.toDouble
+        }
+      }
+    }
+    acc
   }
 
   /** Compact an IVF/IVF-PQ index's list partitions: every daily
@@ -629,10 +688,15 @@ object Similarity {
     * a probe open hundreds of small files per pruned list — the
     * standard lakehouse small-files decay. The compaction rewrites
     * the lists directory (one coalesced write, partitioned by cid as
-    * before) into a staging dir and swaps it in by rename —
-    * probes see either the old file set or the new one, never a
-    * half-written mix. CONTENT is untouched (rows, codes, stats), so
-    * probe results are identical before and after.
+    * before) into a staging dir and swaps it in by rename. CONTENT
+    * is untouched (rows, codes, stats), so probe results are
+    * identical before and after. A probe that STARTS after the swap
+    * completes sees a complete snapshot (old or new) — but the
+    * two-rename window is NOT atomic for a reader listing the
+    * directory inside it (a concurrent [[startAnnServing]]
+    * micro-batch fails its read and the stream stops): QUIESCE
+    * SERVING FIRST — compaction is maintenance against an idle
+    * index, not a live swap.
     *
     * Replay safety: the `_commits` markers are deliberately RETAINED
     * — they are the replay guards of [[appendToIvfIndexCommitted]]
@@ -646,29 +710,42 @@ object Similarity {
     * earlier anyway.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      dir: String, maxRecordsPerFile: Long = 0L): Unit = {
+                      dir: String, maxRecordsPerFile: Long = 0L): Unit =
+    compactPartitioned(spark, dir, "lists", "cid", maxRecordsPerFile)
+
+  /** The shared rewrite behind [[compactIvfIndex]] and
+    * [[graft.operators.TextOps.compactBm25Index]]: hash-repartition by
+    * the partition column → each partition's rows land in ONE task →
+    * one file per partition (maxRecordsPerFile re-splits oversized
+    * partitions at the writer, the dial for huge lists at warehouse
+    * scale), staged then swapped in by rename. Old layout aside,
+    * staging in, old removed — two renames bound the window; a crash
+    * between them leaves `.compact-retired` holding the complete old
+    * layout for manual recovery. QUIESCE SERVING FIRST: a concurrent
+    * reader that lists the directory inside the two-rename window
+    * (e.g. a [[startAnnServing]]/[[graft.operators.TextOps
+    * .startBm25Serving]] micro-batch) fails its read — compaction is
+    * maintenance, scheduled against an idle index, not a live swap.
+    */
+  private[graft] def compactPartitioned(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sub: String, partCol: String, maxRecordsPerFile: Long): Unit = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val lists = new org.apache.hadoop.fs.Path(d, "lists")
+    val target = new org.apache.hadoop.fs.Path(d, sub)
     val staging = new org.apache.hadoop.fs.Path(d, ".compact-staging")
     val retired = new org.apache.hadoop.fs.Path(d, ".compact-retired")
     fs.delete(staging, true)
     fs.delete(retired, true)
-    // hash-repartition by cid → each list's rows land in ONE task →
-    // one file per list (maxRecordsPerFile re-splits oversized lists
-    // at the writer, the dial for huge lists at warehouse scale)
-    val w = spark.read.parquet(lists.toString)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid")
+    val w = spark.read.parquet(target.toString)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
     (if (maxRecordsPerFile > 0)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w)
       .parquet(staging.toString)
-    // swap: old lists aside, staging in, old removed — two renames
-    // bound the window; a crash between them leaves `.compact-retired`
-    // holding the complete old layout for manual recovery
-    require(fs.rename(lists, retired), s"compact: failed to retire $lists")
-    require(fs.rename(staging, lists), s"compact: failed to publish $lists")
+    require(fs.rename(target, retired), s"compact: failed to retire $target")
+    require(fs.rename(staging, target), s"compact: failed to publish $target")
     fs.delete(retired, true)
     ()
   }
@@ -677,7 +754,9 @@ object Similarity {
     * `bits`): rewrite into one file (or `maxRecordsPerFile`-bounded
     * files), stage-and-swap by rename, markers retained — identical
     * swap discipline, no partition column. `sub` defaults by layout:
-    * pass "codes" for SQ8, "bits" for BQ.
+    * pass "codes" for SQ8, "bits" for BQ. QUIESCE SERVING FIRST (see
+    * [[compactPartitioned]]): the rename window is not atomic for an
+    * in-flight reader.
     */
   def compactSidecar(spark: org.apache.spark.sql.SparkSession,
                      dir: String, sub: String,
@@ -709,22 +788,8 @@ object Similarity {
   def readIvfStats(spark: org.apache.spark.sql.SparkSession,
                    dir: String): (Long, Double) = {
     val f = spark.read.parquet(s"$dir/stats").head()
-    var n = f.getAs[Long]("n")
-    var s = f.getAs[Double]("sum_sqdist")
-    val d = new org.apache.hadoop.fs.Path(dir, "_commits")
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
-      if (st.getPath.getName.startsWith("batch-")) {
-        val in = fs.open(st.getPath)
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val Array(nb, sb) = txt.trim.split(" ")
-        n += nb.toLong
-        s += sb.toDouble
-      }
-    }
-    (n, s)
+    val m = sumCommitMarkers(spark, dir, 2)
+    (f.getAs[Long]("n") + m(0).toLong, f.getAs[Double]("sum_sqdist") + m(1))
   }
 
   /** STREAMING index maintenance: append every micro-batch of a
@@ -1459,9 +1524,17 @@ object Similarity {
     * committed form. */
   private def sq8EncodeGuarded(spark: org.apache.spark.sql.SparkSession,
                                dir: String, batch: DataFrame): DataFrame = {
+    // pre-meta layouts (built before the dim file existed) legally
+    // have no `meta` — that surfaces as an AnalysisException
+    // (PATH_NOT_FOUND / unable-to-infer-schema) and skips the guard.
+    // Anything else (transient IO, permissions) RETHROWS: silently
+    // disabling the guard would let a wrong-dim batch append and null
+    // probe scores downstream.
     val metaDim: Option[Int] =
       try Some(spark.read.parquet(s"$dir/meta").head().getInt(0))
-      catch { case _: Throwable => None }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     val guarded = metaDim match {
       case Some(dim) => batch.withColumn("embedding",
         when(assert_true(size(col("embedding")) === lit(dim),

@@ -676,6 +676,16 @@ object TextOps {
     * does. Together the two serving streams are the production
     * retrieval stack: sparse and dense legs over durable indexes,
     * fused downstream by RRF when both are wanted.
+    *
+    * Composition caveat: PLAIN-APPEND postings land by parquet append
+    * (no window), but the df/stats swaps inside [[appendToBm25Index]]
+    * and any compaction have a two-rename window a concurrently
+    * reading batch can fail in — run swapping maintenance quiesced
+    * against serving (the stream restarts cleanly from its
+    * checkpoint, but prefer not to trip it). Committed appends
+    * ([[appendToBm25IndexCommitted]]) never rewrite the base dims, so
+    * they compose with live serving with no swap window at all —
+    * another reason streams ride the committed form.
     */
   def startBm25Serving(queries: DataFrame, dir: String, outDir: String,
                        checkpointDir: String, k: Int = 5,
@@ -1463,11 +1473,17 @@ object TextOps {
     * `sourcePath` advances the build-once fingerprint so the next
     * [[ensureBm25Index]] keeps the appended index (the SQ8/BQ append
     * contract — a daily pipeline must not rebuild its cheapest index
-    * every day). Crash seam: a failure between the postings append
-    * and the dim swaps leaves idf marginally stale until the next
-    * append or rebuild — the same stance as the plain
-    * [[graft.operators.Similarity.appendToIvfIndex]]; streams that
-    * need exactly-once ride their committed forms.
+    * every day). Crash seams, stated plainly: a failure between the
+    * postings append and the dim swaps leaves idf marginally stale
+    * until the next append or rebuild, and REPLAYING A COMPLETED
+    * APPEND double-appends the batch's (doc, term) postings and
+    * double-merges its df/stats — silent score corruption, not mere
+    * staleness. This plain form is for a caller with its own
+    * exactly-once batch boundary (the
+    * [[graft.operators.Similarity.appendToIvfIndex]] stance);
+    * anything that can replay — streams, crash-restarted nightly
+    * jobs — must ride [[appendToBm25IndexCommitted]], whose batch-id
+    * markers make a replay a no-op.
     */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
                         dir: String, batch: DataFrame,
@@ -1501,10 +1517,155 @@ object TextOps {
       Similarity.refreshIndexMarker(spark, dir, _))
   }
 
+  /** EXACTLY-ONCE BM25 index append, keyed by a caller-supplied batch
+    * id — the lexical sibling of
+    * [[graft.operators.Similarity.appendToIvfIndexCommitted]], for
+    * crash-replaying pipelines (streams, restarted nightly jobs)
+    * where the plain [[appendToBm25Index]] would double-append
+    * postings and double-merge df on a replay:
+    *
+    *  1. a committed batch is detected by its marker
+    *     (`_commits/batch-<id>`) and the whole call is a no-op;
+    *  2. the batch's postings stage (`.staging-batch-<id>-postings`,
+    *     overwrite-safe) then move into the bucket partitions under
+    *     DETERMINISTIC names (`b<id>-p<n>.parquet`), sweeping any
+    *     half-moved files of a crashed prior attempt first
+    *     ([[graft.operators.Similarity.sweepAndMoveStaged]]);
+    *  3. the batch's df contribution lands the same way as DELTA
+    *     ROWS under `df_deltas/` — the base df dim is never
+    *     rewritten, so there is no swap to half-apply; probes sum
+    *     base + deltas per query term ([[bm25DfRows]]) and
+    *     [[compactBm25Index]] folds deltas back into the base;
+    *  4. the stats contribution is the marker's CONTENT
+    *     (`n_docs n_toks`), published last by create-then-rename:
+    *     [[readBm25Stats]] sums the base stats plus every marker, so
+    *     a crash anywhere before the marker leaves stats exactly
+    *     consistent with a replay re-running the batch.
+    *
+    * Mixing forms is safe: the plain append advances the BASE df/
+    * stats in place and never reads markers or deltas, so composite
+    * reads stay exact either way.
+    */
+  def appendToBm25IndexCommitted(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, batch: DataFrame,
+                                 batchId: Long,
+                                 sourcePath: Option[String] = None): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
+    if (!fs.exists(marker)) {
+      val nBuckets = spark.read.parquet(s"$dir/stats").head()
+        .getAs[Long]("n_buckets")
+      val posted = batch
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dl"),
+          explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+        .localCheckpoint(true)
+      val stagingP = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-postings")
+      posted.write.mode("overwrite").partitionBy("bucket")
+        .parquet(stagingP.toString)
+      Similarity.sweepAndMoveStaged(fs, stagingP,
+        new org.apache.hadoop.fs.Path(d, "postings"), batchId)
+      val stagingD = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-df")
+      posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(stagingD.toString)
+      Similarity.sweepAndMoveStaged(fs, stagingD,
+        new org.apache.hadoop.fs.Path(d, "df_deltas"), batchId)
+      val bs = batch.agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_toks")).head()
+      val batchToks = if (bs.isNullAt(1)) 0L else bs.getLong(1)
+      // marker last, atomically: content is the stats contribution
+      Similarity.writeCommitMarker(fs, marker,
+        s"${bs.getLong(0)} $batchToks")
+    }
+    sourcePath.foreach(
+      Similarity.refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Compact a durable BM25 index: every append adds a postings file
+    * per touched bucket (and, for committed appends, a df delta
+    * file), and a year of daily appends makes a probe open hundreds
+    * of small files per pruned bucket — the same lakehouse
+    * small-files decay [[graft.operators.Similarity.compactIvfIndex]]
+    * closes on the ANN side. Two steps, content untouched, probe
+    * results identical before and after:
+    *
+    *  1. committed df DELTAS fold back into the base dim (base ∪
+    *     deltas, summed per term; the delta dir retires BEFORE the
+    *     folded dim publishes, so no reader state ever counts a
+    *     delta twice) — the `_commits` markers are deliberately
+    *     RETAINED: they are the replay guards of
+    *     [[appendToBm25IndexCommitted]] and still carry the stats
+    *     contributions [[readBm25Stats]] sums;
+    *  2. the postings rewrite to one file per bucket partition
+    *     (stage-and-swap by rename, `maxRecordsPerFile` re-splits
+    *     oversized buckets).
+    *
+    * QUIESCE SERVING FIRST: like every stage-and-swap here, a reader
+    * listing a directory inside a rename window fails its batch —
+    * compaction is maintenance against an idle index, not a live
+    * swap; a crash mid-fold leaves `.df*-retired` dirs holding the
+    * complete old layout for manual recovery.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltas = new org.apache.hadoop.fs.Path(d, "df_deltas")
+    val hasDeltas = fs.exists(deltas) && {
+      val g = fs.globStatus(
+        new org.apache.hadoop.fs.Path(deltas, "*.parquet"))
+      g != null && g.nonEmpty
+    }
+    if (hasDeltas) {
+      val target = new org.apache.hadoop.fs.Path(d, "df")
+      val staging = new org.apache.hadoop.fs.Path(d, ".df-compact-staging")
+      val retiredDf = new org.apache.hadoop.fs.Path(d, ".df-compact-retired")
+      val retiredDeltas =
+        new org.apache.hadoop.fs.Path(d, ".df_deltas-retired")
+      fs.delete(staging, true)
+      fs.delete(retiredDf, true)
+      fs.delete(retiredDeltas, true)
+      // materialize the fold while BOTH inputs are intact…
+      spark.read.parquet(target.toString)
+        .unionByName(spark.read.parquet(deltas.toString))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      // …then retire the deltas BEFORE publishing the folded dim: the
+      // one ordering where no crash leaves both readable (= df counted
+      // twice); the window where deltas are retired but the fold not
+      // yet published under-counts recoverably, never over-counts
+      require(fs.rename(deltas, retiredDeltas),
+        s"compact: failed to retire $deltas")
+      require(fs.rename(target, retiredDf),
+        s"compact: failed to retire $target")
+      require(fs.rename(staging, target),
+        s"compact: failed to publish $target")
+      fs.delete(retiredDf, true)
+      fs.delete(retiredDeltas, true)
+    }
+    Similarity.compactPartitioned(spark, dir, "postings", "bucket",
+      maxRecordsPerFile)
+  }
+
   /** Stage-retire-publish swap of an index dim directory: the new
     * frame materializes fully into a staging dir (its lazy read of
     * the CURRENT dim executes here, while the target is intact),
-    * then two renames publish it.
+    * then two renames publish it. The window between the two renames
+    * is NOT atomic for in-flight readers — a concurrent
+    * [[startBm25Serving]]/[[startAnnServing]] micro-batch that lists
+    * the dim inside it fails its read (and retries from the
+    * checkpoint on restart, so nothing is lost — but the stream
+    * stops). Maintenance that swaps (appends' df/stats merge,
+    * compaction) must be QUIESCED against serving: schedule them in
+    * the serving stream's own foreachBatch, or pause serving for the
+    * swap.
     */
   private def swapIndexDim(spark: org.apache.spark.sql.SparkSession,
                            dir: String, sub: String,
@@ -1523,13 +1684,57 @@ object TextOps {
     ()
   }
 
+  /** Composite corpus stats of a durable BM25 index: the base stats
+    * file (merged forward by plain [[appendToBm25Index]]) PLUS every
+    * [[appendToBm25IndexCommitted]] marker's `n_docs n_toks`
+    * contribution — the [[graft.operators.Similarity.readIvfStats]]
+    * contract on the lexical side. Returns (n_docs, n_toks,
+    * n_buckets); n_buckets is fixed at build time and never carried
+    * by markers.
+    */
+  def readBm25Stats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): (Long, Long, Long) = {
+    val f = spark.read.parquet(s"$dir/stats").head()
+    val m = Similarity.sumCommitMarkers(spark, dir, 2)
+    (f.getAs[Long]("n_docs") + m(0).toLong,
+      f.getAs[Long]("n_toks") + m(1).toLong,
+      f.getAs[Long]("n_buckets"))
+  }
+
+  /** The un-aggregated (term, df) rows of a durable BM25 index: the
+    * base df dim plus any committed-append deltas under `df_deltas/`.
+    * Callers must SUM df per term AFTER restricting to their query
+    * terms — aggregating the full corpus-term dim up front would be a
+    * corpus-vocabulary shuffle a probe never needs.
+    */
+  private def bm25DfRows(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/df")
+    val deltas = new org.apache.hadoop.fs.Path(dir, "df_deltas")
+    val fs = deltas.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasDeltas = fs.exists(deltas) && {
+      val g = fs.globStatus(
+        new org.apache.hadoop.fs.Path(deltas, "*.parquet"))
+      g != null && g.nonEmpty
+    }
+    if (hasDeltas)
+      base.unionByName(spark.read.parquet(deltas.toString))
+    else base
+  }
+
   /** BM25 retrieval against the durable index — [[bm25TopK]] with the
     * corpus contribution read from postings instead of re-tokenized:
     * the query docs tokenize scan-locally into the KB-scale term dim,
     * their hash buckets prune the postings partitions (a driver-side
-    * bucket list, bounded and fail-fast like the enum guards), and
-    * the stored df/stats feed the SAME [[bm25Rank]] expression tree —
-    * so indexed and one-shot rankings are equal by construction.
+    * bucket list, ≤ n_buckets entries), and the stored df/stats feed
+    * the SAME [[bm25Rank]] expression tree — so indexed and one-shot
+    * rankings are equal by construction. df reads base + committed
+    * deltas ([[bm25DfRows]]) and stats read base + markers
+    * ([[readBm25Stats]]), so probes see committed appends without a
+    * compaction. `maxQueryTerms` fail-fasts on the DISTINCT QUERY
+    * TERM count (the driver-side cardinality the broadcast term dim
+    * rides), counted on a limit(cap+1) frame so the guard itself
+    * never scans past the cap.
     */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
                         dir: String, queryDocs: DataFrame, k: Int = 5,
@@ -1540,25 +1745,27 @@ object TextOps {
         explode(array_distinct(tokens(col("text")))).as("term"))
       .filter(length(col("term")) > 0)
       .localCheckpoint(true)
-    val statsRow = spark.read.parquet(s"$dir/stats").head()
-    val nBuckets = statsRow.getAs[Long]("n_buckets")
+    val (nDocs, nToks, nBuckets) = readBm25Stats(spark, dir)
     val distinctTerms = qterms.select(col("term")).distinct()
+    val nTerms = distinctTerms.limit(maxQueryTerms + 1).count()
+    require(nTerms <= maxQueryTerms,
+      s"bm25SearchIndexed: > $maxQueryTerms distinct query terms — " +
+        "the broadcast term dim would not stay KB-scale; batch the " +
+        "query side")
     val buckets = distinctTerms
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
-      .distinct().limit(maxQueryTerms + 1)
+      .distinct()
       .collect().map(_.getLong(0)).toSeq
-    require(buckets.length <= maxQueryTerms,
-      s"bm25SearchIndexed: query-term bucket list exceeds the " +
-        s"bounded-enum cap $maxQueryTerms — batch the query side")
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(distinctTerms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    val dft = spark.read.parquet(s"$dir/df")
+    val dft = bm25DfRows(spark, dir)
       .join(broadcast(distinctTerms), Seq("term"))
-    val stats = spark.read.parquet(s"$dir/stats")
-      .select(col("n_docs").cast("double").as("n_docs"),
-        col("n_toks").cast("double").as("n_toks"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = spark.range(1)
+      .select(lit(nDocs).cast("double").as("n_docs"),
+        lit(nToks).cast("double").as("n_toks"))
     bm25Rank(tf, dft, qterms, stats, k, k1, b)
   }
 

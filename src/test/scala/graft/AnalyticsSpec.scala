@@ -59,6 +59,32 @@ class AnalyticsSpec extends SparkSpecBase {
       tiny.contains(s"\"queries_elided\":${results.size}"))
   }
 
+  test("bench short line: driver tail-window emulation — last line parses") {
+    // round-9 verdict #1: the driver keeps the last ~2000 chars of the
+    // sbt output and parses the LAST LINE as JSON. r9's record was
+    // complete but sbt's "[success] Total time" epilogue followed it →
+    // parsed:null. The fix (Bench prints the packed line after
+    // spark.stop; build.sbt suppresses the epilogue and relays forked
+    // stdout bare) makes the packed line the true final line. Emulate
+    // the driver here: noisy preceding output, 2000-char window, last
+    // line must be the COMPLETE record.
+    val results = (1 to 200).map(i => (f"q$i%03d", i * 0.01))
+    val meta = """"sf":"/x","runs_per_query":5,"agg":"min","load_avg_start":0.5,"load_avg_end":0.6,"load_gate":"pass","load_gate_max":1.0,"cold_classify_build_sec":1.000,"warm":"w","n_queries":200"""
+    val shortLine = Bench.packShortLine(results, meta, "200.000", 1600)
+    val noise = (1 to 50).map(i =>
+      s"26/08/15 12:00:$i WARN SomeSparkClass: noisy line $i").mkString("\n")
+    val stdout = noise + "\n" + shortLine + "\n"
+    val window = stdout.takeRight(2000)
+    val last = window.split("\n").filter(_.nonEmpty).last
+    assert(last == shortLine,
+      "the packed record must survive the 2000-char window whole")
+    assert(last.startsWith("{") && last.endsWith("}"))
+    // structural JSON sanity the driver's parse needs: balanced braces
+    // and quotes outside of any truncation
+    assert(last.count(_ == '{') == last.count(_ == '}'))
+    assert(last.count(_ == '"') % 2 == 0)
+  }
+
   test("bench wait-for-idle: blocks until load clears the gate, bounded") {
     // round-7 verdict #2: the bench must WAIT for idle (bounded poll),
     // not merely refuse a hot capture afterwards. Injected load/sleep

@@ -1153,6 +1153,106 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(probe(idx) == appended)
   }
 
+  test("appendToBm25IndexCommitted + compactBm25Index: exactly-once replay, half-landed sweep, probe identical across compaction") {
+    val base = Seq(
+      (0L, "apple banana cherry", "s"),
+      (1L, "apple apple durian", "s"),
+      (2L, "elderberry fig grape", "s"),
+      (3L, "apple banana durian elderberry", "s")
+    ).toDF("doc_id", "text", "source")
+    val b1 = Seq((4L, "banana banana cherry fig", "s"))
+      .toDF("doc_id", "text", "source")
+    val b2 = Seq((5L, "apple cherry cherry honeydew", "s"))
+      .toDF("doc_id", "text", "source")
+    val union = base.union(b1).union(b2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-cmt").toString
+    TextOps.writeBm25Index(base, dir, nBuckets = 8)
+    TextOps.appendToBm25IndexCommitted(spark, dir, b1, batchId = 1L)
+    TextOps.appendToBm25IndexCommitted(spark, dir, b2, batchId = 2L)
+    def probe() = TextOps.bm25SearchIndexed(spark, dir,
+      union.filter($"doc_id".isin(0L, 1L))
+        .select($"doc_id".as("query_id"), $"text"), k = 4)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val oneShot = TextOps.bm25TopK(union, Seq(0L, 1L), k = 4)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val committed = probe()
+    assert(committed == oneShot && committed.nonEmpty,
+      s"committed appends diverged from the one-shot: $committed")
+    // composite stats = base file + marker contributions
+    assert(TextOps.readBm25Stats(spark, dir) == ((6L, 21L, 8L)))
+    def files(sub: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      val root = new java.io.File(dir, sub)
+      if (root.exists) walk(root) else Nil
+    }
+    // REPLAY of a committed batch is a marker-detected no-op: same
+    // probe, not one more file
+    val nBefore = (files("postings").size, files("df_deltas").size)
+    TextOps.appendToBm25IndexCommitted(spark, dir, b1, batchId = 1L)
+    assert((files("postings").size, files("df_deltas").size) == nBefore,
+      "replaying a committed batch must not land files")
+    assert(probe() == oneShot)
+    // HALF-LANDED replay: plant a stale b3-* file (a crashed prior
+    // attempt's half-move — a copy of a real postings file, so the
+    // index stays readable but holds duplicated rows), then replay —
+    // the sweep must remove it and land batch 3 exactly once
+    val victim = files("postings").head
+    val planted = new java.io.File(victim.getParentFile, "b3-p99.parquet")
+    java.nio.file.Files.copy(victim.toPath, planted.toPath)
+    val b3 = Seq((6L, "grape grape banana", "s"))
+      .toDF("doc_id", "text", "source")
+    TextOps.appendToBm25IndexCommitted(spark, dir, b3, batchId = 3L)
+    assert(!planted.exists, "sweep must remove the half-moved file")
+    val union3 = union.union(b3)
+    def probe3() = TextOps.bm25SearchIndexed(spark, dir,
+      union3.filter($"doc_id".isin(0L, 1L))
+        .select($"doc_id".as("query_id"), $"text"), k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val oneShot3 = TextOps.bm25TopK(union3, Seq(0L, 1L), k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(probe3() == oneShot3, "half-landed replay diverged")
+    // COMPACTION: probe identical, df deltas folded away, postings
+    // down to one file per bucket, markers RETAINED as replay guards
+    val postingsBefore = files("postings").size
+    TextOps.compactBm25Index(spark, dir)
+    assert(probe3() == oneShot3, "compaction changed probe results")
+    assert(files("df_deltas").isEmpty, "df deltas must fold into base")
+    val buckets = new java.io.File(dir, "postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(files("postings").size <= buckets &&
+      files("postings").size < postingsBefore,
+      s"compaction must shrink the file count below $postingsBefore")
+    assert(TextOps.readBm25Stats(spark, dir) == ((7L, 24L, 8L)),
+      "markers must survive compaction (stats contributions)")
+    // post-compaction replay of a committed batch: still a no-op
+    val nAfter = files("postings").size
+    TextOps.appendToBm25IndexCommitted(spark, dir, b2, batchId = 2L)
+    assert(files("postings").size == nAfter && probe3() == oneShot3,
+      "a replayed batch must short-circuit on its retained marker")
+  }
+
+  test("bm25SearchIndexed: the maxQueryTerms guard bounds the DISTINCT TERM cardinality, not the bucket list") {
+    val docs = Seq((0L, "apple banana cherry", "s"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-guard").toString
+    TextOps.writeBm25Index(docs, dir, nBuckets = 2)
+    val q = Seq((9L, "apple banana cherry durian elderberry"))
+      .toDF("query_id", "text")
+    // 5 distinct terms hash into ≤2 buckets: the old bucket-list cap
+    // could never trip here; the term-count guard must
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bm25SearchIndexed(spark, dir, q, k = 1, maxQueryTerms = 4)
+    }
+    assert(e.getMessage.contains("distinct query terms"), e.getMessage)
+    // at the cap it serves fine
+    assert(TextOps.bm25SearchIndexed(spark, dir, q, k = 1,
+      maxQueryTerms = 5).count() == 1L)
+  }
+
   test("sourceBigramDim merges exactly; streaming drift monitor lands per-batch rows against the persisted baseline, replay overwrites") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
