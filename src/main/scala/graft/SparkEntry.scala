@@ -3057,6 +3057,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_split_leakage" -> ((s, d) =>
       TextOps.splitLeakage(Tables.documents(s, d), n = 10,
         valFrac = 0.05, testFrac = 0.05, hashFn = Dedup.md5Seeded)),
+    // the 100 TB form of the same audit: holdout window hashes bloom,
+    // the train side prunes at the scan on might_contain, the exact
+    // semi-join runs over survivors only — equal by construction, so
+    // it shares the exact form's oracle
+    "doc_split_leakage_bloom" -> ((s, d) =>
+      TextOps.splitLeakageBloom(Tables.documents(s, d), n = 10,
+        valFrac = 0.05, testFrac = 0.05, hashFn = Dedup.md5Seeded)),
     // corpus-familiarity score (CCNet-style head/tail dial as an
     // integer-exact frequency proxy — avg corpus-wide occurrence
     // count of each doc's character bigrams, one division at the end)
@@ -4648,8 +4655,14 @@ FROM perdoc p LEFT JOIN dupc d USING (doc_id) ORDER BY p.doc_id"""
 
     // split-leakage: the substring-window CTE chain with a split
     // CASE up front; holdout windows semi-checked against the
-    // distinct train window-hash set
-    "doc_split_leakage" -> {
+    // distinct train window-hash set. The bloom form is exactly
+    // equal (the sketch only prunes the train scan), so both keys
+    // share one oracle
+    "doc_split_leakage_bloom" -> splitLeakageOracle,
+    "doc_split_leakage" -> splitLeakageOracle,
+  ) ++ oracleSqlRest
+
+  private lazy val splitLeakageOracle: String = {
       val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
       val hKey = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
       val tVal = Sampling.thresholdFor(0.05)
@@ -4688,8 +4701,9 @@ SELECT p.doc_id, p.split,
   round(coalesce(l.lw, 0) / CAST(p.n_windows AS DOUBLE), 4)
     AS leak_fraction
 FROM perdoc p LEFT JOIN leak l USING (doc_id) ORDER BY p.doc_id"""
-    },
+  }
 
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     "doc_repetition" ->
       """WITH rt AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -531,15 +531,31 @@ object TextOps {
     * two consumers; the train side collapses to a distinct window-
     * hash set and the holdout side semi-joins it on the 8-byte key
     * (holdout is the 2–10 % minority, so the probe side is small by
-    * construction; at warehouse scale the train set can degrade to a
-    * bloom the same way the incremental-dedup legs do). Text never
+    * construction; at warehouse scale the train side's distinct is
+    * itself corpus-scale — use [[splitLeakageWithSplitsBloom]], which
+    * prunes train at the scan with a holdout bloom and returns the
+    * same answer exactly). Text never
     * shuffles. Documents shorter than n tokens have no windows and
     * are absent from the audit, both engines alike.
     */
   def splitLeakageWithSplits(docs: DataFrame, n: Int = 10,
                              hashFn: (Int, Column) => Column =
                                Dedup.xxSeeded): DataFrame = {
-    val byDocHash = docs
+    val byDocHash = splitWindowHashes(docs, n, hashFn)
+    val trainH = byDocHash.filter(col("split") === "train")
+      .select(col("h")).distinct()
+    splitLeakageTail(byDocHash, trainH)
+  }
+
+  /** The per-(doc, split, window-hash) count frame both leakage forms
+    * consume — window hashing is scan-local, counts partial-aggregate
+    * map-side, and the frame pins ONCE (localCheckpoint) for its two
+    * consumers.
+    */
+  private def splitWindowHashes(docs: DataFrame, n: Int,
+                                hashFn: (Int, Column) => Column)
+      : DataFrame =
+    docs
       .select(col("doc_id"), col("split"),
         Dedup.shingles(col("text"), n).as("gs"))
       .filter(size(col("gs")) > 0)
@@ -551,8 +567,15 @@ object TextOps {
       .groupBy(col("doc_id"), col("split"), col("h"))
       .agg(count(lit(1)).as("c"), min(col("n_windows")).as("n_windows"))
       .localCheckpoint(true)
-    val trainH = byDocHash.filter(col("split") === "train")
-      .select(col("h")).distinct()
+
+  /** The shared report tail: semi-join the holdout windows against a
+    * train window-hash set (exact or bloom-pruned — the caller
+    * guarantees `trainH` ⊇ every hash the holdout shares with train,
+    * which is why a bloom PRUNE of the train side cannot change the
+    * answer) and fold to per-doc leaked fractions.
+    */
+  private def splitLeakageTail(byDocHash: DataFrame,
+                               trainH: DataFrame): DataFrame = {
     val holdout = byDocHash.filter(col("split") =!= "train")
     val leaked = holdout.join(trainH, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("leaked_windows"))
@@ -566,6 +589,66 @@ object TextOps {
           col("n_windows").cast("double"), 4).as("leak_fraction"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[splitLeakageWithSplits]] with the 100 TB train side: the exact
+    * form collapses train to a DISTINCT window-hash set — itself
+    * corpus-scale on a warehouse corpus, and the distinct is a full
+    * train-side shuffle. Here the audit inverts the
+    * [[graft.operators.Dedup.bloomNovel]] pattern around the small
+    * side:
+    *
+    *  1. the HOLDOUT's window hashes (the 2–10 % minority by
+    *     construction) bloom in one distributive pass (map-side
+    *     partial sketches OR-merged);
+    *  2. the train side is scanned once with the serialized sketch as
+    *     a codegen'd `might_contain` literal predicate — rows whose
+    *     hash the holdout cannot possibly share drop AT THE SCAN, so
+    *     the distinct + semi-join run over (true overlaps + ~fpp of
+    *     train) instead of all of train, and nothing train-scale ever
+    *     shuffles or broadcasts;
+    *  3. the surviving hashes feed the SAME exact semi-join tail —
+    *     bloom false positives are pruning slack, not answer changes,
+    *     so this form equals [[splitLeakageWithSplits]] EXACTLY.
+    *
+    * `expectedItems` sizes the sketch to the expected DISTINCT holdout
+    * window-hash count (overshoot is bytes, undershoot is fpp).
+    */
+  def splitLeakageWithSplitsBloom(docs: DataFrame, n: Int = 10,
+                                  hashFn: (Int, Column) => Column =
+                                    Dedup.xxSeeded,
+                                  expectedItems: Long = 1L << 16,
+                                  fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftshim.BloomShim
+    val byDocHash = splitWindowHashes(docs, n, hashFn)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfRow = byDocHash.filter(col("split") =!= "train")
+      .select(BloomShim.bloomAgg(col("h"), expectedItems, numBits)
+        .as("bf"))
+      .head()
+    val train = byDocHash.filter(col("split") === "train")
+    val trainH =
+      if (bfRow.isNullAt(0)) // no holdout windows: nothing can leak
+        train.filter(lit(false)).select(col("h"))
+      else
+        train
+          .filter(BloomShim.mightContain(
+            lit(bfRow.getAs[Array[Byte]](0)), col("h")))
+          .select(col("h")).distinct()
+    splitLeakageTail(byDocHash, trainH)
+  }
+
+  /** [[splitLeakage]]'s bloom-pruned form — [[Sampling.withSplit]]
+    * assignment + [[splitLeakageWithSplitsBloom]].
+    */
+  def splitLeakageBloom(docs: DataFrame, n: Int = 10,
+                        valFrac: Double = 0.01, testFrac: Double = 0.01,
+                        hashFn: (Int, Column) => Column = Dedup.xxSeeded,
+                        expectedItems: Long = 1L << 16,
+                        fpp: Double = 0.01): DataFrame =
+    splitLeakageWithSplitsBloom(
+      Sampling.withSplit(docs, "doc_id", valFrac, testFrac), n, hashFn,
+      expectedItems, fpp)
 
   /** [[splitLeakageWithSplits]] over the standard hash-threshold
     * split assignment ([[Sampling.withSplit]]) — the one-call audit

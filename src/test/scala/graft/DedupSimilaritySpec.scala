@@ -1363,6 +1363,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotMd5 == exp)
   }
 
+  test("splitLeakageWithSplitsBloom: equals the exact form; might_contain prunes the train scan; empty holdout safe") {
+    // a corpus wide enough that the bloom actually discriminates:
+    // 40 train docs of unique windows, 1 train doc leaked into test
+    val t = (1 to 11).map(i => s"w$i").mkString(" ")
+    val trainNoise = (1 to 40).map(d =>
+      (100L + d, (1 to 12).map(i => s"t${d}_$i").mkString(" "), "train"))
+    val docs = (trainNoise ++ Seq(
+      (1L, t, "train"),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" "), "test"), // leaked
+      (3L, (1 to 10).map(i => s"x$i").mkString(" "), "test"), // clean
+      (4L, (1 to 10).map(i => s"y$i").mkString(" "), "val")
+    )).toDF("doc_id", "text", "split")
+    val exact = TextOps.splitLeakageWithSplits(docs)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    val bloom = TextOps.splitLeakageWithSplitsBloom(docs)
+    val got = bloom.as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == exact && got.exists(_._3 > 0L),
+      s"bloom form diverged: $got vs $exact")
+    // plan lock: the train side is pruned by the serialized sketch as
+    // a codegen'd literal predicate — the whole point of the form
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "train scan must carry the might_contain prune")
+    // a tiny sketch (high fpp) still returns the exact answer — false
+    // positives are pruning slack, never answer changes
+    val tiny = TextOps.splitLeakageWithSplitsBloom(docs,
+      expectedItems = 4L, fpp = 0.5)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(tiny == exact, s"fpp must not change the answer: $tiny")
+    // all-train corpus: the holdout bloom is null, nothing leaks, no NPE
+    val allTrain = Seq((1L, t, "train")).toDF("doc_id", "text", "split")
+    assert(TextOps.splitLeakageWithSplitsBloom(allTrain).count() == 0L)
+  }
+
   test("bigramFamiliarity: integer-exact avg corpus count of a doc's bigrams") {
     val docs = Seq(
       (1L, "ababa"), // ab,ba,ab,ba
