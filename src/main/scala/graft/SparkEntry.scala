@@ -3051,6 +3051,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_substring_dupes" -> ((s, d) =>
       TextOps.duplicateSpans(Tables.documents(s, d), n = 10,
         hashFn = Dedup.md5Seeded)),
+    // the APPLY step of the same pipeline: tokens covered by a
+    // corpus-duplicated 10-token window are cut and the survivors
+    // reassemble in order; md5 of the rewritten text crosses the
+    // compare, not the text
+    "doc_remove_dup_spans" -> ((s, d) =>
+      TextOps.removeDuplicateSpans(Tables.documents(s, d), n = 10,
+        hashFn = Dedup.md5Seeded)),
     // train/holdout split-leakage audit: 10-token windows of val/test
     // docs contained in the train window-hash set (5%/5% splits so
     // the holdout is non-degenerate at sf0.01)
@@ -4651,6 +4658,45 @@ SELECT p.doc_id,
   round(coalesce(d.dup_windows, 0) / CAST(p.n_windows AS DOUBLE), 4)
     AS dup_fraction
 FROM perdoc p LEFT JOIN dupc d USING (doc_id) ORDER BY p.doc_id"""
+    },
+
+    // the APPLY step: 0-based duplicated window starts i cover
+    // 1-based token positions i+1..i+10; uncovered tokens reassemble
+    // in order and the md5 crosses the compare. Docs shorter than a
+    // window (and fully-covered docs) surface via the LEFT JOIN.
+    "doc_remove_dup_spans" -> {
+      val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pos AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(range(len(t) - 9)) AS i,
+    unnest(list_transform(range(len(t) - 9), i ->
+      CAST(('0x' || substr(md5('0:' || $g10), 1, 15)) AS BIGINT))) AS h
+  FROM tok WHERE len(t) >= 10
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+), ds AS MATERIALIZED (
+  SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM dup)
+), u AS (
+  SELECT doc_id, unnest(t) AS w,
+    unnest(generate_series(1, len(t))) AS j
+  FROM tok
+), kept AS (
+  SELECT u.doc_id, u.j, u.w FROM u
+  WHERE NOT EXISTS (SELECT 1 FROM ds
+    WHERE ds.doc_id = u.doc_id AND ds.i + 1 <= u.j AND u.j <= ds.i + 10)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(w, ' ' ORDER BY j) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT t0.doc_id, CAST(t0.n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+  md5(coalesce(a.txt, '')) AS deduped_md5
+FROM (SELECT doc_id, len(t) AS n_tokens FROM tok) t0
+LEFT JOIN agg a USING (doc_id)
+ORDER BY t0.doc_id"""
     },
 
     // split-leakage: the substring-window CTE chain with a split

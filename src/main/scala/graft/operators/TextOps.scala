@@ -470,6 +470,8 @@ object TextOps {
     * reports how many of its window positions are covered by a
     * duplicated window, its total window count, and the fraction —
     * the removal-mass dial the paper thresholds on.
+    * [[removeDuplicateSpans]] is the APPLY step that actually cuts
+    * the flagged spans and reassembles the text.
     *
     * Scale shape: windows are hashed to 64 bits at the scan
     * (duplicate-window detection never moves text), then aggregated
@@ -513,6 +515,60 @@ object TextOps {
         col("n_windows"),
         round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
           col("n_windows").cast("double"), 4).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** APPLY step for exact-substring dedup — [[duplicateSpans]]
+    * measures the duplicated-window mass; this REWRITES the corpus
+    * the way the Lee et al. 2021 ExactSubstr pipeline does: every
+    * token covered by an n-token window whose corpus-wide occurrence
+    * count reaches `minCount` is cut, and the surviving tokens
+    * reassemble in order (the [[dedupLinesWithDim]] index-filter
+    * reassembly shape, at token rather than line granularity). One
+    * deliberate divergence, stated plainly: ExactSubstr keeps ONE
+    * occurrence of each duplicated span, which needs a total order
+    * over occurrences; a distributed corpus has none, so this cuts
+    * ALL occurrences — order-free, deterministic under any
+    * partitioning, and the paper itself reports the removal choice
+    * is second-order next to the thresholds.
+    *
+    * Scale shape: window hashing and the duplicated-hash dim are
+    * [[duplicateSpans]]'s two shuffles on the 8-byte window-hash
+    * domain; the rewrite adds one per-doc join of the duplicated
+    * START positions (an int array per affected doc) back onto the
+    * scan, and coverage is a scan-local array `filter`/`exists` —
+    * O(tokens × duplicated-starts) per doc, which is linear for the
+    * sparse duplication real corpora carry and degenerates only on a
+    * document that is itself almost entirely duplicated mass (the
+    * rows the pipeline is deleting anyway). Output carries the md5
+    * of the rewritten text, not the text — byte-exact parity without
+    * hauling bodies through the compare.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 10,
+                           minCount: Int = 2,
+                           hashFn: (Int, Column) => Column =
+                             Dedup.xxSeeded): DataFrame = {
+    val withT = docs.select(col("doc_id"), tokens(col("text")).as("ts"),
+      Dedup.shingles(col("text"), n).as("gs"))
+    val winHash = withT.filter(size(col("gs")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(col("gs"), g => hashFn(0, g)))
+          .as(Seq("pos", "h")))
+    val dupH = winHash.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount).select(col("h"))
+    val dupStarts = winHash.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dup_pos"))
+    withT.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("dup_pos"), array().cast("array<int>")).as("dp"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        filter(col("ts"), (_, j) =>
+          !exists(col("dp"), i => i <= j && j <= i + lit(n - 1)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("deduped_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -1363,6 +1363,57 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotMd5 == exp)
   }
 
+  test("removeDuplicateSpans: covered tokens cut, survivors reassemble in order; within-doc repeats qualify; short docs pass through") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: head unique, shared 10-token window, tail unique —
+      // tokens 2..11 (0-based) covered, a0 a1 + z0 z1 survive
+      (1L, s"a0 a1 $shared z0 z1"),
+      // doc 2: the same shared window alone — fully covered
+      (2L, shared),
+      // doc 3: all-unique, long enough to have windows — untouched
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      // doc 4: shorter than a window — no windows, passes through
+      (4L, "tiny doc"),
+      // doc 5: a window repeated INSIDE one doc (occ 2 within the
+      // doc) — both occurrences cut, nothing else in the corpus
+      // shares it
+      (5L, ((1 to 10) ++ (1 to 10)).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDuplicateSpans(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val exp = Seq(
+      (1L, 14L, 4L, md5hex("a0 a1 z0 z1")),
+      (2L, 10L, 0L, md5hex("")),
+      (3L, 12L, 12L, md5hex((1 to 12).map(i => s"u$i").mkString(" "))),
+      (4L, 2L, 2L, md5hex("tiny doc")),
+      // doc 5: windows 0..10; window 0 (r1..r10) == window 10 →
+      // starts {0, 10} cover 0..9 and 10..19 — everything. The
+      // bridging windows (r2..r10 r1 etc.) are unique but their
+      // coverage is subsumed
+      (5L, 20L, 0L, md5hex("")))
+    assert(got == exp, s"got $got")
+    // partial overlap: two docs sharing only a prefix window — the
+    // uncovered suffix survives with the cut point exactly at n
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val got2 = TextOps.removeDuplicateSpans(
+      Seq((1L, s"$p k1 k2"), (2L, s"$p m1 m2")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // only window 0 is shared (windows 1,2 differ: k's vs m's), so
+    // tokens 0..9 are cut and the 2-token tails survive
+    assert(got2 == Seq(
+      (1L, 12L, 2L, md5hex("k1 k2")),
+      (2L, 12L, 2L, md5hex("m1 m2"))), s"got $got2")
+    // hash-family independence (md5 = the oracle path)
+    val gotMd5 = TextOps.removeDuplicateSpans(docs,
+      hashFn = Dedup.md5Seeded)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(gotMd5 == exp)
+  }
+
   test("splitLeakageWithSplitsBloom: equals the exact form; might_contain prunes the train scan; empty holdout safe") {
     // a corpus wide enough that the bloom actually discriminates:
     // 40 train docs of unique windows, 1 train doc leaked into test
