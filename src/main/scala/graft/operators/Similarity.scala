@@ -1164,6 +1164,17 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // seam-level dim check: a query side from the wrong encoder (or
+    // a wrong featurization width) should fail HERE with the two
+    // dims named, not as a length require deep inside the probe's
+    // DotExact. One sampled row; per-row mixed-width rows still
+    // fail-fast downstream.
+    queries.select(size(col("embedding"))).take(1).foreach { r =>
+      require(r.getInt(0) == cents.head.length,
+        s"knnJoinIndexed: query embedding dim ${r.getInt(0)} != index " +
+          s"dim ${cents.head.length} at $dir — the query side was " +
+          "featurized for a different index")
+    }
     val assigned = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         l2norm(col("embedding")).as("qnorm"),

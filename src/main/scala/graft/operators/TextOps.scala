@@ -1982,16 +1982,29 @@ object TextOps {
     * by construction (both legs and the fusion are shared or proven-
     * equal code); smaller nprobe trades dense-leg recall for probe
     * cost exactly as the ANN ladder documents.
+    *
+    * The featurization width is READ FROM THE INDEX (`dim = 0`, the
+    * default): the stored centroid length IS the only width the
+    * dense leg can probe, so taking it from the at-rest meta removes
+    * the caller-supplied-constant seam where a wrong `dim` used to
+    * surface as a length mismatch deep inside the probe. An explicit
+    * `dim > 0` is still honored (and verified against the index by
+    * [[graft.operators.Similarity.knnJoinIndexed]]'s seam check,
+    * which names both dims on mismatch).
     */
   def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
                        bm25Dir: String, annDir: String,
                        queryDocs: DataFrame, k: Int = 5, kRrf: Int = 60,
-                       dim: Int = 64, nprobe: Int = 2): DataFrame = {
+                       dim: Int = 0, nprobe: Int = 2): DataFrame = {
     val lex = bm25SearchIndexed(spark, bm25Dir, queryDocs, k)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val useDim =
+      if (dim > 0) dim
+      else spark.read.parquet(s"$annDir/centroids")
+        .select(size(col("centroid"))).head().getInt(0)
     val qvecs = hashEmbedVectors(
       queryDocs.select(col("query_id").as("doc_id"), col("text"),
-        lit("q").as("source")), dim)
+        lit("q").as("source")), useDim)
       .select(col("vec_id"), col("embedding"))
     val den = graft.operators.Similarity
       .knnJoinIndexed(spark, annDir, qvecs, k, nprobe)

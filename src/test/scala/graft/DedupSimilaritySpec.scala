@@ -1044,6 +1044,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(indexed == oneShot && indexed.nonEmpty,
       s"indexed $indexed vs one-shot $oneShot")
+    // the featurization width comes from the index's stored centroid
+    // length — no caller constant needed (the call above omits dim)
+    // — and a query side of the WRONG width fails at the seam with
+    // both dims named, not as a length require deep in the probe
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoinIndexed(spark, annDir,
+        TextOps.hashEmbedVectors(corpus, dim = 16)
+          .select($"vec_id", $"embedding"), k = 3, nprobe = 2)
+    }
+    assert(e.getMessage.contains("query embedding dim 16") &&
+      e.getMessage.contains("index dim 64"), e.getMessage)
   }
 
   test("streaming BM25 serving: batches match the indexed batch face; replay overwrites; appends visible without restart") {
