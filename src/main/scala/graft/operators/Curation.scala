@@ -631,11 +631,17 @@ object Curation {
     *     corpus state and advances it one version (replay-aware via
     *     the version's producing-batch id);
     *  2. the featurization seam re-reads the PUBLISHED product bytes
-    *     and hash-embeds them ([[TextOps.hashEmbedVectors]] — swap in
-    *     a real encoder behind the same (vec_id, embedding) shape);
+    *     and hash-embeds them ([[TextOps.hashEmbedVectors]] by
+    *     default; pass `featurizer` to run ANY encoder behind the
+    *     same contract — product frame in, (vec_id, embedding) rows
+    *     out, a pure function of the product bytes so a replay
+    *     re-encodes identically);
     *  3. [[Similarity.appendToIvfIndexCommitted]] appends the vectors
     *     under the batch id — staged, deterministically named,
-    *     marker-committed.
+    *     marker-committed — and `bm25Dir`, when given, rides the
+    *     lexical index over the SAME product under the same batch id
+    *     ([[TextOps.appendToBm25IndexCommitted]]), so the at-rest
+    *     retrieval stack's two legs advance together.
     *
     * CRASH-REPLAY CONSISTENCY ACROSS BOTH STATES: every stage is
     * either replay-detecting (1: a version stamped with this batch id
@@ -657,6 +663,9 @@ object Curation {
                              maxDriftRatio: Double = 4.0,
                              sq8Dir: Option[String] = None,
                              bqDir: Option[String] = None,
+                             bm25Dir: Option[String] = None,
+                             featurizer: Option[DataFrame => DataFrame] =
+                               None,
                              lineMinDf: Long = 5,
                              minJaccard: Double = 0.3,
                              benchMod: Long = 29, decontamN: Int = 8,
@@ -675,22 +684,31 @@ object Curation {
         val productPath = maintenanceStep(batch, id, stateDir, outDir,
           lineMinDf, minJaccard, benchMod, decontamN, targetSources,
           budget, shards)
+        val product = spark.read.parquet(productPath)
         // featurization is a pure function of the published product
-        // bytes, so the frame is pinned once and feeds every index leg
-        val feats = graft.operators.TextOps
-          .hashEmbedVectors(spark.read.parquet(productPath), embedDim)
+        // bytes, so the frame is pinned once and feeds every index
+        // leg; an external encoder rides the same (vec_id, embedding)
+        // contract — replay determinism is the CALLER's obligation
+        // for a custom featurizer (a nondeterministic encoder breaks
+        // the replay-re-encodes-identically story the committed
+        // appends rely on)
+        val encode = featurizer.getOrElse((df: DataFrame) =>
+          graft.operators.TextOps.hashEmbedVectors(df, embedDim))
+        val feats = encode(product)
           .select(col("vec_id"), col("embedding"))
           .localCheckpoint(true)
         graft.operators.Similarity.appendToIvfIndexCommitted(
           spark, indexDir, feats, id, maxDriftRatio)
-        // sidecar legs ride their own committed appends under the
-        // same batch id — each index dir carries its own marker set,
-        // so a replay that crashed between legs re-runs only the
-        // legs whose markers are missing
+        // sidecar + lexical legs ride their own committed appends
+        // under the same batch id — each index dir carries its own
+        // marker set, so a replay that crashed between legs re-runs
+        // only the legs whose markers are missing
         sq8Dir.foreach(sd => graft.operators.Similarity
           .appendToSq8IndexCommitted(spark, sd, feats, id))
         bqDir.foreach(bd => graft.operators.Similarity
           .appendToBqIndexCommitted(spark, bd, feats, id))
+        bm25Dir.foreach(bm => graft.operators.TextOps
+          .appendToBm25IndexCommitted(spark, bm, product, id))
         ()
       }
       .start()

@@ -3089,6 +3089,83 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted)
   }
 
+  test("corpus maintenance: a pluggable featurizer rides the committed lifecycle; the bm25 leg advances under the same batch id") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    def body(i: Long): String =
+      (0 until 60).map(j => s"w${i * 7 + j}").mkString(" ")
+    val corpus = (0L until 20L)
+      .map(i => (i, s"BOILER HEADER\n${body(i)}\nBOILER FOOTER", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("corpus_maint_feat").toString
+    val (stateDir, outDir, idxDir, srcDir, ckpt, bmDir) =
+      (s"$dir/state", s"$dir/out", s"$dir/idx", s"$dir/src",
+        s"$dir/ckpt", s"$dir/bm25")
+    new java.io.File(srcDir).mkdirs()
+    Curation.writeState(Curation.stateOf(corpus), stateDir)
+    // a planted NON-HASH encoder: dim 4, a pure function of doc_id —
+    // provably not the built-in hashEmbedVectors (dim 64)
+    val enc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.select($"doc_id".as("vec_id"),
+        array($"doc_id".cast("float"), lit(1.0f),
+          ($"doc_id" % 7).cast("float"), lit(0.5f)).as("embedding"))
+    val stateText = Curation.readState(spark, stateDir).corpusText
+    Similarity.writeIvfIndex(enc(stateText).select($"vec_id", $"embedding"),
+      idxDir, nlist = 2, iters = 2)
+    TextOps.writeBm25Index(stateText, bmDir, nBuckets = 8)
+    val statsBefore = TextOps.readBm25Stats(spark, bmDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    def doc(id: Long, text: String, src: String): String =
+      s"""{"doc_id":$id,"text":"${text.replace("\n", "\\n")}","source":"$src"}"""
+    Files.write(Paths.get(s"$srcDir/b1.json"), Seq(
+      doc(1100L, s"BOILER HEADER\n${body(100)}\nBOILER FOOTER", "src0"),
+      doc(1101L, body(200), "src0")).mkString("\n").getBytes)
+    def startStream() = Curation.startCorpusMaintenance(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir),
+      stateDir, outDir, idxDir, ckpt,
+      maxDriftRatio = 1e9, bm25Dir = Some(bmDir),
+      featurizer = Some(enc), triggerMs = 100L)
+    val q1 = startStream()
+    q1.processAllAvailable(); q1.stop()
+    val p0 = spark.read.parquet(s"$outDir/batch-0")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(p0 == Set(1100L, 1101L), s"products: $p0")
+    // the CUSTOM encoder's vectors are what landed in the dense index
+    val got = spark.read.parquet(s"$idxDir/lists")
+      .filter($"vec_id" === 1101L)
+      .select($"embedding").as[Array[Float]].head()
+    assert(got.toSeq == Seq(1101.0f, 1.0f, (1101 % 7).toFloat, 0.5f),
+      s"custom featurizer did not ride the append: ${got.toSeq}")
+    // the lexical leg advanced under the same batch id: marker, stats,
+    // and a product doc retrievable by its own (unique-token) text
+    assert(new java.io.File(s"$bmDir/_commits/batch-0").exists)
+    assert(TextOps.readBm25Stats(spark, bmDir)._1
+      == statsBefore._1 + p0.size)
+    val ptext = spark.read.parquet(s"$outDir/batch-0")
+      .filter($"doc_id" === 1101L).select($"text").as[String].head()
+    val hit = TextOps.bm25SearchIndexed(spark, bmDir,
+      Seq((9000L, ptext)).toDF("query_id", "text"), k = 1)
+      .select($"doc_id").as[Long].head()
+    assert(hit == 1101L, s"lexical probe missed the product doc: $hit")
+    // crash-replay: both legs short-circuit on their markers
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/0")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.0.crc"))
+    val q2 = startStream()
+    q2.processAllAvailable(); q2.stop()
+    assert(TextOps.readBm25Stats(spark, bmDir)._1
+      == statsBefore._1 + p0.size, "replay double-counted bm25 stats")
+    assert(spark.read.parquet(s"$idxDir/lists")
+      .filter($"vec_id" >= 1000L).count() == p0.size,
+      "replay double-appended the dense index")
+  }
+
   test("coverageSample: every populated cell capped at perCell, ranks contiguous nearest-first") {
     val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
     val perCell = 5
