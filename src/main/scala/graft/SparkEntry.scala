@@ -1258,9 +1258,11 @@ GROUP BY x.query_id ORDER BY x.query_id"""
   /** The hybrid-RRF replay — shared verbatim by `doc_hybrid_rrf`
     * (one-shot legs) and `doc_hybrid_indexed` (durable-index legs at
     * nprobe = nlist, where the IVF probe is exact): both stacks feed
-    * the same fusion, so ONE oracle string locks both.
+    * the same fusion, so ONE oracle string locks both. The CTE body
+    * (through the fused frame `f`) is also the exact half of
+    * `doc_hybrid_indexed_recall`'s replay.
     */
-  private val hybridRrfOracleSql: String =
+  private val hybridRrfCtes: String =
     """WITH q AS (
   SELECT doc_id AS query_id,
     unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
@@ -1333,12 +1335,85 @@ lscored AS (
       COALESCE(1000000000 // (60 + r.drank), 0) AS rrf_ppb
   FROM lranked l FULL OUTER JOIN eranked r
     ON l.query_id = r.query_id AND l.doc_id = r.doc_id
-)
+)"""
+
+  private val hybridRrfOracleSql: String = hybridRrfCtes + """
 SELECT query_id,
   CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY rrf_ppb DESC, doc_id) AS BIGINT) AS rank,
   doc_id, lex_rank, dense_rank, rrf_ppb
 FROM f QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
+  /** `doc_hybrid_indexed_recall`'s replay: the exact fused top-5
+    * (the shared CTE body's `f`) compared against the INDEXED stack
+    * at its default nprobe = 2 — the dense leg re-derives the
+    * hashed-embedding vectors densely (`hv`), replays the
+    * deterministic-Lloyd training of the durable index
+    * ([[kmeansAssignCtes]] over `hv`, the emb_ivf_* replay), probes
+    * the 2 nearest lists, and fuses with the SAME lexical leg
+    * (`lranked`); recall@5 per query is the semi-join count.
+    */
+  private lazy val hybridRecallOracleSql: String = hybridRrfCtes + s""",
+ex AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_ppb DESC, doc_id) AS rank
+    FROM f) WHERE rank <= 5
+), hvs AS (
+  SELECT d.doc_id, r.b, coalesce(ec.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(64) r(b)
+  LEFT JOIN ec ON ec.doc_id = d.doc_id AND ec.bucket = r.b
+), hv AS (
+  SELECT doc_id AS vec_id, list(CAST(cnt AS DOUBLE) ORDER BY b) AS embedding
+  FROM hvs GROUP BY doc_id
+),
+${kmeansAssignCtes("hv", nlist = 16, iters = 3, dim = 64, suffix = "h")},
+nnh AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM hv
+), qph AS (
+  SELECT query_id, qe, qnorm, cid FROM (
+    SELECT q2.vec_id AS query_id, q2.embedding AS qe, nq.norm AS qnorm,
+      c.cid,
+      row_number() OVER (PARTITION BY q2.vec_id
+        ORDER BY ${sqDistSql("q2.embedding", "c.cent")}, c.cid) AS rn
+    FROM hv q2 JOIN nnh nq ON nq.vec_id = q2.vec_id
+    CROSS JOIN c3h c
+    WHERE q2.vec_id IN (0, 1, 2)
+  ) WHERE rn <= 2
+), iscored AS (
+  SELECT qph.query_id, nnh.vec_id,
+    round(${dotSql("nnh.embedding", "qph.qe")} / (nnh.norm * qph.qnorm),
+      4) AS cos_sim
+  FROM nnh JOIN afh ON afh.vec_id = nnh.vec_id
+  JOIN qph ON qph.cid = afh.cid AND nnh.vec_id <> qph.query_id
+), iranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS drank
+  FROM iscored WHERE NOT isnan(cos_sim) QUALIFY drank <= 5
+), f2 AS (
+  SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+    COALESCE(1000000000 // (60 + l.lex_rank), 0) +
+      COALESCE(1000000000 // (60 + r.drank), 0) AS rrf_ppb
+  FROM lranked l FULL OUTER JOIN iranked r
+    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+), ap AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_ppb DESC, doc_id) AS rank
+    FROM f2) WHERE rank <= 5
+)
+SELECT ex.query_id,
+  CAST(count(ap.doc_id) AS BIGINT) AS hits,
+  CAST(count(*) AS BIGINT) AS expected,
+  round(CAST(count(ap.doc_id) AS DOUBLE) / count(*), 4) AS recall
+FROM ex LEFT JOIN ap
+  ON ap.query_id = ex.query_id AND ap.doc_id = ex.doc_id
+GROUP BY ex.query_id ORDER BY ex.query_id"""
 
   /** The BM25 ranking replay — shared verbatim by `doc_bm25_topk`
     * (one-shot) and `doc_bm25_indexed` (durable postings probe): the
@@ -2746,6 +2821,24 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         docs.filter(col("doc_id").isin(0L, 1L, 2L))
           .select(col("doc_id").as("query_id"), col("text")),
         nprobe = 16)
+    }),
+    // recall pricing of the PRODUCTION configuration: the indexed
+    // hybrid stack at its default nprobe = 2 vs the exact one-shot
+    // fusion — the speed/recall trade the nprobe dial buys, priced
+    // instead of only bounded by the nprobe = nlist exactness row
+    "doc_hybrid_indexed_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bmIdx = TextOps.ensureBm25Index(s, s"$d/documents.parquet", docs)
+      val annIdx = Similarity.ensureIvfIndex(s, s"$d/documents.parquet",
+        TextOps.hashEmbedVectors(docs)
+          .select(col("vec_id"), col("embedding")))
+      Similarity.recallAtK(
+        TextOps.hybridRrfIndexed(s, bmIdx, annIdx,
+          docs.filter(col("doc_id").isin(0L, 1L, 2L))
+            .select(col("doc_id").as("query_id"), col("text")))
+          .select(col("query_id"), col("doc_id").as("vec_id")),
+        TextOps.hybridRrfTopK(docs, Seq(0L, 1L, 2L))
+          .select(col("query_id"), col("doc_id").as("vec_id")))
     }),
     // token-run collapse (stutter cleanup): scan-local array
     // expressions, no explode/shuffle; md5 of the collapsed text
@@ -4195,6 +4288,7 @@ QUALIFY rank <= 3 ORDER BY doc_id, rank""",
     // exact BIGINT sum — no float summation anywhere in the fusion
     "doc_hybrid_rrf" -> hybridRrfOracleSql,
     "doc_hybrid_indexed" -> hybridRrfOracleSql,
+    "doc_hybrid_indexed_recall" -> hybridRecallOracleSql,
 
     // token-run collapse: lag-window replay of the engine's
     // predecessor-element array filter; md5 over the space-rejoined
