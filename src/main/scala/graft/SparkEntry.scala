@@ -3151,6 +3151,21 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_remove_dup_spans" -> ((s, d) =>
       TextOps.removeDuplicateSpans(Tables.documents(s, d), n = 10,
         hashFn = Dedup.md5Seeded)),
+    // incremental span cut: the corpus contributes through its
+    // persisted mergeable window dim; only the batch is scanned, and
+    // the merged dim makes the rewrite equal the full recompute
+    // restricted to the batch
+    "doc_remove_spans_novel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val merged = TextOps.mergeDim(
+        TextOps.windowDim(corpus, n = 10, hashFn = Dedup.md5Seeded),
+        TextOps.windowDim(batch, n = 10, hashFn = Dedup.md5Seeded),
+        key = "h")
+      TextOps.removeDuplicateSpansWithDim(batch, merged, n = 10,
+        hashFn = Dedup.md5Seeded)
+    }),
     // train/holdout split-leakage audit: 10-token windows of val/test
     // docs contained in the train window-hash set (5%/5% splits so
     // the holdout is non-degenerate at sf0.01)
@@ -4757,8 +4772,17 @@ FROM perdoc p LEFT JOIN dupc d USING (doc_id) ORDER BY p.doc_id"""
     // the APPLY step: 0-based duplicated window starts i cover
     // 1-based token positions i+1..i+10; uncovered tokens reassemble
     // in order and the md5 crosses the compare. Docs shorter than a
-    // window (and fully-covered docs) surface via the LEFT JOIN.
-    "doc_remove_dup_spans" -> {
+    // window (and fully-covered docs) surface via the LEFT JOIN. The
+    // incremental (merged-dim) form equals the full recompute
+    // restricted to the batch, so its oracle is the same chain with
+    // the batch predicate on the final select only — window counts
+    // stay corpus-wide.
+    "doc_remove_dup_spans" -> removeDupSpansOracle(""),
+    "doc_remove_spans_novel" ->
+      removeDupSpansOracle("WHERE t0.doc_id % 7 = 0 "),
+  ) ++ oracleSqlMid
+
+  private def removeDupSpansOracle(finalFilter: String): String = {
       val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
       s"""WITH tok AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -4790,9 +4814,10 @@ SELECT t0.doc_id, CAST(t0.n_tokens AS BIGINT) AS n_tokens,
   md5(coalesce(a.txt, '')) AS deduped_md5
 FROM (SELECT doc_id, len(t) AS n_tokens FROM tok) t0
 LEFT JOIN agg a USING (doc_id)
-ORDER BY t0.doc_id"""
-    },
+${finalFilter}ORDER BY t0.doc_id"""
+  }
 
+  private lazy val oracleSqlMid: Map[String, String] = Map(
     // split-leakage: the substring-window CTE chain with a split
     // CASE up front; holdout windows semi-checked against the
     // distinct train window-hash set. The bloom form is exactly

@@ -547,15 +547,44 @@ object TextOps {
   def removeDuplicateSpans(docs: DataFrame, n: Int = 10,
                            minCount: Int = 2,
                            hashFn: (Int, Column) => Column =
-                             Dedup.xxSeeded): DataFrame = {
+                             Dedup.xxSeeded): DataFrame =
+    removeDuplicateSpansWithDim(docs, windowDim(docs, n, hashFn), n,
+      minCount, hashFn)
+
+  /** The corpus window-hash occurrence dim behind
+    * [[removeDuplicateSpans]] / [[duplicateSpans]] as PERSISTED,
+    * MERGE-UPDATABLE state — the [[lineDfDim]] contract at window
+    * granularity: `windowDim(a ∪ b) = mergeDim(windowDim(a),
+    * windowDim(b), "h")` exactly (occurrence counts are distributive
+    * sums), so a nightly pipeline adds the new batch's window counts
+    * instead of rescanning the corpus.
+    */
+  def windowDim(docs: DataFrame, n: Int = 10,
+                hashFn: (Int, Column) => Column = Dedup.xxSeeded)
+      : DataFrame =
+    docs.select(explode(Dedup.shingles(col("text"), n)).as("g"))
+      .select(hashFn(0, col("g")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+
+  /** [[removeDuplicateSpans]] against a PRE-AGGREGATED [[windowDim]]
+    * — the incremental form: the dim decides which windows are
+    * corpus-duplicated, so a batch rewrites against the whole
+    * corpus's counts while scanning only itself (cut rule:
+    * dim occurrence ≥ minCount). `removeDuplicateSpans(docs)` ≡
+    * `removeDuplicateSpansWithDim(docs, windowDim(docs))` by
+    * construction.
+    */
+  def removeDuplicateSpansWithDim(docs: DataFrame, dim: DataFrame,
+                                  n: Int = 10, minCount: Int = 2,
+                                  hashFn: (Int, Column) => Column =
+                                    Dedup.xxSeeded): DataFrame = {
     val withT = docs.select(col("doc_id"), tokens(col("text")).as("ts"),
       Dedup.shingles(col("text"), n).as("gs"))
     val winHash = withT.filter(size(col("gs")) > 0)
       .select(col("doc_id"),
         posexplode(transform(col("gs"), g => hashFn(0, g)))
           .as(Seq("pos", "h")))
-    val dupH = winHash.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minCount).select(col("h"))
+    val dupH = dim.filter(col("occ") >= minCount).select(col("h"))
     val dupStarts = winHash.join(dupH, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dup_pos"))
     withT.join(dupStarts, Seq("doc_id"), "left")

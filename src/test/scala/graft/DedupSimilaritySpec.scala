@@ -1423,6 +1423,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
       hashFn = Dedup.md5Seeded)
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(gotMd5 == exp)
+    // incremental form: batch rewritten against the MERGED window dim
+    // equals the full recompute restricted to the batch — the corpus
+    // contributes counts, not a rescan. Doc 2's only window lives in
+    // the corpus side (doc 1), so the cross-half duplication must
+    // still cut it; doc 4 is window-less and passes through.
+    val corpusHalf = docs.filter($"doc_id".isin(1L, 3L, 5L))
+    val batchHalf = docs.filter($"doc_id".isin(2L, 4L))
+    val merged = TextOps.mergeDim(TextOps.windowDim(corpusHalf),
+      TextOps.windowDim(batchHalf), key = "h")
+    val inc = TextOps.removeDuplicateSpansWithDim(batchHalf, merged)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(inc == exp.filter(r => r._1 == 2L || r._1 == 4L),
+      s"incremental diverged: $inc")
   }
 
   test("splitLeakageWithSplitsBloom: equals the exact form; might_contain prunes the train scan; empty holdout safe") {
