@@ -1160,10 +1160,27 @@ object Similarity {
     */
   def knnJoinIndexed(spark: org.apache.spark.sql.SparkSession,
                      dir: String, queries: DataFrame, k: Int = 10,
-                     nprobe: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+                     nprobe: Int = 2): DataFrame =
+    knnJoinIndexedWith(spark, dir, readCentroids(spark, dir), queries,
+      k, nprobe)
+
+  /** The stored-centroid dim of a durable IVF index as a driver-side
+    * literal (nlist×dim, the broadcast quantizer every probe
+    * carries). Shared so a caller composing multiple probe stages
+    * (e.g. [[graft.operators.TextOps.hybridRrfIndexed]], which also
+    * needs the index dim for its featurization) collects it once.
+    */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
+
+  /** [[knnJoinIndexed]] over pre-collected centroids. */
+  private[graft] def knnJoinIndexedWith(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     // seam-level dim check: a query side from the wrong encoder (or
     // a wrong featurization width) should fail HERE with the two
     // dims named, not as a length require deep inside the probe's

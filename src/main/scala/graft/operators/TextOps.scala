@@ -1876,7 +1876,7 @@ object TextOps {
     * corpus-vocabulary shuffle a probe never needs.
     */
   private def bm25DfRows(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): DataFrame = {
+                         dir: String): (DataFrame, Boolean) = {
     val base = spark.read.parquet(s"$dir/df")
     val deltas = new org.apache.hadoop.fs.Path(dir, "df_deltas")
     val fs = deltas.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1886,8 +1886,8 @@ object TextOps {
       g != null && g.nonEmpty
     }
     if (hasDeltas)
-      base.unionByName(spark.read.parquet(deltas.toString))
-    else base
+      (base.unionByName(spark.read.parquet(deltas.toString)), true)
+    else (base, false)
   }
 
   /** BM25 retrieval against the durable index — [[bm25TopK]] with the
@@ -1915,22 +1915,30 @@ object TextOps {
       .localCheckpoint(true)
     val (nDocs, nToks, nBuckets) = readBm25Stats(spark, dir)
     val distinctTerms = qterms.select(col("term")).distinct()
-    val nTerms = distinctTerms.limit(maxQueryTerms + 1).count()
-    require(nTerms <= maxQueryTerms,
+    // ONE driver round-trip guards the term cardinality AND derives
+    // the bucket list (collect_set is bounded by nBuckets, the count
+    // by the limit) — two jobs here showed up as fixed per-probe cost
+    val guard = distinctTerms.limit(maxQueryTerms + 1)
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("n"), collect_set(col("bucket")).as("bs"))
+      .head()
+    require(guard.getLong(0) <= maxQueryTerms,
       s"bm25SearchIndexed: > $maxQueryTerms distinct query terms — " +
         "the broadcast term dim would not stay KB-scale; batch the " +
         "query side")
-    val buckets = distinctTerms
-      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
-      .distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val buckets = guard.getSeq[Long](1)
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(distinctTerms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    val dft = bm25DfRows(spark, dir)
-      .join(broadcast(distinctTerms), Seq("term"))
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val (dfRows, hasDeltas) = bm25DfRows(spark, dir)
+    val dftJoined = dfRows.join(broadcast(distinctTerms), Seq("term"))
+    // the per-term sum only exists to merge committed deltas — the
+    // delta-free layout keeps the r9 plan (one row per term already)
+    val dft =
+      if (hasDeltas)
+        dftJoined.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else dftJoined
     val stats = spark.range(1)
       .select(lit(nDocs).cast("double").as("n_docs"),
         lit(nToks).cast("double").as("n_toks"))
@@ -2027,16 +2035,16 @@ object TextOps {
                        dim: Int = 0, nprobe: Int = 2): DataFrame = {
     val lex = bm25SearchIndexed(spark, bm25Dir, queryDocs, k)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val useDim =
-      if (dim > 0) dim
-      else spark.read.parquet(s"$annDir/centroids")
-        .select(size(col("centroid"))).head().getInt(0)
+    // one centroid collect serves both the featurization width and
+    // the probe's broadcast quantizer
+    val cents = graft.operators.Similarity.readCentroids(spark, annDir)
+    val useDim = if (dim > 0) dim else cents.head.length
     val qvecs = hashEmbedVectors(
       queryDocs.select(col("query_id").as("doc_id"), col("text"),
         lit("q").as("source")), useDim)
       .select(col("vec_id"), col("embedding"))
     val den = graft.operators.Similarity
-      .knnJoinIndexed(spark, annDir, qvecs, k, nprobe)
+      .knnJoinIndexedWith(spark, annDir, cents, qvecs, k, nprobe)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("dense_rank"))
     rrfFuse(lex, den, k, kRrf)

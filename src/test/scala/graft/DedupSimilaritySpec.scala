@@ -1109,6 +1109,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
         .filter($"query_id" === 903L && $"rank" === 1L)
         .select($"doc_id").as[Long].head()
       assert(hit == 4L, s"appended doc not served: $hit")
+      // a COMMITTED append composes with the LIVE stream too — it
+      // never rewrites the base dims, so there is no swap window at
+      // all (the docstring's "streams ride the committed form" claim,
+      // exercised against a running query)
+      TextOps.appendToBm25IndexCommitted(spark, dir,
+        Seq((5L, "kiwi kiwi lime", "s")).toDF("doc_id", "text", "source"),
+        batchId = 77L)
+      mem.addData((904L, "kiwi lime"))
+      q.processAllAvailable()
+      val hit2 = spark.read.parquet(outDir)
+        .filter($"query_id" === 904L && $"rank" === 1L)
+        .select($"doc_id").as[Long].head()
+      assert(hit2 == 5L, s"committed-appended doc not served: $hit2")
     } finally { if (q.isActive) q.stop() }
   }
 
