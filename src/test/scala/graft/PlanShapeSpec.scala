@@ -285,4 +285,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftAnti"),
       "novelty is the batch anti-join of the verified loser set")
   }
+
+  test("bm25 indexed probe: postings scan pruned to the query-term bucket partitions, composite df reads never re-tokenize the corpus") {
+    val p = executedPlan("doc_bm25_indexed")
+    // the whole point of the bucket layout: the probe's driver-side
+    // bucket list must reach the postings scan as a PARTITION filter
+    // (pruned directories, not a post-scan predicate). Spark
+    // truncates the INSET list in the plan string, so match the
+    // filter's head, not its closing bracket.
+    assert("PartitionFilters: \\[bucket#\\d+L? INSET".r
+      .findFirstIn(p).isDefined,
+      "postings scan must carry the bucket partition filter:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+    // the index exists so the probe never re-tokenizes the corpus:
+    // the only text split sites allowed are the QUERY side's (its
+    // lineage appears once per consumer); the postings/df/stats scans
+    // must stay pure count reads — their FileScan lines carry no
+    // split()
+    val corpusScanSplits = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft-ivf-index"))
+      .count(_.contains("split("))
+    assert(corpusScanSplits == 0,
+      "index scans must read stored counts, never re-tokenize")
+    // the ONE BroadcastNestedLoopJoin here is bm25Rank's deliberate
+    // 1-row stats cross join (a scalar broadcast, not a blow-up);
+    // a cartesian over real relations is still forbidden
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bloom split-leakage: train scan pruned by the holdout sketch, no train-scale broadcast") {
+    val p = executedPlan("doc_split_leakage_bloom")
+    assert(p.contains("might_contain"),
+      "train scan must be pruned by the holdout bloom predicate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the leakage semi-join must stay an equi join")
+  }
 }
