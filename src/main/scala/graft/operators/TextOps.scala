@@ -566,6 +566,143 @@ object TextOps {
       .select(hashFn(0, col("g")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
 
+  /** Bootstrap the versioned window-dim state [[startSpanDedup]]
+    * advances: the initial corpus's [[windowDim]] publishes as
+    * version 0 (producing batch -1 — no stream batch may claim it).
+    * An EMPTY corpus frame is a legal bootstrap (the stream then
+    * builds the dim from its own batches).
+    */
+  def initWindowDim(spark: org.apache.spark.sql.SparkSession,
+                    dimDir: String, docs: DataFrame, n: Int = 10,
+                    hashFn: (Int, Column) => Column = Dedup.xxSeeded)
+      : Unit = {
+    val d = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(d, ".staging-v0")
+    fs.delete(staging, true)
+    windowDim(docs, n, hashFn).write.mode("overwrite")
+      .parquet(staging.toString)
+    val v0 = new org.apache.hadoop.fs.Path(d, "v0_b-1")
+    fs.delete(v0, true)
+    require(fs.rename(staging, v0), s"initWindowDim: failed to publish $v0")
+    ()
+  }
+
+  /** The published (version, producing-batch) ladder under a
+    * [[startSpanDedup]] dim dir, ascending by version. */
+  private def windowDimVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                d: org.apache.hadoop.fs.Path)
+      : Seq[(Int, Long)] = {
+    val re = "^v(\\d+)_b(-?\\d+)$".r
+    val ls = fs.listStatus(d)
+    (if (ls == null) Array.empty[org.apache.hadoop.fs.FileStatus] else ls)
+      .toSeq.flatMap(_.getPath.getName match {
+        case re(v, b) => Some((v.toInt, b.toLong))
+        case _ => None
+      }).sortBy(_._1)
+  }
+
+  /** Rewrite ONE micro-batch against the advancing corpus window dim
+    * — the replayable unit of [[startSpanDedup]], carrying the
+    * [[graft.operators.Curation.maintenanceStep]] replay contract on
+    * the dim state:
+    *
+    *  1. a version stamped with THIS batch id means the advance
+    *     already committed — the rewrite re-runs against the PRIOR
+    *     version (the input the original run saw) and the advance is
+    *     skipped;
+    *  2. the merged dim (prior ∪ batch window counts — exact, counts
+    *     are distributive) is pinned once and feeds the rewrite AND
+    *     the publish;
+    *  3. results land under `batch_id=<id>` via dynamic partition
+    *     overwrite (the serveAnnBatch contract), THEN the dim
+    *     publishes by staged rename as version k+1 stamped with the
+    *     batch id; one prior version is retained for replay, older
+    *     ones prune.
+    *
+    * Whichever prefix of {results write, dim publish} a crash leaves,
+    * the replay recomputes from the same inputs and overwrites — the
+    * dim can never double-merge a batch's counts.
+    */
+  def spanDedupBatch(spark: org.apache.spark.sql.SparkSession,
+                     dimDir: String, batch: DataFrame, batchId: Long,
+                     outDir: String, n: Int = 10, minCount: Int = 2,
+                     hashFn: (Int, Column) => Column = Dedup.xxSeeded)
+      : Unit = {
+    val d = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = windowDimVersions(fs, d)
+    require(vs.nonEmpty,
+      s"spanDedupBatch: no window-dim state under $dimDir — run " +
+        "initWindowDim first (an empty corpus is fine)")
+    val already = vs.exists(_._2 == batchId)
+    val (useV, useB) =
+      if (already) {
+        val k = vs.find(_._2 == batchId).get._1
+        val prior = vs.filter(_._1 < k)
+        require(prior.nonEmpty,
+          s"spanDedupBatch: replay of batch $batchId but no prior dim " +
+            "state version survives — cannot reproduce its input")
+        prior.last
+      } else vs.last
+    val cur = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(d, s"v${useV}_b$useB").toString)
+    val merged = mergeDim(cur, windowDim(batch, n, hashFn), key = "h")
+      .localCheckpoint(true)
+    removeDuplicateSpansWithDim(batch, merged, n, minCount, hashFn)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    if (!already) {
+      val staging =
+        new org.apache.hadoop.fs.Path(d, s".staging-v${useV + 1}")
+      fs.delete(staging, true)
+      merged.write.mode("overwrite").parquet(staging.toString)
+      val next =
+        new org.apache.hadoop.fs.Path(d, s"v${useV + 1}_b$batchId")
+      fs.delete(next, true)
+      require(fs.rename(staging, next),
+        s"spanDedupBatch: failed to publish $next")
+      // retain one prior version for replay; prune older ones
+      windowDimVersions(fs, d).dropRight(2).foreach { case (v, b) =>
+        fs.delete(new org.apache.hadoop.fs.Path(d, s"v${v}_b$b"), true)
+        ()
+      }
+    }
+  }
+
+  /** STREAMING exact-substring span cut — the ingest-boundary form of
+    * [[removeDuplicateSpans]]: each micro-batch of documents is
+    * rewritten against the corpus-so-far's window counts (corpus
+    * bootstrap + every prior batch + the batch itself, so
+    * within-batch duplication cuts too), and the dim advances by an
+    * exact count merge instead of a corpus rescan — the
+    * [[startDriftMonitor]] persisted-dim economics with the
+    * [[graft.operators.Curation.startCorpusMaintenance]] versioned
+    * replay story ([[spanDedupBatch]]). Batch i's rewrite equals the
+    * one-shot [[removeDuplicateSpans]] over (bootstrap ∪ batches ≤ i)
+    * restricted to batch i's documents — the spec's equality.
+    */
+  def startSpanDedup(docs: DataFrame, dimDir: String, outDir: String,
+                     checkpointDir: String, n: Int = 10,
+                     minCount: Int = 2,
+                     hashFn: (Int, Column) => Column = Dedup.xxSeeded,
+                     triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        spanDedupBatch(batch.sparkSession, dimDir, batch, id, outDir,
+          n, minCount, hashFn)
+        ()
+      }
+      .start()
+
   /** [[removeDuplicateSpans]] against a PRE-AGGREGATED [[windowDim]]
     * — the incremental form: the dim decides which windows are
     * corpus-duplicated, so a batch rewrites against the whole

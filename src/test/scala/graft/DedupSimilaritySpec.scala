@@ -1451,6 +1451,73 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"incremental diverged: $inc")
   }
 
+  test("streaming span dedup: batches cut against the advancing window dim; replay never double-merges the state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val boot = Seq((1L, s"a0 a1 $shared z0 z1")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    val (dimDir, outDir, ckpt) = (s"$dir/dim", s"$dir/out", s"$dir/ckpt")
+    TextOps.initWindowDim(spark, dimDir, boot)
+    val mem = MemoryStream[(Long, String)]
+    def start() = TextOps.startSpanDedup(
+      mem.toDF().toDF("doc_id", "text"), dimDir, outDir, ckpt,
+      triggerMs = 50L)
+    val q1 = start()
+    // batch 0: doc 10 repeats the BOOTSTRAP-corpus window (occurrence
+    // crosses the stream boundary: 1 corpus + 1 batch = 2 → cut);
+    // doc 11 is corpus-unique and passes whole
+    mem.addData((10L, shared), (11L, uniq))
+    q1.processAllAvailable()
+    // batch 1: doc 12 repeats doc 11's window — the PRIOR BATCH's
+    // counts are in the dim now, so the duplicate cuts without any
+    // rescan of earlier data
+    mem.addData((12L, uniq))
+    q1.processAllAvailable(); q1.stop()
+    def snap() = spark.read.parquet(outDir)
+      .select($"doc_id", $"n_tokens", $"n_kept", $"deduped_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val exp = Set(
+      (10L, 10L, 0L, md5hex("")),
+      (11L, 10L, 10L, md5hex(uniq)),
+      (12L, 10L, 0L, md5hex("")))
+    assert(snap() == exp, s"got ${snap()}")
+    // batch 1's row equals the ONE-SHOT rewrite over everything seen
+    // so far, restricted to batch 1 — the stream's contract
+    val oneShot = TextOps.removeDuplicateSpans(
+      boot.union(Seq((10L, shared), (11L, uniq), (12L, uniq))
+        .toDF("doc_id", "text")))
+      .filter($"doc_id" === 12L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(oneShot == exp.filter(_._1 == 12L))
+    // versioned state: v0 pruned (one prior retained), v1/v2 stamped
+    // with their producing batches
+    def versions() = new java.io.File(dimDir).list()
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(versions() == Seq("v1_b0", "v2_b1"), s"got ${versions()}")
+    def dimOccSum() = spark.read.parquet(s"$dimDir/v2_b1")
+      .agg(sum($"occ")).as[Long].head()
+    val occBefore = dimOccSum()
+    // crash between sink commit and checkpoint commit: batch 1
+    // replays end to end — rows unchanged, NO new version, and the
+    // batch's counts are not merged twice
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/1")))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(snap() == exp, "replay changed the emitted rows")
+    assert(versions() == Seq("v1_b0", "v2_b1"),
+      s"replay advanced the dim again: ${versions()}")
+    assert(dimOccSum() == occBefore,
+      "replay double-merged the batch's window counts")
+  }
+
   test("splitLeakageWithSplitsBloom: equals the exact form; might_contain prunes the train scan; empty holdout safe") {
     // a corpus wide enough that the bloom actually discriminates:
     // 40 train docs of unique windows, 1 train doc leaked into test
