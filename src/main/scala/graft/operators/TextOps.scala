@@ -575,32 +575,8 @@ object TextOps {
   def initWindowDim(spark: org.apache.spark.sql.SparkSession,
                     dimDir: String, docs: DataFrame, n: Int = 10,
                     hashFn: (Int, Column) => Column = Dedup.xxSeeded)
-      : Unit = {
-    val d = new org.apache.hadoop.fs.Path(dimDir)
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new org.apache.hadoop.fs.Path(d, ".staging-v0")
-    fs.delete(staging, true)
-    windowDim(docs, n, hashFn).write.mode("overwrite")
-      .parquet(staging.toString)
-    val v0 = new org.apache.hadoop.fs.Path(d, "v0_b-1")
-    fs.delete(v0, true)
-    require(fs.rename(staging, v0), s"initWindowDim: failed to publish $v0")
-    ()
-  }
-
-  /** The published (version, producing-batch) ladder under a
-    * [[startSpanDedup]] dim dir, ascending by version. */
-  private def windowDimVersions(fs: org.apache.hadoop.fs.FileSystem,
-                                d: org.apache.hadoop.fs.Path)
-      : Seq[(Int, Long)] = {
-    val re = "^v(\\d+)_b(-?\\d+)$".r
-    val ls = fs.listStatus(d)
-    (if (ls == null) Array.empty[org.apache.hadoop.fs.FileStatus] else ls)
-      .toSeq.flatMap(_.getPath.getName match {
-        case re(v, b) => Some((v.toInt, b.toLong))
-        case _ => None
-      }).sortBy(_._1)
-  }
+      : Unit =
+    VersionedState.init(spark, dimDir, windowDim(docs, n, hashFn))
 
   /** Rewrite ONE micro-batch against the advancing corpus window dim
     * — the replayable unit of [[startSpanDedup]], carrying the
@@ -629,24 +605,9 @@ object TextOps {
                      outDir: String, n: Int = 10, minCount: Int = 2,
                      hashFn: (Int, Column) => Column = Dedup.xxSeeded)
       : Unit = {
-    val d = new org.apache.hadoop.fs.Path(dimDir)
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val vs = windowDimVersions(fs, d)
-    require(vs.nonEmpty,
-      s"spanDedupBatch: no window-dim state under $dimDir — run " +
-        "initWindowDim first (an empty corpus is fine)")
-    val already = vs.exists(_._2 == batchId)
-    val (useV, useB) =
-      if (already) {
-        val k = vs.find(_._2 == batchId).get._1
-        val prior = vs.filter(_._1 < k)
-        require(prior.nonEmpty,
-          s"spanDedupBatch: replay of batch $batchId but no prior dim " +
-            "state version survives — cannot reproduce its input")
-        prior.last
-      } else vs.last
-    val cur = spark.read.parquet(
-      new org.apache.hadoop.fs.Path(d, s"v${useV}_b$useB").toString)
+    val fs = VersionedState.fsOf(spark, dimDir)
+    val (useV, useB, already) = VersionedState.resolve(fs, dimDir, batchId)
+    val cur = VersionedState.read(spark, dimDir, useV, useB)
     val merged = mergeDim(cur, windowDim(batch, n, hashFn), key = "h")
       .localCheckpoint(true)
     removeDuplicateSpansWithDim(batch, merged, n, minCount, hashFn)
@@ -655,22 +616,8 @@ object TextOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-    if (!already) {
-      val staging =
-        new org.apache.hadoop.fs.Path(d, s".staging-v${useV + 1}")
-      fs.delete(staging, true)
-      merged.write.mode("overwrite").parquet(staging.toString)
-      val next =
-        new org.apache.hadoop.fs.Path(d, s"v${useV + 1}_b$batchId")
-      fs.delete(next, true)
-      require(fs.rename(staging, next),
-        s"spanDedupBatch: failed to publish $next")
-      // retain one prior version for replay; prune older ones
-      windowDimVersions(fs, d).dropRight(2).foreach { case (v, b) =>
-        fs.delete(new org.apache.hadoop.fs.Path(d, s"v${v}_b$b"), true)
-        ()
-      }
-    }
+    if (!already)
+      VersionedState.publish(spark, fs, dimDir, merged, useV + 1, batchId)
   }
 
   /** STREAMING exact-substring span cut — the ingest-boundary form of

@@ -191,4 +191,55 @@ class SamplingSpec extends SparkSpecBase {
     val g1 = got.filter(_._1 == "big").map(_._3).toSet
     assert((g2 -- g1).forall(_ >= 100L), s"non-new entrants: ${g2 -- g1}")
   }
+
+  test("streaming stratified sample: snapshot equals the one-shot over everything seen; replay never double-advances") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val boot = (0L until 40L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("stratstream").toString
+    val (stateDir, outDir, ckpt) = (s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    Sampling.initStratifiedState(spark, stateDir, boot,
+      "source", "doc_id", k = 3)
+    val mem = MemoryStream[(Long, String)]
+    def start() = Sampling.startStratifiedSample(
+      mem.toDF().toDF("doc_id", "source"), stateDir, outDir, ckpt,
+      "source", "doc_id", k = 3, triggerMs = 50L)
+    val q1 = start()
+    mem.addData((100L, "s0"), (101L, "s1"), (102L, "s2")) // s2: NEW stratum
+    q1.processAllAvailable()
+    mem.addData((200L until 240L).map(i => (i, s"s${i % 2}")): _*)
+    q1.processAllAvailable(); q1.stop()
+    def latest(): Set[(String, Long, Long)] = {
+      val lastB = spark.read.parquet(outDir)
+        .agg(max($"batch_id")).as[Long].head()
+      spark.read.parquet(outDir).filter($"batch_id" === lastB)
+        .select($"source", $"pick_rank", $"doc_id")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    val all = boot
+      .union(Seq((100L, "s0"), (101L, "s1"), (102L, "s2"))
+        .toDF("doc_id", "source"))
+      .union((200L until 240L).map(i => (i, s"s${i % 2}"))
+        .toDF("doc_id", "source"))
+    val oneShot = Sampling.stratifiedK(all, "source", "doc_id", k = 3)
+      .select($"source", $"pick_rank", $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(latest() == oneShot && oneShot.size == 7, // 3+3+1 (s2 has one doc)
+      s"stream ${latest()} vs one-shot $oneShot")
+    // crash replay of the last batch: rows, versions, and picks stable
+    def versions() = new java.io.File(stateDir).list()
+      .filter(_.startsWith("v")).sorted.toSeq
+    val vBefore = versions()
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/1")))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(latest() == oneShot, "replay changed the sample")
+    assert(versions() == vBefore,
+      s"replay advanced the state again: ${versions()} vs $vBefore")
+  }
 }
