@@ -99,6 +99,13 @@ object SparkEntry {
   private val TokenBudgets: Map[String, Long] =
     Map("src0" -> 1200L, "src1" -> 800L, "src2" -> 400L, "src4" -> 100000L)
 
+  /** Epoch recipe for the data-mixing fixture (epochs per source):
+    * a >1 fractional source, a <1 fractional source, an exact-integer
+    * source, and an unlisted-source drop — the four recipe shapes.
+    */
+  private val EpochRecipe: Map[String, Double] =
+    Map("src0" -> 2.5, "src1" -> 0.25, "src3" -> 1.0)
+
   private val ActivityPrelude: String = {
     val tblExtract = tblExtractSql("sql_text")
     s"""WITH ev AS (
@@ -3477,6 +3484,12 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_stratified_k" -> ((s, d) =>
       Sampling.stratifiedK(Tables.documents(s, d), "source", "doc_id",
         k = 7)),
+    // epoch-mix materialization (the training-recipe data-mixing
+    // table): floor(w) full copies per doc + a deterministic
+    // hash-threshold pick of the fractional epoch; unlisted sources
+    // drop
+    "doc_epoch_mix" -> ((s, d) =>
+      Sampling.epochMix(Tables.documents(s, d), EpochRecipe)),
     "doc_token_budget" -> ((s, d) => Tables.documents(s, d)
       .select(col("source"), TextOps.langGuess(col("text")).as("lang_guess"),
         TextOps.tokenCount(col("text")).as("nt"),
@@ -5041,6 +5054,27 @@ FROM r WHERE pick_rank <= 7 ORDER BY source, pick_rank"""
       s"""SELECT doc_id, source FROM documents
 WHERE $keep
 ORDER BY doc_id"""
+    },
+
+    // epoch mix: the recipe dim as VALUES (source, floor, fractional
+    // threshold), generate_series for the full copies, the seed-1
+    // hash threshold for the fractional epoch
+    "doc_epoch_mix" -> {
+      val h1 = "CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+      val vals = EpochRecipe.toSeq.sortBy(_._1).map { case (src, w) =>
+        val full = math.floor(w).toInt
+        s"('$src', $full, ${Sampling.thresholdFor(w - full)})"
+      }.mkString(", ")
+      s"""WITH w(source, nfull, thr) AS (VALUES $vals),
+c AS MATERIALIZED (
+  SELECT d.source, d.doc_id, w.nfull, w.thr,
+    unnest(generate_series(0, w.nfull)) AS epoch
+  FROM documents d JOIN w USING (source)
+)
+SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch
+FROM c
+WHERE epoch < nfull OR $h1 < thr
+ORDER BY source, doc_id, epoch"""
     },
 
     // Sampling.budgetSample(TokenBudgets, shards = 4): per-(source,

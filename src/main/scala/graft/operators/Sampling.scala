@@ -240,6 +240,53 @@ object Sampling {
       .orderBy(col(stratumCol), col("pick_rank"))
   }
 
+  /** Epoch-mix materialization — the training-recipe "source X for w
+    * epochs" rule (the data-mixing table every LLaMA/GPT-style run
+    * publishes): every document of a listed source appears
+    * `floor(w)` times, plus once more for a deterministic ~frac(w)
+    * subset picked by the portable hash — per-source token mass hits
+    * w × |source| in the same hash-threshold sense as [[withSplit]],
+    * with the same reproducibility and growth stability (a doc's
+    * copies never change as the corpus grows). Unlisted sources drop
+    * (the stratified-rates stance). One output row per (doc, epoch);
+    * the downstream packer treats each copy as an independent
+    * document.
+    *
+    * The fractional pick hashes at `seed + 1`, NOT `seed`: at the
+    * same seed it would correlate with [[withSplit]]'s hash carve
+    * (the extra-epoch subset would be exactly the val/test splits'
+    * low-hash docs).
+    *
+    * Scale shape: weights are a bounded driver-side enum → per-source
+    * floor + fractional threshold precompute into a broadcast dim;
+    * the explode multiplies each doc by ceil(w) (a recipe constant),
+    * the pick is one hash compare — scan-local throughout, zero
+    * shuffles.
+    */
+  def epochMix(docs: DataFrame, epochs: Map[String, Double],
+               keyCol: String = "doc_id", sourceCol: String = "source",
+               seed: Int = 0): DataFrame = {
+    require(epochs.nonEmpty, "epochMix: empty recipe")
+    epochs.foreach { case (s, w) =>
+      require(w >= 0.0 && w <= 64.0,
+        s"epochMix: epochs for '$s' out of range [0, 64]: $w")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = epochs.toSeq.map { case (s, w) =>
+      val full = math.floor(w).toInt
+      (s, full, thresholdFor(w - full))
+    }.toDF(sourceCol, "__full", "__thr")
+    docs.join(broadcast(dim), Seq(sourceCol))
+      .select(col(sourceCol), col(keyCol),
+        col("__full"), col("__thr"),
+        explode(sequence(lit(0), col("__full"))).as("epoch"))
+      .filter(col("epoch") < col("__full") ||
+        sampleHash(col(keyCol), seed + 1) < col("__thr"))
+      .select(col(sourceCol), col(keyCol), col("epoch").cast("long"))
+      .orderBy(col(sourceCol), col(keyCol), col("epoch"))
+  }
+
   /** Bootstrap the versioned picks state of
     * [[startStratifiedSample]]: the initial corpus's [[stratifiedK]]
     * picks publish as version 0 (an empty corpus is a legal

@@ -192,6 +192,47 @@ class SamplingSpec extends SparkSpecBase {
     assert((g2 -- g1).forall(_ >= 100L), s"non-new entrants: ${g2 -- g1}")
   }
 
+  test("epochMix: floor copies for all, fractional epoch by hash pick, unlisted and zero-weight sources drop") {
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 5}"))
+      .toDF("doc_id", "source")
+    val recipe = Map("s0" -> 2.5, "s1" -> 0.25, "s3" -> 1.0, "s4" -> 0.0)
+    val got = Sampling.epochMix(docs, recipe)
+      .as[(String, Long, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._1)
+    // unlisted (s2) and zero-weight (s4) sources are absent
+    assert(!bySrc.contains("s2") && !bySrc.contains("s4"),
+      s"sources present: ${bySrc.keySet}")
+    // s3 at exactly 1.0: each doc exactly once, at epoch 0
+    val s3 = bySrc("s3")
+    assert(s3.size == 400 && s3.forall(_._3 == 0L))
+    // s0 at 2.5: every doc at epochs 0 and 1; the epoch-2 subset is
+    // EXACTLY the seed-1 hash picks under threshold(0.5)
+    val s0 = bySrc("s0").groupBy(_._2)
+    assert(s0.size == 400 &&
+      s0.values.forall(rs => rs.map(_._3).toSet.subsetOf(Set(0L, 1L, 2L))
+        && rs.map(_._3).toSet.contains(0L) && rs.map(_._3).toSet.contains(1L)))
+    val extra = bySrc("s0").filter(_._3 == 2L).map(_._2).toSet
+    val expectedExtra = docs.filter($"source" === "s0")
+      .filter(Sampling.sampleHash(col("doc_id"), seed = 1) <
+        Sampling.thresholdFor(0.5))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(extra == expectedExtra,
+      s"fractional pick diverged: ${extra.size} vs ${expectedExtra.size}")
+    assert(extra.size > 140 && extra.size < 260,
+      s"~half of 400 expected, got ${extra.size}")
+    // s1 at 0.25: a ~quarter subset, each picked doc once at epoch 0
+    val s1 = bySrc("s1")
+    assert(s1.forall(_._3 == 0L) && s1.size > 60 && s1.size < 140,
+      s"~100 of 400 expected, got ${s1.size}")
+    // growth stability: adding docs never changes existing copies
+    val grown = Sampling.epochMix(
+      docs.union((9000L until 9100L).map(i => (i, "s0"))
+        .toDF("doc_id", "source")), recipe)
+      .as[(String, Long, Long)].collect().toSeq
+      .filter(_._2 < 2000L)
+    assert(grown.toSet == got.toSet, "existing copies must be stable")
+  }
+
   test("streaming stratified sample: snapshot equals the one-shot over everything seen; replay never double-advances") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
