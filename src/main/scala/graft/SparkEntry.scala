@@ -3142,6 +3142,18 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         docs.filter(col("doc_id") % 29 === 0),
         n = 8, hashFn = Dedup.md5Seeded)
     }),
+    // the whole eval battery in ONE corpus pass: every suite's gram
+    // set tags its rows, the union dim broadcasts, the corpus
+    // shingles once — K suites no longer cost K corpus scans
+    "doc_decontam_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.contaminationMatrix(
+        docs.filter(col("doc_id") % 29 =!= 0 && col("doc_id") % 31 =!= 0),
+        Seq(
+          "b29" -> docs.filter(col("doc_id") % 29 === 0),
+          "b31" -> docs.filter(col("doc_id") % 31 === 0)),
+        n = 8, hashFn = Dedup.md5Seeded)
+    }),
     // Gopher-style within-doc n-gram repetition (quality filter)
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d))),
@@ -4752,6 +4764,38 @@ SELECT doc_id, count(*) AS matched_ngrams,
     AS contamination_rate
 FROM train WHERE h IN (SELECT h FROM bench)
 GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    // the K-suite matrix: suite-tagged gram dims unioned, the corpus
+    // gram stream shingled once and inner-joined
+    "doc_decontam_matrix" -> {
+      val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 7), i -> $g8)) AS gs
+  FROM tok
+), hashed AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(gs, g ->
+    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
+  FROM grams
+), bdim AS (
+  SELECT DISTINCT 'b29' AS bench, unnest(hs) AS h FROM hashed
+  WHERE doc_id % 29 = 0
+  UNION ALL
+  SELECT DISTINCT 'b31' AS bench, unnest(hs) AS h FROM hashed
+  WHERE doc_id % 31 = 0
+), train AS (
+  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
+  FROM hashed WHERE doc_id % 29 <> 0 AND doc_id % 31 <> 0
+)
+SELECT t.doc_id, b.bench, count(*) AS matched_ngrams,
+  CAST(min(t.n_ngrams) AS BIGINT) AS n_ngrams,
+  round(CAST(count(*) AS DOUBLE) / greatest(min(t.n_ngrams), 1), 4)
+    AS contamination_rate
+FROM train t JOIN bdim b USING (h)
+GROUP BY t.doc_id, b.bench ORDER BY t.doc_id, b.bench"""
     },
 
     "doc_substring_dupes" -> {

@@ -459,6 +459,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination screening against K benchmark SUITES in ONE
+    * corpus pass — the production shape: a training corpus screens
+    * against its whole eval battery nightly, and K separate
+    * [[contamination]] runs would re-shingle the 100 TB corpus K
+    * times. Every suite's (mergeable, persistable) [[benchGrams]]
+    * set tags its rows with the suite name; the union dim broadcasts
+    * (benchmark suites are KB–MB by construction) and the corpus's
+    * (doc, distinct-gram-hash) stream — built ONCE — inner-joins it,
+    * so a gram shared by two suites multiplies into both rows.
+    * One row per contaminated (doc, bench) pair, same rate columns
+    * as [[contamination]]; restricting the matrix to one suite
+    * reproduces the single-benchmark result exactly.
+    */
+  def contaminationMatrix(training: DataFrame,
+                          benchmarks: Seq[(String, DataFrame)],
+                          n: Int = 8,
+                          hashFn: (Int, Column) => Column =
+                            Dedup.xxSeeded): DataFrame = {
+    require(benchmarks.nonEmpty, "contaminationMatrix: no benchmarks")
+    val dim = benchmarks.map { case (name, b) =>
+      benchGrams(b, n, hashFn).select(lit(name).as("bench"), col("h"))
+    }.reduce(_ unionByName _)
+    val tGrams = training
+      .select(col("doc_id"),
+        array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"), n)),
+          g => hashFn(0, g))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"),
+        explode(col("hs")).as("h"))
+    tGrams.join(broadcast(dim), Seq("h"))
+      .groupBy(col("doc_id"), col("bench"))
+      .agg(count(lit(1)).as("matched_ngrams"),
+        min(col("n_ngrams")).as("n_ngrams"))
+      .select(col("doc_id"), col("bench"), col("matched_ngrams"),
+        col("n_ngrams"),
+        round(col("matched_ngrams").cast("double") /
+          greatest(col("n_ngrams"), lit(1)).cast("double"), 4)
+          .as("contamination_rate"))
+      .orderBy(col("doc_id"), col("bench"))
+  }
+
   /** Exact duplicated-substring mass per document — the corpus-level
     * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better", ExactSubstr) re-expressed relationally:

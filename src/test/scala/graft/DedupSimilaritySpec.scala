@@ -1387,6 +1387,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(gotMd5 == exp)
   }
 
+  test("contaminationMatrix: K suites in one pass; per-suite rows equal the single-benchmark run; shared grams hit both suites") {
+    val g8a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val g8b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val training = Seq(
+      (1L, s"$g8a tail1 tail2"),      // contaminated vs suite A only
+      (2L, s"$g8b tail3 tail4"),      // vs suite B only
+      (3L, s"$g8a $g8b"),             // vs BOTH (shared corpus doc)
+      (4L, (1 to 10).map(i => s"c$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    val benchA = Seq((100L, g8a)).toDF("doc_id", "text")
+    val benchB = Seq((200L, g8b)).toDF("doc_id", "text")
+    val got = TextOps.contaminationMatrix(training,
+      Seq("A" -> benchA, "B" -> benchB))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // doc 3 has 9 distinct 8-grams (16 tokens), of which 1 is A's
+    // gram and 1 is B's
+    assert(got == Seq(
+      (1L, "A", 1L, 3L, 0.3333),
+      (2L, "B", 1L, 3L, 0.3333),
+      (3L, "A", 1L, 9L, 0.1111),
+      (3L, "B", 1L, 9L, 0.1111)), s"got $got")
+    // restricting the matrix to one suite == the single-benchmark op
+    val single = TextOps.contamination(training, benchA)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.filter(_._2 == "A").map(r => (r._1, r._3, r._4, r._5))
+      == single, s"matrix/A diverged from contamination: $single")
+  }
+
   test("removeDuplicateSpans: covered tokens cut, survivors reassemble in order; within-doc repeats qualify; short docs pass through") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
