@@ -3154,6 +3154,42 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           "b31" -> docs.filter(col("doc_id") % 31 === 0)),
         n = 8, hashFn = Dedup.md5Seeded)
     }),
+    // the GPT-3 App. C form: the 13-gram overlap filter over
+    // lowercased, punctuation-stripped text (normalizeForOverlap on
+    // BOTH sides) — typography cannot hide a leak
+    "doc_decontam_normalized" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text", TextOps.normalizeForOverlap(col("text")))
+      TextOps.contamination(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        n = 13, hashFn = Dedup.md5Seeded)
+    }),
+    // the durable gram index: the train split's (doc, gram-hash)
+    // postings at rest; a NEW benchmark screens with no corpus
+    // re-shingle — probe ≡ one-shot by construction, so the
+    // doc_decontam oracle string locks the index end-to-end
+    "doc_decontam_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = TextOps.ensureGramIndex(s, s"$d/documents.parquet",
+        docs.filter(col("doc_id") % 29 =!= 0), n = 8,
+        hashFn = Dedup.md5Seeded, kind = "gram-train29")
+      TextOps.contaminationIndexed(s, idx,
+        docs.filter(col("doc_id") % 29 === 0), hashFn = Dedup.md5Seeded)
+    }),
+    // the whole eval battery against the same at-rest postings:
+    // suite dims union, buckets prune, one probe
+    "doc_decontam_matrix_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = TextOps.ensureGramIndex(s, s"$d/documents.parquet",
+        docs.filter(col("doc_id") % 29 =!= 0 && col("doc_id") % 31 =!= 0),
+        n = 8, hashFn = Dedup.md5Seeded, kind = "gram-train29x31")
+      TextOps.contaminationMatrixIndexed(s, idx,
+        Seq(
+          "b29" -> docs.filter(col("doc_id") % 29 === 0),
+          "b31" -> docs.filter(col("doc_id") % 31 === 0)),
+        hashFn = Dedup.md5Seeded)
+    }),
     // Gopher-style within-doc n-gram repetition (quality filter)
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d))),
@@ -4740,63 +4776,16 @@ SELECT count(*) AS n_total,
   count(CASE WHEN lang_guess = 'en' AND quality >= 0.75 AND canon THEN 1 END) AS n_kept
 FROM lg"""),
 
-    "doc_decontam" -> {
-      val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
-      s"""WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-), grams AS (
-  SELECT doc_id,
-    list_distinct(list_transform(range(len(t) - 7), i -> $g8)) AS gs
-  FROM tok
-), hashed AS (
-  SELECT doc_id, list_distinct(list_transform(gs, g ->
-    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
-  FROM grams
-), bench AS (
-  SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 29 = 0
-), train AS (
-  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
-  FROM hashed WHERE doc_id % 29 <> 0
-)
-SELECT doc_id, count(*) AS matched_ngrams,
-  CAST(min(n_ngrams) AS BIGINT) AS n_ngrams,
-  round(CAST(count(*) AS DOUBLE) / greatest(min(n_ngrams), 1), 4)
-    AS contamination_rate
-FROM train WHERE h IN (SELECT h FROM bench)
-GROUP BY doc_id ORDER BY doc_id"""
-    },
+    "doc_decontam" -> decontamOracleSql,
+    "doc_decontam_normalized" -> decontamNormalizedOracleSql,
+    // the durable gram index probes replay the one-shot semantics
+    // exactly, so the same oracle strings lock them
+    "doc_decontam_indexed" -> decontamOracleSql,
+    "doc_decontam_matrix_indexed" -> decontamMatrixOracleSql,
 
     // the K-suite matrix: suite-tagged gram dims unioned, the corpus
     // gram stream shingled once and inner-joined
-    "doc_decontam_matrix" -> {
-      val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
-      s"""WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-), grams AS (
-  SELECT doc_id,
-    list_distinct(list_transform(range(len(t) - 7), i -> $g8)) AS gs
-  FROM tok
-), hashed AS MATERIALIZED (
-  SELECT doc_id, list_distinct(list_transform(gs, g ->
-    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
-  FROM grams
-), bdim AS (
-  SELECT DISTINCT 'b29' AS bench, unnest(hs) AS h FROM hashed
-  WHERE doc_id % 29 = 0
-  UNION ALL
-  SELECT DISTINCT 'b31' AS bench, unnest(hs) AS h FROM hashed
-  WHERE doc_id % 31 = 0
-), train AS (
-  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
-  FROM hashed WHERE doc_id % 29 <> 0 AND doc_id % 31 <> 0
-)
-SELECT t.doc_id, b.bench, count(*) AS matched_ngrams,
-  CAST(min(t.n_ngrams) AS BIGINT) AS n_ngrams,
-  round(CAST(count(*) AS DOUBLE) / greatest(min(t.n_ngrams), 1), 4)
-    AS contamination_rate
-FROM train t JOIN bdim b USING (h)
-GROUP BY t.doc_id, b.bench ORDER BY t.doc_id, b.bench"""
-    },
+    "doc_decontam_matrix" -> decontamMatrixOracleSql,
 
     "doc_substring_dupes" -> {
       val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
@@ -4838,6 +4827,90 @@ FROM perdoc p LEFT JOIN dupc d USING (doc_id) ORDER BY p.doc_id"""
     "doc_remove_spans_novel" ->
       removeDupSpansOracle("WHERE t0.doc_id % 7 = 0 "),
   ) ++ oracleSqlMid
+
+  private val decontamOracleSql: String = {
+    val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 7), i -> $g8)) AS gs
+  FROM tok
+), hashed AS (
+  SELECT doc_id, list_distinct(list_transform(gs, g ->
+    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
+  FROM grams
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 29 = 0
+), train AS (
+  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
+  FROM hashed WHERE doc_id % 29 <> 0
+)
+SELECT doc_id, count(*) AS matched_ngrams,
+  CAST(min(n_ngrams) AS BIGINT) AS n_ngrams,
+  round(CAST(count(*) AS DOUBLE) / greatest(min(n_ngrams), 1), 4)
+    AS contamination_rate
+FROM train WHERE h IN (SELECT h FROM bench)
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private val decontamNormalizedOracleSql: String = {
+    val g13 = (1 to 13).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+    '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 12), i -> $g13)) AS gs
+  FROM tok
+), hashed AS (
+  SELECT doc_id, list_distinct(list_transform(gs, g ->
+    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
+  FROM grams
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 29 = 0
+), train AS (
+  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
+  FROM hashed WHERE doc_id % 29 <> 0
+)
+SELECT doc_id, count(*) AS matched_ngrams,
+  CAST(min(n_ngrams) AS BIGINT) AS n_ngrams,
+  round(CAST(count(*) AS DOUBLE) / greatest(min(n_ngrams), 1), 4)
+    AS contamination_rate
+FROM train WHERE h IN (SELECT h FROM bench)
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private val decontamMatrixOracleSql: String = {
+    val g8 = (1 to 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 7), i -> $g8)) AS gs
+  FROM tok
+), hashed AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(gs, g ->
+    CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT))) AS hs
+  FROM grams
+), bdim AS (
+  SELECT DISTINCT 'b29' AS bench, unnest(hs) AS h FROM hashed
+  WHERE doc_id % 29 = 0
+  UNION ALL
+  SELECT DISTINCT 'b31' AS bench, unnest(hs) AS h FROM hashed
+  WHERE doc_id % 31 = 0
+), train AS (
+  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
+  FROM hashed WHERE doc_id % 29 <> 0 AND doc_id % 31 <> 0
+)
+SELECT t.doc_id, b.bench, count(*) AS matched_ngrams,
+  CAST(min(t.n_ngrams) AS BIGINT) AS n_ngrams,
+  round(CAST(count(*) AS DOUBLE) / greatest(min(t.n_ngrams), 1), 4)
+    AS contamination_rate
+FROM train t JOIN bdim b USING (h)
+GROUP BY t.doc_id, b.bench ORDER BY t.doc_id, b.bench"""
+  }
 
   private def removeDupSpansOracle(finalFilter: String): String = {
       val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")

@@ -664,6 +664,7 @@ object Curation {
                              sq8Dir: Option[String] = None,
                              bqDir: Option[String] = None,
                              bm25Dir: Option[String] = None,
+                             gramDir: Option[String] = None,
                              featurizer: Option[DataFrame => DataFrame] =
                                None,
                              lineMinDf: Long = 5,
@@ -709,6 +710,11 @@ object Curation {
           .appendToBqIndexCommitted(spark, bd, feats, id))
         bm25Dir.foreach(bm => graft.operators.TextOps
           .appendToBm25IndexCommitted(spark, bm, product, id))
+        // the decontam gram index tracks the CURATED corpus too, so
+        // tomorrow's new benchmark screens against today's product
+        // without a corpus scan — same batch id, own marker set
+        gramDir.foreach(gd => graft.operators.TextOps
+          .appendToGramIndexCommitted(spark, gd, product, id))
         ()
       }
       .start()

@@ -500,6 +500,212 @@ object TextOps {
       .orderBy(col("doc_id"), col("bench"))
   }
 
+  /** GPT-3-style text canonicalization for overlap filtering (GPT-3
+    * App. C runs its 13-gram filter over lowercased, punctuation-
+    * stripped text): lowercase, every non-alphanumeric run → one
+    * space, trimmed. Apply to BOTH sides before any
+    * [[contamination]]-family op or [[writeGramIndex]] build so the
+    * screen is case/punctuation-insensitive — a paraphrase-by-
+    * typography leak ("Foo, bar!" vs "foo bar") still flags. Pure
+    * codegen'd Column expression, scan-local; ASCII-scoped by
+    * design (the published filters are too — language-specific
+    * folding is a tokenizer concern, not a decontam one).
+    */
+  def normalizeForOverlap(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  // ---- durable decontamination gram index ------------------------
+
+  /** Durable DECONTAMINATION GRAM INDEX — the at-rest form of the
+    * [[contamination]] family for the direction the broadcast trick
+    * cannot help: a NEW benchmark suite arrives and the question is
+    * "which already-stored corpus docs leak it?". The one-shot form
+    * answers by re-shingling + re-hashing the full training corpus
+    * per screening run; this index pays that scan ONCE and turns
+    * every later screening into a probe of (doc_id, gram-hash)
+    * postings.
+    *
+    * Layout (the [[writeBm25Index]] conventions):
+    *  - `postings/` — one row per (doc, distinct n-gram hash),
+    *    partitioned by `bucket = pmod(h, n_buckets)` so a probe's
+    *    partition filter prunes to its suite's gram buckets;
+    *  - `docdim/` — (doc_id, n_ngrams), the per-doc distinct-gram
+    *    counts the contamination_rate denominator needs, derived
+    *    from the written postings (a doc with zero grams can never
+    *    match, so its absence is harmless);
+    *  - `meta/` — 1 row (n, n_buckets): probes read the gram size
+    *    from the index, so a wrong-n query cannot exist (the
+    *    dim-from-meta seam contract of the ANN indexes).
+    *
+    * Honest 100 TB accounting: postings are one 16-byte row per
+    * token position — at rest the index is the same order as the
+    * text it indexes (the standard inverted-index trade; the BM25
+    * postings accept the same). What it buys: (a) screening a new
+    * suite never re-reads or re-shingles TEXT — the CPU-dominant
+    * cost of the one-shot — only an 8-byte-key join over pruned
+    * postings buckets; (b) a small targeted probe touches ≤ its
+    * gram count of buckets; (c) committed appends keep it current
+    * as the corpus grows, so the corpus-scale build amortizes
+    * across every benchmark the eval battery ever adds. The hash
+    * function is a build-time contract: probe with the SAME
+    * `hashFn` the index was built with (as with the tokenizer of
+    * the BM25 index).
+    */
+  def writeGramIndex(docs: DataFrame, dir: String, n: Int = 8,
+                     nBuckets: Int = 64,
+                     hashFn: (Int, Column) => Column = Dedup.xxSeeded): Unit = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"), n)),
+          g => hashFn(0, g))).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .write.mode("overwrite").parquet(s"$dir/docdim")
+    import spark.implicits._
+    Seq((n.toLong, nBuckets.toLong)).toDF("n", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Build-once guard for the gram index (the shared source
+    * fingerprint contract). `kind` keys the index directory so a
+    * gram index over a SUBSET (e.g. the train split) coexists with
+    * one over the full corpus.
+    */
+  def ensureGramIndex(spark: org.apache.spark.sql.SparkSession,
+                      sourcePath: String, docs: DataFrame, n: Int = 8,
+                      nBuckets: Int = 64,
+                      hashFn: (Int, Column) => Column = Dedup.xxSeeded,
+                      indexRoot: Option[String] = None,
+                      kind: String = "gram"): String =
+    Similarity.ensureIndexDir(spark, sourcePath, kind, indexRoot)(
+      dir => writeGramIndex(docs, dir, n, nBuckets, hashFn))
+
+  /** EXACTLY-ONCE gram-index append, keyed by a caller-supplied
+    * batch id — new corpus docs shingle scan-locally into their
+    * bucket partitions and their docdim rows land beside them, both
+    * via the idempotent staged-move
+    * ([[graft.operators.Similarity.sweepAndMoveStaged]]), marker
+    * last. Nothing here merges — postings and docdim rows are
+    * per-doc facts of IMMUTABLE documents (the index append model
+    * shared with IVF/BM25: batches carry NEW doc_ids), so unlike
+    * BM25 there is no df/stats swap window at all and committed
+    * appends compose with live probing unconditionally. The marker
+    * content records the batch's doc count for accounting.
+    */
+  def appendToGramIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, batch: DataFrame,
+                                 batchId: Long,
+                                 sourcePath: Option[String] = None,
+                                 hashFn: (Int, Column) => Column =
+                                   Dedup.xxSeeded): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
+    if (!fs.exists(marker)) {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val n = meta.getAs[Long]("n").toInt
+      val nBuckets = meta.getAs[Long]("n_buckets")
+      val posted = batch
+        .select(col("doc_id"),
+          array_distinct(transform(
+            array_distinct(Dedup.shingles(col("text"), n)),
+            g => hashFn(0, g))).as("hs"))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets)))
+        .localCheckpoint(true)
+      val stagingP = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-postings")
+      posted.write.mode("overwrite").partitionBy("bucket")
+        .parquet(stagingP.toString)
+      Similarity.sweepAndMoveStaged(fs, stagingP,
+        new org.apache.hadoop.fs.Path(d, "postings"), batchId)
+      val stagingD = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-docdim")
+      posted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+        .write.mode("overwrite").parquet(stagingD.toString)
+      Similarity.sweepAndMoveStaged(fs, stagingD,
+        new org.apache.hadoop.fs.Path(d, "docdim"), batchId)
+      val nDocs = batch.agg(count(lit(1))).head().getLong(0)
+      Similarity.writeCommitMarker(fs, marker, s"$nDocs")
+    }
+    sourcePath.foreach(
+      Similarity.refreshIndexMarker(spark, dir, _))
+  }
+
+  /** Compact a gram index: postings rewrite to one file per bucket
+    * partition and the docdim to one file, stage-and-swap, commit
+    * markers retained as replay guards
+    * ([[graft.operators.Similarity.compactPartitioned]] /
+    * [[graft.operators.Similarity.compactSidecar]] — QUIESCE
+    * probing streams first, as there).
+    */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, maxRecordsPerFile: Long = 0L): Unit = {
+    Similarity.compactPartitioned(spark, dir, "postings", "bucket",
+      maxRecordsPerFile)
+    Similarity.compactSidecar(spark, dir, "docdim", maxRecordsPerFile)
+  }
+
+  /** [[contaminationMatrix]] against the durable gram index — the
+    * whole (possibly new) eval battery screens WITHOUT a corpus
+    * scan: suite gram dims build from the KB–MB benchmark side
+    * only, their buckets prune the postings partitions (one bounded
+    * driver round-trip, ≤ n_buckets values by construction), and
+    * the per-doc denominator joins from the docdim (doc-count
+    * scale; a shuffle join on doc_id restricted to MATCHED docs —
+    * contamination density, not corpus size). Gram size n comes
+    * from the index meta, so indexed and one-shot grams agree by
+    * construction; output is bit-identical to [[contaminationMatrix]]
+    * over the indexed corpus.
+    */
+  def contaminationMatrixIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 benchmarks: Seq[(String, DataFrame)],
+                                 hashFn: (Int, Column) => Column =
+                                   Dedup.xxSeeded): DataFrame = {
+    require(benchmarks.nonEmpty, "contaminationMatrixIndexed: no benchmarks")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val n = meta.getAs[Long]("n").toInt
+    val nBuckets = meta.getAs[Long]("n_buckets")
+    val dim = benchmarks.map { case (name, b) =>
+      benchGrams(b, n, hashFn).select(lit(name).as("bench"), col("h"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    // bounded by construction: pmod lands in [0, n_buckets)
+    val buckets = dim
+      .select(pmod(col("h"), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(dim), Seq("h"))
+      .groupBy(col("doc_id"), col("bench"))
+      .agg(count(lit(1)).as("matched_ngrams"))
+      .join(spark.read.parquet(s"$dir/docdim"), Seq("doc_id"))
+      .select(col("doc_id"), col("bench"), col("matched_ngrams"),
+        col("n_ngrams"),
+        round(col("matched_ngrams").cast("double") /
+          greatest(col("n_ngrams"), lit(1)).cast("double"), 4)
+          .as("contamination_rate"))
+      .orderBy(col("doc_id"), col("bench"))
+  }
+
+  /** Single-suite probe of the gram index — [[contamination]]'s
+    * exact schema off [[contaminationMatrixIndexed]].
+    */
+  def contaminationIndexed(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, benchmark: DataFrame,
+                           hashFn: (Int, Column) => Column =
+                             Dedup.xxSeeded): DataFrame =
+    contaminationMatrixIndexed(spark, dir, Seq(("b", benchmark)), hashFn)
+      .select(col("doc_id"), col("matched_ngrams"), col("n_ngrams"),
+        col("contamination_rate"))
+      .orderBy(col("doc_id"))
+
   /** Exact duplicated-substring mass per document — the corpus-level
     * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better", ExactSubstr) re-expressed relationally:

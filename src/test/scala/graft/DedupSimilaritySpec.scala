@@ -1415,6 +1415,110 @@ class DedupSimilaritySpec extends SparkSpecBase {
       == single, s"matrix/A diverged from contamination: $single")
   }
 
+  test("normalizeForOverlap: typography cannot hide a leak — the normalized screen flags what the raw screen misses") {
+    val leak = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val disguised = (1 to 8).map(i => s"Tok$i,").mkString("  ")
+    val training = Seq(
+      (1L, s"$disguised trailer one"),          // leak hidden by case+punct
+      (2L, (1 to 10).map(i => s"c$i").mkString(" "))  // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"$leak bench tail")).toDF("doc_id", "text")
+    // the raw screen misses the disguised doc entirely
+    assert(TextOps.contamination(training, bench).count() == 0L)
+    // the normalized screen flags it
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", TextOps.normalizeForOverlap($"text"))
+    val got = TextOps.contamination(norm(training), norm(bench))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 0.3333)), s"got $got")
+    // the expression is scan-local: lower/regexp/trim, no Exchange
+    val plan = norm(training).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("durable gram index: probes equal the one-shot contamination family; committed appends exactly-once; compaction preserves results") {
+    val g8a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val g8b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$g8a tail1 tail2"),
+      (2L, s"$g8b tail3 tail4"),
+      (3L, s"$g8a $g8b"),
+      (4L, (1 to 10).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val benchA = Seq((100L, g8a)).toDF("doc_id", "text")
+    val benchB = Seq((200L, g8b)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram-idx").toString
+    TextOps.writeGramIndex(corpus, dir, n = 8, nBuckets = 8)
+    def probeA() = TextOps.contaminationIndexed(spark, dir, benchA)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val oneShot = TextOps.contamination(corpus, benchA)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(probeA() == oneShot && oneShot.nonEmpty,
+      s"indexed ${probeA()} vs one-shot $oneShot")
+    // the K-suite probe equals the one-shot matrix bit-for-bit
+    val gotM = TextOps.contaminationMatrixIndexed(spark, dir,
+      Seq("A" -> benchA, "B" -> benchB))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    val oneShotM = TextOps.contaminationMatrix(corpus,
+      Seq("A" -> benchA, "B" -> benchB))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(gotM == oneShotM && gotM.nonEmpty, s"matrix $gotM vs $oneShotM")
+    // committed append: the new doc screens without any corpus
+    // rescan, and the probe equals the one-shot over the union
+    val batch = Seq((5L, s"$g8a extra1 extra2")).toDF("doc_id", "text")
+    TextOps.appendToGramIndexCommitted(spark, dir, batch, batchId = 1L)
+    val unionShot = TextOps.contamination(corpus.union(batch), benchA)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(probeA() == unionShot, s"append ${probeA()} vs $unionShot")
+    def files(sub: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      val root = new java.io.File(dir, sub)
+      if (root.exists) walk(root) else Nil
+    }
+    // replay of the committed batch: marker-detected no-op
+    val before = (files("postings").size, files("docdim").size)
+    TextOps.appendToGramIndexCommitted(spark, dir, batch, batchId = 1L)
+    assert((files("postings").size, files("docdim").size) == before,
+      "replaying a committed batch must not land files")
+    assert(probeA() == unionShot)
+    // compaction: probe identical, docdim to one file, postings to
+    // one per bucket partition, the replay-guard marker retained
+    TextOps.compactGramIndex(spark, dir)
+    assert(probeA() == unionShot, "compaction changed probe results")
+    assert(files("docdim").size == 1)
+    val buckets = new java.io.File(dir, "postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(files("postings").size <= buckets,
+      s"${files("postings").size} postings files > $buckets buckets")
+    assert(new java.io.File(dir, "_commits/batch-1").exists,
+      "compaction must retain commit markers")
+    // build-once: ensure under a fingerprint; a second call is a
+    // no-op and distinct `kind`s coexist under one root
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("gram-src").toString + "/documents.parquet"
+    corpus.write.parquet(srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("gram-root").toString
+    val idx = TextOps.ensureGramIndex(spark, srcDir,
+      spark.read.parquet(srcDir), n = 8, nBuckets = 8,
+      indexRoot = Some(root))
+    val marker = new java.io.File(idx, "_source_fingerprint")
+    val stamp = marker.lastModified()
+    val again = TextOps.ensureGramIndex(spark, srcDir,
+      spark.read.parquet(srcDir), n = 8, nBuckets = 8,
+      indexRoot = Some(root))
+    assert(again == idx && marker.lastModified() == stamp)
+    val subset = TextOps.ensureGramIndex(spark, srcDir,
+      spark.read.parquet(srcDir).filter($"doc_id" =!= 3L), n = 8,
+      nBuckets = 8, indexRoot = Some(root), kind = "gram-sub")
+    assert(subset != idx, "kinds must key distinct index dirs")
+    assert(TextOps.contaminationIndexed(spark, idx, benchA)
+      .as[(Long, Long, Long, Double)].collect().toSeq == oneShot)
+  }
+
   test("removeDuplicateSpans: covered tokens cut, survivors reassemble in order; within-doc repeats qualify; short docs pass through") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -3210,7 +3314,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted)
   }
 
-  test("corpus maintenance: a pluggable featurizer rides the committed lifecycle; the bm25 leg advances under the same batch id") {
+  test("corpus maintenance: a pluggable featurizer rides the committed lifecycle; the bm25 and gram legs advance under the same batch id") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
     def body(i: Long): String =
@@ -3222,6 +3326,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val (stateDir, outDir, idxDir, srcDir, ckpt, bmDir) =
       (s"$dir/state", s"$dir/out", s"$dir/idx", s"$dir/src",
         s"$dir/ckpt", s"$dir/bm25")
+    val gmDir = s"$dir/gram"
     new java.io.File(srcDir).mkdirs()
     Curation.writeState(Curation.stateOf(corpus), stateDir)
     // a planted NON-HASH encoder: dim 4, a pure function of doc_id —
@@ -3234,6 +3339,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeIvfIndex(enc(stateText).select($"vec_id", $"embedding"),
       idxDir, nlist = 2, iters = 2)
     TextOps.writeBm25Index(stateText, bmDir, nBuckets = 8)
+    TextOps.writeGramIndex(stateText, gmDir, n = 8, nBuckets = 8)
     val statsBefore = TextOps.readBm25Stats(spark, bmDir)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -3252,7 +3358,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
         .option("maxFilesPerTrigger", 1).json(srcDir),
       stateDir, outDir, idxDir, ckpt,
       maxDriftRatio = 1e9, bm25Dir = Some(bmDir),
-      featurizer = Some(enc), triggerMs = 100L)
+      gramDir = Some(gmDir), featurizer = Some(enc), triggerMs = 100L)
     val q1 = startStream()
     q1.processAllAvailable(); q1.stop()
     val p0 = spark.read.parquet(s"$outDir/batch-0")
@@ -3275,7 +3381,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
       Seq((9000L, ptext)).toDF("query_id", "text"), k = 1)
       .select($"doc_id").as[Long].head()
     assert(hit == 1101L, s"lexical probe missed the product doc: $hit")
-    // crash-replay: both legs short-circuit on their markers
+    // the gram leg advanced too: marker present, and a "benchmark"
+    // built from the product doc's own leading 8-gram screens
+    // against the index with no corpus scan
+    assert(new java.io.File(s"$gmDir/_commits/batch-0").exists)
+    val leak8 = ptext.split("\\s+").take(8).mkString(" ")
+    def screen() = TextOps.contaminationIndexed(spark, gmDir,
+      Seq((9500L, leak8)).toDF("doc_id", "text"))
+      .filter($"doc_id" === 1101L)
+      .select($"matched_ngrams").as[Long].collect().toSeq
+    assert(screen() == Seq(1L), s"gram screen: ${screen()}")
+    // crash-replay: all legs short-circuit on their markers
     assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/0")))
     Files.deleteIfExists(Paths.get(s"$ckpt/commits/.0.crc"))
     val q2 = startStream()
@@ -3285,6 +3401,8 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$idxDir/lists")
       .filter($"vec_id" >= 1000L).count() == p0.size,
       "replay double-appended the dense index")
+    assert(screen() == Seq(1L),
+      "replay double-appended the gram postings")
   }
 
   test("coverageSample: every populated cell capped at perCell, ranks contiguous nearest-first") {

@@ -314,6 +314,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("gram-index probe: postings scan pruned to the suite's gram buckets, index scans never re-shingle text") {
+    val p = executedPlan("doc_decontam_indexed")
+    // the suite's gram hashes reach the postings scan as a PARTITION
+    // filter — the decontam probe reads pruned bucket directories
+    assert("PartitionFilters: \\[bucket#\\d+L? INSET".r
+      .findFirstIn(p).isDefined,
+      "postings scan must carry the bucket partition filter:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+    // the index exists so screening never re-shingles the CORPUS:
+    // the only split()/shingle lineage allowed is the KB-scale suite
+    // side's; postings/docdim scans stay pure 8-byte-key reads
+    val indexScanSplits = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft-ivf-index"))
+      .count(_.contains("split("))
+    assert(indexScanSplits == 0,
+      "index scans must read stored hashes, never re-shingle")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bloom split-leakage: train scan pruned by the holdout sketch, no train-scale broadcast") {
     val p = executedPlan("doc_split_leakage_bloom")
     assert(p.contains("might_contain"),
