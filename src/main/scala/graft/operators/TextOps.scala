@@ -562,6 +562,12 @@ object TextOps {
           g => hashFn(0, g))).as("hs"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+      // one build-time shuffle buys the at-rest layout probes live
+      // with forever: ONE file per bucket partition (a scan-local
+      // write would land every scan task's slice in every bucket —
+      // tasks × buckets files, the small-files decay compaction
+      // exists to undo, here avoided from day one)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     spark.read.parquet(s"$dir/postings")
@@ -621,7 +627,10 @@ object TextOps {
         .localCheckpoint(true)
       val stagingP = new org.apache.hadoop.fs.Path(d,
         s".staging-batch-$batchId-postings")
-      posted.write.mode("overwrite").partitionBy("bucket")
+      // one staged file per touched bucket (the build's layout
+      // discipline) — a batch otherwise lands tasks × buckets files
+      posted.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(stagingP.toString)
       Similarity.sweepAndMoveStaged(fs, stagingP,
         new org.apache.hadoop.fs.Path(d, "postings"), batchId)
