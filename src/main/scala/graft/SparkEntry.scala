@@ -3190,6 +3190,22 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           "b31" -> docs.filter(col("doc_id") % 31 === 0)),
         hashFn = Dedup.md5Seeded)
     }),
+    // exact-phrase forensics over the same at-rest postings: the
+    // phrase's windows prune candidates index-only, then ONLY
+    // candidate docs are read for the exact token-window verify —
+    // "which stored docs contain this span" with no corpus scan.
+    // The probe phrase is doc 0's own leading 10 tokens (derived,
+    // not hard-coded, so every SF is non-degenerate)
+    "doc_phrase_lookup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = TextOps.ensureGramIndex(s, s"$d/documents.parquet",
+        docs, n = 8, hashFn = Dedup.md5Seeded, kind = "gram-full")
+      val phrase = docs.filter(col("doc_id") === 0L)
+        .select(col("text")).head().getString(0)
+        .trim.split("\\s+").take(10).mkString(" ")
+      TextOps.phraseLookupIndexed(s, idx, docs, phrase,
+        hashFn = Dedup.md5Seeded)
+    }),
     // Gopher-style within-doc n-gram repetition (quality filter)
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(Tables.documents(s, d))),
@@ -4778,6 +4794,24 @@ FROM lg"""),
 
     "doc_decontam" -> decontamOracleSql,
     "doc_decontam_normalized" -> decontamNormalizedOracleSql,
+
+    // exact-phrase lookup: the phrase is doc 0's leading 10 tokens;
+    // occurrences = token positions where the full phrase starts
+    "doc_phrase_lookup" -> {
+      val g10 = (1 to 10).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), p AS (
+  SELECT array_to_string(t[1:10], ' ') AS phrase FROM tok WHERE doc_id = 0
+), occ AS (
+  SELECT doc_id,
+    len(list_filter(list_transform(range(len(t) - 9), i -> $g10),
+      g -> g = phrase)) AS occurrences
+  FROM tok, p WHERE len(t) >= 10
+)
+SELECT doc_id, CAST(occurrences AS BIGINT) AS occurrences
+FROM occ WHERE occurrences > 0 ORDER BY doc_id"""
+    },
     // the durable gram index probes replay the one-shot semantics
     // exactly, so the same oracle strings lock them
     "doc_decontam_indexed" -> decontamOracleSql,

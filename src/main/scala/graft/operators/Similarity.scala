@@ -397,6 +397,11 @@ object Similarity {
     embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
       .withColumn("norm", l2norm(col("embedding")))
+      // one file per cid partition from day one (a multi-task write
+      // lands tasks × lists files — the small-files decay compaction
+      // exists to undo); write parallelism = nlist, which is the
+      // probe-side partition grain anyway
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "centroid")
@@ -478,7 +483,8 @@ object Similarity {
                        sourcePath: Option[String] = None): Unit = {
     encodeBatchForIndex(spark, dir, batch, maxDriftRatio).foreach {
       case (out, nb, sb) =>
-        out.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+        out.repartition(col("cid"))
+          .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
         // the FILE carries only baseline + plain appends; committed
         // appends contribute through their markers (readIvfStats sums
         // both) — merging the composite total back into the file would
@@ -589,7 +595,8 @@ object Similarity {
         case (out, nb, sb) =>
           val staging = new org.apache.hadoop.fs.Path(d,
             s".staging-batch-$batchId")
-          out.write.mode("overwrite").partitionBy("cid")
+          out.repartition(col("cid"))
+            .write.mode("overwrite").partitionBy("cid")
             .parquet(staging.toString)
           sweepAndMoveStaged(fs, staging,
             new org.apache.hadoop.fs.Path(d, "lists"), batchId)
@@ -932,6 +939,7 @@ object Similarity {
         .withColumn("norm", l2norm(col("embedding")))
         .withColumn("codes",
           pqCodes(if (residual) residCol else col("embedding"), books))
+        .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cid", "centroid")

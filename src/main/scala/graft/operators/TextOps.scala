@@ -715,6 +715,83 @@ object TextOps {
         col("contamination_rate"))
       .orderBy(col("doc_id"))
 
+  /** EXACT-PHRASE lookup over the durable gram index — the triage
+    * query behind decontamination review and eval-set forensics:
+    * "which stored docs contain this exact span?", answered without
+    * a corpus scan. A candidate-then-verify funnel:
+    *
+    *  1. the phrase's n-token windows hash exactly as the index
+    *     build did (n from the index meta; a phrase shorter than n
+    *     has no window and fails fast) — a doc can contain the
+    *     phrase only if it contains ALL of them;
+    *  2. candidates = postings docs holding every window hash: the
+    *     window hashes (a handful) prune the postings PARTITIONS,
+    *     and the having-all filter is a count over the bucket-pruned
+    *     inner join — index-only, no text;
+    *  3. exact verify reads ONLY candidate docs (the candidate set
+    *     broadcasts into a hash join on doc_id) and counts real
+    *     token-window equality against the phrase — hash collisions
+    *     and non-contiguous window placements drop here, so the
+    *     answer is exact, not probabilistic.
+    *
+    * Scale shape: step 2 touches ≤ (phrase windows) postings
+    * partitions; step 3's docs scan carries the broadcast candidate
+    * join (with a doc_id-clustered layout — [[graft.operators
+    * .Layout]] — row-group stats prune it further). Output:
+    * (doc_id, occurrences) for docs containing the phrase at least
+    * once, occurrence = count of token positions where the full
+    * phrase starts.
+    */
+  def phraseLookupIndexed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, docs: DataFrame, phrase: String,
+                          hashFn: (Int, Column) => Column =
+                            Dedup.xxSeeded,
+                          maxCandidates: Int = 1000000): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val n = meta.getAs[Long]("n").toInt
+    val nBuckets = meta.getAs[Long]("n_buckets")
+    val toks = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(toks.length >= n,
+      s"phraseLookupIndexed: phrase has ${toks.length} tokens but the " +
+        s"index gram size is $n — a shorter phrase has no window to probe")
+    val phraseNorm = toks.mkString(" ")
+    val windows = toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    import spark.implicits._
+    // the phrase-window dim is driver-tiny by construction (one row
+    // per window of ONE phrase); hashing it through the same column
+    // expression the build used keeps the hash family pluggable
+    val hs = windows.toDF("g")
+      .select(hashFn(0, col("g")).as("h")).distinct()
+      .localCheckpoint(true)
+    val buckets = hs
+      .select(pmod(col("h"), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val nW = hs.count()
+    val candidates = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(hs), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === nW)
+      .select(col("doc_id"))
+      .localCheckpoint(true)
+    // the candidate set broadcasts into the verify join — a
+    // boilerplate phrase present in a corpus-scale share of docs
+    // would blow that broadcast, so fail fast with the dial named
+    // (the limit(cap+1) convention: the guard never scans past it)
+    require(candidates.limit(maxCandidates + 1).count() <= maxCandidates,
+      s"phraseLookupIndexed: > $maxCandidates candidate docs — the " +
+        "phrase is boilerplate-grade; raise maxCandidates or verify " +
+        "with a shuffle join instead")
+    docs
+      .join(broadcast(candidates), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(filter(Dedup.shingles(col("text"), toks.length),
+          w => w === lit(phraseNorm))).cast("long").as("occurrences"))
+      .filter(col("occurrences") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact duplicated-substring mass per document — the corpus-level
     * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better", ExactSubstr) re-expressed relationally:
@@ -1948,6 +2025,10 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      // one file per bucket partition from day one (the GramProf
+      // lesson: a multi-task write lands tasks × buckets files and
+      // the probe pays the open-file soup compaction exists to undo)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     spark.read.parquet(s"$dir/postings")
@@ -2007,7 +2088,8 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
       .localCheckpoint(true)
-    posted.write.mode("append").partitionBy("bucket")
+    posted.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
       .parquet(s"$dir/postings")
     val merged = spark.read.parquet(s"$dir/df")
       .union(posted.groupBy(col("term")).agg(count(lit(1)).as("df")))
@@ -2075,7 +2157,10 @@ object TextOps {
         .localCheckpoint(true)
       val stagingP = new org.apache.hadoop.fs.Path(d,
         s".staging-batch-$batchId-postings")
-      posted.write.mode("overwrite").partitionBy("bucket")
+      // one staged file per touched bucket (the build's layout
+      // discipline)
+      posted.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(stagingP.toString)
       Similarity.sweepAndMoveStaged(fs, stagingP,
         new org.apache.hadoop.fs.Path(d, "postings"), batchId)

@@ -1519,6 +1519,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Long, Double)].collect().toSeq == oneShot)
   }
 
+  test("phraseLookupIndexed: candidate-then-verify funnel — non-contiguous window placements and absent phrases drop, occurrences exact") {
+    val p10 = (1 to 10).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      // doc 1: the phrase once, embedded
+      (1L, s"head1 head2 $p10 tail1"),
+      // doc 2: the phrase TWICE (occurrence count exact)
+      (2L, s"$p10 mid $p10"),
+      // doc 3: ALL the phrase's 8-token windows, but never the
+      // contiguous phrase — a hash-level candidate the exact verify
+      // must drop
+      (3L, ((1 to 8) ++ Seq(0, 0) ++ (2 to 9) ++ Seq(0, 0) ++ (3 to 10))
+        .map(i => if (i == 0) "x" else s"p$i").mkString(" ")),
+      // doc 4: unrelated
+      (4L, (1 to 12).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("phrase-idx").toString
+    TextOps.writeGramIndex(corpus, dir, n = 8, nBuckets = 8)
+    val got = TextOps.phraseLookupIndexed(spark, dir, corpus, p10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
+    // the hash-level candidate set DID include doc 3 (all windows
+    // present) — prove the funnel shape by probing one window alone
+    val oneWindow = (1 to 8).map(i => s"p$i").mkString(" ")
+    val cand = TextOps.phraseLookupIndexed(spark, dir, corpus, oneWindow)
+      .as[(Long, Long)].collect().toSeq
+    assert(cand.map(_._1) == Seq(1L, 2L, 3L),
+      s"single-window probe should hit doc 3 too: $cand")
+    // absent phrase → empty; short phrase → seam error naming n
+    assert(TextOps.phraseLookupIndexed(spark, dir, corpus,
+      (1 to 10).map(i => s"q$i").mkString(" ")).count() == 0L)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.phraseLookupIndexed(spark, dir, corpus, "p1 p2 p3")
+    }
+    assert(e.getMessage.contains("gram size is 8"), e.getMessage)
+  }
+
   test("removeDuplicateSpans: covered tokens cut, survivors reassemble in order; within-doc repeats qualify; short docs pass through") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
