@@ -1666,6 +1666,42 @@ JOIN v$k v ON v.w = d.w
 WHERE len(d.w) > 0
 GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** The [[bpeOracleSql]] chain ending in per-doc subword-ID
+    * sequences (TextOps.bpeEncodeIds): ids are the binary-order rank
+    * of the step-k symbol set, per-word id lists assemble on the
+    * vocab dim, docs join on the word and flatten by position; the
+    * sequence crosses the compare as an md5 of the space-joined ids.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeCtes(k)},
+sym AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS id
+  FROM (SELECT DISTINCT unnest(toks) AS s FROM v$k)
+),
+wid AS MATERIALIZED (
+  SELECT q.w, list(q.id ORDER BY q.i) AS ids FROM (
+    SELECT v.w, u.i, sym.id
+    FROM v$k v, unnest(range(1, len(v.toks)+1)) AS u(i)
+    JOIN sym ON sym.s = v.toks[u.i]) q
+  GROUP BY q.w
+),
+docw AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents) d,
+       unnest(range(1, len(t)+1)) AS u(i)
+  WHERE len(t[u.i]) > 0
+),
+seq AS (
+  SELECT doc_id, flatten(list(wid.ids ORDER BY docw.pos)) AS ids
+  FROM docw JOIN wid ON wid.w = docw.w
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_subwords,
+  md5(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' '))
+    AS ids_md5
+FROM seq ORDER BY doc_id"""
+
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
     * 16-slot signatures → 4-band bucket join → exact-jaccard-verified
@@ -3611,6 +3647,12 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_bpe_tokens" -> ((s, d) =>
       TextOps.bpeTokenCounts(Tables.documents(s, d), merges = 8)),
 
+    // MATERIALIZE the training token stream: per-doc subword-ID
+    // sequences (ids = binary-order rank of the post-training symbol
+    // set); the sequence crosses the compare as an md5
+    "doc_bpe_ids" -> ((s, d) =>
+      TextOps.bpeEncodeIds(Tables.documents(s, d), merges = 8)),
+
     // ---- similarity search ----
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
@@ -5285,6 +5327,7 @@ FROM s ORDER BY doc_id, chunk_idx""",
     "doc_bpe_merges" -> bpeOracleSql(8),
 
     "doc_bpe_tokens" -> bpeApplyOracleSql(8),
+    "doc_bpe_ids" -> bpeEncodeOracleSql(8),
 
     // temperature sampling: the threshold replay is the IDENTICAL
     // IEEE op sequence (sqrt fold over name-sorted sources, the same

@@ -1910,6 +1910,59 @@ object TextOps {
     pinned
   }
 
+  /** APPLY the trained tokenizer to MATERIALIZE the training token
+    * stream: per-doc subword-ID sequences under `merges` learned
+    * rules — the stage between tokenizer training
+    * ([[trainBpe]]/[[bpeTokenCounts]], which only counted) and
+    * sequence packing ([[graft.operators.Sampling]] bin packing),
+    * i.e. what a training run actually reads. IDs are the
+    * lexicographic (binary-order) rank of the post-training symbol
+    * set — deterministic and engine-replayable; a production vocab
+    * file is the same table serialized.
+    *
+    * Scale shape: segmentation and id mapping are functions of the
+    * WORD, computed once on the Zipf-bounded vocab dim; the symbol
+    * table is driver-material by construction (distinct single
+    * chars + ≤ merges fused symbols — real tokenizers ship it as a
+    * file) under a fail-fast cap, and enters the plan as ONE map
+    * literal; the corpus joins the broadcast (word → ids) dim and
+    * reassembles per doc by position (the ordered-reassembly shape
+    * of [[dedupLines]]). The id sequence crosses any compare as an
+    * md5 of the space-joined ids, never as a giant array.
+    */
+  def bpeEncodeIds(docs: DataFrame, merges: Int = 8,
+                   maxVocab: Int = 1 << 20): DataFrame = {
+    val (_, vocab) = trainBpeState(docs, merges)
+    val syms = vocab.select(explode(col("toks")).as("s")).distinct()
+      .limit(maxVocab + 1).collect().map(_.getString(0))
+    require(syms.length <= maxVocab,
+      s"bpeEncodeIds: > $maxVocab distinct symbols — the id table " +
+        "would not stay driver-material; raise maxVocab")
+    val idOf: Map[String, Long] =
+      syms.sorted.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap
+    val idMap = typedlit(idOf)
+    val wordIds = vocab.select(col("w"),
+      transform(col("toks"), t => element_at(idMap, t)).as("ids"))
+    val out = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordIds), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("ids"))))
+        .as("a"))
+      .select(col("doc_id"),
+        flatten(transform(col("a"), e => e.getField("ids"))).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_subwords"),
+        md5(array_join(transform(col("ids"), _.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
+    val pinned = out.localCheckpoint(true)
+    vocab.unpersist()
+    pinned
+  }
+
   /** BM25 lexical top-k retrieval (Robertson/Spärck Jones; the
     * Lucene-shaped `ln(1 + (N−df+0.5)/(df+0.5))` idf): for each query
     * document the k best corpus documents by BM25 score, self

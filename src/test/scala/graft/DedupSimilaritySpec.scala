@@ -1951,6 +1951,33 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(applied1 == Set((1L, 2L, 5L), (2L, 2L, 5L)))
   }
 
+  test("bpeEncodeIds: hand-checked id sequences in document order; ids are binary-rank of the symbol set") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // merges=1 on {ab×2, cd×1, abd×1}: pair (a,b) wins with count 3
+    // → symbols after training {ab, c, d}, binary rank ab=0, c=1, d=2
+    val docs = Seq(
+      (1L, "ab ab cd"),   // [ab][ab][c d] → 0 0 1 2
+      (2L, "abd")         // [ab d]        → 0 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeIds(docs, merges = 1)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, md5hex("0 0 1 2")),
+      (2L, 2L, md5hex("0 2"))), s"got $got")
+    // word order matters: swapping words changes the sequence hash
+    val swapped = TextOps.bpeEncodeIds(
+      Seq((1L, "cd ab ab")).toDF("doc_id", "text"), merges = 1)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(swapped == Seq((1L, 4L, md5hex("1 2 0 0"))), s"got $swapped")
+    // the symbol cap is a fail-fast, not a truncation
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeIds(docs, merges = 1, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("distinct symbols"), e.getMessage)
+  }
+
   test("semDedup: within-cluster cosine prune keeps the min-id representative") {
     // 40 Gaussian base vectors (random 64-dim pairs sit near cos 0,
     // far below threshold) + exact duplicates of every 10th: identical
