@@ -1672,7 +1672,7 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
     * vocab dim, docs join on the word and flatten by position; the
     * sequence crosses the compare as an md5 of the space-joined ids.
     */
-  private def bpeEncodeOracleSql(k: Int): String =
+  private def bpeSeqCtes(k: Int): String =
     s"""${bpeCtes(k)},
 sym AS (
   SELECT s, CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS id
@@ -1686,21 +1686,64 @@ wid AS MATERIALIZED (
   GROUP BY q.w
 ),
 docw AS (
-  SELECT doc_id, u.i AS pos, t[u.i] AS w
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, source, u.i AS pos, t[u.i] AS w
+  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
         FROM documents) d,
        unnest(range(1, len(t)+1)) AS u(i)
   WHERE len(t[u.i]) > 0
 ),
-seq AS (
-  SELECT doc_id, flatten(list(wid.ids ORDER BY docw.pos)) AS ids
+seq AS MATERIALIZED (
+  SELECT doc_id, min(source) AS source,
+    flatten(list(wid.ids ORDER BY docw.pos)) AS ids
   FROM docw JOIN wid ON wid.w = docw.w
   GROUP BY doc_id
-)
+)"""
+
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeSeqCtes(k)}
 SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_subwords,
   md5(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' '))
     AS ids_md5
 FROM seq ORDER BY doc_id"""
+
+  /** The [[bpeSeqCtes]] chain through the pack-stream replay
+    * (TextOps.packTokenStream): running subword sums per (source,
+    * shard) stream, docs sliced at exact budget boundaries, per-bin
+    * ordered flatten — the packed id stream crossed as an md5.
+    */
+  private def bpePackOracleSql(k: Int, budget: Long,
+                               shards: Int): String =
+    s"""${bpeSeqCtes(k)},
+nseq AS (
+  SELECT doc_id, source, doc_id % $shards AS shard, ids, len(ids) AS n
+  FROM seq WHERE len(ids) > 0
+),
+str AS (
+  SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY source, shard
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    0) AS BIGINT) AS before
+  FROM nseq
+),
+pieces AS (
+  SELECT source, shard, u.b AS bin_id, before,
+    ids[CAST(greatest(before, u.b*$budget) - before + 1 AS BIGINT) :
+        CAST(least(before + n, (u.b+1)*$budget) - before AS BIGINT)]
+      AS piece
+  FROM str,
+    unnest(range(before // $budget, (before + n - 1) // $budget + 1))
+      AS u(b)
+),
+packed AS (
+  SELECT source, shard, bin_id, count(*) AS n_docs,
+    flatten(list(piece ORDER BY before)) AS ids
+  FROM pieces GROUP BY 1, 2, 3
+)
+SELECT source, CAST(shard AS BIGINT) AS shard,
+  CAST(bin_id AS BIGINT) AS bin_id, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(len(ids) AS BIGINT) AS n_ids,
+  md5(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' '))
+    AS ids_md5
+FROM packed ORDER BY source, shard, bin_id"""
 
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with
     * the md5-seeded family) over source table `src`: shingles →
@@ -3653,6 +3696,14 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "doc_bpe_ids" -> ((s, d) =>
       TextOps.bpeEncodeIds(Tables.documents(s, d), merges = 8)),
 
+    // the PACKED training batches: per (source, shard) pack stream,
+    // doc id-sequences concat in doc order and chunk at exact
+    // 512-id boundaries (docs split across bins — GPT concat-and-
+    // chunk); one row per bin, the id stream crossed as an md5
+    "doc_pack_ids" -> ((s, d) =>
+      TextOps.packTokenStream(Tables.documents(s, d), merges = 8,
+        budget = 512, shards = 4)),
+
     // ---- similarity search ----
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
@@ -5328,6 +5379,7 @@ FROM s ORDER BY doc_id, chunk_idx""",
 
     "doc_bpe_tokens" -> bpeApplyOracleSql(8),
     "doc_bpe_ids" -> bpeEncodeOracleSql(8),
+    "doc_pack_ids" -> bpePackOracleSql(8, 512L, 4),
 
     // temperature sampling: the threshold replay is the IDENTICAL
     // IEEE op sequence (sqrt fold over name-sorted sources, the same

@@ -1931,7 +1931,20 @@ object TextOps {
     * md5 of the space-joined ids, never as a giant array.
     */
   def bpeEncodeIds(docs: DataFrame, merges: Int = 8,
-                   maxVocab: Int = 1 << 20): DataFrame = {
+                   maxVocab: Int = 1 << 20): DataFrame =
+    docIdSequences(docs, merges, maxVocab)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_subwords"),
+        md5(array_join(transform(col("ids"), _.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The shared (doc_id, ids) sequence frame behind [[bpeEncodeIds]]
+    * and [[packTokenStream]] — PINNED (the trained vocab's lineage
+    * runs once), one row per doc with at least one word.
+    */
+  private[graft] def docIdSequences(docs: DataFrame, merges: Int,
+                                    maxVocab: Int): DataFrame = {
     val (_, vocab) = trainBpeState(docs, merges)
     val syms = vocab.select(explode(col("toks")).as("s")).distinct()
       .limit(maxVocab + 1).collect().map(_.getString(0))
@@ -1953,14 +1966,71 @@ object TextOps {
         .as("a"))
       .select(col("doc_id"),
         flatten(transform(col("a"), e => e.getField("ids"))).as("ids"))
-      .select(col("doc_id"),
-        size(col("ids")).cast("long").as("n_subwords"),
-        md5(array_join(transform(col("ids"), _.cast("string")), " "))
-          .as("ids_md5"))
-      .orderBy(col("doc_id"))
     val pinned = out.localCheckpoint(true)
     vocab.unpersist()
     pinned
+  }
+
+  /** The PACKED training batches — [[packSequences]]' assignment
+    * made real on the materialized token stream: per (source, shard)
+    * pack stream, the doc id-sequences ([[docIdSequences]]) concat
+    * in doc_id order and chunk at exact `budget`-id boundaries, docs
+    * spanning bins split across them (GPT concat-and-chunk; the
+    * boundary a trainer heals with attention masking). One row per
+    * (source, shard, bin): contributing doc count, id count (= the
+    * budget except each stream's final partial bin), and the md5 of
+    * the space-joined ids — the literal bytes a data loader reads,
+    * hash-crossed like every sequence here.
+    *
+    * Scale shape: the pack window carries only (doc_id, n_ids) per
+    * stream — ids do NOT enter the running-sum shuffle; each doc
+    * then slices itself into its touched bins SCAN-LOCALLY (a doc
+    * touches ceil(n/budget)+1 bins at most), and the per-bin
+    * reassembly shuffles at most `budget` ids per group — the output
+    * granularity, not the corpus. Shard count is the parallelism
+    * dial exactly as in [[packSequences]].
+    */
+  def packTokenStream(docs: DataFrame, merges: Int = 8,
+                      budget: Long = 512, shards: Int = 4,
+                      maxVocab: Int = 1 << 20): DataFrame = {
+    val seqs = docIdSequences(docs, merges, maxVocab)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        col("ids"), size(col("ids")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val stream = Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ids ride each row PAST the window (the window sums only n);
+    // the per-bin slice is then a pure scan-local expression
+    seqs
+      .withColumn("before",
+        coalesce(sum(col("n")).over(stream), lit(0L)))
+      .select(col("source"), col("shard"), col("before"), col("ids"),
+        explode(transform(
+          sequence(expr(s"before div $budget"),
+            expr(s"(before + n - 1) div $budget")),
+          b => struct(b.as("bin_id"),
+            slice(col("ids"),
+              (greatest(col("before"), b * budget) - col("before") + 1)
+                .cast("int"),
+              (least(col("before") + col("n"), (b + 1) * budget) -
+                greatest(col("before"), b * budget)).cast("int"))
+              .as("piece")))).as("e"))
+      .select(col("source"), col("shard"), col("e.bin_id").as("bin_id"),
+        col("before"), col("e.piece").as("piece"))
+      .groupBy(col("source"), col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct(col("before"), col("piece"))))
+          .as("a"))
+      .select(col("source"), col("shard"), col("bin_id"), col("n_docs"),
+        flatten(transform(col("a"), e => e.getField("piece"))).as("ids"))
+      .select(col("source"), col("shard"), col("bin_id"), col("n_docs"),
+        size(col("ids")).cast("long").as("n_ids"),
+        md5(array_join(transform(col("ids"), _.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("source"), col("shard"), col("bin_id"))
   }
 
   /** BM25 lexical top-k retrieval (Robertson/Spärck Jones; the

@@ -1978,6 +1978,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(e.getMessage.contains("distinct symbols"), e.getMessage)
   }
 
+  test("packTokenStream: docs concat in order and split at exact budget boundaries; streams pack independently") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // merges=0 → char tokenizer; symbols {a, b} → ids a=0, b=1.
+    // stream s/0: doc1 [0,1] | doc2 [0,0,0,1] | doc3 [1,0] over
+    // budget 4 → bin0 = 01 + first half of doc2, bin1 = rest + doc3
+    val docs = Seq(
+      (1L, "ab", "s"),
+      (2L, "aaa b", "s"),
+      (3L, "ba", "s"),
+      (4L, "b", "t")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.packTokenStream(docs, merges = 0, budget = 4L,
+      shards = 1)
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("s", 0L, 0L, 2L, 4L, md5hex("0 1 0 0")),
+      ("s", 0L, 1L, 2L, 4L, md5hex("0 1 1 0")),
+      ("t", 0L, 0L, 1L, 1L, md5hex("1"))), s"got $got")
+    // every bin is exactly the budget except each stream's final
+    // partial; the window shuffles counts, never ids (no ids column
+    // in any Exchange — the slice is scan-local after the sum)
+    val big = TextOps.packTokenStream(docs, merges = 0, budget = 3L,
+      shards = 1).as[(String, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    val full = big.filter(_._1 == "s").dropRight(1)
+    assert(full.nonEmpty && full.forall(_._5 == 3L),
+      s"non-final bins must hold exactly the budget: $big")
+  }
+
   test("semDedup: within-cluster cosine prune keeps the min-id representative") {
     // 40 Gaussian base vectors (random 64-dim pairs sit near cos 0,
     // far below threshold) + exact duplicates of every 10th: identical
