@@ -1735,14 +1735,18 @@ pieces AS (
 ),
 packed AS (
   SELECT source, shard, bin_id, count(*) AS n_docs,
-    flatten(list(piece ORDER BY before)) AS ids
+    flatten(list(piece ORDER BY before)) AS ids,
+    coalesce(array_to_string(
+      list(CAST(before - bin_id * $budget AS VARCHAR) ORDER BY before)
+        FILTER (WHERE before >= bin_id * $budget), ' '), '') AS boundaries
   FROM pieces GROUP BY 1, 2, 3
 )
 SELECT source, CAST(shard AS BIGINT) AS shard,
   CAST(bin_id AS BIGINT) AS bin_id, CAST(n_docs AS BIGINT) AS n_docs,
   CAST(len(ids) AS BIGINT) AS n_ids,
   md5(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' '))
-    AS ids_md5
+    AS ids_md5,
+  boundaries
 FROM packed ORDER BY source, shard, bin_id"""
 
   /** Shared minhash+LSH oracle CTE chain (Dedup.minhashNearDups with

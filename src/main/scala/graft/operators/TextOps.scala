@@ -1978,9 +1978,13 @@ object TextOps {
     * spanning bins split across them (GPT concat-and-chunk; the
     * boundary a trainer heals with attention masking). One row per
     * (source, shard, bin): contributing doc count, id count (= the
-    * budget except each stream's final partial bin), and the md5 of
-    * the space-joined ids — the literal bytes a data loader reads,
-    * hash-crossed like every sequence here.
+    * budget except each stream's final partial bin), the md5 of the
+    * space-joined ids — the literal bytes a data loader reads,
+    * hash-crossed like every sequence here — and `boundaries`, the
+    * space-joined local offsets where a NEW document begins (the
+    * attention-reset / loss-mask input): a bin opening mid-document
+    * carries no leading 0 — its head is a continuation, not a
+    * document start.
     *
     * Scale shape: the pack window carries only (doc_id, n_ids) per
     * stream — ids do NOT enter the running-sum shuffle; each doc
@@ -2017,19 +2021,29 @@ object TextOps {
                 .cast("int"),
               (least(col("before") + col("n"), (b + 1) * budget) -
                 greatest(col("before"), b * budget)).cast("int"))
-              .as("piece")))).as("e"))
+              .as("piece"),
+            // a piece whose global start equals the doc's start is a
+            // DOCUMENT boundary at local offset before − b·budget;
+            // a spilled continuation contributes none
+            when(b * budget <= col("before"),
+              col("before") - b * budget).as("bstart")))).as("e"))
       .select(col("source"), col("shard"), col("e.bin_id").as("bin_id"),
-        col("before"), col("e.piece").as("piece"))
+        col("before"), col("e.piece").as("piece"),
+        col("e.bstart").as("bstart"))
       .groupBy(col("source"), col("shard"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"),
-        array_sort(collect_list(struct(col("before"), col("piece"))))
-          .as("a"))
+        array_sort(collect_list(struct(col("before"), col("piece"),
+          col("bstart")))).as("a"))
       .select(col("source"), col("shard"), col("bin_id"), col("n_docs"),
-        flatten(transform(col("a"), e => e.getField("piece"))).as("ids"))
+        flatten(transform(col("a"), e => e.getField("piece"))).as("ids"),
+        filter(transform(col("a"), e => e.getField("bstart")),
+          _.isNotNull).as("bs"))
       .select(col("source"), col("shard"), col("bin_id"), col("n_docs"),
         size(col("ids")).cast("long").as("n_ids"),
         md5(array_join(transform(col("ids"), _.cast("string")), " "))
-          .as("ids_md5"))
+          .as("ids_md5"),
+        array_join(transform(col("bs"), _.cast("string")), " ")
+          .as("boundaries"))
       .orderBy(col("source"), col("shard"), col("bin_id"))
   }
 

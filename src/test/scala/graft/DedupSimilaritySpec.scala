@@ -1993,16 +1993,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     ).toDF("doc_id", "text", "source")
     val got = TextOps.packTokenStream(docs, merges = 0, budget = 4L,
       shards = 1)
-      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+      .as[(String, Long, Long, Long, Long, String, String)]
+      .collect().toSeq
+    // boundaries mark NEW-document local offsets only: bin s/1 opens
+    // mid-doc-2 (a continuation — no leading 0), doc 3 starts at 2
     assert(got == Seq(
-      ("s", 0L, 0L, 2L, 4L, md5hex("0 1 0 0")),
-      ("s", 0L, 1L, 2L, 4L, md5hex("0 1 1 0")),
-      ("t", 0L, 0L, 1L, 1L, md5hex("1"))), s"got $got")
+      ("s", 0L, 0L, 2L, 4L, md5hex("0 1 0 0"), "0 2"),
+      ("s", 0L, 1L, 2L, 4L, md5hex("0 1 1 0"), "2"),
+      ("t", 0L, 0L, 1L, 1L, md5hex("1"), "0")), s"got $got")
     // every bin is exactly the budget except each stream's final
     // partial; the window shuffles counts, never ids (no ids column
     // in any Exchange — the slice is scan-local after the sum)
     val big = TextOps.packTokenStream(docs, merges = 0, budget = 3L,
-      shards = 1).as[(String, Long, Long, Long, Long, String)]
+      shards = 1)
+      .as[(String, Long, Long, Long, Long, String, String)]
       .collect().toSeq
     val full = big.filter(_._1 == "s").dropRight(1)
     assert(full.nonEmpty && full.forall(_._5 == 3L),
