@@ -3258,7 +3258,7 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         docs.filter(col("doc_id") % 29 =!= 0), n = 8,
         hashFn = Dedup.md5Seeded, kind = "gram-train29")
       TextOps.contaminationIndexed(s, idx,
-        docs.filter(col("doc_id") % 29 === 0), hashFn = Dedup.md5Seeded)
+        docs.filter(col("doc_id") % 29 === 0))
     }),
     // the whole eval battery against the same at-rest postings:
     // suite dims union, buckets prune, one probe
@@ -3270,24 +3270,34 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       TextOps.contaminationMatrixIndexed(s, idx,
         Seq(
           "b29" -> docs.filter(col("doc_id") % 29 === 0),
-          "b31" -> docs.filter(col("doc_id") % 31 === 0)),
-        hashFn = Dedup.md5Seeded)
+          "b31" -> docs.filter(col("doc_id") % 31 === 0)))
     }),
     // exact-phrase forensics over the same at-rest postings: the
     // phrase's windows prune candidates index-only, then ONLY
     // candidate docs are read for the exact token-window verify —
     // "which stored docs contain this span" with no corpus scan.
     // The probe phrase is doc 0's own leading 10 tokens (derived,
-    // not hard-coded, so every SF is non-degenerate)
+    // not hard-coded, so every SF is non-degenerate). The derivation
+    // is guarded: the oracle hard-codes 10-gram windows, so a fixture
+    // with no doc 0 or a doc 0 shorter than 10 tokens must fail with
+    // a NAMED error, not throw NoSuchElementException / silently
+    // diverge from the oracle's window width.
     "doc_phrase_lookup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idx = TextOps.ensureGramIndex(s, s"$d/documents.parquet",
         docs, n = 8, hashFn = Dedup.md5Seeded, kind = "gram-full")
-      val phrase = docs.filter(col("doc_id") === 0L)
-        .select(col("text")).head().getString(0)
-        .trim.split("\\s+").take(10).mkString(" ")
-      TextOps.phraseLookupIndexed(s, idx, docs, phrase,
-        hashFn = Dedup.md5Seeded)
+      val head = docs.filter(col("doc_id") === 0L)
+        .select(col("text")).limit(1).collect()
+      require(head.nonEmpty,
+        "doc_phrase_lookup fixture: no doc_id=0 row in documents at " +
+          s"$d — the probe phrase derives from doc 0's leading tokens")
+      val toks = head(0).getString(0).trim.split("\\s+")
+        .filter(_.nonEmpty).take(10)
+      require(toks.length == 10,
+        s"doc_phrase_lookup fixture: doc 0 has only ${toks.length} " +
+          "tokens but the oracle probes exact 10-token windows — " +
+          "the fixture needs a >=10-token doc 0")
+      TextOps.phraseLookupIndexed(s, idx, docs, toks.mkString(" "))
     }),
     // Gopher-style within-doc n-gram repetition (quality filter)
     "doc_repetition" -> ((s, d) =>

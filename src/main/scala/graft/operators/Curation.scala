@@ -712,7 +712,10 @@ object Curation {
           .appendToBm25IndexCommitted(spark, bm, product, id))
         // the decontam gram index tracks the CURATED corpus too, so
         // tomorrow's new benchmark screens against today's product
-        // without a corpus scan — same batch id, own marker set
+        // without a corpus scan — same batch id, own marker set. The
+        // gram hash family resolves from the INDEX META (persisted at
+        // build time), so this leg hashes under whatever family the
+        // index was built with — no hashFn plumbing to mismatch
         gramDir.foreach(gd => graft.operators.TextOps
           .appendToGramIndexCommitted(spark, gd, product, id))
         ()

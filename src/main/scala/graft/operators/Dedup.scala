@@ -73,9 +73,13 @@ object Dedup {
 
   /** Seeded 64-bit string hash family for minhash permutations —
     * xxhash64 with the seed as a leading column: the fast path
-    * (codegen'd, no allocation).
+    * (codegen'd, no allocation). A stable `val` (not a method):
+    * durable indexes persist which family they were built with by
+    * IDENTITY against [[hashFamilies]], so the same object must come
+    * back from every reference to `Dedup.xxSeeded`.
     */
-  def xxSeeded(seed: Int, s: Column): Column = xxhash64(lit(seed), s)
+  val xxSeeded: (Int, Column) => Column =
+    (seed, s) => xxhash64(lit(seed), s)
 
   /** Portable 60-bit hash family: top 15 hex chars of md5("seed:" ++ s)
     * as an integer. Identical in Spark and DuckDB ('0x…' cast), which
@@ -84,10 +88,39 @@ object Dedup {
     * Computed by the native [[graft.functions.Md5Seeded60]] expression
     * (digest bytes directly, no hex-string round-trip); still costs
     * more than [[xxSeeded]] — use that when no cross-engine
-    * verification is needed.
+    * verification is needed. Stable `val` for the same identity
+    * contract as [[xxSeeded]].
     */
-  def md5Seeded(seed: Int, s: Column): Column =
-    graft.functions.Md5Seeded60.md5_seeded60(seed, s)
+  val md5Seeded: (Int, Column) => Column =
+    (seed, s) => graft.functions.Md5Seeded60.md5_seeded60(seed, s)
+
+  /** The NAMED hash families a durable index may be built with. The
+    * hash function is a build-time contract (probe with a different
+    * family and every lookup silently misses), so index builders
+    * persist the family's TAG in their meta and probes/appends
+    * resolve the function back from it — a mismatch is then
+    * impossible by construction instead of a silent recall hole
+    * (round-10 advice #1). Custom families are rejected at durable
+    * build time precisely because a tag the reader can't resolve
+    * would reopen that hole.
+    */
+  private[graft] val hashFamilies: Seq[(String, (Int, Column) => Column)] =
+    Seq("xx" -> xxSeeded, "md5" -> md5Seeded)
+
+  /** Tag of a registered hash family (identity match). */
+  private[graft] def hashFamilyTag(fn: (Int, Column) => Column)
+      : Option[String] =
+    hashFamilies.collectFirst { case (t, f) if f eq fn => t }
+
+  /** Resolve a persisted hash-family tag back to its function;
+    * fails fast on a tag this build doesn't know (an index from a
+    * newer library version — probing it with a guess would miss).
+    */
+  private[graft] def hashFamilyOf(tag: String): (Int, Column) => Column =
+    hashFamilies.collectFirst { case (t, f) if t == tag => f }
+      .getOrElse(throw new IllegalStateException(
+        s"unknown hash family tag '$tag' — known: " +
+          hashFamilies.map(_._1).mkString(", ")))
 
   /** Compositional reference formulation of [[md5Seeded]] — the exact
     * SQL the DuckDB oracles replay; kept for the equivalence spec.

@@ -547,13 +547,22 @@ object TextOps {
     * gram count of buckets; (c) committed appends keep it current
     * as the corpus grows, so the corpus-scale build amortizes
     * across every benchmark the eval battery ever adds. The hash
-    * function is a build-time contract: probe with the SAME
-    * `hashFn` the index was built with (as with the tokenizer of
-    * the BM25 index).
+    * function is a build-time contract, so it is PERSISTED: the
+    * family's tag ([[graft.operators.Dedup.hashFamilies]]) lands in
+    * `meta/` beside n and n_buckets, and every probe/append resolves
+    * the function from there — a build/probe family mismatch (the
+    * silent-miss class) cannot exist. Only registered families are
+    * accepted for the durable layout: a custom function has no tag a
+    * later reader could resolve.
     */
   def writeGramIndex(docs: DataFrame, dir: String, n: Int = 8,
                      nBuckets: Int = 64,
                      hashFn: (Int, Column) => Column = Dedup.xxSeeded): Unit = {
+    val tag = Dedup.hashFamilyTag(hashFn).getOrElse(
+      throw new IllegalArgumentException(
+        "writeGramIndex: hashFn is not a registered hash family " +
+          "(Dedup.hashFamilies) — a durable index must persist a tag " +
+          "its probes can resolve; use Dedup.xxSeeded / Dedup.md5Seeded"))
     val spark = docs.sparkSession
     docs
       .select(col("doc_id"),
@@ -574,23 +583,51 @@ object TextOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
       .write.mode("overwrite").parquet(s"$dir/docdim")
     import spark.implicits._
-    Seq((n.toLong, nBuckets.toLong)).toDF("n", "n_buckets")
+    Seq((n.toLong, nBuckets.toLong, tag))
+      .toDF("n", "n_buckets", "hash_family")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** The gram index's persisted build parameters: (n, n_buckets,
+    * hash function resolved from its recorded family tag). The single
+    * read point of every probe/append — the function that screens is
+    * BY CONSTRUCTION the one that built the postings. An index
+    * predating the hash_family column fails fast (its family is
+    * unknowable; rebuild).
+    */
+  private def gramMeta(spark: org.apache.spark.sql.SparkSession,
+                       dir: String)
+      : (Int, Long, (Int, Column) => Column) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.schema.fieldNames.contains("hash_family"),
+      s"gram index at $dir predates the persisted hash-family tag — " +
+        "its build family is unknowable; rebuild with writeGramIndex")
+    (meta.getAs[Long]("n").toInt, meta.getAs[Long]("n_buckets"),
+      Dedup.hashFamilyOf(meta.getAs[String]("hash_family")))
+  }
+
   /** Build-once guard for the gram index (the shared source
-    * fingerprint contract). `kind` keys the index directory so a
-    * gram index over a SUBSET (e.g. the train split) coexists with
-    * one over the full corpus.
+    * fingerprint contract). The directory key folds in EVERY build
+    * parameter — n, n_buckets, the hash-family tag — so a call with
+    * different parameters builds a sibling index instead of silently
+    * reusing a stale one (round-10 advice #2); `kind` remains the
+    * caller's SUBSET contract (e.g. the train split vs the full
+    * corpus — the one dimension a cheap key cannot fingerprint).
     */
   def ensureGramIndex(spark: org.apache.spark.sql.SparkSession,
                       sourcePath: String, docs: DataFrame, n: Int = 8,
                       nBuckets: Int = 64,
                       hashFn: (Int, Column) => Column = Dedup.xxSeeded,
                       indexRoot: Option[String] = None,
-                      kind: String = "gram"): String =
-    Similarity.ensureIndexDir(spark, sourcePath, kind, indexRoot)(
+                      kind: String = "gram"): String = {
+    val tag = Dedup.hashFamilyTag(hashFn).getOrElse(
+      throw new IllegalArgumentException(
+        "ensureGramIndex: hashFn is not a registered hash family — " +
+          "use Dedup.xxSeeded / Dedup.md5Seeded"))
+    Similarity.ensureIndexDir(spark, sourcePath,
+      s"$kind-n$n-b$nBuckets-$tag", indexRoot)(
       dir => writeGramIndex(docs, dir, n, nBuckets, hashFn))
+  }
 
   /** EXACTLY-ONCE gram-index append, keyed by a caller-supplied
     * batch id — new corpus docs shingle scan-locally into their
@@ -603,20 +640,22 @@ object TextOps {
     * BM25 there is no df/stats swap window at all and committed
     * appends compose with live probing unconditionally. The marker
     * content records the batch's doc count for accounting.
+    *
+    * The hash function is RESOLVED from the index meta — not a
+    * parameter: an append hashing under a different family than the
+    * build would poison the postings (probes of appended docs would
+    * silently miss), and meta-driven resolution makes that mismatch
+    * unrepresentable, exactly as n and n_buckets already are.
     */
   def appendToGramIndexCommitted(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, batch: DataFrame,
                                  batchId: Long,
-                                 sourcePath: Option[String] = None,
-                                 hashFn: (Int, Column) => Column =
-                                   Dedup.xxSeeded): Unit = {
+                                 sourcePath: Option[String] = None): Unit = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
     if (!fs.exists(marker)) {
-      val meta = spark.read.parquet(s"$dir/meta").head()
-      val n = meta.getAs[Long]("n").toInt
-      val nBuckets = meta.getAs[Long]("n_buckets")
+      val (n, nBuckets, hashFn) = gramMeta(spark, dir)
       val posted = batch
         .select(col("doc_id"),
           array_distinct(transform(
@@ -675,13 +714,10 @@ object TextOps {
     */
   def contaminationMatrixIndexed(spark: org.apache.spark.sql.SparkSession,
                                  dir: String,
-                                 benchmarks: Seq[(String, DataFrame)],
-                                 hashFn: (Int, Column) => Column =
-                                   Dedup.xxSeeded): DataFrame = {
+                                 benchmarks: Seq[(String, DataFrame)])
+      : DataFrame = {
     require(benchmarks.nonEmpty, "contaminationMatrixIndexed: no benchmarks")
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val n = meta.getAs[Long]("n").toInt
-    val nBuckets = meta.getAs[Long]("n_buckets")
+    val (n, nBuckets, hashFn) = gramMeta(spark, dir)
     val dim = benchmarks.map { case (name, b) =>
       benchGrams(b, n, hashFn).select(lit(name).as("bench"), col("h"))
     }.reduce(_ unionByName _).localCheckpoint(true)
@@ -707,10 +743,8 @@ object TextOps {
     * exact schema off [[contaminationMatrixIndexed]].
     */
   def contaminationIndexed(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, benchmark: DataFrame,
-                           hashFn: (Int, Column) => Column =
-                             Dedup.xxSeeded): DataFrame =
-    contaminationMatrixIndexed(spark, dir, Seq(("b", benchmark)), hashFn)
+                           dir: String, benchmark: DataFrame): DataFrame =
+    contaminationMatrixIndexed(spark, dir, Seq(("b", benchmark)))
       .select(col("doc_id"), col("matched_ngrams"), col("n_ngrams"),
         col("contamination_rate"))
       .orderBy(col("doc_id"))
@@ -744,12 +778,8 @@ object TextOps {
     */
   def phraseLookupIndexed(spark: org.apache.spark.sql.SparkSession,
                           dir: String, docs: DataFrame, phrase: String,
-                          hashFn: (Int, Column) => Column =
-                            Dedup.xxSeeded,
                           maxCandidates: Int = 1000000): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val n = meta.getAs[Long]("n").toInt
-    val nBuckets = meta.getAs[Long]("n_buckets")
+    val (n, nBuckets, hashFn) = gramMeta(spark, dir)
     val toks = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     require(toks.length >= n,
       s"phraseLookupIndexed: phrase has ${toks.length} tokens but the " +
@@ -1939,6 +1969,25 @@ object TextOps {
           .as("ids_md5"))
       .orderBy(col("doc_id"))
 
+  /** "Binary order" for symbol-id assignment means UTF-8 BYTE order —
+    * the collation the DuckDB oracles' ORDER BY uses — not JVM String
+    * (UTF-16 code-unit) order: the two diverge for supplementary-plane
+    * symbols (an emoji's UTF-8 bytes 0xF0.. sort AFTER U+E000..U+FFFF's
+    * 0xEE..0xEF, but its UTF-16 surrogates 0xD800..0xDBFF sort BEFORE
+    * them), so the rank compares getBytes("UTF-8") lexicographically
+    * and the assigned ids stay engine-portable beyond the BMP
+    * (round-10 advice #3).
+    */
+  private[graft] val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0; var c = 0
+    val m = math.min(x.length, y.length)
+    while (c == 0 && i < m) {
+      c = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+    }
+    if (c != 0) c else x.length - y.length
+  }
+
   /** The shared (doc_id, ids) sequence frame behind [[bpeEncodeIds]]
     * and [[packTokenStream]] — PINNED (the trained vocab's lineage
     * runs once), one row per doc with at least one word.
@@ -1952,7 +2001,8 @@ object TextOps {
       s"bpeEncodeIds: > $maxVocab distinct symbols — the id table " +
         "would not stay driver-material; raise maxVocab")
     val idOf: Map[String, Long] =
-      syms.sorted.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap
+      syms.sorted(utf8Order).zipWithIndex
+        .map { case (s, i) => (s, i.toLong) }.toMap
     val idMap = typedlit(idOf)
     val wordIds = vocab.select(col("w"),
       transform(col("toks"), t => element_at(idMap, t)).as("ids"))

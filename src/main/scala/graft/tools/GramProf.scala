@@ -53,7 +53,7 @@ object GramProf {
     TextOps.contaminationMatrix(train, Seq("w" -> bench(29L)), n = 8,
       hashFn = Dedup.xxSeeded).collect()
     TextOps.contaminationMatrixIndexed(spark, dir,
-      Seq("w" -> bench(29L)), hashFn = Dedup.xxSeeded).collect()
+      Seq("w" -> bench(29L))).collect()
     for (k <- Seq(1, 2, 4)) {
       val suites = mods.take(k).map(m => s"b$m" -> bench(m))
       val (oneShot, osSec) = time {
@@ -61,8 +61,7 @@ object GramProf {
           hashFn = Dedup.xxSeeded).collect()
       }
       val (indexed, ixSec) = time {
-        TextOps.contaminationMatrixIndexed(spark, dir, suites,
-          hashFn = Dedup.xxSeeded).collect()
+        TextOps.contaminationMatrixIndexed(spark, dir, suites).collect()
       }
       require(oneShot.toSeq == indexed.toSeq,
         s"probe diverged from one-shot at K=$k")
@@ -79,8 +78,7 @@ object GramProf {
         hashFn = Dedup.xxSeeded).collect()
     }
     val (indexed1, ix1) = time {
-      TextOps.contaminationIndexed(spark, dir, one,
-        hashFn = Dedup.xxSeeded).collect()
+      TextOps.contaminationIndexed(spark, dir, one).collect()
     }
     require(oneShot1.toSeq == indexed1.toSeq, "targeted probe diverged")
     println(f"[gramprof] targeted (1 bench doc): one-shot $os1%.2f s, " +

@@ -1519,6 +1519,68 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Long, Double)].collect().toSeq == oneShot)
   }
 
+  test("gram index hash family is a persisted contract: meta-resolved appends/probes, unregistered builds rejected, params key the build-once dir") {
+    val g8 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val corpus = Seq((1L, s"$g8 t1 t2")).toDF("doc_id", "text")
+    val bench = Seq((100L, g8)).toDF("doc_id", "text")
+    // build under md5 — the exact round-10 advice scenario: the
+    // maintenance append must hash appended docs under md5 TOO (it
+    // resolves the family from meta), or probes of appended docs
+    // silently miss
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram-md5").toString
+    TextOps.writeGramIndex(corpus, dir, n = 8, nBuckets = 8,
+      hashFn = Dedup.md5Seeded)
+    val batch = Seq((2L, s"$g8 u1 u2")).toDF("doc_id", "text")
+    TextOps.appendToGramIndexCommitted(spark, dir, batch, batchId = 7L)
+    val got = TextOps.contaminationIndexed(spark, dir, bench)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val oneShot = TextOps.contamination(corpus.union(batch), bench,
+      hashFn = Dedup.md5Seeded)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == oneShot && got.map(_._1).contains(2L),
+      s"md5-built index must find the APPENDED doc: $got vs $oneShot")
+    assert(TextOps.phraseLookupIndexed(spark, dir, corpus.union(batch),
+      s"$g8 u1").as[(Long, Long)].collect().toSeq == Seq((2L, 1L)))
+    // an unregistered custom family has no tag a probe could resolve
+    // — rejected at durable build time, with the registry named
+    val custom: (Int, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column = (s, c) => Dedup.xxSeeded(s, c)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.writeGramIndex(corpus,
+        java.nio.file.Files.createTempDirectory("gram-bad").toString,
+        n = 8, nBuckets = 8, hashFn = custom)
+    }
+    assert(e.getMessage.contains("registered hash family"), e.getMessage)
+    // build-once keying folds the build params in: same source+kind
+    // with a different n / family builds a SIBLING index instead of
+    // silently reusing the stale one
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("gram-src2").toString + "/documents.parquet"
+    corpus.write.parquet(srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("gram-root2").toString
+    val ixx = TextOps.ensureGramIndex(spark, srcDir,
+      spark.read.parquet(srcDir), n = 8, nBuckets = 8,
+      indexRoot = Some(root))
+    val in5 = TextOps.ensureGramIndex(spark, srcDir,
+      spark.read.parquet(srcDir), n = 5, nBuckets = 8,
+      indexRoot = Some(root))
+    val imd5 = TextOps.ensureGramIndex(spark, srcDir,
+      spark.read.parquet(srcDir), n = 8, nBuckets = 8,
+      hashFn = Dedup.md5Seeded, indexRoot = Some(root))
+    assert(Set(ixx, in5, imd5).size == 3,
+      s"n / hash family must key distinct dirs: $ixx $in5 $imd5")
+    // pre-tag meta (no hash_family column) fails fast, named
+    import spark.implicits._
+    Seq((8L, 8L)).toDF("n", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.contaminationIndexed(spark, dir, bench).collect()
+    }
+    assert(e2.getMessage.contains("hash-family"), e2.getMessage)
+  }
+
   test("phraseLookupIndexed: candidate-then-verify funnel — non-contiguous window placements and absent phrases drop, occurrences exact") {
     val p10 = (1 to 10).map(i => s"p$i").mkString(" ")
     val corpus = Seq(
@@ -1976,6 +2038,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
       TextOps.bpeEncodeIds(docs, merges = 1, maxVocab = 2)
     }
     assert(e.getMessage.contains("distinct symbols"), e.getMessage)
+    // binary rank = UTF-8 BYTE order (the oracle's collation), which
+    // diverges from JVM UTF-16 order beyond the BMP: U+FFFD (UTF-8
+    // ef bf bd) < U+1F600 (f0 9f 98 80) in bytes, but the emoji's
+    // lead surrogate 0xD83D < 0xFFFD in UTF-16 — so the JVM's
+    // .sorted would rank the emoji FIRST and flip both ids
+    assert(TextOps.utf8Order.compare("�", "😀") < 0)
+    assert(Ordering.String.compare("�", "😀") > 0,
+      "precondition: the JVM default really does order these opposite")
+    val emoji = TextOps.bpeEncodeIds(
+      Seq((1L, "� 😀")).toDF("doc_id", "text"),
+      merges = 0)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(emoji == Seq((1L, 2L, md5hex("0 1"))),
+      s"U+FFFD must take id 0 under UTF-8 byte order: $emoji")
   }
 
   test("packTokenStream: docs concat in order and split at exact budget boundaries; streams pack independently") {
