@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-JVM cache of IMMUTABLE-between-maintenance index state — the
+  * serving fixed-cost floor fix (round-10 verdict #3): ServeProf
+  * showed the per-micro-batch cost of the durable-index serving
+  * streams dominated by re-reading state that only changes on
+  * append/compaction — the centroid dim collect, the stats head(),
+  * the df dim, and the parquet file-listing + schema inference behind
+  * every `spark.read.parquet(lists|postings)`. Each of those is a
+  * driver round-trip or a FS walk per batch; all of them are pure
+  * functions of at-rest bytes that a maintenance operation changes
+  * explicitly.
+  *
+  * Invalidation is two-layered, both cheap:
+  *
+  *  - STAMPS (cross-process): every cached entry carries a stamp
+  *    built from FS METADATA ONLY (sublayout paths, child names,
+  *    mtimes, lengths — one listStatus, no Spark job). An append
+  *    lands new `b<id>-*` files (bumping its partition dirs), a dim
+  *    swap changes the resolved `<sub>_v<k>` path, a compaction or
+  *    rebuild changes the generation root — each changes the stamp
+  *    and the next read reloads.
+  *  - EXPLICIT (in-JVM): every append/swap/publish also invalidates
+  *    its directory's entries directly, closing the sub-millisecond
+  *    window where an FS mtime stamp could tie. A writer in ANOTHER
+  *    process is covered by the stamp layer alone — bounded by mtime
+  *    granularity (ms), after which the stamp differs.
+  *
+  * Entries are (stamp, value) under a small synchronized LRU — the
+  * cache is a floor optimization, not a state store; losing an entry
+  * costs one reload.
+  */
+private[graft] object IndexCache {
+  private val MaxEntries = 128
+  private val cache =
+    new java.util.LinkedHashMap[String, (String, Any)](MaxEntries, 0.75f,
+      true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Any)]): Boolean =
+        size() > MaxEntries
+    }
+
+  /** Value under `key` if its recorded stamp equals `stamp`, else
+    * `load` (outside the lock — loads may run Spark jobs) and
+    * remember. Stamp equality means the at-rest state the value was
+    * derived from is byte-identical, so a hit returns exactly what a
+    * reload would.
+    */
+  def cached[T](key: String, stamp: String)(load: => T): T = {
+    val hit = cache.synchronized {
+      cache.get(key) match {
+        case (s, v) if s == stamp => Some(v)
+        case _ => None
+      }
+    }
+    hit match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = load
+        cache.synchronized { cache.put(key, (stamp, v)); () }
+        v
+    }
+  }
+
+  /** Drop every entry whose key starts with `prefix` (keys are
+    * rooted at the index directory path, so passing a dir or a
+    * resolved generation root clears all of its entries).
+    */
+  def invalidate(prefix: String): Unit = cache.synchronized {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
+
+  /** FS-metadata stamp of a directory's DIRECT children: names,
+    * mtimes, lengths — one listStatus, no Spark job. Appends bump
+    * their partition dirs' mtimes (files land inside), dim swaps and
+    * generation advances change the path itself, so every
+    * maintenance operation perturbs the stamp of what it touched.
+    */
+  def dirStamp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getModificationTime}:" +
+        s"${st.getLen}")
+      .sorted.mkString("|")
+  }
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reader-safe publication for the durable index directories (IVF /
+  * IVF-PQ lists, SQ8/BQ sidecars, BM25 postings, decontamination gram
+  * postings) — the round-10 verdict #1 machinery that retires every
+  * "QUIESCE SERVING FIRST" constraint.
+  *
+  * Two layers, both resolved by readers ONCE per probe/batch:
+  *
+  *  1. WHOLE-INDEX GENERATIONS for the multi-sublayout swaps (builds,
+  *     compactions, delta folds). A generation is a complete internal
+  *     layout under `dir/gen-<N>/`; `_gen/ptr-<N>` markers publish it
+  *     (create-then-rename to a NEW name — atomic on every Hadoop FS,
+  *     so a lister sees ptr-N or not, never a half state). A reader
+  *     resolves the highest pointer once and reads that root for its
+  *     whole batch: a publication mid-read is invisible (its old root
+  *     stays on disk — one prior generation is retained, the
+  *     [[VersionedState]] retention discipline), and a reader
+  *     arriving after sees the new root. Old-or-new, never fails,
+  *     never mixes sublayouts from two generations.
+  *
+  *  2. SUBLAYOUT VERSIONS (`<sub>_v<k>`) for the single-dim swaps the
+  *     plain append paths make per batch (BM25 df/stats merge, IVF
+  *     stats merge) — a generation advance there would copy the
+  *     corpus-scale postings per append. The swap stages the new dim,
+  *     renames it to the NEXT version (atomic, new name), and prunes
+  *     versions older than the prior one; readers resolve the highest
+  *     version. Per-dim old-or-new; cross-dim staleness is bounded by
+  *     one batch and one-sided (the documented plain-append
+  *     idf-staleness class), never a torn read.
+  *
+  * A directory with no ladder resolves to itself (the flat
+  * pre-generation layout): all builders are ladder-native, so flat
+  * dirs only arise from hand-built layouts, which keep working and
+  * migrate to generations on their first compaction (their flat
+  * files are left behind for any in-flight reader — disk-only,
+  * legacy-only cost).
+  *
+  * Single-writer assumption, stated plainly: generations serialize
+  * MAINTENANCE vs SERVING (the verdict's gap), not maintenance vs
+  * maintenance — two concurrent compactions of one index race their
+  * staging dirs exactly as two concurrent builds always did. One
+  * maintenance actor per index, as [[Curation.startCorpusMaintenance]]
+  * already structures it.
+  */
+private[graft] object IndexGen {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private val Ptr = "^ptr-(\\d+)$".r
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def currentGen(fs: FileSystem, dir: String): Option[Int] = {
+    val g = new Path(dir, "_gen")
+    if (!fs.exists(g)) None
+    else {
+      val ns = fs.listStatus(g).toSeq.flatMap(_.getPath.getName match {
+        case Ptr(n) => Some(n.toInt)
+        case _ => None
+      })
+      if (ns.isEmpty) None else Some(ns.max)
+    }
+  }
+
+  /** Resolve the CURRENT readable root of an index directory — the
+    * highest published generation, else the directory itself.
+    * Idempotent (a generation root carries no ladder), so nested
+    * resolution through composed entry points is harmless; but each
+    * public operation resolves ONCE and uses that root throughout,
+    * so one logical read never spans a publication.
+    */
+  def root(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    currentGen(fs, dir) match {
+      case Some(n) => new Path(dir, s"gen-$n").toString
+      case None => dir
+    }
+  }
+
+  /** Begin a new generation: (number, cleared staging root). */
+  def stage(spark: SparkSession, dir: String): (Int, String) = {
+    val fs = fsOf(spark, dir)
+    val n = currentGen(fs, dir).map(_ + 1).getOrElse(0)
+    val staging = new Path(dir, s".staging-gen-$n")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    (n, staging.toString)
+  }
+
+  /** Publish staged generation `n`: rename the staging root into
+    * place, flip the pointer (create-then-rename, atomic), prune
+    * generations older than the immediately prior one. A crash
+    * before the pointer rename leaves a complete-but-unpublished
+    * gen dir the next stage() of the same number clears; readers
+    * never resolve it.
+    */
+  def publish(spark: SparkSession, dir: String, n: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    val staging = new Path(dir, s".staging-gen-$n")
+    val target = new Path(dir, s"gen-$n")
+    fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"index publish: failed to land $target")
+    val gdir = new Path(dir, "_gen")
+    val ptr = new Path(gdir, s"ptr-$n")
+    val tmp = new Path(gdir, s".ptr-$n.tmp")
+    fs.mkdirs(gdir)
+    val os = fs.create(tmp, true)
+    try os.write(s"gen-$n".getBytes("UTF-8")) finally os.close()
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"index publish: failed to flip $ptr")
+    fs.listStatus(gdir).foreach(_.getPath.getName match {
+      case Ptr(m) if m.toInt < n - 1 =>
+        fs.delete(new Path(dir, s"gen-${m.toInt}"), true)
+        fs.delete(new Path(gdir, s"ptr-${m.toInt}"), false)
+        ()
+      case _ => ()
+    })
+    // in-JVM cache entries for every generation of this index drop:
+    // the next reader re-resolves and reloads against the new root
+    IndexCache.invalidate(dir)
+  }
+
+  /** Build a FRESH generation (writeXxxIndex rebuild semantics):
+    * `build` writes the complete layout into the staging root;
+    * nothing carries forward — in particular no stale `_commits`
+    * markers, which under the flat layout would have silently
+    * over-counted a rebuilt index's composite stats.
+    */
+  def buildFresh(spark: SparkSession, dir: String)
+                (build: String => Unit): Unit = {
+    val (n, staging) = stage(spark, dir)
+    build(staging)
+    publish(spark, dir, n)
+  }
+
+  /** Advance a generation by REWRITING some sublayouts (compaction's
+    * shape): `build` reads from the resolved old root and writes the
+    * rewritten subs into the staging root; every sublayout it did not
+    * write is copied forward unchanged (tiny by construction — dims,
+    * meta, `_commits` markers; the corpus-scale subs are exactly the
+    * ones compaction rewrites). A `<sub>_v<k>` version whose base sub
+    * WAS rewritten is dropped, not copied — the fresh generation
+    * normalizes swapped dims back to their plain form.
+    */
+  def advance(spark: SparkSession, dir: String)
+             (build: (String, String) => Unit): Unit = {
+    val oldRoot = root(spark, dir)
+    val (n, staging) = stage(spark, dir)
+    build(oldRoot, staging)
+    copyMissing(spark, oldRoot, staging)
+    publish(spark, dir, n)
+  }
+
+  private def internalName(name: String): Boolean =
+    name == "_gen" || name == "_source_fingerprint" ||
+      name.startsWith("gen-") || name.startsWith(".")
+
+  private val SubVer = "^(.*)_v(\\d+)$".r
+
+  private def copyMissing(spark: SparkSession, oldRoot: String,
+                          staging: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(oldRoot)
+    val fs = src.getFileSystem(conf)
+    val dst = new Path(staging)
+    if (!fs.exists(src)) return
+    val written = fs.listStatus(dst).map(_.getPath.getName).toSet
+    val names = fs.listStatus(src).map(_.getPath.getName)
+      .filterNot(internalName).toSeq
+    // normalize swapped dims: the fresh generation carries each sub's
+    // NEWEST version as its plain base — older versions and a stale
+    // plain base are folded away, version ladders restart per gen
+    val newest: Map[String, Int] = names
+      .collect { case SubVer(base, k) => (base, k.toInt) }
+      .groupBy(_._1).map { case (b, ks) => (b, ks.map(_._2).max) }
+    names.foreach { name =>
+      val (copyAs, skip) = name match {
+        case SubVer(base, k) =>
+          (base, written.contains(base) || k.toInt != newest(base))
+        case _ =>
+          (name, written.contains(name) || newest.contains(name))
+      }
+      if (!skip && !written.contains(copyAs)) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src, name), fs,
+          new Path(dst, copyAs), false, conf)
+        ()
+      }
+    }
+  }
+
+  private def subVersions(fs: FileSystem, root: String,
+                          sub: String): Seq[Int] = {
+    val g = fs.globStatus(new Path(root, s"${sub}_v*"))
+    (if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus] else g)
+      .toSeq.flatMap(_.getPath.getName match {
+        case SubVer(b, k) if b == sub => Some(k.toInt)
+        case _ => None
+      }).sorted
+  }
+
+  /** Resolve ONE sublayout under an already-resolved root: the
+    * highest `<sub>_v<k>` version if any swap published one, else
+    * the plain `<sub>` the build wrote.
+    */
+  def subPath(spark: SparkSession, root: String, sub: String): String = {
+    val fs = fsOf(spark, root)
+    subVersions(fs, root, sub).lastOption match {
+      case Some(k) => new Path(root, s"${sub}_v$k").toString
+      case None => new Path(root, sub).toString
+    }
+  }
+
+  /** Reader-atomic swap of one sublayout dim under a RESOLVED root:
+    * materialize `df` fully into a staging dir (its lazy read of the
+    * CURRENT dim executes while that dim is intact), rename it to the
+    * next version (atomic — new name), prune versions older than the
+    * prior one (and the plain base once two versions exist). An
+    * in-flight reader that resolved the prior version keeps a
+    * complete dim; one resolving after the rename sees the new dim;
+    * none ever lists a half-renamed directory.
+    */
+  def swapSub(spark: SparkSession, root: String, sub: String,
+              df: DataFrame): Unit = {
+    val fs = fsOf(spark, root)
+    val vs = subVersions(fs, root, sub)
+    val next = vs.lastOption.getOrElse(0) + 1
+    val staging = new Path(root, s".$sub-swap-staging")
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(root, s"${sub}_v$next")
+    fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"dim swap: failed to publish $target")
+    vs.filter(_ < next - 1).foreach { k =>
+      fs.delete(new Path(root, s"${sub}_v$k"), true)
+      ()
+    }
+    if (next >= 2) {
+      fs.delete(new Path(root, sub), true)
+      ()
+    }
+    IndexCache.invalidate(root)
+  }
+}

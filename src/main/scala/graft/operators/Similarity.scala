@@ -393,31 +393,38 @@ object Similarity {
                     iters: Int = 3): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(embeddings, nlist, iters)
-    embeddings
-      .withColumn("cid", nearestCentroid(col("embedding"), cents))
-      .withColumn("norm", l2norm(col("embedding")))
-      // one file per cid partition from day one (a multi-task write
-      // lands tasks × lists files — the small-files decay compaction
-      // exists to undo); write parallelism = nlist, which is the
-      // probe-side partition grain anyway
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
-    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    // quantization-quality baseline for [[appendToIvfIndex]]'s drift
-    // guard: (count, Σ squared nearest-centroid distance) of the
-    // indexed corpus — distributive, so appends merge it. Decimal
-    // summation keeps the recorded baseline partition-order-exact
-    // (SCALE.md §7).
-    val base = embeddings
-      .select(array_min(centroidDistArray(col("embedding"), cents))
-        .getField("d").as("d"))
-      .agg(count(lit(1)).cast("long").as("n"), dsumD(col("d")).as("sum_sqdist"))
-      .head()
-    writeIvfStats(spark, dir, base.getAs[Long]("n"),
-      base.getAs[Double]("sum_sqdist"))
+    // ladder-native build ([[IndexGen]]): the complete layout lands
+    // as a fresh generation and one atomic pointer flip publishes it
+    // — a rebuild over a live index never disturbs in-flight readers
+    // and never inherits stale `_commits` markers into its stats
+    IndexGen.buildFresh(spark, dir) { root =>
+      val cents = trainCentroids(embeddings, nlist, iters)
+      embeddings
+        .withColumn("cid", nearestCentroid(col("embedding"), cents))
+        .withColumn("norm", l2norm(col("embedding")))
+        // one file per cid partition from day one (a multi-task write
+        // lands tasks × lists files — the small-files decay compaction
+        // exists to undo); write parallelism = nlist, which is the
+        // probe-side partition grain anyway
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$root/lists")
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      // quantization-quality baseline for [[appendToIvfIndex]]'s drift
+      // guard: (count, Σ squared nearest-centroid distance) of the
+      // indexed corpus — distributive, so appends merge it. Decimal
+      // summation keeps the recorded baseline partition-order-exact
+      // (SCALE.md §7).
+      val base = embeddings
+        .select(array_min(centroidDistArray(col("embedding"), cents))
+          .getField("d").as("d"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsumD(col("d")).as("sum_sqdist"))
+        .head()
+      writeIvfStats(spark, root, base.getAs[Long]("n"),
+        base.getAs[Double]("sum_sqdist"))
+    }
   }
 
   private def dsumD(c: Column): Column =
@@ -437,11 +444,16 @@ object Similarity {
                          dir: String): Long =
     readIvfStats(spark, dir)._1
 
+  /** Initial stats write, build-time only (into a private staging
+    * root — no reader can see it). The APPEND path merges through
+    * [[IndexGen.swapSub]] instead: an in-place overwrite of a LIVE
+    * stats dir would tear under a concurrent reader.
+    */
   private def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
-                            dir: String, n: Long, sumSq: Double): Unit = {
+                            root: String, n: Long, sumSq: Double): Unit = {
     import spark.implicits._
     Seq((n, sumSq)).toDF("n", "sum_sqdist")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
   }
 
   /** Append a new batch to a materialized IVF index WITHOUT
@@ -481,17 +493,24 @@ object Similarity {
                        dir: String, batch: DataFrame,
                        maxDriftRatio: Double = 4.0,
                        sourcePath: Option[String] = None): Unit = {
-    encodeBatchForIndex(spark, dir, batch, maxDriftRatio).foreach {
+    val root = IndexGen.root(spark, dir)
+    encodeBatchForIndex(spark, root, batch, maxDriftRatio).foreach {
       case (out, nb, sb) =>
         out.repartition(col("cid"))
-          .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
-        // the FILE carries only baseline + plain appends; committed
+          .write.mode("append").partitionBy("cid").parquet(s"$root/lists")
+        IndexCache.invalidate(root)
+        // the BASE dim carries only baseline + plain appends; committed
         // appends contribute through their markers (readIvfStats sums
-        // both) — merging the composite total back into the file would
-        // double-count every marker
-        val f = spark.read.parquet(s"$dir/stats").head()
-        writeIvfStats(spark, dir, f.getAs[Long]("n") + nb,
-          f.getAs[Double]("sum_sqdist") + sb)
+        // both) — merging the composite total back would double-count
+        // every marker. The merge publishes as a new stats VERSION
+        // ([[IndexGen.swapSub]]): reader-atomic, no overwrite window.
+        val f = spark.read
+          .parquet(IndexGen.subPath(spark, root, "stats")).head()
+        import spark.implicits._
+        IndexGen.swapSub(spark, root, "stats",
+          Seq((f.getAs[Long]("n") + nb,
+            f.getAs[Double]("sum_sqdist") + sb))
+            .toDF("n", "sum_sqdist").coalesce(1))
     }
     // the marker advances even for an empty batch: the caller is
     // asserting the index now reflects the source as it stands
@@ -506,14 +525,14 @@ object Similarity {
     * contribution). None for an empty batch.
     */
   private def encodeBatchForIndex(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String, batch: DataFrame,
+                                  root: String, batch: DataFrame,
                                   maxDriftRatio: Double)
       : Option[(DataFrame, Long, Double)] = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(s"$root/centroids")
       .orderBy(col("cid")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val (n0, s0) = readIvfStats(spark, dir)
-    require(n0 > 0, s"index at $dir has an empty baseline — rebuild it")
+    val (n0, s0) = readIvfStats(spark, root)
+    require(n0 > 0, s"index at $root has an empty baseline — rebuild it")
     val best = array_min(centroidDistArray(col("embedding"), cents))
     // pinned: one batch pass feeds the guard aggregate AND the append
     val assigned = batch
@@ -540,7 +559,7 @@ object Similarity {
       // ADC probe scores — appended rows must carry it too (encoded
       // with the STORED books, residual-aware), or the probe would
       // read nulls for the new vectors and silently drop them
-      val out = readPqBooks(spark, dir) match {
+      val out = readPqBooks(spark, root) match {
         case Some((books, residual)) =>
           val centsLit = typedlit(cents.map(_.toSeq).toSeq)
           val residCol = zip_with(col("embedding"),
@@ -587,11 +606,12 @@ object Similarity {
                                 batchId: Long,
                                 maxDriftRatio: Double = 4.0,
                                 sourcePath: Option[String] = None): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
+    val root = IndexGen.root(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(root)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
     if (!fs.exists(marker)) {
-      encodeBatchForIndex(spark, dir, batch, maxDriftRatio).foreach {
+      encodeBatchForIndex(spark, root, batch, maxDriftRatio).foreach {
         case (out, nb, sb) =>
           val staging = new org.apache.hadoop.fs.Path(d,
             s".staging-batch-$batchId")
@@ -602,6 +622,7 @@ object Similarity {
             new org.apache.hadoop.fs.Path(d, "lists"), batchId)
           // marker last, atomically: content is the stats contribution
           writeCommitMarker(fs, marker, s"$nb $sb")
+          IndexCache.invalidate(root)
       }
     }
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
@@ -693,110 +714,104 @@ object Similarity {
   /** Compact an IVF/IVF-PQ index's list partitions: every daily
     * append adds a file per touched list, and a year of appends makes
     * a probe open hundreds of small files per pruned list — the
-    * standard lakehouse small-files decay. The compaction rewrites
-    * the lists directory (one coalesced write, partitioned by cid as
-    * before) into a staging dir and swaps it in by rename. CONTENT
-    * is untouched (rows, codes, stats), so probe results are
-    * identical before and after. A probe that STARTS after the swap
-    * completes sees a complete snapshot (old or new) — but the
-    * two-rename window is NOT atomic for a reader listing the
-    * directory inside it (a concurrent [[startAnnServing]]
-    * micro-batch fails its read and the stream stops): QUIESCE
-    * SERVING FIRST — compaction is maintenance against an idle
-    * index, not a live swap.
+    * standard lakehouse small-files decay. The compaction publishes a
+    * NEW GENERATION ([[IndexGen.advance]]): the lists rewrite into
+    * the staged generation (one coalesced file per cid partition),
+    * every other sublayout copies forward unchanged, and one atomic
+    * pointer flip publishes the whole snapshot. CONTENT is untouched
+    * (rows, codes, stats), so probe results are identical before and
+    * after — and compaction COMPOSES WITH LIVE SERVING: a concurrent
+    * [[startAnnServing]] micro-batch that resolved the prior
+    * generation reads it intact (one prior is retained), one
+    * resolving after the flip reads the compacted layout; no reader
+    * ever fails or mixes the two.
     *
-    * Replay safety: the `_commits` markers are deliberately RETAINED
-    * — they are the replay guards of [[appendToIvfIndexCommitted]]
-    * and [[readIvfStats]]'s stats contributions, both still correct
-    * after the rewrite (a replayed batch short-circuits on its
-    * marker; folding markers into the baseline instead would let a
-    * post-compaction replay of an already-committed batch
-    * double-append). The deterministic `b<id>-*` names vanish with
-    * the rewrite, which is fine: a replay that reaches the
-    * file-sweep stage finds nothing to sweep and its marker stops it
-    * earlier anyway.
+    * Replay safety: the `_commits` markers are deliberately CARRIED
+    * FORWARD — they are the replay guards of
+    * [[appendToIvfIndexCommitted]] and [[readIvfStats]]'s stats
+    * contributions, both still correct after the rewrite (a replayed
+    * batch short-circuits on its marker; folding markers into the
+    * baseline instead would let a post-compaction replay of an
+    * already-committed batch double-append). The deterministic
+    * `b<id>-*` names vanish with the rewrite, which is fine: a replay
+    * that reaches the file-sweep stage finds nothing to sweep and its
+    * marker stops it earlier anyway.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String, maxRecordsPerFile: Long = 0L): Unit =
-    compactPartitioned(spark, dir, "lists", "cid", maxRecordsPerFile)
+    IndexGen.advance(spark, dir) { (oldRoot, staging) =>
+      rewritePartitioned(spark, oldRoot, staging, "lists", "cid",
+        maxRecordsPerFile)
+    }
 
-  /** The shared rewrite behind [[compactIvfIndex]] and
-    * [[graft.operators.TextOps.compactBm25Index]]: hash-repartition by
-    * the partition column → each partition's rows land in ONE task →
-    * one file per partition (maxRecordsPerFile re-splits oversized
-    * partitions at the writer, the dial for huge lists at warehouse
-    * scale), staged then swapped in by rename. Old layout aside,
-    * staging in, old removed — two renames bound the window; a crash
-    * between them leaves `.compact-retired` holding the complete old
-    * layout for manual recovery. QUIESCE SERVING FIRST: a concurrent
-    * reader that lists the directory inside the two-rename window
-    * (e.g. a [[startAnnServing]]/[[graft.operators.TextOps
-    * .startBm25Serving]] micro-batch) fails its read — compaction is
-    * maintenance, scheduled against an idle index, not a live swap.
+  /** The shared partitioned-sublayout rewrite behind
+    * [[compactIvfIndex]] and [[graft.operators.TextOps
+    * .compactBm25Index]]: hash-repartition by the partition column →
+    * each partition's rows land in ONE task → one file per partition
+    * (maxRecordsPerFile re-splits oversized partitions at the writer,
+    * the dial for huge lists at warehouse scale). Reads the OLD
+    * generation, writes into the STAGED one — publication is the
+    * caller's single pointer flip, so there is no swap window at all.
     */
-  private[graft] def compactPartitioned(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
-      sub: String, partCol: String, maxRecordsPerFile: Long): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val target = new org.apache.hadoop.fs.Path(d, sub)
-    val staging = new org.apache.hadoop.fs.Path(d, ".compact-staging")
-    val retired = new org.apache.hadoop.fs.Path(d, ".compact-retired")
-    fs.delete(staging, true)
-    fs.delete(retired, true)
-    val w = spark.read.parquet(target.toString)
+  private[graft] def rewritePartitioned(
+      spark: org.apache.spark.sql.SparkSession, oldRoot: String,
+      staging: String, sub: String, partCol: String,
+      maxRecordsPerFile: Long): Unit = {
+    val w = spark.read.parquet(s"$oldRoot/$sub")
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
     (if (maxRecordsPerFile > 0)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w)
-      .parquet(staging.toString)
-    require(fs.rename(target, retired), s"compact: failed to retire $target")
-    require(fs.rename(staging, target), s"compact: failed to publish $target")
-    fs.delete(retired, true)
-    ()
+      .parquet(s"$staging/$sub")
   }
 
   /** [[compactIvfIndex]] for the FLAT sidecar layouts (`codes` /
-    * `bits`): rewrite into one file (or `maxRecordsPerFile`-bounded
-    * files), stage-and-swap by rename, markers retained — identical
-    * swap discipline, no partition column. `sub` defaults by layout:
-    * pass "codes" for SQ8, "bits" for BQ. QUIESCE SERVING FIRST (see
-    * [[compactPartitioned]]): the rename window is not atomic for an
-    * in-flight reader.
+    * `bits` / the gram index's `docdim`): the sublayout rewrites into
+    * one file (or `maxRecordsPerFile`-bounded files) in a staged
+    * generation, everything else (meta, `_commits` markers) copies
+    * forward, and the pointer flip publishes — same
+    * serving-composable discipline as [[compactIvfIndex]], no
+    * partition column. `sub` by layout: "codes" for SQ8, "bits" for
+    * BQ.
     */
   def compactSidecar(spark: org.apache.spark.sql.SparkSession,
                      dir: String, sub: String,
-                     maxRecordsPerFile: Long = 0L): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val target = new org.apache.hadoop.fs.Path(d, sub)
-    val staging = new org.apache.hadoop.fs.Path(d, ".compact-staging")
-    val retired = new org.apache.hadoop.fs.Path(d, ".compact-retired")
-    fs.delete(staging, true)
-    fs.delete(retired, true)
-    val w = spark.read.parquet(target.toString)
+                     maxRecordsPerFile: Long = 0L): Unit =
+    IndexGen.advance(spark, dir) { (oldRoot, staging) =>
+      rewriteFlat(spark, oldRoot, staging, sub, maxRecordsPerFile)
+    }
+
+  /** Flat-sublayout rewrite into a staged generation (the sidecar
+    * form of [[rewritePartitioned]]). */
+  private[graft] def rewriteFlat(
+      spark: org.apache.spark.sql.SparkSession, oldRoot: String,
+      staging: String, sub: String, maxRecordsPerFile: Long): Unit = {
+    val w = spark.read.parquet(s"$oldRoot/$sub")
       .coalesce(1).write.mode("overwrite")
     (if (maxRecordsPerFile > 0)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w)
-      .parquet(staging.toString)
-    require(fs.rename(target, retired), s"compact: failed to retire $target")
-    require(fs.rename(staging, target), s"compact: failed to publish $target")
-    fs.delete(retired, true)
-    ()
+      .parquet(s"$staging/$sub")
   }
 
-  /** Composite stats of an IVF index: the build-time baseline file
-    * (merged forward by plain appends) PLUS every committed-append
+  /** Composite stats of an IVF index: the build-time baseline (merged
+    * forward by plain appends as stats VERSIONS — [[IndexGen
+    * .subPath]] resolves the newest) PLUS every committed-append
     * marker's contribution. The single read point for the drift
     * guard and [[indexedCorpusCount]].
     */
   def readIvfStats(spark: org.apache.spark.sql.SparkSession,
                    dir: String): (Long, Double) = {
-    val f = spark.read.parquet(s"$dir/stats").head()
-    val m = sumCommitMarkers(spark, dir, 2)
-    (f.getAs[Long]("n") + m(0).toLong, f.getAs[Double]("sum_sqdist") + m(1))
+    val root = IndexGen.root(spark, dir)
+    val sp = IndexGen.subPath(spark, root, "stats")
+    IndexCache.cached(s"$root#ivfstats",
+      sp + "|" + IndexCache.dirStamp(spark, s"$root/_commits")) {
+      val f = spark.read.parquet(sp).head()
+      val m = sumCommitMarkers(spark, root, 2)
+      (f.getAs[Long]("n") + m(0).toLong,
+        f.getAs[Double]("sum_sqdist") + m(1))
+    }
   }
 
   /** STREAMING index maintenance: append every micro-batch of a
@@ -915,7 +930,7 @@ object Similarity {
       if (alreadyCached) embeddings
       else embeddings
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try IndexGen.buildFresh(spark, dir) { root =>
       val cents = trainCentroids(pinned, nlist, itersIvf)
       val centsLit = typedlit(cents.map(_.toSeq).toSeq)
       val assigned = pinned
@@ -940,10 +955,10 @@ object Similarity {
         .withColumn("codes",
           pqCodes(if (residual) residCol else col("embedding"), books))
         .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$root/lists")
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cid", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
       // the coding marker rides IN pq_books — one atomic parquet
       // write carries both the codebooks and the algebra that decodes
       // them, so no crash window can separate residual books from
@@ -954,14 +969,14 @@ object Similarity {
         }
         .toDF("subspace", "code", "cent")
         .withColumn("coding", lit(if (residual) "residual" else "raw"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/pq_books")
       val base = pinned
         .select(array_min(centroidDistArray(col("embedding"), cents))
           .getField("d").as("d"))
         .agg(count(lit(1)).cast("long").as("n"),
           dsumD(col("d")).as("sum_sqdist"))
         .head()
-      writeIvfStats(spark, dir, base.getAs[Long]("n"),
+      writeIvfStats(spark, root, base.getAs[Long]("n"),
         base.getAs[Double]("sum_sqdist"))
     } finally { if (!alreadyCached) { pinned.unpersist(); () } }
   }
@@ -977,10 +992,18 @@ object Similarity {
     * index.
     */
   private def readPqBooks(spark: org.apache.spark.sql.SparkSession,
-                          dir: String)
+                          root: String)
+      : Option[(Array[Array[Array[Double]]], Boolean)] =
+    IndexCache.cached(s"$root#pq_books",
+      IndexCache.dirStamp(spark, s"$root/pq_books")) {
+      readPqBooksUncached(spark, root)
+    }
+
+  private def readPqBooksUncached(spark: org.apache.spark.sql.SparkSession,
+                                  root: String)
       : Option[(Array[Array[Array[Double]]], Boolean)] = {
     val booksDfOpt =
-      try Some(spark.read.parquet(s"$dir/pq_books"))
+      try Some(spark.read.parquet(s"$root/pq_books"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     booksDfOpt.map { booksDf =>
       val bookRows = booksDf
@@ -1009,12 +1032,13 @@ object Similarity {
                          k: Int = 10, nprobe: Int = 4,
                          cand: Int = 50): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cid")).select(col("centroid"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val (books, residual) = readPqBooks(spark, dir).getOrElse(
+    // one pointer resolution serves the whole probe: centroids,
+    // books, ADC scan and exact re-rank all read ONE generation
+    val root = IndexGen.root(spark, dir)
+    val cents = readCentroids(spark, root)
+    val (books, residual) = readPqBooks(spark, root).getOrElse(
       throw new IllegalStateException(
-        s"no pq_books at $dir — a plain IVF index; probe it with " +
+        s"no pq_books at $root — a plain IVF index; probe it with " +
           "ivfSearchIndexed, or rebuild with writeIvfPqIndex"))
     val m = books.length
     val dsub = books(0)(0).length
@@ -1037,7 +1061,7 @@ object Similarity {
           if (residual) dotExactLocal(qd, cents(cid)) else 0.0, cid))
     }.toDF("query_id", "qnorm", "dott", "qc", "cid")
     val probeCids = qdf.select(col("cid")).as[Int].collect().distinct.sorted
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = listsDf(spark, root)
     val (pqnormCol, adcNum) =
       adcCols(books, normSq, if (residual) Some(cents) else None)
     // ADC over codes alone — the float column stays unread here
@@ -1102,10 +1126,9 @@ object Similarity {
                        dir: String, queries: Seq[(Long, Array[Float])],
                        k: Int = 10, nprobe: Int = 2,
                        pred: Option[Column] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cid")).select(col("centroid"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val lists = spark.read.parquet(s"$dir/lists")
+    val root = IndexGen.root(spark, dir)
+    val cents = readCentroids(spark, root)
+    val lists = listsDf(spark, root)
     val probes: Seq[(Long, Array[Float], Double, Int)] = queries.flatMap {
       case (qid, v) =>
         val nearest = cents.zipWithIndex
@@ -1169,8 +1192,14 @@ object Similarity {
   def knnJoinIndexed(spark: org.apache.spark.sql.SparkSession,
                      dir: String, queries: DataFrame, k: Int = 10,
                      nprobe: Int = 2): DataFrame =
-    knnJoinIndexedWith(spark, dir, readCentroids(spark, dir), queries,
+    {
+    // one pointer resolution for the whole join: the centroid dim
+    // and the list scan read the SAME generation even if maintenance
+    // publishes mid-call
+    val root = IndexGen.root(spark, dir)
+    knnJoinIndexedWith(spark, root, readCentroids(spark, root), queries,
       k, nprobe)
+  }
 
   /** The stored-centroid dim of a durable IVF index as a driver-side
     * literal (nlist×dim, the broadcast quantizer every probe
@@ -1178,15 +1207,36 @@ object Similarity {
     * (e.g. [[graft.operators.TextOps.hybridRrfIndexed]], which also
     * needs the index dim for its featurization) collects it once.
     */
+  /** The lists sublayout as a CACHED DataFrame: `spark.read.parquet`
+    * re-walks the file tree and re-infers schema per call — a fixed
+    * per-serving-batch cost at steady state. The cached frame's file
+    * index is pinned at stamp time; an append perturbs the partition
+    * dirs' stamp (and invalidates in-JVM), so the NEXT batch reloads
+    * and sees the new rows — the composition contract of
+    * [[startIndexMaintenance]] + [[startAnnServing]], now at
+    * reload-on-change cost instead of reload-always.
+    */
+  private[graft] def listsDf(spark: org.apache.spark.sql.SparkSession,
+                             root: String): DataFrame =
+    IndexCache.cached(s"$root#lists-df",
+      IndexCache.dirStamp(spark, s"$root/lists")) {
+      spark.read.parquet(s"$root/lists")
+    }
+
   private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cid")).select(col("centroid"))
-      .collect().map(_.getSeq[Double](0).toArray)
+                                   dir: String): Array[Array[Double]] = {
+    val root = IndexGen.root(spark, dir)
+    IndexCache.cached(s"$root#centroids",
+      IndexCache.dirStamp(spark, s"$root/centroids")) {
+      spark.read.parquet(s"$root/centroids")
+        .orderBy(col("cid")).select(col("centroid"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
+  }
 
   /** [[knnJoinIndexed]] over pre-collected centroids. */
   private[graft] def knnJoinIndexedWith(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
+      spark: org.apache.spark.sql.SparkSession, root: String,
       cents: Array[Array[Double]], queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     // seam-level dim check: a query side from the wrong encoder (or
@@ -1197,7 +1247,7 @@ object Similarity {
     queries.select(size(col("embedding"))).take(1).foreach { r =>
       require(r.getInt(0) == cents.head.length,
         s"knnJoinIndexed: query embedding dim ${r.getInt(0)} != index " +
-          s"dim ${cents.head.length} at $dir — the query side was " +
+          s"dim ${cents.head.length} at $root — the query side was " +
           "featurized for a different index")
     }
     val assigned = queries
@@ -1207,7 +1257,7 @@ object Similarity {
           slice(array_sort(centroidDistArray(col("embedding"), cents)),
             1, nprobe),
           p => p.getField("cid"))).as("cid"))
-    val scored = spark.read.parquet(s"$dir/lists")
+    val scored = listsDf(spark, root)
       .join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -1522,16 +1572,18 @@ object Similarity {
   def writeSq8Index(embeddings: DataFrame, dir: String): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    quantizeInt8(embeddings)
-      .select(col("vec_id"), col("codes"), col("scale"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
-    // dimension dim-table, mirroring [[writeBqIndex]]'s meta: the
-    // append path fail-fasts a wrong-dimension batch instead of
-    // letting zip_with against shorter codes null out probe scores
-    val dim = embeddings.select(size(col("embedding")).as("d"))
-      .head().getInt(0)
-    Seq(dim).toDF("dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexGen.buildFresh(spark, dir) { root =>
+      quantizeInt8(embeddings)
+        .select(col("vec_id"), col("codes"), col("scale"))
+        .write.mode("overwrite").parquet(s"$root/codes")
+      // dimension dim-table, mirroring [[writeBqIndex]]'s meta: the
+      // append path fail-fasts a wrong-dimension batch instead of
+      // letting zip_with against shorter codes null out probe scores
+      val dim = embeddings.select(size(col("embedding")).as("d"))
+        .head().getInt(0)
+      Seq(dim).toDF("dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    }
   }
 
   /** Append a batch to a [[writeSq8Index]] sidecar WITHOUT a rebuild.
@@ -1551,15 +1603,17 @@ object Similarity {
   def appendToSq8Index(spark: org.apache.spark.sql.SparkSession,
                        dir: String, batch: DataFrame,
                        sourcePath: Option[String] = None): Unit = {
-    sq8EncodeGuarded(spark, dir, batch)
-      .write.mode("append").parquet(s"$dir/codes")
+    val root = IndexGen.root(spark, dir)
+    sq8EncodeGuarded(spark, root, batch)
+      .write.mode("append").parquet(s"$root/codes")
+    IndexCache.invalidate(root)
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
   /** [[appendToSq8Index]]'s encode + dimension guard, shared with the
     * committed form. */
   private def sq8EncodeGuarded(spark: org.apache.spark.sql.SparkSession,
-                               dir: String, batch: DataFrame): DataFrame = {
+                               root: String, batch: DataFrame): DataFrame = {
     // pre-meta layouts (built before the dim file existed) legally
     // have no `meta` — that surfaces as an AnalysisException
     // (PATH_NOT_FOUND / unable-to-infer-schema) and skips the guard.
@@ -1567,7 +1621,7 @@ object Similarity {
     // disabling the guard would let a wrong-dim batch append and null
     // probe scores downstream.
     val metaDim: Option[Int] =
-      try Some(spark.read.parquet(s"$dir/meta").head().getInt(0))
+      try Some(spark.read.parquet(s"$root/meta").head().getInt(0))
       catch {
         case _: org.apache.spark.sql.AnalysisException => None
       }
@@ -1595,9 +1649,11 @@ object Similarity {
                                 dir: String, batch: DataFrame,
                                 batchId: Long,
                                 sourcePath: Option[String] = None): Unit = {
-    commitFlatBatch(spark, dir, "codes", batchId)(staging =>
-      sq8EncodeGuarded(spark, dir, batch)
+    val root = IndexGen.root(spark, dir)
+    commitFlatBatch(spark, root, "codes", batchId)(staging =>
+      sq8EncodeGuarded(spark, root, batch)
         .write.mode("overwrite").parquet(staging))
+    IndexCache.invalidate(root)
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
@@ -1607,9 +1663,11 @@ object Similarity {
                                dir: String, batch: DataFrame,
                                batchId: Long,
                                sourcePath: Option[String] = None): Unit = {
-    commitFlatBatch(spark, dir, "bits", batchId)(staging =>
-      bqEncodeGuarded(spark, dir, batch)
+    val root = IndexGen.root(spark, dir)
+    commitFlatBatch(spark, root, "bits", batchId)(staging =>
+      bqEncodeGuarded(spark, root, batch)
         .write.mode("overwrite").parquet(staging))
+    IndexCache.invalidate(root)
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
@@ -1622,9 +1680,9 @@ object Similarity {
     * call.
     */
   private def commitFlatBatch(spark: org.apache.spark.sql.SparkSession,
-                              dir: String, sub: String, batchId: Long)
+                              root: String, sub: String, batchId: Long)
                              (stage: String => Unit): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
+    val d = new org.apache.hadoop.fs.Path(root)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
     if (fs.exists(marker)) return
@@ -1667,16 +1725,18 @@ object Similarity {
   def appendToBqIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String, batch: DataFrame,
                       sourcePath: Option[String] = None): Unit = {
-    bqEncodeGuarded(spark, dir, batch)
-      .write.mode("append").parquet(s"$dir/bits")
+    val root = IndexGen.root(spark, dir)
+    bqEncodeGuarded(spark, root, batch)
+      .write.mode("append").parquet(s"$root/bits")
+    IndexCache.invalidate(root)
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
   /** [[appendToBqIndex]]'s encode + dimension guard, shared with the
     * committed form. */
   private def bqEncodeGuarded(spark: org.apache.spark.sql.SparkSession,
-                              dir: String, batch: DataFrame): DataFrame = {
-    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+                              root: String, batch: DataFrame): DataFrame = {
+    val dim = spark.read.parquet(s"$root/meta").head().getInt(0)
     batch.select(col("vec_id"),
       when(assert_true(size(col("embedding")) === lit(dim),
         concat(lit(s"BQ append: vector dim "),
@@ -1711,7 +1771,11 @@ object Similarity {
       val qd = qv.map(_.toDouble)
       (qid, qv.toSeq, math.sqrt(dotExactLocal(qd, qd)))
     }.toDF("query_id", "qvec", "qnorm")
-    val rec = spark.read.parquet(s"$dir/codes")
+    val sq8Root = IndexGen.root(spark, dir)
+    val rec = IndexCache.cached(s"$sq8Root#codes-df",
+      IndexCache.dirStamp(spark, s"$sq8Root/codes")) {
+      spark.read.parquet(s"$sq8Root/codes")
+    }
       .withColumn("rvec",
         transform(col("codes"), c => c.cast("double") * col("scale")))
       .select(col("vec_id"), col("rvec"), l2norm(col("rvec")).as("rnorm"))
@@ -1737,13 +1801,15 @@ object Similarity {
   def writeBqIndex(embeddings: DataFrame, dir: String): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding")).as("d"))
-      .head().getInt(0)
-    embeddings.select(col("vec_id"),
-        signPackWords(col("embedding"), dim).as("bits"))
-      .write.mode("overwrite").parquet(s"$dir/bits")
-    Seq(dim).toDF("dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexGen.buildFresh(spark, dir) { root =>
+      val dim = embeddings.select(size(col("embedding")).as("d"))
+        .head().getInt(0)
+      embeddings.select(col("vec_id"),
+          signPackWords(col("embedding"), dim).as("bits"))
+        .write.mode("overwrite").parquet(s"$root/bits")
+      Seq(dim).toDF("dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    }
   }
 
   /** Probe a [[writeBqIndex]] sidecar: the Hamming scan reads ONLY
@@ -1761,7 +1827,11 @@ object Similarity {
                       queries: Seq[(Long, Array[Float])],
                       k: Int = 10, cand: Int = 50): DataFrame = {
     import spark.implicits._
-    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val root = IndexGen.root(spark, dir)
+    val dim = IndexCache.cached(s"$root#bq-dim",
+      IndexCache.dirStamp(spark, s"$root/meta")) {
+      spark.read.parquet(s"$root/meta").head().getInt(0)
+    }
     queries.foreach { case (qid, qv) =>
       require(qv.length == dim,
         s"query $qid dimension ${qv.length} != index dimension $dim") }
@@ -1770,7 +1840,10 @@ object Similarity {
       (qid, packWordsLocal(qv, dim), qv.toSeq,
         math.sqrt(dotExactLocal(qd, qd)))
     }.toDF("query_id", "qbits", "qvec", "qnorm")
-    val approx = spark.read.parquet(s"$dir/bits")
+    val approx = IndexCache.cached(s"$root#bits-df",
+      IndexCache.dirStamp(spark, s"$root/bits")) {
+      spark.read.parquet(s"$root/bits")
+    }
       .crossJoin(broadcast(qdf.select(col("query_id"), col("qbits"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), bqAngularScore(dim))
@@ -2881,9 +2954,8 @@ object Similarity {
     */
   def coverageSampleIndexed(spark: org.apache.spark.sql.SparkSession,
                             dir: String, perCell: Int = 10): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cid")).select(col("centroid"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val root = IndexGen.root(spark, dir)
+    val cents = readCentroids(spark, root)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     val own = element_at(centsLit, col("cid").cast("int") + 1)
     val dist = aggregate(
@@ -2891,7 +2963,7 @@ object Similarity {
         val dlt = x.cast("double") - w
         dlt * dlt
       }), lit(0.0d), (acc, v) => acc + v)
-    val scored = spark.read.parquet(s"$dir/lists")
+    val scored = listsDf(spark, root)
       .select(col("cid").cast("long").as("query_id"), col("vec_id"),
         (-dist).as("cos_sim"))
     topKPerQuery(scored, perCell)

@@ -564,29 +564,44 @@ object TextOps {
           "(Dedup.hashFamilies) — a durable index must persist a tag " +
           "its probes can resolve; use Dedup.xxSeeded / Dedup.md5Seeded"))
     val spark = docs.sparkSession
-    docs
-      .select(col("doc_id"),
-        array_distinct(transform(
-          array_distinct(Dedup.shingles(col("text"), n)),
-          g => hashFn(0, g))).as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
-      // one build-time shuffle buys the at-rest layout probes live
-      // with forever: ONE file per bucket partition (a scan-local
-      // write would land every scan task's slice in every bucket —
-      // tasks × buckets files, the small-files decay compaction
-      // exists to undo, here avoided from day one)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
-      .write.mode("overwrite").parquet(s"$dir/docdim")
-    import spark.implicits._
-    Seq((n.toLong, nBuckets.toLong, tag))
-      .toDF("n", "n_buckets", "hash_family")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexGen.buildFresh(spark, dir) { root =>
+      docs
+        .select(col("doc_id"),
+          array_distinct(transform(
+            array_distinct(Dedup.shingles(col("text"), n)),
+            g => hashFn(0, g))).as("hs"))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+        // one build-time shuffle buys the at-rest layout probes live
+        // with forever: ONE file per bucket partition (a scan-local
+        // write would land every scan task's slice in every bucket —
+        // tasks × buckets files, the small-files decay compaction
+        // exists to undo, here avoided from day one)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/postings")
+      spark.read.parquet(s"$root/postings")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+        .write.mode("overwrite").parquet(s"$root/docdim")
+      import spark.implicits._
+      Seq((n.toLong, nBuckets.toLong, tag))
+        .toDF("n", "n_buckets", "hash_family")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    }
   }
+
+  /** The postings sublayout as a CACHED DataFrame — the lexical
+    * sibling of [[graft.operators.Similarity.listsDf]]: per-probe
+    * `spark.read.parquet` re-walks the bucket tree and re-infers
+    * schema; the cached frame reloads only when an append perturbs
+    * the partition dirs' stamp (or maintenance invalidates in-JVM).
+    */
+  private def postingsDf(spark: org.apache.spark.sql.SparkSession,
+                         root: String): DataFrame =
+    IndexCache.cached(s"$root#postings-df",
+      IndexCache.dirStamp(spark, s"$root/postings")) {
+      spark.read.parquet(s"$root/postings")
+    }
 
   /** The gram index's persisted build parameters: (n, n_buckets,
     * hash function resolved from its recorded family tag). The single
@@ -596,11 +611,19 @@ object TextOps {
     * unknowable; rebuild).
     */
   private def gramMeta(spark: org.apache.spark.sql.SparkSession,
-                       dir: String)
+                       root: String)
+      : (Int, Long, (Int, Column) => Column) =
+    IndexCache.cached(s"$root#gram-meta",
+      IndexCache.dirStamp(spark, s"$root/meta")) {
+      gramMetaUncached(spark, root)
+    }
+
+  private def gramMetaUncached(spark: org.apache.spark.sql.SparkSession,
+                               root: String)
       : (Int, Long, (Int, Column) => Column) = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = spark.read.parquet(s"$root/meta").head()
     require(meta.schema.fieldNames.contains("hash_family"),
-      s"gram index at $dir predates the persisted hash-family tag — " +
+      s"gram index at $root predates the persisted hash-family tag — " +
         "its build family is unknowable; rebuild with writeGramIndex")
     (meta.getAs[Long]("n").toInt, meta.getAs[Long]("n_buckets"),
       Dedup.hashFamilyOf(meta.getAs[String]("hash_family")))
@@ -651,11 +674,12 @@ object TextOps {
                                  dir: String, batch: DataFrame,
                                  batchId: Long,
                                  sourcePath: Option[String] = None): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
+    val root = IndexGen.root(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(root)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
     if (!fs.exists(marker)) {
-      val (n, nBuckets, hashFn) = gramMeta(spark, dir)
+      val (n, nBuckets, hashFn) = gramMeta(spark, root)
       val posted = batch
         .select(col("doc_id"),
           array_distinct(transform(
@@ -681,24 +705,28 @@ object TextOps {
         new org.apache.hadoop.fs.Path(d, "docdim"), batchId)
       val nDocs = batch.agg(count(lit(1))).head().getLong(0)
       Similarity.writeCommitMarker(fs, marker, s"$nDocs")
+      IndexCache.invalidate(root)
     }
     sourcePath.foreach(
       Similarity.refreshIndexMarker(spark, dir, _))
   }
 
   /** Compact a gram index: postings rewrite to one file per bucket
-    * partition and the docdim to one file, stage-and-swap, commit
-    * markers retained as replay guards
-    * ([[graft.operators.Similarity.compactPartitioned]] /
-    * [[graft.operators.Similarity.compactSidecar]] — QUIESCE
-    * probing streams first, as there).
+    * partition and the docdim to one file, published together as ONE
+    * new generation ([[IndexGen.advance]] — meta and the `_commits`
+    * replay guards copy forward, one pointer flip). Probe results are
+    * identical before and after, and a concurrent probe that resolved
+    * the prior generation reads it intact: compaction composes with
+    * live screening.
     */
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, maxRecordsPerFile: Long = 0L): Unit = {
-    Similarity.compactPartitioned(spark, dir, "postings", "bucket",
-      maxRecordsPerFile)
-    Similarity.compactSidecar(spark, dir, "docdim", maxRecordsPerFile)
-  }
+                       dir: String, maxRecordsPerFile: Long = 0L): Unit =
+    IndexGen.advance(spark, dir) { (oldRoot, staging) =>
+      Similarity.rewritePartitioned(spark, oldRoot, staging, "postings",
+        "bucket", maxRecordsPerFile)
+      Similarity.rewriteFlat(spark, oldRoot, staging, "docdim",
+        maxRecordsPerFile)
+    }
 
   /** [[contaminationMatrix]] against the durable gram index — the
     * whole (possibly new) eval battery screens WITHOUT a corpus
@@ -717,7 +745,10 @@ object TextOps {
                                  benchmarks: Seq[(String, DataFrame)])
       : DataFrame = {
     require(benchmarks.nonEmpty, "contaminationMatrixIndexed: no benchmarks")
-    val (n, nBuckets, hashFn) = gramMeta(spark, dir)
+    // one pointer resolution serves the whole probe (meta, postings,
+    // docdim read ONE generation even if maintenance publishes mid-run)
+    val root = IndexGen.root(spark, dir)
+    val (n, nBuckets, hashFn) = gramMeta(spark, root)
     val dim = benchmarks.map { case (name, b) =>
       benchGrams(b, n, hashFn).select(lit(name).as("bench"), col("h"))
     }.reduce(_ unionByName _).localCheckpoint(true)
@@ -725,12 +756,15 @@ object TextOps {
     val buckets = dim
       .select(pmod(col("h"), lit(nBuckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$dir/postings")
+    postingsDf(spark, root)
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(dim), Seq("h"))
       .groupBy(col("doc_id"), col("bench"))
       .agg(count(lit(1)).as("matched_ngrams"))
-      .join(spark.read.parquet(s"$dir/docdim"), Seq("doc_id"))
+      .join(IndexCache.cached(s"$root#docdim-df",
+        IndexCache.dirStamp(spark, s"$root/docdim")) {
+        spark.read.parquet(s"$root/docdim")
+      }, Seq("doc_id"))
       .select(col("doc_id"), col("bench"), col("matched_ngrams"),
         col("n_ngrams"),
         round(col("matched_ngrams").cast("double") /
@@ -779,7 +813,8 @@ object TextOps {
   def phraseLookupIndexed(spark: org.apache.spark.sql.SparkSession,
                           dir: String, docs: DataFrame, phrase: String,
                           maxCandidates: Int = 1000000): DataFrame = {
-    val (n, nBuckets, hashFn) = gramMeta(spark, dir)
+    val root = IndexGen.root(spark, dir)
+    val (n, nBuckets, hashFn) = gramMeta(spark, root)
     val toks = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     require(toks.length >= n,
       s"phraseLookupIndexed: phrase has ${toks.length} tokens but the " +
@@ -797,7 +832,7 @@ object TextOps {
       .select(pmod(col("h"), lit(nBuckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0))
     val nW = hs.count()
-    val candidates = spark.read.parquet(s"$dir/postings")
+    val candidates = postingsDf(spark, root)
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(hs), Seq("h"))
       .groupBy(col("doc_id"))
@@ -1292,15 +1327,14 @@ object TextOps {
     * retrieval stack: sparse and dense legs over durable indexes,
     * fused downstream by RRF when both are wanted.
     *
-    * Composition caveat: PLAIN-APPEND postings land by parquet append
-    * (no window), but the df/stats swaps inside [[appendToBm25Index]]
-    * and any compaction have a two-rename window a concurrently
-    * reading batch can fail in — run swapping maintenance quiesced
-    * against serving (the stream restarts cleanly from its
-    * checkpoint, but prefer not to trip it). Committed appends
-    * ([[appendToBm25IndexCommitted]]) never rewrite the base dims, so
-    * they compose with live serving with no swap window at all —
-    * another reason streams ride the committed form.
+    * Maintenance composes with live serving across the board:
+    * committed appends ([[appendToBm25IndexCommitted]]) only ADD
+    * files and markers; plain-append df/stats merges publish as dim
+    * VERSIONS ([[IndexGen.swapSub]] — reader-atomic; at worst one
+    * batch of one-sided idf staleness, never a torn read); compaction
+    * publishes a whole new GENERATION behind one atomic pointer flip.
+    * A serving batch resolves the pointer once and reads a complete
+    * snapshot either way — no quiescing, no failed reads.
     */
   def startBm25Serving(queries: DataFrame, dir: String, outDir: String,
                        checkpointDir: String, k: Int = 5,
@@ -2203,28 +2237,30 @@ object TextOps {
   def writeBm25Index(docs: DataFrame, dir: String,
                      nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    docs
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      // one file per bucket partition from day one (the GramProf
-      // lesson: a multi-task write lands tasks × buckets files and
-      // the probe pays the open-file soup compaction exists to undo)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/df")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
-      .withColumn("n_buckets", lit(nBuckets.toLong))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    IndexGen.buildFresh(spark, dir) { root =>
+      docs
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dl"),
+          explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        // one file per bucket partition from day one (the GramProf
+        // lesson: a multi-task write lands tasks × buckets files and
+        // the probe pays the open-file soup compaction exists to undo)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/postings")
+      spark.read.parquet(s"$root/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$root/df")
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
+        .withColumn("n_buckets", lit(nBuckets.toLong))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    }
   }
 
   /** Build-once guard for the durable BM25 index (the
@@ -2264,7 +2300,9 @@ object TextOps {
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
                         dir: String, batch: DataFrame,
                         sourcePath: Option[String] = None): Unit = {
-    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val root = IndexGen.root(spark, dir)
+    val statsRow = spark.read
+      .parquet(IndexGen.subPath(spark, root, "stats")).head()
     val nBuckets = statsRow.getAs[Long]("n_buckets")
     val posted = batch
       .select(col("doc_id"),
@@ -2277,19 +2315,21 @@ object TextOps {
       .localCheckpoint(true)
     posted.repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    val merged = spark.read.parquet(s"$dir/df")
+      .parquet(s"$root/postings")
+    val merged = spark.read
+      .parquet(IndexGen.subPath(spark, root, "df"))
       .union(posted.groupBy(col("term")).agg(count(lit(1)).as("df")))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    swapIndexDim(spark, dir, "df", merged)
+    IndexGen.swapSub(spark, root, "df", merged)
     val bs = batch.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens(col("text"))).cast("long")).as("n_toks")).head()
     val batchToks = if (bs.isNullAt(1)) 0L else bs.getLong(1)
     import spark.implicits._
-    swapIndexDim(spark, dir, "stats",
+    IndexGen.swapSub(spark, root, "stats",
       Seq((statsRow.getAs[Long]("n_docs") + bs.getLong(0),
         statsRow.getAs[Long]("n_toks") + batchToks,
         nBuckets)).toDF("n_docs", "n_toks", "n_buckets").coalesce(1))
+    IndexCache.invalidate(root)
     sourcePath.foreach(
       Similarity.refreshIndexMarker(spark, dir, _))
   }
@@ -2327,11 +2367,13 @@ object TextOps {
                                  dir: String, batch: DataFrame,
                                  batchId: Long,
                                  sourcePath: Option[String] = None): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
+    val root = IndexGen.root(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(root)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
     if (!fs.exists(marker)) {
-      val nBuckets = spark.read.parquet(s"$dir/stats").head()
+      val nBuckets = spark.read
+        .parquet(IndexGen.subPath(spark, root, "stats")).head()
         .getAs[Long]("n_buckets")
       val posted = batch
         .select(col("doc_id"),
@@ -2363,6 +2405,7 @@ object TextOps {
       // marker last, atomically: content is the stats contribution
       Similarity.writeCommitMarker(fs, marker,
         s"${bs.getLong(0)} $batchToks")
+      IndexCache.invalidate(root)
     }
     sourcePath.foreach(
       Similarity.refreshIndexMarker(spark, dir, _))
@@ -2373,96 +2416,42 @@ object TextOps {
     * file), and a year of daily appends makes a probe open hundreds
     * of small files per pruned bucket — the same lakehouse
     * small-files decay [[graft.operators.Similarity.compactIvfIndex]]
-    * closes on the ANN side. Two steps, content untouched, probe
-    * results identical before and after:
+    * closes on the ANN side. One generation advance
+    * ([[IndexGen.advance]]), content untouched, probe results
+    * identical before and after:
     *
-    *  1. committed df DELTAS fold back into the base dim (base ∪
-    *     deltas, summed per term; the delta dir retires BEFORE the
-    *     folded dim publishes, so no reader state ever counts a
-    *     delta twice) — the `_commits` markers are deliberately
-    *     RETAINED: they are the replay guards of
-    *     [[appendToBm25IndexCommitted]] and still carry the stats
-    *     contributions [[readBm25Stats]] sums;
+    *  1. the df dim FOLDS: base (newest swap version) ∪ committed
+    *     deltas, summed per term, lands as the new generation's plain
+    *     `df`, and its `df_deltas` is written EMPTY — the single
+    *     pointer flip publishes fold and delta-retirement together,
+    *     so no reader state ever counts a delta twice OR misses one
+    *     (the old two-rename ordering could under-count for a
+    *     concurrent reader; a generation cannot);
     *  2. the postings rewrite to one file per bucket partition
-    *     (stage-and-swap by rename, `maxRecordsPerFile` re-splits
-    *     oversized buckets).
+    *     (`maxRecordsPerFile` re-splits oversized buckets);
+    *  3. stats and the `_commits` markers copy forward — the markers
+    *     are the replay guards of [[appendToBm25IndexCommitted]] and
+    *     still carry the stats contributions [[readBm25Stats]] sums.
     *
-    * QUIESCE SERVING FIRST: like every stage-and-swap here, a reader
-    * listing a directory inside a rename window fails its batch —
-    * compaction is maintenance against an idle index, not a live
-    * swap; a crash mid-fold leaves `.df*-retired` dirs holding the
-    * complete old layout for manual recovery.
+    * Compaction composes with live serving: a concurrent
+    * [[startBm25Serving]] micro-batch that resolved the prior
+    * generation reads it intact; the next batch reads the compacted
+    * one.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, maxRecordsPerFile: Long = 0L): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val deltas = new org.apache.hadoop.fs.Path(d, "df_deltas")
-    val hasDeltas = fs.exists(deltas) && {
-      val g = fs.globStatus(
-        new org.apache.hadoop.fs.Path(deltas, "*.parquet"))
-      g != null && g.nonEmpty
+                       dir: String, maxRecordsPerFile: Long = 0L): Unit =
+    IndexGen.advance(spark, dir) { (oldRoot, staging) =>
+      val (dfRows, _) = bm25DfRows(spark, oldRoot)
+      dfRows.groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/df")
+      // deltas are folded in: the new generation carries an EMPTY
+      // delta dir (present so nothing copies the old one forward)
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging, "df_deltas"))
+      Similarity.rewritePartitioned(spark, oldRoot, staging, "postings",
+        "bucket", maxRecordsPerFile)
     }
-    if (hasDeltas) {
-      val target = new org.apache.hadoop.fs.Path(d, "df")
-      val staging = new org.apache.hadoop.fs.Path(d, ".df-compact-staging")
-      val retiredDf = new org.apache.hadoop.fs.Path(d, ".df-compact-retired")
-      val retiredDeltas =
-        new org.apache.hadoop.fs.Path(d, ".df_deltas-retired")
-      fs.delete(staging, true)
-      fs.delete(retiredDf, true)
-      fs.delete(retiredDeltas, true)
-      // materialize the fold while BOTH inputs are intact…
-      spark.read.parquet(target.toString)
-        .unionByName(spark.read.parquet(deltas.toString))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      // …then retire the deltas BEFORE publishing the folded dim: the
-      // one ordering where no crash leaves both readable (= df counted
-      // twice); the window where deltas are retired but the fold not
-      // yet published under-counts recoverably, never over-counts
-      require(fs.rename(deltas, retiredDeltas),
-        s"compact: failed to retire $deltas")
-      require(fs.rename(target, retiredDf),
-        s"compact: failed to retire $target")
-      require(fs.rename(staging, target),
-        s"compact: failed to publish $target")
-      fs.delete(retiredDf, true)
-      fs.delete(retiredDeltas, true)
-    }
-    Similarity.compactPartitioned(spark, dir, "postings", "bucket",
-      maxRecordsPerFile)
-  }
-
-  /** Stage-retire-publish swap of an index dim directory: the new
-    * frame materializes fully into a staging dir (its lazy read of
-    * the CURRENT dim executes here, while the target is intact),
-    * then two renames publish it. The window between the two renames
-    * is NOT atomic for in-flight readers — a concurrent
-    * [[startBm25Serving]]/[[startAnnServing]] micro-batch that lists
-    * the dim inside it fails its read (and retries from the
-    * checkpoint on restart, so nothing is lost — but the stream
-    * stops). Maintenance that swaps (appends' df/stats merge,
-    * compaction) must be QUIESCED against serving: schedule them in
-    * the serving stream's own foreachBatch, or pause serving for the
-    * swap.
-    */
-  private def swapIndexDim(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, sub: String,
-                           df: DataFrame): Unit = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    val target = new org.apache.hadoop.fs.Path(d, sub)
-    val staging = new org.apache.hadoop.fs.Path(d, s".$sub-staging")
-    val retired = new org.apache.hadoop.fs.Path(d, s".$sub-retired")
-    fs.delete(staging, true)
-    fs.delete(retired, true)
-    df.write.mode("overwrite").parquet(staging.toString)
-    require(fs.rename(target, retired), s"swap: failed to retire $target")
-    require(fs.rename(staging, target), s"swap: failed to publish $target")
-    fs.delete(retired, true)
-    ()
-  }
 
   /** Composite corpus stats of a durable BM25 index: the base stats
     * file (merged forward by plain [[appendToBm25Index]]) PLUS every
@@ -2474,11 +2463,16 @@ object TextOps {
     */
   def readBm25Stats(spark: org.apache.spark.sql.SparkSession,
                     dir: String): (Long, Long, Long) = {
-    val f = spark.read.parquet(s"$dir/stats").head()
-    val m = Similarity.sumCommitMarkers(spark, dir, 2)
-    (f.getAs[Long]("n_docs") + m(0).toLong,
-      f.getAs[Long]("n_toks") + m(1).toLong,
-      f.getAs[Long]("n_buckets"))
+    val root = IndexGen.root(spark, dir)
+    val sp = IndexGen.subPath(spark, root, "stats")
+    IndexCache.cached(s"$root#bm25stats",
+      sp + "|" + IndexCache.dirStamp(spark, s"$root/_commits")) {
+      val f = spark.read.parquet(sp).head()
+      val m = Similarity.sumCommitMarkers(spark, root, 2)
+      (f.getAs[Long]("n_docs") + m(0).toLong,
+        f.getAs[Long]("n_toks") + m(1).toLong,
+        f.getAs[Long]("n_buckets"))
+    }
   }
 
   /** The un-aggregated (term, df) rows of a durable BM25 index: the
@@ -2488,18 +2482,22 @@ object TextOps {
     * corpus-vocabulary shuffle a probe never needs.
     */
   private def bm25DfRows(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): (DataFrame, Boolean) = {
-    val base = spark.read.parquet(s"$dir/df")
-    val deltas = new org.apache.hadoop.fs.Path(dir, "df_deltas")
-    val fs = deltas.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasDeltas = fs.exists(deltas) && {
-      val g = fs.globStatus(
-        new org.apache.hadoop.fs.Path(deltas, "*.parquet"))
-      g != null && g.nonEmpty
+                         root: String): (DataFrame, Boolean) = {
+    val sp = IndexGen.subPath(spark, root, "df")
+    IndexCache.cached(s"$root#df-rows",
+      sp + "|" + IndexCache.dirStamp(spark, s"$root/df_deltas")) {
+      val base = spark.read.parquet(sp)
+      val deltas = new org.apache.hadoop.fs.Path(root, "df_deltas")
+      val fs = deltas.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasDeltas = fs.exists(deltas) && {
+        val g = fs.globStatus(
+          new org.apache.hadoop.fs.Path(deltas, "*.parquet"))
+        g != null && g.nonEmpty
+      }
+      if (hasDeltas)
+        (base.unionByName(spark.read.parquet(deltas.toString)), true)
+      else (base, false)
     }
-    if (hasDeltas)
-      (base.unionByName(spark.read.parquet(deltas.toString)), true)
-    else (base, false)
   }
 
   /** BM25 retrieval against the durable index — [[bm25TopK]] with the
@@ -2525,7 +2523,10 @@ object TextOps {
         explode(array_distinct(tokens(col("text")))).as("term"))
       .filter(length(col("term")) > 0)
       .localCheckpoint(true)
-    val (nDocs, nToks, nBuckets) = readBm25Stats(spark, dir)
+    // one pointer resolution serves the whole probe: stats, df,
+    // postings all read ONE generation
+    val root = IndexGen.root(spark, dir)
+    val (nDocs, nToks, nBuckets) = readBm25Stats(spark, root)
     val distinctTerms = qterms.select(col("term")).distinct()
     // ONE driver round-trip guards the term cardinality AND derives
     // the bucket list (collect_set is bounded by nBuckets, the count
@@ -2539,11 +2540,11 @@ object TextOps {
         "the broadcast term dim would not stay KB-scale; batch the " +
         "query side")
     val buckets = guard.getSeq[Long](1)
-    val tf = spark.read.parquet(s"$dir/postings")
+    val tf = postingsDf(spark, root)
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(distinctTerms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    val (dfRows, hasDeltas) = bm25DfRows(spark, dir)
+    val (dfRows, hasDeltas) = bm25DfRows(spark, root)
     val dftJoined = dfRows.join(broadcast(distinctTerms), Seq("term"))
     // the per-term sum only exists to merge committed deltas — the
     // delta-free layout keeps the r9 plan (one row per term already)
@@ -2648,15 +2649,17 @@ object TextOps {
     val lex = bm25SearchIndexed(spark, bm25Dir, queryDocs, k)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     // one centroid collect serves both the featurization width and
-    // the probe's broadcast quantizer
-    val cents = graft.operators.Similarity.readCentroids(spark, annDir)
+    // the probe's broadcast quantizer; ONE pointer resolution serves
+    // both it and the list probe (generation-consistent dense leg)
+    val annRoot = graft.operators.IndexGen.root(spark, annDir)
+    val cents = graft.operators.Similarity.readCentroids(spark, annRoot)
     val useDim = if (dim > 0) dim else cents.head.length
     val qvecs = hashEmbedVectors(
       queryDocs.select(col("query_id").as("doc_id"), col("text"),
         lit("q").as("source")), useDim)
       .select(col("vec_id"), col("embedding"))
     val den = graft.operators.Similarity
-      .knnJoinIndexedWith(spark, annDir, cents, qvecs, k, nprobe)
+      .knnJoinIndexedWith(spark, annRoot, cents, qvecs, k, nprobe)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("dense_rank"))
     rrfFuse(lex, den, k, kRrf)

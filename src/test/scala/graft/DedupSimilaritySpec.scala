@@ -379,7 +379,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
     Similarity.writeSq8Index(vecs, dir)
     // the sidecar stores ONLY (vec_id, codes, scale)
-    assert(spark.read.parquet(s"$dir/codes").columns.toSeq
+    assert(spark.read.parquet(s"${iroot(dir)}/codes").columns.toSeq
       == Seq("vec_id", "codes", "scale"))
     val qvecs = vecs.filter($"vec_id".isin(0L, 1L))
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
@@ -436,9 +436,9 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeBqIndex(vecs, dir)
     // the sidecar stores ONLY (vec_id, bits) — the float column never
     // reaches the index
-    assert(spark.read.parquet(s"$dir/bits").columns.toSeq
+    assert(spark.read.parquet(s"${iroot(dir)}/bits").columns.toSeq
       == Seq("vec_id", "bits"))
-    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 8)
+    assert(spark.read.parquet(s"${iroot(dir)}/meta").head().getInt(0) == 8)
     val qvecs = vecs.filter($"vec_id".isin(0L, 1L))
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toSeq.sortBy(_._1)
@@ -728,7 +728,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(viaIndex == oneShot && viaIndex.nonEmpty)
     // the ADC scan reads codes, never the float embedding column
-    val adcSchema = spark.read.parquet(s"$dir/lists")
+    val adcSchema = spark.read.parquet(s"${iroot(dir)}/lists")
       .select($"vec_id", $"cid", $"codes")
     assert(adcSchema.columns.toSet == Set("vec_id", "cid", "codes"))
     // superset layout: the plain IVF probe reads the same index
@@ -747,7 +747,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // residual path
     val rdir = java.nio.file.Files.createTempDirectory("ivfpqridx").toString
     Similarity.writeIvfPqIndex(emb, rdir, residual = true)
-    assert(spark.read.parquet(s"$rdir/pq_books")
+    assert(spark.read.parquet(s"${iroot(rdir)}/pq_books")
       .select($"coding").as[String].head() == "residual")
     val viaResIndex = Similarity.ivfPqSearchIndexed(spark, rdir, qvecs)
       .select($"query_id", $"vec_id", $"cos_sim", $"rank")
@@ -764,7 +764,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeIvfIndex(emb, dir, nlist = 16, iters = 3)
     // the list layout partition-prunes: a single-list read touches a
     // strict subset of the index files
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = spark.read.parquet(s"${iroot(dir)}/lists")
     val one = lists.filter($"cid" === 0)
     one.collect()
     val scans = one.queryExecution.executedPlan.collectLeaves().collect {
@@ -1209,7 +1209,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      val root = new java.io.File(dir, sub)
+      val root = new java.io.File(iroot(dir), sub)
       if (root.exists) walk(root) else Nil
     }
     // REPLAY of a committed batch is a marker-detected no-op: same
@@ -1244,7 +1244,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     TextOps.compactBm25Index(spark, dir)
     assert(probe3() == oneShot3, "compaction changed probe results")
     assert(files("df_deltas").isEmpty, "df deltas must fold into base")
-    val buckets = new java.io.File(dir, "postings").listFiles()
+    val buckets = new java.io.File(iroot(dir), "postings").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(files("postings").size <= buckets &&
       files("postings").size < postingsBefore,
@@ -1475,7 +1475,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      val root = new java.io.File(dir, sub)
+      val root = new java.io.File(iroot(dir), sub)
       if (root.exists) walk(root) else Nil
     }
     // replay of the committed batch: marker-detected no-op
@@ -1489,11 +1489,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
     TextOps.compactGramIndex(spark, dir)
     assert(probeA() == unionShot, "compaction changed probe results")
     assert(files("docdim").size == 1)
-    val buckets = new java.io.File(dir, "postings").listFiles()
+    val buckets = new java.io.File(iroot(dir), "postings").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(files("postings").size <= buckets,
       s"${files("postings").size} postings files > $buckets buckets")
-    assert(new java.io.File(dir, "_commits/batch-1").exists,
+    assert(new java.io.File(iroot(dir), "_commits/batch-1").exists,
       "compaction must retain commit markers")
     // build-once: ensure under a fingerprint; a second call is a
     // no-op and distinct `kind`s coexist under one root
@@ -1574,7 +1574,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // pre-tag meta (no hash_family column) fails fast, named
     import spark.implicits._
     Seq((8L, 8L)).toDF("n", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"${iroot(dir)}/meta")
     val e2 = intercept[IllegalArgumentException] {
       TextOps.contaminationIndexed(spark, dir, bench).collect()
     }
@@ -2645,7 +2645,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
     Similarity.writeIvfIndex(corpus, dir, nlist = 4, iters = 3)
-    val stats0 = spark.read.parquet(s"$dir/stats").head()
+    val stats0 = spark.read.parquet(isub(dir, "stats")).head()
     assert(stats0.getAs[Long]("n") == 40L)
 
     // in-distribution batch: 10 fresh blob vectors — append succeeds,
@@ -2653,7 +2653,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val batch = (100L until 110L).map(i => (i, blobVec((i % 2).toInt)))
       .toDF("vec_id", "embedding")
     Similarity.appendToIvfIndex(spark, dir, batch)
-    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
+    assert(spark.read.parquet(isub(dir, "stats")).head().getAs[Long]("n") == 50L)
 
     // append-then-search: probing with an appended vector's own
     // embedding must return it at cosine 1.0 (its list is probed by
@@ -2675,12 +2675,12 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("drift guard"))
     // the refused batch left neither rows nor stats behind
-    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
-    assert(spark.read.parquet(s"$dir/lists")
+    assert(spark.read.parquet(isub(dir, "stats")).head().getAs[Long]("n") == 50L)
+    assert(spark.read.parquet(s"${iroot(dir)}/lists")
       .filter($"vec_id" >= 200L).count() == 0L)
     // an empty append is a no-op
     Similarity.appendToIvfIndex(spark, dir, batch.filter(lit(false)))
-    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n") == 50L)
+    assert(spark.read.parquet(isub(dir, "stats")).head().getAs[Long]("n") == 50L)
   }
 
   test("IVF-PQ append: appended rows are PQ-encoded with the stored books (both codings) and probe-visible") {
@@ -2706,7 +2706,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       val batch = ((100L until 106L).map(i => (i, blobVec((i % 2).toInt)))
         :+ (999L, rows(7)._2)).toDF("vec_id", "embedding")
       Similarity.appendToIvfIndex(spark, dir, batch)
-      val lists = spark.read.parquet(s"$dir/lists")
+      val lists = spark.read.parquet(s"${iroot(dir)}/lists")
       val stored = lists.filter($"vec_id".isin(7L, 999L))
         .select($"vec_id", $"cid", $"codes")
         .as[(Long, Int, Array[Int])].collect()
@@ -2771,11 +2771,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
       // stats are composite now: baseline file + per-batch commit
       // markers (the stream appends transactionally per batch id)
       assert(Similarity.indexedCorpusCount(spark, dir) == 43L)
-      assert(new java.io.File(s"$dir/_commits").listFiles()
+      assert(new java.io.File(s"${iroot(dir)}/_commits").listFiles()
         .count(_.getName.startsWith("batch-")) == 2,
         "each micro-batch must leave its commit marker")
       // appended rows carry PQ codes and are probe-visible at 1.0
-      val qv = spark.read.parquet(s"$dir/lists")
+      val qv = spark.read.parquet(s"${iroot(dir)}/lists")
         .filter($"vec_id" === 102L)
         .select($"embedding").as[Array[Float]].head()
       val hits = Similarity.ivfPqSearchIndexed(spark, dir,
@@ -2791,7 +2791,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
         Option(ex.getCause).exists(_.getMessage.contains("drift guard")))
       // the refused batch left neither rows nor stats behind
       assert(Similarity.indexedCorpusCount(spark, dir) == 43L)
-      assert(spark.read.parquet(s"$dir/lists")
+      assert(spark.read.parquet(s"${iroot(dir)}/lists")
         .filter($"vec_id" === 200L).count() == 0L)
     } finally { if (q.isActive) q.stop() }
   }
@@ -2995,10 +2995,10 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // the source receives the batch, then the sidecar appends it
     batch.write.mode("append").parquet(src)
     Similarity.appendToSq8Index(spark, sq8, batch, sourcePath = Some(src))
-    val sq8Files = listing(s"$sq8/codes")
+    val sq8Files = listing(s"${iroot(sq8)}/codes")
     // appended codes are byte-identical to what a rebuild would store
     // (encoding is a pure per-row function)
-    val storedCodes = spark.read.parquet(s"$sq8/codes")
+    val storedCodes = spark.read.parquet(s"${iroot(sq8)}/codes")
       .filter($"vec_id" >= 100L)
       .select($"vec_id", $"codes", $"scale")
       .as[(Long, Array[Int], Double)].collect()
@@ -3020,7 +3020,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // GROWN source must not rebuild (file set + mtimes unchanged)
     val sq8Again = Similarity.ensureSq8Index(spark, src,
       spark.read.parquet(src), indexRoot = Some(root))
-    assert(sq8Again == sq8 && listing(s"$sq8/codes") == sq8Files,
+    assert(sq8Again == sq8 && listing(s"${iroot(sq8)}/codes") == sq8Files,
       "append left the fingerprint stale: ensureSq8Index rebuilt")
     // a wrong-dimension batch fails fast inside the scan
     val badDim = Seq((500L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
@@ -3038,9 +3038,9 @@ class DedupSimilaritySpec extends SparkSpecBase {
     batch2.toDF("vec_id", "embedding").write.mode("append").parquet(src)
     Similarity.appendToBqIndex(spark, bq,
       batch2.toDF("vec_id", "embedding"), sourcePath = Some(src))
-    val bqFiles = listing(s"$bq/bits")
+    val bqFiles = listing(s"${iroot(bq)}/bits")
     // appended bits = a rebuild's bits for the same vectors
-    val storedBits = spark.read.parquet(s"$bq/bits")
+    val storedBits = spark.read.parquet(s"${iroot(bq)}/bits")
       .filter($"vec_id" >= 200L)
       .select($"vec_id", $"bits").as[(Long, Array[Long])].collect()
       .map { case (id, b) => (id, b.toSeq) }.toMap
@@ -3056,7 +3056,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(bqHit.head == ((202L, 1.0)), s"got ${bqHit.toSeq}")
     val bqAgain = Similarity.ensureBqIndex(spark, src, full2,
       indexRoot = Some(root))
-    assert(bqAgain == bq && listing(s"$bq/bits") == bqFiles,
+    assert(bqAgain == bq && listing(s"${iroot(bq)}/bits") == bqFiles,
       "append left the fingerprint stale: ensureBqIndex rebuilt")
     val exB = intercept[Exception] {
       Similarity.appendToBqIndex(spark, bq, badDim)
@@ -3386,7 +3386,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeSq8Index(bootVecs, sq8Dir)
     Similarity.writeBqIndex(bootVecs, bqDir)
     val n0 = Similarity.indexedCorpusCount(spark, idxDir)
-    val sq8N0 = spark.read.parquet(s"$sq8Dir/codes").count()
+    val sq8N0 = spark.read.parquet(s"${iroot(sq8Dir)}/codes").count()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -3418,7 +3418,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val (p0, p1) = (productIds(0), productIds(1))
     assert(p0.nonEmpty && p1.nonEmpty)
     // the index received EXACTLY the published products, once each
-    def appendedIds(): Seq[Long] = spark.read.parquet(s"$idxDir/lists")
+    def appendedIds(): Seq[Long] = spark.read.parquet(s"${iroot(idxDir)}/lists")
       .filter($"vec_id" >= 1000L).select($"vec_id").as[Long].collect().toSeq
     assert(appendedIds().sorted == (p0 ++ p1).toSeq.sorted,
       s"index rows ${appendedIds()} != products ${p0 ++ p1}")
@@ -3429,14 +3429,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
     def sidecarIds(sub: String): Seq[Long] =
       spark.read.parquet(sub).filter($"vec_id" >= 1000L)
         .select($"vec_id").as[Long].collect().toSeq
-    assert(sidecarIds(s"$sq8Dir/codes").sorted == (p0 ++ p1).toSeq.sorted)
-    assert(sidecarIds(s"$bqDir/bits").sorted == (p0 ++ p1).toSeq.sorted)
-    assert(spark.read.parquet(s"$sq8Dir/codes").count()
+    assert(sidecarIds(s"${iroot(sq8Dir)}/codes").sorted == (p0 ++ p1).toSeq.sorted)
+    assert(sidecarIds(s"${iroot(bqDir)}/bits").sorted == (p0 ++ p1).toSeq.sorted)
+    assert(spark.read.parquet(s"${iroot(sq8Dir)}/codes").count()
       == sq8N0 + p0.size + p1.size)
     // probe-visibility through the composed featurization: a product
     // doc's own hash-embedding finds it at cosine 1.0
     val someId = p1.head
-    val qv = spark.read.parquet(s"$idxDir/lists")
+    val qv = spark.read.parquet(s"${iroot(idxDir)}/lists")
       .filter($"vec_id" === someId)
       .select($"embedding").as[Array[Float]].head()
     val hits = Similarity.ivfSearchIndexed(spark, idxDir,
@@ -3467,13 +3467,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "replay double-appended the index")
     assert(Similarity.indexedCorpusCount(spark, idxDir)
       == n0 + p0.size + p1.size, "replay double-counted stats")
-    assert(sidecarIds(s"$sq8Dir/codes").sorted == (p0 ++ p1).toSeq.sorted &&
-      sidecarIds(s"$bqDir/bits").sorted == (p0 ++ p1).toSeq.sorted,
+    assert(sidecarIds(s"${iroot(sq8Dir)}/codes").sorted == (p0 ++ p1).toSeq.sorted &&
+      sidecarIds(s"${iroot(bqDir)}/bits").sorted == (p0 ++ p1).toSeq.sorted,
       "replay double-appended a sidecar")
     // ---- crash BEFORE the marker (the not-yet-committed half of the
     // append): deleting the marker simulates it — the replay re-moves
     // deterministically named files over the stale ones, never doubles
-    assert(Files.deleteIfExists(Paths.get(s"$idxDir/_commits/batch-1")))
+    assert(Files.deleteIfExists(Paths.get(s"${iroot(idxDir)}/_commits/batch-1")))
     val feats1 = TextOps.hashEmbedVectors(
       spark.read.parquet(s"$outDir/batch-1"))
       .select($"vec_id", $"embedding")
@@ -3540,14 +3540,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(p0 == Set(1100L, 1101L), s"products: $p0")
     // the CUSTOM encoder's vectors are what landed in the dense index
-    val got = spark.read.parquet(s"$idxDir/lists")
+    val got = spark.read.parquet(s"${iroot(idxDir)}/lists")
       .filter($"vec_id" === 1101L)
       .select($"embedding").as[Array[Float]].head()
     assert(got.toSeq == Seq(1101.0f, 1.0f, (1101 % 7).toFloat, 0.5f),
       s"custom featurizer did not ride the append: ${got.toSeq}")
     // the lexical leg advanced under the same batch id: marker, stats,
     // and a product doc retrievable by its own (unique-token) text
-    assert(new java.io.File(s"$bmDir/_commits/batch-0").exists)
+    assert(new java.io.File(s"${iroot(bmDir)}/_commits/batch-0").exists)
     assert(TextOps.readBm25Stats(spark, bmDir)._1
       == statsBefore._1 + p0.size)
     val ptext = spark.read.parquet(s"$outDir/batch-0")
@@ -3559,7 +3559,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // the gram leg advanced too: marker present, and a "benchmark"
     // built from the product doc's own leading 8-gram screens
     // against the index with no corpus scan
-    assert(new java.io.File(s"$gmDir/_commits/batch-0").exists)
+    assert(new java.io.File(s"${iroot(gmDir)}/_commits/batch-0").exists)
     val leak8 = ptext.split("\\s+").take(8).mkString(" ")
     def screen() = TextOps.contaminationIndexed(spark, gmDir,
       Seq((9500L, leak8)).toDF("doc_id", "text"))
@@ -3573,7 +3573,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     q2.processAllAvailable(); q2.stop()
     assert(TextOps.readBm25Stats(spark, bmDir)._1
       == statsBefore._1 + p0.size, "replay double-counted bm25 stats")
-    assert(spark.read.parquet(s"$idxDir/lists")
+    assert(spark.read.parquet(s"${iroot(idxDir)}/lists")
       .filter($"vec_id" >= 1000L).count() == p0.size,
       "replay double-appended the dense index")
     assert(screen() == Seq(1L),
@@ -3644,7 +3644,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.appendToIvfIndexCommitted(spark, dir,
       (300L until 305L).map(i => (i, vec())).toDF("vec_id", "embedding"), 2L)
     def filesPerList(): Map[String, Int] =
-      new java.io.File(s"$dir/lists").listFiles()
+      new java.io.File(s"${iroot(dir)}/lists").listFiles()
         .filter(_.getName.startsWith("cid="))
         .map(d => d.getName ->
           d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
@@ -3664,10 +3664,10 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // markers survive: a post-compaction replay of a committed batch
     // is still a marker-detected no-op (folding them away would let
     // the replay double-append)
-    val rows0 = spark.read.parquet(s"$dir/lists").count()
+    val rows0 = spark.read.parquet(s"${iroot(dir)}/lists").count()
     Similarity.appendToIvfIndexCommitted(spark, dir,
       (200L until 205L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
-    assert(spark.read.parquet(s"$dir/lists").count() == rows0,
+    assert(spark.read.parquet(s"${iroot(dir)}/lists").count() == rows0,
       "replay after compaction double-appended")
     // a NEW batch still lands normally on the compacted layout
     Similarity.appendToIvfIndexCommitted(spark, dir,
@@ -3679,19 +3679,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeSq8Index(corpus.toDF("vec_id", "embedding"), sq8)
     Similarity.appendToSq8IndexCommitted(spark, sq8,
       (500L until 505L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
-    def codeFiles(): Int = new java.io.File(s"$sq8/codes").listFiles()
+    def codeFiles(): Int = new java.io.File(s"${iroot(sq8)}/codes").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(codeFiles() > 1)
-    val codesBefore = spark.read.parquet(s"$sq8/codes")
+    val codesBefore = spark.read.parquet(s"${iroot(sq8)}/codes")
       .orderBy($"vec_id").collect().toSeq
     Similarity.compactSidecar(spark, sq8, "codes")
     assert(codeFiles() == 1, s"expected one file, got ${codeFiles()}")
-    assert(spark.read.parquet(s"$sq8/codes").orderBy($"vec_id")
+    assert(spark.read.parquet(s"${iroot(sq8)}/codes").orderBy($"vec_id")
       .collect().toSeq == codesBefore, "sidecar compaction changed content")
     // marker retained: replay of the committed batch is still a no-op
     Similarity.appendToSq8IndexCommitted(spark, sq8,
       (500L until 505L).map(i => (i, vec())).toDF("vec_id", "embedding"), 1L)
-    assert(spark.read.parquet(s"$sq8/codes").count() == 45L)
+    assert(spark.read.parquet(s"${iroot(sq8)}/codes").count() == 45L)
   }
 
   test("knnJoinIndexed ≡ ivfSearchIndexed on the same queries; appended rows visible; no cartesian") {
@@ -3901,5 +3901,165 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"medoid ${rows(lbl)._2} != brute-force ${best._2}")
     // aggregate shape: no window anywhere in the plan
     assert(!proto.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("index state cache: warm probes equal cold, and every maintenance op (committed/plain append, compaction, rebuild) is visible to the next probe") {
+    import org.apache.spark.sql.functions._
+    // ---- BM25: stats/df/postings cached between probes ----
+    val docs = Seq(
+      (0L, "alpha beta gamma", "s"), (1L, "beta gamma delta", "s"),
+      (2L, "gamma delta epsilon", "s")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("cache-bm25").toString
+    TextOps.writeBm25Index(docs, dir, nBuckets = 4)
+    def probe(corpus: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25SearchIndexed(spark, dir,
+        corpus.filter($"doc_id" === 0L)
+          .select($"doc_id".as("query_id"), $"text"), k = 3)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val cold = probe(docs)
+    assert(probe(docs) == cold, "warm probe diverged from cold")
+    // committed append → next probe sees the new doc (stamp + in-JVM
+    // invalidation; the doc shares a query term so it can rank)
+    val b1 = Seq((3L, "alpha zeta", "s")).toDF("doc_id", "text", "source")
+    TextOps.appendToBm25IndexCommitted(spark, dir, b1, batchId = 1L)
+    val afterCommit = probe(docs.union(b1))
+    assert(afterCommit != cold &&
+      TextOps.bm25TopK(docs.union(b1), Seq(0L), k = 3)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        == afterCommit,
+      "committed append must invalidate the cached probe state")
+    // plain append (df/stats swap) → visible too
+    val b2 = Seq((4L, "alpha alpha", "s")).toDF("doc_id", "text", "source")
+    TextOps.appendToBm25Index(spark, dir, b2)
+    val u2 = docs.union(b1).union(b2)
+    assert(probe(u2) ==
+      TextOps.bm25TopK(u2, Seq(0L), k = 3)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq,
+      "plain append must invalidate the cached df/stats")
+    // compaction (generation advance) → identical results, new root
+    val before = probe(u2)
+    TextOps.compactBm25Index(spark, dir)
+    assert(probe(u2) == before, "compaction changed warm-probe results")
+    assert(TextOps.readBm25Stats(spark, dir)._1 == 5L)
+
+    // ---- IVF: centroids/lists/stats cached between probes ----
+    val emb = (0L until 16L)
+      .map(i => (i, Array.tabulate(8)(j => (i % 4 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ivf = java.nio.file.Files
+      .createTempDirectory("cache-ivf").toString
+    Similarity.writeIvfIndex(emb, ivf, nlist = 2, iters = 1)
+    // a query vector NO corpus row equals (corpus rows are integer
+    // ramps; this one is deliberately non-monotonic)
+    val qv = Array.tabulate(8)(j => if (j % 2 == 0) 9.0f else 1.0f + j)
+    def annProbe() = Similarity.ivfSearchIndexed(spark, ivf,
+      Seq((900L, qv)), k = 3, nprobe = 2)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toSeq
+    val annCold = annProbe()
+    assert(annProbe() == annCold)
+    assert(annCold.forall(_._2 < 1.0), s"fixture: clone in corpus $annCold")
+    // committed append of an exact query clone → next probe must rank
+    // it at 1.0 (lists DF cache invalidated)
+    Similarity.appendToIvfIndexCommitted(spark, ivf,
+      Seq((500L, qv)).toDF("vec_id", "embedding"), 1L,
+      maxDriftRatio = 1e9)
+    assert(annProbe().head == ((500L, 1.0)),
+      s"appended row invisible to the warm probe: ${annProbe()}")
+    assert(Similarity.indexedCorpusCount(spark, ivf) == 17L,
+      "stats cache must see the new commit marker")
+    // rebuild (new generation) → cache keys change with the root
+    Similarity.writeIvfIndex(emb, ivf, nlist = 2, iters = 1)
+    assert(annProbe() == annCold,
+      "post-rebuild probe must read the fresh generation")
+  }
+
+  test("index generations: a reader resolving mid-compaction gets old-or-new (never fails, never mixes); retention keeps one prior; rebuilds drop stale markers") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "apple banana cherry apple", "s"),
+      (1L, "banana cherry date", "s"),
+      (2L, "cherry date elder fig", "s"),
+      (3L, "apple elder grape", "s")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("gen-bm25").toString
+    TextOps.writeBm25Index(docs, dir, nBuckets = 4)
+    val b1 = Seq((4L, "grape apple banana", "s"))
+      .toDF("doc_id", "text", "source")
+    TextOps.appendToBm25IndexCommitted(spark, dir, b1, batchId = 1L)
+    val union = docs.union(b1)
+    def probeAt(root: String) = TextOps.bm25SearchIndexed(spark, root,
+      union.filter($"doc_id".isin(0L, 1L))
+        .select($"doc_id".as("query_id"), $"text"), k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = probeAt(dir)
+    assert(expected.nonEmpty)
+    // an IN-FLIGHT reader: resolve the pointer BEFORE compaction (the
+    // once-per-batch resolution every probe performs), compact, then
+    // finish the read against that snapshot — it must see the intact
+    // OLD generation, bit-identically (never fails, never mixes)
+    val oldRoot = iroot(dir)
+    TextOps.compactBm25Index(spark, dir)
+    assert(iroot(dir) != oldRoot, "compaction must advance the pointer")
+    assert(probeAt(oldRoot) == expected,
+      "in-flight reader's pre-flip snapshot changed under it")
+    assert(probeAt(dir) == expected,
+      "post-flip reader diverged from the pre-compaction results")
+    // CONCURRENT readers while two more compactions run: every probe
+    // resolves its own snapshot and must return the same results —
+    // the live-swap scenario the old QUIESCE scaladocs forbade
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try { while (!stop) assert(probeAt(dir) == expected) }
+      catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      TextOps.compactBm25Index(spark, dir)
+      TextOps.compactBm25Index(spark, dir)
+    } finally { stop = true; reader.join(60000) }
+    assert(failure.isEmpty,
+      s"a concurrent reader failed during compaction: $failure")
+    // retention: exactly the current and one prior generation remain
+    val gens = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+    assert(gens.length == 2, s"retention must keep 2 gens: ${gens.toSeq}")
+    assert(probeAt(dir) == expected)
+    // dim-ladder: a PLAIN append swaps df/stats as new VERSIONS
+    // inside the generation — reader-atomic, old version retained
+    val rootNow = iroot(dir)
+    val statsBefore = isub(dir, "stats")
+    TextOps.appendToBm25Index(spark, dir,
+      Seq((5L, "fig grape", "s")).toDF("doc_id", "text", "source"))
+    assert(isub(dir, "stats") != statsBefore,
+      "plain append must publish a new stats version")
+    assert(new java.io.File(statsBefore).exists,
+      "the prior stats version must be retained for in-flight readers")
+    assert(iroot(dir) == rootNow,
+      "a plain append must not advance the generation")
+    assert(TextOps.readBm25Stats(spark, dir)._1 == 6L)
+    // a post-append compaction folds the versioned dims back to the
+    // plain layout in the fresh generation
+    TextOps.compactBm25Index(spark, dir)
+    assert(isub(dir, "stats") == s"${iroot(dir)}/stats",
+      "compaction must normalize swapped dims back to plain subs")
+    assert(TextOps.readBm25Stats(spark, dir)._1 == 6L)
+    // REBUILD drops stale commit markers (buildFresh): under the flat
+    // layout a rebuild left old `_commits` inflating composite stats
+    val emb = (0L until 20L)
+      .map(i => (i, Array.fill(8)(i.toFloat % 3 + 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("gen-ivf").toString
+    Similarity.writeIvfIndex(emb, ivfDir, nlist = 2, iters = 1)
+    Similarity.appendToIvfIndexCommitted(spark, ivfDir,
+      Seq((100L, Array.fill(8)(2.0f))).toDF("vec_id", "embedding"), 1L,
+      maxDriftRatio = 1e9)
+    assert(Similarity.indexedCorpusCount(spark, ivfDir) == 21L)
+    Similarity.writeIvfIndex(emb, ivfDir, nlist = 2, iters = 1)
+    assert(Similarity.indexedCorpusCount(spark, ivfDir) == 20L,
+      "a rebuild must not inherit the old generation's commit markers")
   }
 }

@@ -7,6 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpecBase.session
   def sf(name: String): String = s"/root/testdata/$name"
+
+  /** Resolve a durable index dir to its CURRENT generation root (the
+    * reader contract of [[graft.operators.IndexGen]]) — specs that
+    * inspect at-rest layout (file counts, markers, planted files)
+    * must look inside the published generation, re-resolving after
+    * every compaction since compaction advances it.
+    */
+  def iroot(dir: String): String =
+    graft.operators.IndexGen.root(spark, dir)
+
+  /** Resolve a sublayout inside the current generation (newest
+    * swapped version of df/stats, else the plain build layout).
+    */
+  def isub(dir: String, sub: String): String =
+    graft.operators.IndexGen.subPath(spark, iroot(dir), sub)
 }
 
 object SparkSpecBase {
