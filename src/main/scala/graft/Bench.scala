@@ -178,13 +178,38 @@ object Bench {
       // any failure reports the -1 sentinel, never a bogus fast time
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    // stream fixed-cost floors (round-10 verdict #6): the identical
+    // Ingest machinery over an EMPTY spool — startup + trigger +
+    // RocksDB/checkpoint/sink cost with zero pipeline work. Reported
+    // beside the totals so the two dam_stream_replay* rows (13% of
+    // the battery, pure operating-mode cost) can be read as
+    // steady-state = total − floor, and a pipeline regression cannot
+    // hide under trigger latency.
+    def floorOf(batched: Boolean): Double = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.streamReplayFloor(spark, sfDir, batched)
+          .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stream floor failed: ${e.getMessage}")
+          -1.0 }
+      }
+      if (times.contains(-1.0)) -1.0 else times.min
+    }
+    val streamFloors = Seq(
+      "dam_stream_replay" -> floorOf(batched = false),
+      "dam_stream_replay_batched" -> floorOf(batched = true))
     val load1 = loadAvg()
     def ms(v: Double): String = msFmt(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val gate = if (load0 >= 0 && load0 <= maxLoad) "pass" else "contaminated"
-    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs","n_queries":${results.size}"""
+    val floorsJson = streamFloors
+      .map { case (k, v) => "\"" + k + "\":" + msFmt(v) }
+      .mkString("{", ",", "}")
+    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"stream_floor":$floorsJson,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs; stream_floor = same streaming machinery over an empty spool (fixed cost; steady-state = row - floor)","n_queries":${results.size}"""
     // full record: every query — the committed artifact and the
     // last-run scratch file hold this
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$meta,"total_sec_tail":${ms(total)}}"""

@@ -637,13 +637,48 @@ FROM t"""
     * and feeds the files one per micro-batch via maxFilesPerTrigger
     * (modification times + lexicographic names force batch order).
     */
+  /** The stream rows' FIXED-COST FLOOR (round-10 verdict #6): the
+    * IDENTICAL Ingest machinery — session spin-up aside, the same
+    * readStream, trigger cadence, RocksDB state init, checkpoint
+    * commits and three sinks — run over an EMPTY spool (schema-only
+    * parquet files, one per would-be micro-batch), so the measured
+    * time is pure stream startup + per-trigger overhead with zero
+    * pipeline work. [[graft.Bench]] times this beside the real
+    * `dam_stream_replay*` rows and records it as `stream_floor`, so
+    * the record separates the operating-mode fixed cost (13% of the
+    * battery, invariant to pipeline changes) from steady-state work
+    * a regression could actually hide in.
+    */
+  private[graft] def streamReplayFloor(s: SparkSession, d: String,
+                                       batched: Boolean): DataFrame =
+    streamReplayRun(s, d, batched, floorMode = true)
+
   private def streamReplayRun(s: SparkSession, d: String,
-                              batched: Boolean): DataFrame = {
+                              batched: Boolean,
+                              floorMode: Boolean = false): DataFrame = {
     import graft.streaming.Ingest
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
       .toString
     val feedDir = s"$tmp/feed"
-    if (!batched)
+    if (floorMode) {
+      // schema-only spool: one empty file (three, mtime-staggered, in
+      // batched mode) — every trigger fires, no row flows
+      val empty = Tables.generalLogFeed(s, d).limit(0)
+      if (!batched) empty.coalesce(1).write.mode("overwrite").parquet(feedDir)
+      else {
+        new java.io.File(feedDir).mkdirs()
+        for (k <- 0 to 2) {
+          val stage = s"$tmp/stage$k"
+          empty.coalesce(1).write.mode("overwrite").parquet(stage)
+          val pf = new java.io.File(stage).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          val dest = new java.io.File(feedDir, f"batch-$k%02d.parquet")
+          java.nio.file.Files.move(pf.toPath, dest.toPath)
+          dest.setLastModified(1600000000000L + k * 60000L)
+          ()
+        }
+      }
+    } else if (!batched)
       Tables.generalLogFeed(s, d).coalesce(1)
         .write.mode("overwrite").parquet(feedDir)
     else {
@@ -693,6 +728,12 @@ FROM t"""
       Ingest.IngestConfig(s"$tmp/logs", s"$tmp/alerts", s"$tmp/ckpt",
         triggerMs = 0L, blocksDir = Some(s"$tmp/blocks")))
     try q.processAllAvailable() finally q.stop()
+    // a zero-row replay (the floor run's empty spool) never creates
+    // the sink dirs at all — materialize them so the schema-explicit
+    // reads below contribute zero rows instead of PATH_NOT_FOUND
+    Seq("logs", "alerts", "blocks").foreach { sub =>
+      new java.io.File(s"$tmp/$sub").mkdirs(); ()
+    }
       val eS = lit("").cast("string")
       val eL = lit(-1L)
       val eB = lit(false)
@@ -3920,6 +3961,20 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "emb_prefix_rerank" -> ((s, d) =>
       Similarity.prefixRerankTopK(Tables.embeddings(s, d),
         Seq(0L, 1L, 2L), prefixDim = 16, cand = 50)),
+    // the DURABLE matryoshka layout: prefix stored as its own column
+    // (the at-rest byte win the one-shot's scaladoc prices), probed
+    // with caller-supplied query vectors — probe ≡ one-shot, so the
+    // emb_prefix_rerank oracle string locks the layout end-to-end
+    "emb_prefix_indexed" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensurePrefixIndex(s, s"$d/embeddings.parquet",
+        emb, prefixDim = 16)
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.prefixSearchIndexed(s, idx, qvecs, cand = 50)
+    }),
     // recall of the rerank funnel vs brute force — the dial that says
     // how much candidate width buys back from the truncation
     "emb_prefix_rerank_recall" -> ((s, d) => {
@@ -5885,6 +5940,14 @@ ORDER BY query_id, rank""",
     // truncate-then-rerank: prefix candidate cut + exact full-dim
     // re-rank, the shared two-phase funnel shape
     "emb_prefix_rerank" -> (prefixRerankCtes(50, Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
+ORDER BY query_id, rank"""),
+
+    // the durable layout probe is proven ≡ the one-shot funnel, so it
+    // shares the oracle string verbatim (the *_indexed convention)
+    "emb_prefix_indexed" -> (prefixRerankCtes(50, Seq(0L, 1L, 2L)) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10

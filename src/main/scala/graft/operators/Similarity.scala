@@ -174,6 +174,107 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Durable MATRYOSHKA PREFIX layout — the stored form that makes
+    * [[prefixRerankTopK]]'s byte win real (its scaladoc's honest
+    * scale note: slicing an array column does not shrink parquet IO;
+    * the prefix must be STORED as its own column). Two sublayouts:
+    *
+    *  - `prefix/` — (vec_id, pvec): the first `prefixDim` components
+    *    only. The coarse pass scans THIS — prefixDim/d of the vector
+    *    bytes at rest (at 100 TB of d=64 embeddings, a d/4 prefix
+    *    column is a 25 TB scan instead of 100 TB);
+    *  - `full/`  — (vec_id, embedding): the full vectors, read only
+    *    for the cand·|queries| rerank survivors;
+    *  - `meta/`  — prefixDim (the dim-from-meta seam: a probe cannot
+    *    disagree with the build about the prefix width).
+    *
+    * Published as a generation ([[IndexGen.buildFresh]]) like every
+    * durable index here. Norms are deliberately NOT precomputed: the
+    * probe computes them from the stored columns with the same
+    * expressions as the one-shot, so probe ≡ [[prefixRerankTopK]]
+    * bit-for-bit by construction (spec + shared oracle string).
+    */
+  def writePrefixIndex(embeddings: DataFrame, dir: String,
+                       prefixDim: Int): Unit = {
+    require(prefixDim > 0, s"prefixDim must be positive: $prefixDim")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    IndexGen.buildFresh(spark, dir) { root =>
+      embeddings
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, prefixDim).as("pvec"))
+        .write.mode("overwrite").parquet(s"$root/prefix")
+      embeddings.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$root/full")
+      Seq(prefixDim).toDF("prefix_dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    }
+  }
+
+  /** Probe the durable matryoshka layout with caller-supplied FULL
+    * query vectors: the coarse cosine pass reads ONLY the stored
+    * prefix column (the at-rest byte win), cuts `cand` per query,
+    * and the exact full-dimension rerank reads `full/` for just the
+    * survivors. prefixDim comes from the index meta; results equal
+    * the one-shot [[prefixRerankTopK]] on the same corpus verbatim
+    * (shared expressions end-to-end).
+    */
+  def prefixSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String,
+                          queries: Seq[(Long, Array[Float])],
+                          cand: Int = 50, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val root = IndexGen.root(spark, dir)
+    val prefixDim = IndexCache.cached(s"$root#prefix-dim",
+      IndexCache.dirStamp(spark, s"$root/meta")) {
+      spark.read.parquet(s"$root/meta").head().getInt(0)
+    }
+    def pre(c: Column): Column = slice(c, 1, prefixDim)
+    val qfull = queries.sortBy(_._1)
+      .map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("query_id", "qfull")
+    // query prefixes slice through the SAME column expression the
+    // one-shot applies, so coarse scores agree bit-for-bit
+    val qpre = qfull.select(col("query_id"),
+      pre(col("qfull")).as("qvec"), l2norm(pre(col("qfull"))).as("qnorm"))
+    val prefix = IndexCache.cached(s"$root#prefix-df",
+      IndexCache.dirStamp(spark, s"$root/prefix")) {
+      spark.read.parquet(s"$root/prefix")
+    }
+    val coarse = prefix
+      .withColumn("norm", l2norm(col("pvec")))
+      .crossJoin(broadcast(qpre))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("pvec"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    val cut = topKPerQuery(coarse, cand)
+      .select(col("query_id"), col("vec_id"))
+    val full = IndexCache.cached(s"$root#full-df",
+      IndexCache.dirStamp(spark, s"$root/full")) {
+      spark.read.parquet(s"$root/full")
+    }
+    val qexact = qfull.select(col("query_id"),
+      col("qfull").as("qvec"), l2norm(col("qfull")).as("qnorm"))
+    val scored = full
+      .withColumn("norm", l2norm(col("embedding")))
+      .join(broadcast(cut), Seq("vec_id"))
+      .join(broadcast(qexact), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** [[ensureIvfIndex]]'s build-once contract for the matryoshka
+    * prefix layout. */
+  def ensurePrefixIndex(spark: org.apache.spark.sql.SparkSession,
+                        sourcePath: String, embeddings: DataFrame,
+                        prefixDim: Int,
+                        indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath, s"prefix$prefixDim", indexRoot)(
+      dir => writePrefixIndex(embeddings, dir, prefixDim))
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is
     * reproducible across runs and clusters.

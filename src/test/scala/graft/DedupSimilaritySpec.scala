@@ -3903,6 +3903,42 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!proto.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("matryoshka prefix index: probe equals the one-shot rerank funnel; the stored prefix column is the at-rest byte win") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix-idx").toString
+    Similarity.writePrefixIndex(emb, dir, prefixDim = 16)
+    val qvecs = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val probe = Similarity.prefixSearchIndexed(spark, dir, qvecs,
+      cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val oneShot = Similarity.prefixRerankTopK(emb, Seq(0L, 1L, 2L),
+      prefixDim = 16, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(probe == oneShot && probe.nonEmpty,
+      s"probe $probe diverged from one-shot $oneShot")
+    // the byte win is REAL at rest: the prefix sublayout is a
+    // fraction of the full column's bytes (16/64 of the vector data;
+    // vec_id and parquet framing overhead keep it above exactly 1/4)
+    def bytes(sub: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(iroot(dir), sub))
+    }
+    assert(bytes("prefix") < bytes("full") / 2,
+      s"prefix=${bytes("prefix")} full=${bytes("full")} — the stored " +
+        "prefix must be a fraction of the full column")
+    // dim-from-meta seam: the probe cannot disagree with the build
+    assert(spark.read.parquet(s"${iroot(dir)}/meta").head().getInt(0) == 16)
+  }
+
   test("index state cache: warm probes equal cold, and every maintenance op (committed/plain append, compaction, rebuild) is visible to the next probe") {
     import org.apache.spark.sql.functions._
     // ---- BM25: stats/df/postings cached between probes ----
