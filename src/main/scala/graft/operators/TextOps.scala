@@ -576,7 +576,11 @@ object TextOps {
         // with forever: ONE file per bucket partition (a scan-local
         // write would land every scan task's slice in every bucket —
         // tasks × buckets files, the small-files decay compaction
-        // exists to undo, here avoided from day one)
+        // exists to undo, here avoided from day one). Deliberately
+        // NOT row-sorted: GramFootprint measured a (h, doc_id) sort
+        // at 1.00x — 8-gram hashes have df≈1, so there are no runs
+        // for dictionary/RLE to exploit and 10.8 B/token is already
+        // the entropy floor (SCALE.md footprint row, r10 verdict #8)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/postings")
@@ -2249,7 +2253,10 @@ object TextOps {
           pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
         // one file per bucket partition from day one (the GramProf
         // lesson: a multi-task write lands tasks × buckets files and
-        // the probe pays the open-file soup compaction exists to undo)
+        // the probe pays the open-file soup compaction exists to
+        // undo). NOT row-sorted: parquet's dictionary page already
+        // absorbs repeated terms order-independently — measured
+        // 1.01x for a (term, doc_id) sort (SCALE.md footprint row)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/postings")
