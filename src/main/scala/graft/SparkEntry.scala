@@ -3915,6 +3915,21 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     // nprobe lists, exact re-rank of the survivors
     "emb_ivfpq_ann" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L))),
+    // the DURABLE form of the same probe: stored lists/codes/books
+    // probed with caller-supplied query vectors (ADC reads codes
+    // only, floats touched just for the cand survivors) — probe ≡
+    // one-shot, so the emb_ivfpq_ann oracle string locks the at-rest
+    // layout end-to-end; training amortized under the fingerprint
+    "emb_ivfpq_indexed" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensureIvfPqIndex(s, s"$d/embeddings.parquet",
+        emb)
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.ivfPqSearchIndexed(s, idx, qvecs)
+    }),
     // true IVFADC: PQ codes encode residuals x − c(x) (FAISS default);
     // same probe cost, strictly tighter quantization cells
     "emb_ivfpq_res_ann" -> ((s, d) =>
@@ -5876,6 +5891,16 @@ FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"
     // IVF-PQ: the PQ replay with a coarse-quantizer Lloyd chain and
     // the probe restriction applied to the ADC scan
     "emb_ivfpq_ann" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
+      dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L),
+      ivf = Some((16, 4, 3))) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10 ORDER BY query_id, rank"""),
+
+    // the durable IVF-PQ probe is proven ≡ the one-shot, so it
+    // shares the emb_ivfpq_ann oracle string verbatim (the
+    // *_indexed convention)
+    "emb_ivfpq_indexed" -> (pqScoredCtes(m = 4, ksub = 16, iters = 2,
       dim = 64, cand = 50, queryIds = Seq(0L, 1L, 2L),
       ivf = Some((16, 4, 3))) + s"""
 SELECT query_id, vec_id, cos_sim,

@@ -1388,6 +1388,19 @@ object Similarity {
     ensureIndexDir(spark, sourcePath, "ivf", indexRoot)(
       dir => writeIvfIndex(embeddings, dir, nlist, iters))
 
+  /** [[ensureIvfIndex]]'s build-once contract for the IVF-PQ layout
+    * ([[writeIvfPqIndex]]). */
+  def ensureIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       sourcePath: String, embeddings: DataFrame,
+                       nlist: Int = 16, itersIvf: Int = 3, m: Int = 4,
+                       ksub: Int = 16, itersPq: Int = 2,
+                       residual: Boolean = false,
+                       indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath,
+      if (residual) "ivfpqr" else "ivfpq", indexRoot)(
+      dir => writeIvfPqIndex(embeddings, dir, nlist, itersIvf, m, ksub,
+        itersPq, residual))
+
   /** [[ensureIvfIndex]]'s build-once contract for the binary-
     * quantization sidecar ([[writeBqIndex]]).
     */
