@@ -2287,8 +2287,8 @@ object TextOps {
     * (scan-local tokenize, same bucketing), the df dim merges by sum
     * (a doc contains a term in exactly one snapshot, so
     * df(a ∪ b) = df(a) + df(b)), and the 1-row stats add. df and
-    * stats swap via stage-retire-publish renames (the
-    * [[graft.operators.Similarity.compactSidecar]] discipline), and
+    * stats publish as new sublayout VERSIONS ([[IndexGen.swapSub]] —
+    * reader-atomic, one prior retained; no overwrite window), and
     * `sourcePath` advances the build-once fingerprint so the next
     * [[ensureBm25Index]] keeps the appended index (the SQ8/BQ append
     * contract — a daily pipeline must not rebuild its cheapest index
