@@ -206,9 +206,100 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$root/prefix")
       embeddings.select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$root/full")
-      Seq(prefixDim).toDF("prefix_dim")
+      // full dimension recorded beside the prefix width: the append
+      // guard needs it (a shorter appended vector would yield a
+      // short pvec whose probe dot fails rows-deep instead of at the
+      // seam — the BQ meta contract)
+      val dim = embeddings.select(size(col("embedding")).as("d"))
+        .head().getInt(0)
+      require(prefixDim <= dim,
+        s"writePrefixIndex: prefixDim $prefixDim > vector dim $dim")
+      Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     }
+  }
+
+  /** Append a batch to a [[writePrefixIndex]] layout WITHOUT a
+    * rebuild — slicing is a pure per-row function (no trained state,
+    * hence no drift guard: appended rows are bit-identical to a full
+    * rebuild's, the SQ8/BQ append stance). The batch lands in BOTH
+    * sublayouts — its prefix slice into `prefix/`, the full vectors
+    * into `full/` — under the dimension guard from the index meta.
+    * For anything that can replay, use
+    * [[appendToPrefixIndexCommitted]].
+    */
+  def appendToPrefixIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, batch: DataFrame,
+                          sourcePath: Option[String] = None): Unit = {
+    val root = IndexGen.root(spark, dir)
+    val (prefixDim, guarded) = prefixEncodeGuarded(spark, root, batch)
+    guarded.select(col("vec_id"),
+        slice(col("embedding"), 1, prefixDim).as("pvec"))
+      .write.mode("append").parquet(s"$root/prefix")
+    guarded.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$root/full")
+    IndexCache.invalidate(root)
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
+  }
+
+  /** [[appendToPrefixIndex]]'s dimension guard, shared with the
+    * committed form: batch vectors must match the index's recorded
+    * full dimension (meta), failing at the seam with both dims and
+    * the offending vec_id named.
+    */
+  private def prefixEncodeGuarded(spark: org.apache.spark.sql.SparkSession,
+                                  root: String, batch: DataFrame)
+      : (Int, DataFrame) = {
+    val meta = spark.read.parquet(s"$root/meta").head()
+    val prefixDim = meta.getAs[Int]("prefix_dim")
+    val dim = meta.getAs[Int]("dim")
+    val guarded = batch.withColumn("embedding",
+      when(assert_true(size(col("embedding")) === lit(dim),
+        concat(lit(s"prefix append: vector dim "),
+          size(col("embedding")).cast("string"),
+          lit(s" != index dim $dim for vec_id "),
+          col("vec_id").cast("string"))).isNull,
+        col("embedding")))
+    (prefixDim, guarded)
+  }
+
+  /** EXACTLY-ONCE [[appendToPrefixIndex]], keyed by batch id: both
+    * sublayouts stage, sweep-and-move under deterministic `b<id>-*`
+    * names, marker last — the two-sublayout form of the committed
+    * sidecar appends (the gram index's postings+docdim landing). A
+    * crash between the two moves replays cleanly: the marker is
+    * absent, so the replay re-stages both and the sweep drops any
+    * half-landed files of either sublayout.
+    */
+  def appendToPrefixIndexCommitted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, batchId: Long,
+      sourcePath: Option[String] = None): Unit = {
+    val root = IndexGen.root(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(root)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
+    if (!fs.exists(marker)) {
+      val (prefixDim, guarded0) = prefixEncodeGuarded(spark, root, batch)
+      val guarded = guarded0.localCheckpoint(true)
+      val stagingP = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-prefix")
+      guarded.select(col("vec_id"),
+          slice(col("embedding"), 1, prefixDim).as("pvec"))
+        .write.mode("overwrite").parquet(stagingP.toString)
+      sweepAndMoveStaged(fs, stagingP,
+        new org.apache.hadoop.fs.Path(d, "prefix"), batchId)
+      val stagingF = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-full")
+      guarded.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(stagingF.toString)
+      sweepAndMoveStaged(fs, stagingF,
+        new org.apache.hadoop.fs.Path(d, "full"), batchId)
+      writeCommitMarker(fs, marker,
+        guarded.agg(count(lit(1))).head().getLong(0).toString)
+      IndexCache.invalidate(root)
+    }
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
   /** Probe the durable matryoshka layout with caller-supplied FULL
@@ -227,7 +318,7 @@ object Similarity {
     val root = IndexGen.root(spark, dir)
     val prefixDim = IndexCache.cached(s"$root#prefix-dim",
       IndexCache.dirStamp(spark, s"$root/meta")) {
-      spark.read.parquet(s"$root/meta").head().getInt(0)
+      spark.read.parquet(s"$root/meta").head().getAs[Int]("prefix_dim")
     }
     def pre(c: Column): Column = slice(c, 1, prefixDim)
     val qfull = queries.sortBy(_._1)

@@ -3937,6 +3937,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
         "prefix must be a fraction of the full column")
     // dim-from-meta seam: the probe cannot disagree with the build
     assert(spark.read.parquet(s"${iroot(dir)}/meta").head().getInt(0) == 16)
+    // committed append: both sublayouts advance under one marker; an
+    // appended exact clone of a query vector ranks at 1.0 next probe
+    val clone = Seq((500L, qvecs.head._2)).toDF("vec_id", "embedding")
+    Similarity.appendToPrefixIndexCommitted(spark, dir, clone, 1L)
+    val afterAppend = Similarity.prefixSearchIndexed(spark, dir,
+      qvecs, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(afterAppend.head == ((0L, 500L, 1.0, 1L)),
+      s"appended clone must rank first: ${afterAppend.take(3)}")
+    assert(afterAppend ==
+      Similarity.prefixRerankTopK(emb.union(clone), Seq(0L, 1L, 2L),
+        prefixDim = 16, cand = 10, k = 5)
+        .as[(Long, Long, Double, Long)].collect().toSeq,
+      "append must equal the one-shot over the union")
+    // replay: marker-detected no-op (no duplicate 500s in the probe)
+    Similarity.appendToPrefixIndexCommitted(spark, dir, clone, 1L)
+    assert(Similarity.prefixSearchIndexed(spark, dir, qvecs,
+      cand = 10, k = 5).as[(Long, Long, Double, Long)]
+      .collect().toSeq == afterAppend,
+      "replaying a committed prefix append changed results")
+    // wrong-dim batch fails at the seam with both dims named
+    val bad = Seq((900L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    def chainHas(t: Throwable, m: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(e => Option(e.getMessage).exists(_.contains(m)))
+    val e = intercept[Exception] {
+      Similarity.appendToPrefixIndex(spark, dir, bad)
+    }
+    assert(chainHas(e, "!= index dim 64"), e.getMessage)
   }
 
   test("index state cache: warm probes equal cold, and every maintenance op (committed/plain append, compaction, rebuild) is visible to the next probe") {
