@@ -663,6 +663,7 @@ object Curation {
                              maxDriftRatio: Double = 4.0,
                              sq8Dir: Option[String] = None,
                              bqDir: Option[String] = None,
+                             prefixDir: Option[String] = None,
                              bm25Dir: Option[String] = None,
                              gramDir: Option[String] = None,
                              featurizer: Option[DataFrame => DataFrame] =
@@ -708,6 +709,8 @@ object Curation {
           .appendToSq8IndexCommitted(spark, sd, feats, id))
         bqDir.foreach(bd => graft.operators.Similarity
           .appendToBqIndexCommitted(spark, bd, feats, id))
+        prefixDir.foreach(pd => graft.operators.Similarity
+          .appendToPrefixIndexCommitted(spark, pd, feats, id))
         bm25Dir.foreach(bm => graft.operators.TextOps
           .appendToBm25IndexCommitted(spark, bm, product, id))
         // the decontam gram index tracks the CURATED corpus too, so

@@ -3375,6 +3375,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val (stateDir, outDir, idxDir, srcDir, ckpt) =
       (s"$dir/state", s"$dir/out", s"$dir/idx", s"$dir/src", s"$dir/ckpt")
     val (sq8Dir, bqDir) = (s"$dir/sq8", s"$dir/bq")
+    val pfxDir = s"$dir/prefix"
     new java.io.File(srcDir).mkdirs()
     val st0 = Curation.stateOf(corpus)
     Curation.writeState(st0, stateDir)
@@ -3385,6 +3386,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeIvfIndex(bootVecs, idxDir, nlist = 4, iters = 2)
     Similarity.writeSq8Index(bootVecs, sq8Dir)
     Similarity.writeBqIndex(bootVecs, bqDir)
+    Similarity.writePrefixIndex(bootVecs, pfxDir, prefixDim = 16)
     val n0 = Similarity.indexedCorpusCount(spark, idxDir)
     val sq8N0 = spark.read.parquet(s"${iroot(sq8Dir)}/codes").count()
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3405,7 +3407,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
         .option("maxFilesPerTrigger", 1).json(srcDir),
       stateDir, outDir, idxDir, ckpt,
       maxDriftRatio = 100.0, sq8Dir = Some(sq8Dir), bqDir = Some(bqDir),
-      triggerMs = 100L)
+      prefixDir = Some(pfxDir), triggerMs = 100L)
     val q1 = startStream()
     q1.processAllAvailable()
     Files.write(Paths.get(s"$srcDir/b2.json"), Seq(
@@ -3431,6 +3433,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
         .select($"vec_id").as[Long].collect().toSeq
     assert(sidecarIds(s"${iroot(sq8Dir)}/codes").sorted == (p0 ++ p1).toSeq.sorted)
     assert(sidecarIds(s"${iroot(bqDir)}/bits").sorted == (p0 ++ p1).toSeq.sorted)
+    // the prefix leg advanced BOTH its sublayouts under the batch ids
+    assert(sidecarIds(s"${iroot(pfxDir)}/prefix").sorted
+      == (p0 ++ p1).toSeq.sorted)
+    assert(sidecarIds(s"${iroot(pfxDir)}/full").sorted
+      == (p0 ++ p1).toSeq.sorted)
     assert(spark.read.parquet(s"${iroot(sq8Dir)}/codes").count()
       == sq8N0 + p0.size + p1.size)
     // probe-visibility through the composed featurization: a product
@@ -3451,6 +3458,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
       Seq((9100L, qv)), k = 2)
       .select($"vec_id").as[Long].collect().toSet
     assert(sqHit.contains(someId), s"sq8 sidecar probe missed: $sqHit")
+    // ...and through the matryoshka funnel (prefix cut + exact rerank)
+    val pfxHit = Similarity.prefixSearchIndexed(spark, pfxDir,
+      Seq((9200L, qv)), cand = 5, k = 1)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(pfxHit.head == ((someId, 1.0)), s"prefix probe: ${pfxHit.toSeq}")
     // ---- crash between sink commit and checkpoint commit: batch 1
     // replays END TO END; neither state may double-apply
     val vBefore = new java.io.File(stateDir).listFiles().map(_.getName)
