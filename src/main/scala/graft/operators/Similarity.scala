@@ -233,11 +233,16 @@ object Similarity {
                           sourcePath: Option[String] = None): Unit = {
     val root = IndexGen.root(spark, dir)
     val (prefixDim, guarded) = prefixEncodeGuarded(spark, root, batch)
+    // full lands FIRST: a reader between the two appends then sees at
+    // worst a complete full/ with the batch not yet coarse-visible
+    // (one batch of staleness) — the reverse order would surface
+    // coarse candidates whose rerank rows don't exist yet (they'd
+    // silently drop from the join for the window)
+    guarded.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$root/full")
     guarded.select(col("vec_id"),
         slice(col("embedding"), 1, prefixDim).as("pvec"))
       .write.mode("append").parquet(s"$root/prefix")
-    guarded.select(col("vec_id"), col("embedding"))
-      .write.mode("append").parquet(s"$root/full")
     IndexCache.invalidate(root)
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
@@ -282,6 +287,13 @@ object Similarity {
     if (!fs.exists(marker)) {
       val (prefixDim, guarded0) = prefixEncodeGuarded(spark, root, batch)
       val guarded = guarded0.localCheckpoint(true)
+      // full lands first — see [[appendToPrefixIndex]]'s ordering note
+      val stagingF = new org.apache.hadoop.fs.Path(d,
+        s".staging-batch-$batchId-full")
+      guarded.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(stagingF.toString)
+      sweepAndMoveStaged(fs, stagingF,
+        new org.apache.hadoop.fs.Path(d, "full"), batchId)
       val stagingP = new org.apache.hadoop.fs.Path(d,
         s".staging-batch-$batchId-prefix")
       guarded.select(col("vec_id"),
@@ -289,12 +301,6 @@ object Similarity {
         .write.mode("overwrite").parquet(stagingP.toString)
       sweepAndMoveStaged(fs, stagingP,
         new org.apache.hadoop.fs.Path(d, "prefix"), batchId)
-      val stagingF = new org.apache.hadoop.fs.Path(d,
-        s".staging-batch-$batchId-full")
-      guarded.select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(stagingF.toString)
-      sweepAndMoveStaged(fs, stagingF,
-        new org.apache.hadoop.fs.Path(d, "full"), batchId)
       writeCommitMarker(fs, marker,
         guarded.agg(count(lit(1))).head().getLong(0).toString)
       IndexCache.invalidate(root)
