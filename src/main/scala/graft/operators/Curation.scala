@@ -655,6 +655,13 @@ object Curation {
     * bootstrapped over the SAME featurization of the initial corpus
     * (writeIvfIndex over hashEmbedVectors of the state's curated
     * text) — the drift guard then polices encoder/corpus skew.
+    *
+    * `compactEvery` (0 = never): every Nth batch the job compacts
+    * every index it maintains — the small-files decay is its own
+    * exhaust, and compaction is now a generation advance behind an
+    * atomic pointer flip ([[IndexGen]]), so it composes with live
+    * serving consumers without quiescing (the reason this could not
+    * be automated before round 11).
     */
   def startCorpusMaintenance(source: DataFrame, stateDir: String,
                              outDir: String, indexDir: String,
@@ -674,6 +681,7 @@ object Curation {
                              targetSources: Seq[String] =
                                Seq("src0", "src2", "src4"),
                              budget: Long = 512, shards: Int = 4,
+                             compactEvery: Int = 0,
                              triggerMs: Long = 3000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
@@ -721,6 +729,31 @@ object Curation {
         // index was built with — no hashFn plumbing to mismatch
         gramDir.foreach(gd => graft.operators.TextOps
           .appendToGramIndexCommitted(spark, gd, product, id))
+        // IN-STREAM COMPACTION (`compactEvery` > 0, every Nth batch):
+        // small-files decay is this job's own exhaust — every
+        // committed append lands a file per touched partition — so
+        // the job that causes it repairs it. Safe against its own
+        // serving consumers BY CONSTRUCTION now: every compaction is
+        // a generation advance behind an atomic pointer flip
+        // ([[IndexGen]]), so a concurrently-probing stream reads the
+        // prior generation intact — no quiescing, which is exactly
+        // why this could not be automated before round 11. A crash
+        // replay that re-runs the compaction just advances another
+        // (content-identical) generation; the committed appends
+        // short-circuit on their markers as always.
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          graft.operators.Similarity.compactIvfIndex(spark, indexDir)
+          sq8Dir.foreach(graft.operators.Similarity
+            .compactSidecar(spark, _, "codes"))
+          bqDir.foreach(graft.operators.Similarity
+            .compactSidecar(spark, _, "bits"))
+          prefixDir.foreach(graft.operators.Similarity
+            .compactPrefixIndex(spark, _))
+          bm25Dir.foreach(graft.operators.TextOps
+            .compactBm25Index(spark, _))
+          gramDir.foreach(graft.operators.TextOps
+            .compactGramIndex(spark, _))
+        }
         ()
       }
       .start()

@@ -363,6 +363,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Compact BOTH sublayouts of a [[writePrefixIndex]] layout in ONE
+    * generation advance (prefix + full each rewrite to
+    * `maxRecordsPerFile`-bounded files; meta and `_commits` markers
+    * copy forward; one pointer flip publishes). */
+  def compactPrefixIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxRecordsPerFile: Long = 0L): Unit =
+    IndexGen.advance(spark, dir) { (oldRoot, staging) =>
+      rewriteFlat(spark, oldRoot, staging, "prefix", maxRecordsPerFile)
+      rewriteFlat(spark, oldRoot, staging, "full", maxRecordsPerFile)
+    }
+
+  /** Small-files decay gauge: max parquet-file count over the
+    * sublayout's partitions (or the flat dir itself) — the signal an
+    * automated maintenance policy compacts on
+    * ([[graft.operators.Curation.startCorpusMaintenance]]'s
+    * `compactEvery` is cadence-based; this is the state-based dial
+    * for callers that prefer thresholds).
+    */
+  def maxFilesPerPartition(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, sub: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(IndexGen.root(spark, dir), sub)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    def filesIn(p: org.apache.hadoop.fs.Path): Int = {
+      val g = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.parquet"))
+      if (g == null) 0 else g.length
+    }
+    val parts = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    if (parts.isEmpty) filesIn(root)
+    else parts.map(st => filesIn(st.getPath)).max
+  }
+
   /** [[ensureIvfIndex]]'s build-once contract for the matryoshka
     * prefix layout. */
   def ensurePrefixIndex(spark: org.apache.spark.sql.SparkSession,

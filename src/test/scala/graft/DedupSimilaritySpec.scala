@@ -4051,6 +4051,74 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "post-rebuild probe must read the fresh generation")
   }
 
+  test("in-stream compaction: the maintenance job repairs its own small-files decay every Nth batch, probes stay green, markers survive") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val boot = (0L until 20L).map(i => (i, vec()))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("instream-compact").toString
+    val (idxDir, pfxDir, ckpt) = (s"$dir/ivf", s"$dir/pfx", s"$dir/ckpt")
+    Similarity.writeIvfIndex(boot, idxDir, nlist = 2, iters = 1)
+    Similarity.writePrefixIndex(boot, pfxDir, prefixDim = 4)
+    // drive the index legs directly (the full curation funnel is the
+    // other spec's job): a maintenance-shaped stream that appends a
+    // batch per trigger and compacts every 2nd batch id
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Similarity.appendToIvfIndexCommitted(batch.sparkSession, idxDir,
+          batch, id, maxDriftRatio = 1e9)
+        Similarity.appendToPrefixIndexCommitted(batch.sparkSession,
+          pfxDir, batch, id)
+        if (id > 0 && id % 2 == 0) {
+          Similarity.compactIvfIndex(batch.sparkSession, idxDir)
+          Similarity.compactPrefixIndex(batch.sparkSession, pfxDir)
+        }
+        ()
+      }
+      .start()
+    try {
+      for (b <- 0 until 3) {
+        mem.addData((100L + b * 10, vec()), (101L + b * 10, vec()))
+        q.processAllAvailable()
+      }
+    } finally { if (q.isActive) q.stop() }
+    // batch 2's compaction ran AFTER its own append: one file per
+    // partition remains despite 3 committed appends' decay
+    assert(Similarity.maxFilesPerPartition(spark, idxDir, "lists") == 1,
+      s"lists decay not repaired: " +
+        s"${Similarity.maxFilesPerPartition(spark, idxDir, "lists")}")
+    assert(Similarity.maxFilesPerPartition(spark, pfxDir, "prefix") == 1 &&
+      Similarity.maxFilesPerPartition(spark, pfxDir, "full") == 1)
+    // content intact: every appended row probe-visible, stats exact
+    assert(Similarity.indexedCorpusCount(spark, idxDir) == 26L)
+    val qv = spark.read
+      .parquet(s"${iroot(idxDir)}/lists")
+      .filter($"vec_id" === 120L).select($"embedding")
+      .as[Array[Float]].head()
+    assert(Similarity.ivfSearchIndexed(spark, idxDir, Seq((900L, qv)),
+      k = 1, nprobe = 2)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].head()
+      == ((120L, 1.0)))
+    assert(Similarity.prefixSearchIndexed(spark, pfxDir, Seq((901L, qv)),
+      cand = 5, k = 1)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].head()
+      == ((120L, 1.0)))
+    // markers survived the generation advances (replay still no-op)
+    val n = Similarity.indexedCorpusCount(spark, idxDir)
+    Similarity.appendToIvfIndexCommitted(spark, idxDir,
+      Seq((100L, vec())).toDF("vec_id", "embedding"), 0L,
+      maxDriftRatio = 1e9)
+    assert(Similarity.indexedCorpusCount(spark, idxDir) == n,
+      "a replayed batch must short-circuit on its carried-forward marker")
+  }
+
   test("index generations: a reader resolving mid-compaction gets old-or-new (never fails, never mixes); retention keeps one prior; rebuilds drop stale markers") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
