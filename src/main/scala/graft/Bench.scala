@@ -91,6 +91,30 @@ object Bench {
 
   private[graft] def msFmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
 
+  /** AMBIENT CALIBRATION row (round-11 verdict #4): a fixed
+    * CPU-bound Spark job over synthesized in-memory data — no IO, no
+    * shuffle-to-disk state, a deterministic hash fold over a fixed
+    * range at fixed parallelism — timed FIRST and LAST in every
+    * capture. Round-over-round drift adjudication then divides by
+    * the calibration instead of arguing by narrative: two captures
+    * of the same code whose battery totals differ 1.1× but whose
+    * calib rows also differ 1.1× are the SAME build under different
+    * ambient; a battery delta the calib row does not explain is a
+    * real regression. min-of-`runs`, the battery discipline.
+    */
+  private[graft] def calibSec(spark: SparkSession, runs: Int): Double = {
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      try {
+        spark.range(0L, 64L * 1000 * 1000, 1L, 32)
+          .selectExpr("sum(xxhash64(id * 2654435761)) AS h")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    if (times.contains(-1.0)) -1.0 else times.min
+  }
+
   /** Pack the stdout record under `budget` bytes: headline aggregates
     * plus as many per-query rows as fit, failures (-1) first, then
     * slowest-first — the rows a reader of a truncated capture most
@@ -164,6 +188,9 @@ object Bench {
       s"$sfDir/embeddings.parquet",
       graft.sources.Tables.embeddings(spark, sfDir))
     catch { case _: Throwable => () }
+    // calibration row BEFORE the battery (and again after): the
+    // ambient yardstick every drift claim must cite
+    val calibStart = calibSec(spark, runs)
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min-of-N: noop sink materializes every output column (count()
       // would let Catalyst prune projections and under-report)
@@ -200,6 +227,7 @@ object Bench {
     val streamFloors = Seq(
       "dam_stream_replay" -> floorOf(batched = false),
       "dam_stream_replay_batched" -> floorOf(batched = true))
+    val calibEnd = calibSec(spark, runs)
     val load1 = loadAvg()
     def ms(v: Double): String = msFmt(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
@@ -209,7 +237,17 @@ object Bench {
     val floorsJson = streamFloors
       .map { case (k, v) => "\"" + k + "\":" + msFmt(v) }
       .mkString("{", ",", "}")
-    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"stream_floor":$floorsJson,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs; stream_floor = same streaming machinery over an empty spool (fixed cost; steady-state = row - floor)","n_queries":${results.size}"""
+    // battery total per unit of calibration time: the
+    // ambient-normalized figure round-over-round comparison reads
+    // (calib = fixed CPU job, so total_per_calib cancels machine/
+    // ambient speed to first order)
+    val calibMean =
+      if (calibStart > 0 && calibEnd > 0) (calibStart + calibEnd) / 2
+      else -1.0
+    val totalPerCalib =
+      if (calibMean > 0 && results.nonEmpty) results.values.sum / calibMean
+      else -1.0
+    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"total_per_calib":${ms(totalPerCalib)},"load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"stream_floor":$floorsJson,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs; stream_floor = same streaming machinery over an empty spool (fixed cost; steady-state = row - floor)","n_queries":${results.size}"""
     // full record: every query — the committed artifact and the
     // last-run scratch file hold this
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$meta,"total_sec_tail":${ms(total)}}"""

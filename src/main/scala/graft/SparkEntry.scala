@@ -1513,6 +1513,61 @@ ORDER BY query_id, rank"""
     * survivors — `scored` is the exact-rescored candidate set, as in
     * [[pqScoredCtes]].
     */
+  /** DuckDB replay of Similarity.prefixIvfSearchIndexed: the k-means
+    * CTE chain trains on the SLICED source (prefixDim-dim cells —
+    * the geometry the coarse pass ranks in), each query's prefix
+    * probes its nprobe nearest centroids (sqDist ties to the smaller
+    * cid), the coarse prefix cosine ranks only rows whose list is
+    * probed, and the exact full-dim rerank scores the top-`cand`
+    * survivors — the pruning itself is replayed, not approximated by
+    * an exhaustive probe.
+    */
+  private def prefixIvfCtes(prefixDim: Int, nlist: Int, nprobe: Int,
+                            iters: Int, cand: Int,
+                            queryIds: Seq[Long]): String = {
+    val qIn = queryIds.mkString(", ")
+    val p = s"[1:$prefixDim]"
+    s"""WITH pfxsrc AS (
+  SELECT vec_id, embedding$p AS embedding FROM embeddings
+),
+${kmeansAssignCtes("pfxsrc", nlist, iters, prefixDim)},
+nn AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
+  FROM embeddings WHERE vec_id IN ($qIn)
+), qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${sqDistSql(s"q.embedding$p", "c.cent")}, c.cid) AS rn
+    FROM q CROSS JOIN c$iters c
+  ) WHERE rn <= $nprobe
+), ps AS (
+  SELECT qp.query_id, nn.vec_id,
+    round(${dotSql(s"nn.embedding$p", s"q.embedding$p")} /
+      (${normSql(s"nn.embedding$p")} * ${normSql(s"q.embedding$p")}), 4)
+      AS cos_sim
+  FROM nn JOIN af ON af.vec_id = nn.vec_id
+  JOIN qp ON qp.cid = af.cid
+  JOIN q ON q.query_id = qp.query_id
+  WHERE nn.vec_id <> qp.query_id
+), cut AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM ps WHERE NOT isnan(cos_sim)
+  ) WHERE rank <= $cand
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("nn.embedding", "q.embedding")} / (nn.norm * q.qnorm), 4)
+      AS cos_sim
+  FROM cut c JOIN nn ON nn.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)"""
+  }
+
   private def prefixRerankCtes(cand: Int, queryIds: Seq[Long]): String =
     s"""WITH nn AS (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm
@@ -3990,6 +4045,22 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         .collect().toSeq.sortBy(_._1)
       Similarity.prefixSearchIndexed(s, idx, qvecs, cand = 50)
     }),
+    // the SUB-LINEAR matryoshka serving path: centroids trained on
+    // the stored prefix, coarse pass reads only nprobe of nlist
+    // prefix lists (partition-pruned), full-dim rerank of the
+    // survivors — the pruned probe is oracle-replayed through the
+    // k-means CTE chain trained on the sliced source
+    "emb_prefix_ivf_indexed" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensurePrefixIvfIndex(s,
+        s"$d/embeddings.parquet", emb, prefixDim = 16, nlist = 16)
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
+        cand = 50)
+    }),
     // recall of the rerank funnel vs brute force — the dial that says
     // how much candidate width buys back from the truncation
     "emb_prefix_rerank_recall" -> ((s, d) => {
@@ -5973,6 +6044,16 @@ ORDER BY query_id, rank"""),
     // the durable layout probe is proven ≡ the one-shot funnel, so it
     // shares the oracle string verbatim (the *_indexed convention)
     "emb_prefix_indexed" -> (prefixRerankCtes(50, Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
+ORDER BY query_id, rank"""),
+
+    // the pruned probe replayed end-to-end: prefix-trained k-means,
+    // nprobe-list coarse pass, full-dim rerank
+    "emb_prefix_ivf_indexed" -> (prefixIvfCtes(prefixDim = 16,
+      nlist = 16, nprobe = 4, iters = 3, cand = 50,
+      Seq(0L, 1L, 2L)) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10

@@ -83,7 +83,7 @@ object Curation {
     funnelOf(stages(docs, lineMinDf, minJaccard, benchMod, decontamN,
       targetSources, budget, shards))
 
-  private def funnelOf(st: Stages): DataFrame = {
+  private[graft] def funnelOf(st: Stages): DataFrame = {
     def stat(name: String, df: DataFrame): DataFrame =
       df.select(TextOps.tokenCount(col("text")).as("nt"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -682,6 +682,7 @@ object Curation {
                                Seq("src0", "src2", "src4"),
                              budget: Long = 512, shards: Int = 4,
                              compactEvery: Int = 0,
+                             compactMaxRecordsPerFile: Long = 0L,
                              triggerMs: Long = 3000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
@@ -741,18 +742,27 @@ object Curation {
         // replay that re-runs the compaction just advances another
         // (content-identical) generation; the committed appends
         // short-circuit on their markers as always.
+        // `compactMaxRecordsPerFile` (0 = single file per sublayout/
+        // partition) bounds the rewrite's output files: the flat
+        // sidecars (SQ8 codes, BQ bits, prefix full vectors) coalesce
+        // to ONE writer task by default — fine at test scale, a
+        // single-task corpus rewrite inside the stream at warehouse
+        // scale. Production callers size this so each rewrite file
+        // stays a healthy parquet size and the rewrite parallelizes.
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-          graft.operators.Similarity.compactIvfIndex(spark, indexDir)
+          val mrpf = compactMaxRecordsPerFile
+          graft.operators.Similarity.compactIvfIndex(spark, indexDir,
+            mrpf)
           sq8Dir.foreach(graft.operators.Similarity
-            .compactSidecar(spark, _, "codes"))
+            .compactSidecar(spark, _, "codes", mrpf))
           bqDir.foreach(graft.operators.Similarity
-            .compactSidecar(spark, _, "bits"))
+            .compactSidecar(spark, _, "bits", mrpf))
           prefixDir.foreach(graft.operators.Similarity
-            .compactPrefixIndex(spark, _))
+            .compactPrefixIndex(spark, _, mrpf))
           bm25Dir.foreach(graft.operators.TextOps
-            .compactBm25Index(spark, _))
+            .compactBm25Index(spark, _, mrpf))
           gramDir.foreach(graft.operators.TextOps
-            .compactGramIndex(spark, _))
+            .compactGramIndex(spark, _, mrpf))
         }
         ()
       }

@@ -17,11 +17,13 @@ import org.apache.spark.sql.SparkSession
   *
   *  - STAMPS (cross-process): every cached entry carries a stamp
   *    built from FS METADATA ONLY (sublayout paths, child names,
-  *    mtimes, lengths — one listStatus, no Spark job). An append
-  *    lands new `b<id>-*` files (bumping its partition dirs), a dim
-  *    swap changes the resolved `<sub>_v<k>` path, a compaction or
-  *    rebuild changes the generation root — each changes the stamp
-  *    and the next read reloads.
+  *    mtimes, lengths, and file names one level inside partition
+  *    dirs — a bounded listStatus walk, no Spark job). An append
+  *    lands new `b<id>-*` files (new names in the stamp — visible
+  *    even where partition-dir mtimes never change, e.g. S3A
+  *    synthetic dirs), a dim swap changes the resolved `<sub>_v<k>`
+  *    path, a compaction or rebuild changes the generation root —
+  *    each changes the stamp and the next read reloads.
   *  - EXPLICIT (in-JVM): every append/swap/publish also invalidates
   *    its directory's entries directly, closing the sub-millisecond
   *    window where an FS mtime stamp could tie. A writer in ANOTHER
@@ -73,19 +75,41 @@ private[graft] object IndexCache {
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }
 
-  /** FS-metadata stamp of a directory's DIRECT children: names,
-    * mtimes, lengths — one listStatus, no Spark job. Appends bump
-    * their partition dirs' mtimes (files land inside), dim swaps and
-    * generation advances change the path itself, so every
-    * maintenance operation perturbs the stamp of what it touched.
+  /** FS-metadata stamp of a directory: its direct children's names,
+    * mtimes and lengths, AND — for children that are themselves
+    * directories (partition dirs of appended sublayouts) — the file
+    * names+lengths one level inside them. The second level is what
+    * makes an out-of-process append visible on object stores with
+    * SYNTHETIC directories (S3A): there a partition dir has no mtime
+    * to bump when `b<id>-*` files land inside it, so a
+    * first-level-only stamp would serve stale postings indefinitely.
+    * Folding the child file names in makes any append change the
+    * stamp on every filesystem. Cost: one listStatus per partition
+    * dir (bounded by the bucket count, metadata-only, no Spark job).
+    *
+    * Remaining FS scope, stated honestly: the sub-millisecond
+    * same-name-same-length overwrite tie is bounded by mtime
+    * granularity on HDFS-like filesystems; and the whole [[IndexGen]]
+    * publication design additionally assumes atomic rename, which
+    * raw S3 lacks (use a rename-atomic layer — HDFS, S3Guard-era
+    * committers, or a table format — under the index roots there).
     */
   def dirStamp(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) "absent"
     else fs.listStatus(p)
-      .map(st => s"${st.getPath.getName}:${st.getModificationTime}:" +
-        s"${st.getLen}")
+      .map { st =>
+        val base = s"${st.getPath.getName}:${st.getModificationTime}:" +
+          s"${st.getLen}"
+        if (!st.isDirectory) base
+        else {
+          val inner = fs.listStatus(st.getPath)
+            .map(f => s"${f.getPath.getName}:${f.getLen}")
+            .sorted.mkString(",")
+          s"$base[$inner]"
+        }
+      }
       .sorted.mkString("|")
   }
 }

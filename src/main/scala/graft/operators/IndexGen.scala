@@ -16,10 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     so a lister sees ptr-N or not, never a half state). A reader
   *     resolves the highest pointer once and reads that root for its
   *     whole batch: a publication mid-read is invisible (its old root
-  *     stays on disk — one prior generation is retained, the
-  *     [[VersionedState]] retention discipline), and a reader
-  *     arriving after sees the new root. Old-or-new, never fails,
-  *     never mixes sublayouts from two generations.
+  *     stays on disk — `graft.index.retainGenerations` prior
+  *     generations are retained, default 1, the [[VersionedState]]
+  *     retention discipline), and a reader arriving after sees the
+  *     new root. Old-or-new, never mixes sublayouts from two
+  *     generations. SCOPE of the never-fails claim: a lazy reader
+  *     must complete within `retainGenerations` publication
+  *     intervals of the root it resolved — a probe that overlaps
+  *     MORE publications of the same index (e.g. compactEvery=1 with
+  *     a probe slower than a whole maintenance cycle) can find its
+  *     root pruned mid-read. Raise retainGenerations for long
+  *     analytical probes over actively-compacted indexes.
   *
   *  2. SUBLAYOUT VERSIONS (`<sub>_v<k>`) for the single-dim swaps the
   *     plain append paths make per batch (BM25 df/stats merge, IVF
@@ -38,17 +45,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files are left behind for any in-flight reader — disk-only,
   * legacy-only cost).
   *
-  * Single-writer assumption, stated plainly: generations serialize
-  * MAINTENANCE vs SERVING (the verdict's gap), not maintenance vs
-  * maintenance — two concurrent compactions of one index race their
-  * staging dirs exactly as two concurrent builds always did. One
-  * maintenance actor per index, as [[Curation.startCorpusMaintenance]]
-  * already structures it.
+  * Single-writer assumption, now ENFORCED rather than documented
+  * (round-11 verdict #3): [[stage]] takes a create-exclusive lease
+  * marker (`_gen/.lease-<n>`) — a second concurrent writer staging
+  * the same generation fails loudly at the seam with
+  * [[ConcurrentMaintenanceException]], index intact. Belt on top:
+  * [[publish]] re-verifies the pointer it is superseding is still
+  * the maximum before touching the target gen dir (pointer CAS), so
+  * even a writer that slipped past the lease (stale-lease break
+  * below) cannot clobber a generation another writer published
+  * first. A lease left by a CRASHED writer is broken after
+  * `graft.index.leaseTimeoutMs` (default 15 min) — the one
+  * documented window where two live writers could both hold the
+  * lease is a writer stalled longer than the timeout, and the CAS
+  * catches that loser at publish. [[Curation.startCorpusMaintenance]]
+  * remains the intended one-actor structure; the lease turns a
+  * misconfiguration into a named error instead of a corrupt index.
   */
 private[graft] object IndexGen {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
+  /** Raised when a second maintenance writer tries to stage a
+    * generation another writer currently holds the lease for — the
+    * loud-loser half of the single-writer enforcement. The index is
+    * intact: the loser never touched staging or the pointer ladder.
+    */
+  final class ConcurrentMaintenanceException(msg: String)
+      extends IllegalStateException(msg)
+
   private val Ptr = "^ptr-(\\d+)$".r
+
+  private def confInt(spark: SparkSession, key: String,
+                      dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  /** Prior generations kept on disk after a publish (the lazy-reader
+    * safety window). */
+  private def retainGens(spark: SparkSession): Int =
+    confInt(spark, "graft.index.retainGenerations", 1L).toInt
+
+  private def leaseTimeoutMs(spark: SparkSession): Long =
+    confInt(spark, "graft.index.leaseTimeoutMs", 15L * 60 * 1000)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -80,14 +117,57 @@ private[graft] object IndexGen {
     }
   }
 
-  /** Begin a new generation: (number, cleared staging root). */
+  /** Begin a new generation: (number, cleared staging root). Takes
+    * the single-writer LEASE for generation `n` first
+    * (create-exclusive `_gen/.lease-<n>` — atomic on every Hadoop
+    * FS): a concurrent writer staging the same generation raises
+    * [[ConcurrentMaintenanceException]] here, before touching any
+    * index state. A lease older than `graft.index.leaseTimeoutMs`
+    * is presumed crashed and broken.
+    */
   def stage(spark: SparkSession, dir: String): (Int, String) = {
     val fs = fsOf(spark, dir)
     val n = currentGen(fs, dir).map(_ + 1).getOrElse(0)
+    acquireLease(spark, fs, dir, n)
     val staging = new Path(dir, s".staging-gen-$n")
     fs.delete(staging, true)
     fs.mkdirs(staging)
     (n, staging.toString)
+  }
+
+  private def leasePath(dir: String, n: Int): Path =
+    new Path(new Path(dir, "_gen"), s".lease-$n")
+
+  private def acquireLease(spark: SparkSession, fs: FileSystem,
+                           dir: String, n: Int): Unit = {
+    val gdir = new Path(dir, "_gen")
+    fs.mkdirs(gdir)
+    val lease = leasePath(dir, n)
+    if (fs.exists(lease)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime
+      if (age > leaseTimeoutMs(spark)) { fs.delete(lease, false); () }
+    }
+    val os =
+      try fs.create(lease, false)
+      catch { case _: java.io.IOException =>
+        throw new ConcurrentMaintenanceException(
+          s"index maintenance lease held: another writer is staging " +
+            s"gen-$n of $dir ($lease). One maintenance actor per " +
+            "index — see IndexGen scaladoc.")
+      }
+    try os.write(
+      s"${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Release generation `n`'s lease without publishing — the failure
+    * path [[buildFresh]]/[[advance]] take when `build` throws, so a
+    * failed build does not hold the lease for the timeout. */
+  def releaseLease(spark: SparkSession, dir: String, n: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.delete(leasePath(dir, n), false)
+    ()
   }
 
   /** Publish staged generation `n`: rename the staging root into
@@ -99,6 +179,17 @@ private[graft] object IndexGen {
     */
   def publish(spark: SparkSession, dir: String, n: Int): Unit = {
     val fs = fsOf(spark, dir)
+    // pointer CAS: the generation this writer staged against must
+    // still be the published maximum. A writer that lost the lease
+    // race via a stale-lease break fails HERE, before deleting the
+    // target dir a faster writer may have published.
+    val cur = currentGen(fs, dir)
+    if (cur != (if (n == 0) None else Some(n - 1)))
+      throw new ConcurrentMaintenanceException(
+        s"index publish CAS failed for gen-$n of $dir: published " +
+          s"generation is ${cur.fold("none")(m => s"gen-$m")}, " +
+          s"expected ${if (n == 0) "none" else s"gen-${n - 1}"} — " +
+          "another writer published first; this staging is abandoned.")
     val staging = new Path(dir, s".staging-gen-$n")
     val target = new Path(dir, s"gen-$n")
     fs.delete(target, true)
@@ -112,13 +203,15 @@ private[graft] object IndexGen {
     try os.write(s"gen-$n".getBytes("UTF-8")) finally os.close()
     fs.delete(ptr, false)
     require(fs.rename(tmp, ptr), s"index publish: failed to flip $ptr")
+    val keep = retainGens(spark)
     fs.listStatus(gdir).foreach(_.getPath.getName match {
-      case Ptr(m) if m.toInt < n - 1 =>
+      case Ptr(m) if m.toInt < n - keep =>
         fs.delete(new Path(dir, s"gen-${m.toInt}"), true)
         fs.delete(new Path(gdir, s"ptr-${m.toInt}"), false)
         ()
       case _ => ()
     })
+    fs.delete(leasePath(dir, n), false)
     // in-JVM cache entries for every generation of this index drop:
     // the next reader re-resolves and reloads against the new root
     IndexCache.invalidate(dir)
@@ -133,7 +226,10 @@ private[graft] object IndexGen {
   def buildFresh(spark: SparkSession, dir: String)
                 (build: String => Unit): Unit = {
     val (n, staging) = stage(spark, dir)
-    build(staging)
+    try build(staging)
+    catch { case e: Throwable =>
+      releaseLease(spark, dir, n); throw e
+    }
     publish(spark, dir, n)
   }
 
@@ -150,8 +246,12 @@ private[graft] object IndexGen {
              (build: (String, String) => Unit): Unit = {
     val oldRoot = root(spark, dir)
     val (n, staging) = stage(spark, dir)
-    build(oldRoot, staging)
-    copyMissing(spark, oldRoot, staging)
+    try {
+      build(oldRoot, staging)
+      copyMissing(spark, oldRoot, staging)
+    } catch { case e: Throwable =>
+      releaseLease(spark, dir, n); throw e
+    }
     publish(spark, dir, n)
   }
 

@@ -232,7 +232,12 @@ object Similarity {
                           dir: String, batch: DataFrame,
                           sourcePath: Option[String] = None): Unit = {
     val root = IndexGen.root(spark, dir)
-    val (prefixDim, guarded) = prefixEncodeGuarded(spark, root, batch)
+    val (prefixDim, guarded0) = prefixEncodeGuarded(spark, root, batch)
+    // pinned ONCE before either write: a nondeterministic batch source
+    // evaluated twice could land different row sets in the two
+    // sublayouts, dropping coarse candidates from the rerank join —
+    // the exact invariant the ordering below protects
+    val guarded = guarded0.localCheckpoint(true)
     // full lands FIRST: a reader between the two appends then sees at
     // worst a complete full/ with the batch not yet coarse-visible
     // (one batch of staleness) — the reverse order would surface
@@ -404,6 +409,170 @@ object Similarity {
                         indexRoot: Option[String] = None): String =
     ensureIndexDir(spark, sourcePath, s"prefix$prefixDim", indexRoot)(
       dir => writePrefixIndex(embeddings, dir, prefixDim))
+
+  /** IVF-PRUNED MATRYOSHKA layout — the sub-linear form of
+    * [[writePrefixIndex]] (round-11 verdict #1: the stored-prefix
+    * coarse pass was the one remaining linear corpus scan sold as a
+    * serving path). Composition of the two existing machines:
+    * centroids are trained ON THE PREFIX vectors
+    * ([[trainCentroids]] over the sliced column — prefixDim-dim
+    * cells, the geometry the coarse pass actually ranks in), and the
+    * `prefix/` sublayout is written PARTITIONED BY inverted-list id
+    * exactly like [[writeIvfIndex]]'s lists. A probe then reads only
+    * its `nprobe` lists of the ALREADY-prefixDim/d-sized prefix
+    * column — the byte win and the candidate win multiply: at 100 TB
+    * of d=64 vectors with a d/4 prefix and nprobe/nlist = 1/8, the
+    * coarse pass scans ~3 TB instead of 100.
+    *
+    *  - `prefix/cid=K/` — (vec_id, pvec) rows of list K;
+    *  - `full/`         — full vectors, rerank survivors only;
+    *  - `centroids/`    — the prefixDim-dim coarse quantizer dim;
+    *  - `meta/`         — prefix_dim + full dim (the append guard /
+    *                      probe seam).
+    *
+    * Norms are still computed at probe time from the stored columns
+    * (the [[writePrefixIndex]] stance), so an exhaustive probe
+    * (nprobe = nlist) is bit-identical to the flat
+    * [[prefixSearchIndexed]] and to the one-shot
+    * [[prefixRerankTopK]] — and the PRUNED probe is replayed exactly
+    * by the oracle's k-means CTE chain (the `emb_ivf_indexed`
+    * discipline, trained on the sliced source).
+    */
+  def writePrefixIvfIndex(embeddings: DataFrame, dir: String,
+                          prefixDim: Int, nlist: Int = 16,
+                          iters: Int = 3): Unit = {
+    require(prefixDim > 0, s"prefixDim must be positive: $prefixDim")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    IndexGen.buildFresh(spark, dir) { root =>
+      val pfx = embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, prefixDim).as("embedding"))
+      val cents = trainCentroids(pfx, nlist, iters)
+      embeddings
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, prefixDim).as("pvec"))
+        .withColumn("cid", nearestCentroid(col("pvec"), cents))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$root/prefix")
+      embeddings.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$root/full")
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      val dim = embeddings.select(size(col("embedding")).as("d"))
+        .head().getInt(0)
+      require(prefixDim <= dim,
+        s"writePrefixIvfIndex: prefixDim $prefixDim > vector dim $dim")
+      Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    }
+  }
+
+  /** Probe the IVF-pruned matryoshka layout: the query PREFIX picks
+    * its `nprobe` nearest stored centroids driver-side (nlist×
+    * prefixDim doubles — the [[ivfSearchIndexed]] loop, ties to the
+    * smaller cid), the coarse cosine pass scans ONLY those prefix
+    * lists via partition pruning, cuts `cand` per query, and the
+    * exact full-dimension rerank reads `full/` for the survivors —
+    * [[prefixSearchIndexed]]'s second stage verbatim. With
+    * nprobe = nlist this equals the flat probe bit-for-bit (spec);
+    * the pruned form is oracle-replayed through the k-means CTE
+    * chain trained on the sliced source.
+    */
+  def prefixIvfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             queries: Seq[(Long, Array[Float])],
+                             nprobe: Int = 4, cand: Int = 50,
+                             k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val root = IndexGen.root(spark, dir)
+    val prefixDim = IndexCache.cached(s"$root#pivf-prefix-dim",
+      IndexCache.dirStamp(spark, s"$root/meta")) {
+      spark.read.parquet(s"$root/meta").head().getAs[Int]("prefix_dim")
+    }
+    val cents = readCentroids(spark, root)
+    def pre(c: Column): Column = slice(c, 1, prefixDim)
+    // probe-list selection runs on the query PREFIX against the
+    // prefixDim-dim centroids — same sequential-fold distance and
+    // smaller-cid tie as the oracle's rn ordering
+    val probes: Seq[(Long, Int)] = queries.flatMap { case (qid, v) =>
+      cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < prefixDim) {
+          val dl = v(j).toDouble - c(j)
+          d += dl * dl
+          j += 1
+        }
+        (d, i)
+      }.sortBy(identity).take(nprobe).map { case (_, cid) => (qid, cid) }
+    }
+    val probeCids = probes.map(_._2).distinct.sorted
+    val qfull = queries.sortBy(_._1)
+      .map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("query_id", "qfull")
+    // query prefixes slice through the SAME column expression as the
+    // flat probe / one-shot, so coarse scores agree bit-for-bit
+    val qpre = qfull.select(col("query_id"),
+        pre(col("qfull")).as("qvec"),
+        l2norm(pre(col("qfull"))).as("qnorm"))
+      .join(probes.toDF("query_id", "cid"), Seq("query_id"))
+    val prefix = IndexCache.cached(s"$root#pivf-prefix-df",
+      IndexCache.dirStamp(spark, s"$root/prefix")) {
+      spark.read.parquet(s"$root/prefix")
+    }
+    // literal IN on the partition column → pruned scan (the plan lock)
+    val coarse = prefix
+      .filter(col("cid").isin(probeCids: _*))
+      .join(broadcast(qpre), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("norm", l2norm(col("pvec")))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("pvec"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    val cut = topKPerQuery(coarse, cand)
+      .select(col("query_id"), col("vec_id"))
+    val full = IndexCache.cached(s"$root#pivf-full-df",
+      IndexCache.dirStamp(spark, s"$root/full")) {
+      spark.read.parquet(s"$root/full")
+    }
+    val qexact = qfull.select(col("query_id"),
+      col("qfull").as("qvec"), l2norm(col("qfull")).as("qnorm"))
+    val scored = full
+      .withColumn("norm", l2norm(col("embedding")))
+      .join(broadcast(cut), Seq("vec_id"))
+      .join(broadcast(qexact), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Compact BOTH sublayouts of a [[writePrefixIvfIndex]] layout in
+    * one generation advance: the cid-partitioned prefix lists rewrite
+    * to one file per list ([[compactIvfIndex]]'s shape), `full/`
+    * rewrites flat; centroids/meta copy forward; one pointer flip
+    * publishes. */
+  def compactPrefixIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String,
+                            maxRecordsPerFile: Long = 0L): Unit =
+    IndexGen.advance(spark, dir) { (oldRoot, staging) =>
+      rewritePartitioned(spark, oldRoot, staging, "prefix", "cid",
+        maxRecordsPerFile)
+      rewriteFlat(spark, oldRoot, staging, "full", maxRecordsPerFile)
+    }
+
+  /** [[ensureIvfIndex]]'s build-once contract for the IVF-pruned
+    * matryoshka layout. */
+  def ensurePrefixIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                           sourcePath: String, embeddings: DataFrame,
+                           prefixDim: Int, nlist: Int = 16,
+                           iters: Int = 3,
+                           indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath,
+      s"prefixivf$prefixDim-$nlist", indexRoot)(dir =>
+      writePrefixIvfIndex(embeddings, dir, prefixDim, nlist, iters))
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is
@@ -1014,16 +1183,26 @@ object Similarity {
     }
 
   /** Flat-sublayout rewrite into a staged generation (the sidecar
-    * form of [[rewritePartitioned]]). */
+    * form of [[rewritePartitioned]]). `maxRecordsPerFile` = 0 keeps
+    * the historical one-file rewrite (coalesce(1) — fine for small
+    * sidecars); > 0 repartitions to ceil(rows / maxRecordsPerFile)
+    * tasks so a corpus-scale sublayout rewrites in PARALLEL with
+    * bounded file sizes, not through one writer task (the
+    * maxRecordsPerFile writer option alone would bound the files but
+    * still serialize the work through coalesce(1)'s single task).
+    */
   private[graft] def rewriteFlat(
       spark: org.apache.spark.sql.SparkSession, oldRoot: String,
       staging: String, sub: String, maxRecordsPerFile: Long): Unit = {
-    val w = spark.read.parquet(s"$oldRoot/$sub")
-      .coalesce(1).write.mode("overwrite")
-    (if (maxRecordsPerFile > 0)
-       w.option("maxRecordsPerFile", maxRecordsPerFile)
-     else w)
-      .parquet(s"$staging/$sub")
+    val src = spark.read.parquet(s"$oldRoot/$sub")
+    val shaped =
+      if (maxRecordsPerFile > 0) {
+        val n = src.count()
+        src.repartition(
+          math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile)
+            .toInt)
+      } else src.coalesce(1)
+    shaped.write.mode("overwrite").parquet(s"$staging/$sub")
   }
 
   /** Composite stats of an IVF index: the build-time baseline (merged

@@ -1954,6 +1954,108 @@ object TextOps {
     (out.toSeq, vocab)
   }
 
+  /** One PASS applying a SET of pairwise-independent merges: the
+    * [[bpeMergePair]] fold with the (l,r)→fused lookup as one map
+    * literal, so m merges cost ONE projection instead of m. The
+    * independence the caller guarantees (no two pairs share a symbol,
+    * and no pair's token equals another pair's fused string) is what
+    * makes the single simultaneous pass equal to applying the pairs
+    * sequentially in any order: occurrences of distinct pairs cannot
+    * overlap without sharing a symbol, and a fresh fusion can never
+    * complete another chosen pair when its string is not one of their
+    * tokens (BpeSpec brute-forces this equivalence).
+    */
+  private[graft] def bpeMergePairs(toks: Column,
+                                   pairs: Seq[(String, String)]): Column = {
+    val fuse = typedlit(pairs.map { case (l, r) =>
+      (l + " " + r, l + r)
+    }.toMap)
+    aggregate(toks, typedlit(Seq.empty[String]),
+      (acc, t) => {
+        // short-circuit keeps element_at off the empty accumulator
+        val fused = try_element_at(fuse,
+          concat(element_at(acc, -1), lit(" "), t))
+        when(size(acc) > 0 && fused.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+          .otherwise(concat(acc, array(t)))
+      })
+  }
+
+  /** BPE training at PRODUCTION merge counts (round-11 verdict #6):
+    * [[trainBpe]] drives one count job + one vocab rewrite per merge
+    * — fine for 8 rules, but a real vocab needs 10⁴–10⁵ merges and
+    * that many driver-sequenced Spark jobs is job-scheduling-bound
+    * (BpeProf measures the per-merge floor). This form picks the TOP
+    * `batchTopM` PAIRWISE-INDEPENDENT pairs per iteration (greedy
+    * down the exact (count desc, pair) order; independence = no
+    * shared symbol and no fused-string collision) and applies them in
+    * ONE pass ([[bpeMergePairs]]) — jobs drop from 2·merges to
+    * ≈ 2·merges/batchTopM.
+    *
+    * Fidelity, stated honestly: WITHIN an iteration the batch is
+    * provably identical to applying its pairs sequentially (the
+    * independence conditions — BpeSpec). ACROSS iterations this is
+    * the standard batched-BPE approximation: sequential BPE would
+    * recount after every merge, so a pair CREATED by an earlier merge
+    * in the batch can outrank a later batch pick; batched defers such
+    * pairs to the next iteration's count. `batchTopM = 1` is exactly
+    * [[trainBpe]].
+    */
+  def trainBpeBatched(docs: DataFrame, merges: Int = 1024,
+                      batchTopM: Int = 64): DataFrame = {
+    val (rules, vocab) = trainBpeBatchedState(docs, merges, batchTopM)
+    vocab.unpersist()
+    docs.sparkSession.createDataFrame(rules)
+      .toDF("step", "tok_l", "tok_r", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  private[graft] def trainBpeBatchedState(docs: DataFrame, merges: Int,
+                                          batchTopM: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(batchTopM >= 1, s"batchTopM must be >= 1: $batchTopM")
+    var vocab = bpeVocab(docs).localCheckpoint()
+    val out =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var dry = false
+    while (out.size < merges && !dry) {
+      val want = math.min(batchTopM, merges - out.size)
+      // an ordered slice wide enough to usually yield `want`
+      // independent pairs; a conflict-heavy slice just merges fewer
+      // this iteration (the next count sees them again)
+      val slice = bpePairCounts(vocab)
+        .orderBy(col("c").desc, col("tok_l"), col("tok_r"))
+        .limit(want * 4 + 8).collect()
+      if (slice.isEmpty) dry = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val chosen =
+          scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val it = slice.iterator
+        while (chosen.size < want && it.hasNext) {
+          val row = it.next()
+          val (l, r, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r) && !used(l + r)) {
+            chosen += ((l, r, c))
+            used += l; used += r; used += (l + r)
+          }
+        }
+        chosen.foreach { case (l, r, c) =>
+          out += ((out.size + 1L, l, r, c))
+        }
+        val prev = vocab
+        vocab = vocab
+          .withColumn("toks", bpeMergePairs(col("toks"),
+            chosen.map(p => (p._1, p._2)).toSeq))
+          .localCheckpoint()
+        prev.unpersist()
+        ()
+      }
+    }
+    (out.toSeq, vocab)
+  }
+
   /** APPLY the trained tokenizer: per-doc word and subword counts
     * under `merges` learned rules. Segmentation is a pure function of
     * the word, so docs join the KB-scale post-training vocab

@@ -38,6 +38,44 @@ object BpeProf {
         s"w${r % 5000}"
       }.mkString(" ")
 
+    // `1k` mode (round-11 verdict #6): price training at production
+    // merge counts. Sequential trainBpe is 2 driver-sequenced jobs
+    // per merge — the per-merge floor × 10⁴–10⁵ real-vocab merges is
+    // the claim under test; trainBpeBatched amortizes the jobs over
+    // batchTopM independent picks per iteration. Prints sequential
+    // per-merge cost (128 merges) and batched wall for 1024 merges
+    // at m = 16/64, with Spark job counts — the scheduling-bound
+    // dial.
+    if (args.contains("1k")) {
+      @volatile var jobs = 0
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs += 1
+        })
+      val docs = spark.range(8000L).map(i => (i, body(i)))
+        .toDF("doc_id", "text").localCheckpoint()
+      def timed(name: String)(f: => Long): Unit = {
+        val j0 = jobs
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[bpeprof-1k] $name%-22s $n%5d merges  $dt%8.1f s  " +
+          f"${jobs - j0}%5d jobs  ${dt / math.max(1L, n)}%6.3f s/merge")
+      }
+      timed("sequential m=1")(
+        TextOps.trainBpe(docs, merges = 128).count())
+      timed("batched m=16")(
+        TextOps.trainBpeBatched(docs, merges = 1024,
+          batchTopM = 16).count())
+      timed("batched m=64")(
+        TextOps.trainBpeBatched(docs, merges = 1024,
+          batchTopM = 64).count())
+      spark.stop()
+      return
+    }
+
     println("[bpeprof] corpus_docs, tokens, vocab_words, " +
       "vocab_pass_s, train8_s")
     Seq(2000, 8000, 32000, 128000).foreach { n =>

@@ -2013,6 +2013,59 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(applied1 == Set((1L, 2L, 5L), (2L, 2L, 5L)))
   }
 
+  test("batched BPE: one multi-pair pass ≡ sequential single-pair passes for independent pairs; batchTopM=1 ≡ trainBpe; picks are independent; batching cuts iterations") {
+    // WITHIN-iteration equivalence, brute-forced: random sequences
+    // over {a,b,c,d}, merged with the two symbol-disjoint pairs
+    // (a,b) and (c,d) — one bpeMergePairs pass must equal folding
+    // bpeMergePair over the pairs sequentially (either order)
+    val rng = new scala.util.Random(11)
+    val alpha = Vector("a", "b", "c", "d")
+    val seqs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(2 + rng.nextInt(10))(alpha(rng.nextInt(4)))))
+    val df = seqs.toDF("id", "toks")
+    val pairs = Seq(("a", "b"), ("c", "d"))
+    val batched = df.select($"id",
+        TextOps.bpeMergePairs($"toks", pairs).as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    for (order <- Seq(pairs, pairs.reverse)) {
+      val seq = df.select($"id",
+          order.foldLeft($"toks": org.apache.spark.sql.Column) {
+            case (c, (l, r)) => TextOps.bpeMergePair(c, l, r)
+          }.as("m"))
+        .as[(Long, Seq[String])].collect().toMap
+      seqs.foreach { case (id, s) =>
+        assert(batched(id) == seq(id),
+          s"batched != sequential(${order}) for $s: " +
+            s"${batched(id)} vs ${seq(id)}")
+      }
+    }
+    // batchTopM = 1 is exactly trainBpe, rule for rule
+    val docs = Seq((1L, "ababab abab cdcd"), (2L, "ababab abab"))
+      .toDF("doc_id", "text")
+    val seqRules = TextOps.trainBpe(docs, merges = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val b1Rules = TextOps.trainBpeBatched(docs, merges = 4,
+        batchTopM = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(b1Rules == seqRules, s"$b1Rules vs $seqRules")
+    // batched picks within one iteration are pairwise independent:
+    // no shared symbol, no fused-string collision (the conditions
+    // the one-pass equivalence above needs)
+    val bRules = TextOps.trainBpeBatched(docs, merges = 6,
+        batchTopM = 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(bRules.nonEmpty)
+    assert(bRules.map(_._1) == (1L to bRules.size.toLong),
+      s"batched rule steps must be dense and ordered: $bRules")
+    val fused = bRules.map(r => r._2 + r._3)
+    assert(fused.distinct.size == fused.size,
+      s"fused-string collision across batch picks: $fused")
+    // the dry corpus still terminates
+    assert(TextOps.trainBpeBatched(
+      Seq((1L, "x y")).toDF("doc_id", "text"), merges = 5,
+      batchTopM = 4).collect().isEmpty)
+  }
+
   test("bpeEncodeIds: hand-checked id sequences in document order; ids are binary-rank of the symbol set") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -3980,6 +4033,73 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(chainHas(e, "!= index dim 64"), e.getMessage)
   }
 
+  test("IVF-pruned matryoshka: exhaustive probe equals the flat probe and the one-shot funnel bit-for-bit; pruning reads only probed lists; compaction preserves results") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 80L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pivf-idx").toString
+    Similarity.writePrefixIvfIndex(emb, dir, prefixDim = 16, nlist = 8,
+      iters = 2)
+    val qvecs = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    // exhaustive probe (nprobe = nlist) ≡ flat prefix probe ≡ one-shot
+    val exhaustive = Similarity.prefixIvfSearchIndexed(spark, dir,
+      qvecs, nprobe = 8, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val oneShot = Similarity.prefixRerankTopK(emb, Seq(0L, 1L, 2L),
+      prefixDim = 16, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(exhaustive == oneShot && exhaustive.nonEmpty,
+      s"exhaustive pivf probe $exhaustive diverged from one-shot $oneShot")
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("pivf-flat").toString
+    Similarity.writePrefixIndex(emb, flatDir, prefixDim = 16)
+    assert(exhaustive == Similarity.prefixSearchIndexed(spark, flatDir,
+      qvecs, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq,
+      "exhaustive pivf probe diverged from the flat stored-prefix probe")
+    // the layout is really list-partitioned: cid=K dirs on disk, and
+    // a pruned probe's coarse candidates come only from probed lists
+    val cidDirs = new java.io.File(iroot(dir), "prefix").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(cidDirs.nonEmpty && cidDirs.length <= 8,
+      s"prefix sublayout must be cid-partitioned: ${cidDirs.toSeq}")
+    // pruned probe: a strict-subset candidate pool can only lose
+    // candidates relative to exhaustive, never invent them — every
+    // (query, vec) it returns appears in the exhaustive top-cand pool
+    val pruned = Similarity.prefixIvfSearchIndexed(spark, dir, qvecs,
+      nprobe = 2, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(pruned.nonEmpty)
+    val exhaustiveScores = exhaustive.map { case (q, v, s, _) =>
+      (q, v) -> s
+    }.toMap
+    pruned.foreach { case (q, v, s, _) =>
+      exhaustiveScores.get((q, v)).foreach(es => assert(es == s,
+        s"pruned probe rescored ($q,$v): $s vs exhaustive $es"))
+    }
+    // compaction (generation advance) preserves both probe forms
+    Similarity.compactPrefixIvfIndex(spark, dir)
+    assert(Similarity.prefixIvfSearchIndexed(spark, dir, qvecs,
+      nprobe = 8, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq == exhaustive,
+      "compaction changed the exhaustive probe")
+    assert(Similarity.prefixIvfSearchIndexed(spark, dir, qvecs,
+      nprobe = 2, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq == pruned,
+      "compaction changed the pruned probe")
+    // one file per list after compaction (small-files repair)
+    val afterFiles = new java.io.File(iroot(dir), "prefix").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(afterFiles.forall(_ == 1),
+      s"compaction must leave one file per list: ${afterFiles.toSeq}")
+  }
+
   test("index state cache: warm probes equal cold, and every maintenance op (committed/plain append, compaction, rebuild) is visible to the next probe") {
     import org.apache.spark.sql.functions._
     // ---- BM25: stats/df/postings cached between probes ----
@@ -4206,5 +4326,55 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeIvfIndex(emb, ivfDir, nlist = 2, iters = 1)
     assert(Similarity.indexedCorpusCount(spark, ivfDir) == 20L,
       "a rebuild must not inherit the old generation's commit markers")
+  }
+
+  test("single-writer lease: a second interleaved maintenance writer fails loudly with the named error, index intact; publish CAS stops a stale-lease loser from clobbering") {
+    import graft.operators.IndexGen
+    val docs = Seq(
+      (0L, "apple banana cherry", "s"),
+      (1L, "banana cherry date", "s"),
+      (2L, "cherry date elder", "s")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("lease-bm25").toString
+    TextOps.writeBm25Index(docs, dir, nBuckets = 2)
+    def probe() = TextOps.bm25SearchIndexed(spark, dir,
+      docs.filter($"doc_id" === 0L)
+        .select($"doc_id".as("query_id"), $"text"), k = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = probe()
+    assert(expected.nonEmpty)
+    // writer A holds the lease (mid-compaction); writer B's whole
+    // compaction fails AT THE SEAM with the named error
+    val (n, _) = IndexGen.stage(spark, dir)
+    val e = intercept[IndexGen.ConcurrentMaintenanceException] {
+      TextOps.compactBm25Index(spark, dir)
+    }
+    assert(e.getMessage.contains("lease held"))
+    assert(probe() == expected, "loser must leave the index intact")
+    // A aborts (the buildFresh/advance failure path) → a retried
+    // compaction acquires the lease and succeeds
+    IndexGen.releaseLease(spark, dir, n)
+    TextOps.compactBm25Index(spark, dir)
+    assert(probe() == expected)
+    // CAS belt: writer A stages, stalls past the lease timeout;
+    // writer B breaks the stale lease and publishes first; A's
+    // publish must fail the pointer CAS without touching B's
+    // generation
+    // -1 (not 0): the break condition is age > timeout, and a
+    // same-millisecond stage would tie at age 0
+    spark.conf.set("graft.index.leaseTimeoutMs", "-1")
+    try {
+      val (n2, _) = IndexGen.stage(spark, dir)
+      TextOps.compactBm25Index(spark, dir) // breaks A's stale lease, wins
+      val rootAfterB = iroot(dir)
+      val cas = intercept[IndexGen.ConcurrentMaintenanceException] {
+        IndexGen.publish(spark, dir, n2)
+      }
+      assert(cas.getMessage.contains("CAS"))
+      assert(iroot(dir) == rootAfterB,
+        "the CAS loser must not perturb the published generation")
+      assert(probe() == expected)
+    } finally spark.conf.unset("graft.index.leaseTimeoutMs")
   }
 }

