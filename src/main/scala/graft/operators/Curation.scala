@@ -257,6 +257,13 @@ object Curation {
     val glob = TextOps.dsirMassesWithDim(c3, dim).agg(
       sum(col("tmass").cast(d38)).cast(d38).as("st"),
       sum(col("rmass").cast(d38)).cast(d38).as("sr"))
+    // the KB-scale state pieces stay LAZY: an eager pin per dim was
+    // measured (CurationProf, round 12) to ADD net serial jobs —
+    // each localCheckpoint costs its own AQE stage chain (stateOf
+    // 10→25 jobs, +2 s warm) while the funnel's branch sharing is
+    // already handled by the b4/b5/b6 persists in
+    // [[incrementalStages]]. A production daily run reads these as
+    // persisted warehouse tables anyway (maintenanceStep).
     CorpusState(c3, lineDim,
       TextOps.benchGrams(c3.filter(col("doc_id") % benchMod === 0),
         decontamN, Dedup.md5Seeded),
@@ -316,7 +323,12 @@ object Curation {
         Seq("cluster_id"))
       .filter(col("doc_id") =!= col("best_doc"))
       .select(col("doc_id"))
+    // b4/b5/b6 feed MULTIPLE funnel branches (4/5/6/7); lazy PERSIST
+    // dedupes the shared work within the one funnel action without
+    // adding eager serial jobs (the localCheckpoint chain is already
+    // the instability amplifier this path is audited for)
     val b4 = cross.join(losers, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 5: the batch bench split (from b3, pre-dedup — bench membership
     // is not forfeited by losing dedup, same as the full pipeline)
     // contributes grams and leaves training
@@ -330,6 +342,7 @@ object Curation {
           hashFn = Dedup.md5Seeded)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 6: DSIR under the merged dim vs the corpus aggregate ratio
     val tgt = col("source").isin(targetSources: _*)
     val mergedDsir = TextOps.mergeDim(state.dsirDim,
@@ -337,6 +350,7 @@ object Curation {
     val keep = dsirKeepAgainst(
       TextOps.dsirMassesWithDim(b5, mergedDsir), state.dsirGlob)
     val b6 = b5.join(keep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = TextOps.packSequences(b6, budget, shards)
     Stages(raw, b2, b3, b4, b5, b6, packed)
   }
