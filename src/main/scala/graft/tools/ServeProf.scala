@@ -38,6 +38,80 @@ object ServeProf {
     val docs = Tables.documents(spark, d)
     val bmIdx = TextOps.ensureBm25Index(spark, s"$d/documents.parquet", docs)
 
+    // `lat` mode (round-11 verdict #7): per-probe LATENCY
+    // PERCENTILES and a concurrent-client capture — a serving claim
+    // needs p50/p99, not just throughput. Single-query probes against
+    // the one cached index (the request-path shape), k=5 nprobe=2;
+    // then 2 and 4 client threads loop the same query set against the
+    // SAME index concurrently, and every concurrent result must be
+    // BIT-IDENTICAL to the sequential baseline (the IndexCache /
+    // IndexGen reader contract under concurrency).
+    if (args.contains("lat")) {
+      val qs = Tables.embeddings(spark, d)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .limit(64).collect().toSeq
+      def probe(q: (Long, Array[Float])): (Double, Seq[String]) = {
+        val t0 = System.nanoTime()
+        val rows = Similarity.ivfSearchIndexed(spark, annIdx, Seq(q),
+            k = 5, nprobe = 2)
+          .collect().map(_.toString).toSeq
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      def pct(lats: Seq[Double], p: Double): Double = {
+        val s = lats.sorted
+        s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+      }
+      def report(name: String, lats: Seq[Double]): Unit =
+        println(f"[serveprof-lat] $name: n=${lats.size} " +
+          f"p50=${pct(lats, 0.50) * 1000}%.0f ms " +
+          f"p90=${pct(lats, 0.90) * 1000}%.0f ms " +
+          f"p99=${pct(lats, 0.99) * 1000}%.0f ms " +
+          f"min=${lats.min * 1000}%.0f ms max=${lats.max * 1000}%.0f ms")
+      probe(qs.head) // warm: JIT + index cache load
+      // sequential baseline: 3 passes over the query set; the result
+      // map is the bit-identity reference for the concurrent clients
+      val baseline = qs.map(q => q._1 -> probe(q)._2).toMap
+      val seqLats = (1 to 2).flatMap(_ => qs.map(q => probe(q)._1))
+      report("ann seq 1-client", seqLats)
+      for (clients <- Seq(2, 4)) {
+        val lats = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Double]())
+        @volatile var mismatch: Option[Long] = None
+        val threads = (0 until clients).map { t =>
+          new Thread(() => {
+            qs.foreach { q =>
+              val (lat, rows) = probe(q)
+              lats.add(lat)
+              if (rows != baseline(q._1)) mismatch = Some(q._1)
+            }
+          })
+        }
+        val t0 = System.nanoTime()
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(mismatch.isEmpty,
+          s"concurrent probe diverged from sequential on query " +
+            s"${mismatch.get}")
+        import scala.jdk.CollectionConverters._
+        report(f"ann $clients-client (bit-identical, " +
+          f"${clients * qs.size / wall}%.1f q/s aggregate)",
+          lats.asScala.toSeq)
+      }
+      // BM25 single-probe percentiles (whole-doc worst-case queries)
+      val bq = docs.select($"doc_id", $"text").as[(Long, String)]
+        .limit(32).collect().toSeq
+      def bmProbe(q: (Long, String)): Double = {
+        val t0 = System.nanoTime()
+        TextOps.bm25SearchIndexed(spark, bmIdx,
+          Seq(q).toDF("query_id", "text"), k = 5).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      bmProbe(bq.head)
+      report("bm25 seq 1-client", bq.map(bmProbe))
+      spark.stop()
+      return
+    }
+
     // ANN query load: real corpus vectors (every probe hits k real
     // neighbors), Q queries split over B micro-batches
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_PROF_BATCHES", "4").toInt
