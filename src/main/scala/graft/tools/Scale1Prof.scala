@@ -22,6 +22,60 @@ import org.apache.spark.sql.functions._
   * shifted copies (vector duplication doesn't change scan/ADC cost).
   */
 object Scale1Prof {
+
+  /** Synthesize the NON-document tables at 10× for the `tail` mode:
+    * per copy k, primary keys shift by k·(max+1) and every foreign
+    * key shifts by ITS table's stride, so referential joins stay
+    * consistent and key cardinality scales 10×; region/nation stay
+    * fixed (TPC-H keeps them constant with SF); event user_ids shift
+    * so per-user row counts hold while the user population grows.
+    */
+  private def synthesizeAllTables(spark: SparkSession, sf01: String,
+                                  sf1: String): Unit = {
+    def stride(path: String, key: String): Long =
+      spark.read.parquet(path).agg(max(col(key))).head().getLong(0) + 1
+    def build(table: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val dst = s"$sf1/$table.parquet"
+      if (!new java.io.File(dst).exists()) {
+        val src = spark.read.parquet(s"$sf01/$table.parquet")
+        (0 until 10).map(k => copy(src, k)).reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(dst)
+        println(s"[scale1-tail] built $dst")
+      }
+    }
+    def copyDim(table: String): Unit = {
+      val dst = s"$sf1/$table.parquet"
+      if (!new java.io.File(dst).exists()) {
+        spark.read.parquet(s"$sf01/$table.parquet")
+          .write.mode("overwrite").parquet(dst)
+        println(s"[scale1-tail] copied dim $dst")
+      }
+    }
+    copyDim("region"); copyDim("nation")
+    val cust = stride(s"$sf01/customer.parquet", "c_custkey")
+    val supp = stride(s"$sf01/supplier.parquet", "s_suppkey")
+    val part = stride(s"$sf01/part.parquet", "p_partkey")
+    val ord = stride(s"$sf01/orders.parquet", "o_orderkey")
+    val ev = stride(s"$sf01/events.parquet", "event_id")
+    val usr = stride(s"$sf01/events.parquet", "user_id")
+    build("customer")((df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(k * cust)))
+    build("supplier")((df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * supp)))
+    build("part")((df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * part)))
+    build("orders")((df, k) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * ord))
+      .withColumn("o_custkey", col("o_custkey") + lit(k * cust)))
+    build("lineitem")((df, k) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(k * ord))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * part))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(k * supp)))
+    build("events")((df, k) => df
+      .withColumn("event_id", col("event_id") + lit(k * ev))
+      .withColumn("user_id", col("user_id") + lit(k * usr)))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,6 +109,52 @@ object Scale1Prof {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
       println(s"[scale1] built $sf1")
+    }
+
+    // `tail` mode (round-11 verdict #5): the checkpoint above covers
+    // the 10 heaviest rows; the battery's 180-row tail was argued
+    // from plan shape only. This synthesizes the REMAINING tables at
+    // 10× (key-shifted copies: primary and foreign keys shift
+    // together so joins stay consistent and key cardinalities scale;
+    // region/nation stay fixed dims, the TPC-H convention; event
+    // timestamps keep their window — 10× traffic in the same hours,
+    // the production shape) and runs the FULL battery at both
+    // scales. Planted-fixture rows (doc_id < 300 etc.) are
+    // constant-input by construction and should land ≈0; the audit
+    // flag is exponent > 1.3 on any row.
+    if (args.contains("tail")) {
+      synthesizeAllTables(spark, sf01, sf1)
+      val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      def time1(name: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        try {
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[scale1-tail] $name@$dir failed: ${e.getMessage}")
+            -1.0
+        }
+      }
+      // full warmup pass at sf0.1 (JIT + index builds) so cold-start
+      // doesn't deflate the measured exponents of the early rows
+      names.foreach(time1(_, sf01))
+      var flagged = List.empty[String]
+      names.foreach { name =>
+        val t01 = time1(name, sf01)
+        val t1 = time1(name, sf1)
+        val exp =
+          if (t01 > 0 && t1 > 0) math.log10(t1 / t01) else Double.NaN
+        if (exp > 1.3) flagged ::= name
+        println(f"[scale1-tail] $name%-32s sf0.1=$t01%7.2f  " +
+          f"sf1=$t1%8.2f  exp=$exp%5.2f")
+      }
+      println(s"[scale1-tail] FLAGGED(>1.3): " +
+        (if (flagged.isEmpty) "none" else flagged.sorted.mkString(", ")))
+      spark.stop()
+      return
     }
 
     val rows = Seq(
