@@ -685,6 +685,7 @@ object Curation {
                              sq8Dir: Option[String] = None,
                              bqDir: Option[String] = None,
                              prefixDir: Option[String] = None,
+                             prefixIvfDir: Option[String] = None,
                              bm25Dir: Option[String] = None,
                              gramDir: Option[String] = None,
                              featurizer: Option[DataFrame => DataFrame] =
@@ -734,6 +735,9 @@ object Curation {
           .appendToBqIndexCommitted(spark, bd, feats, id))
         prefixDir.foreach(pd => graft.operators.Similarity
           .appendToPrefixIndexCommitted(spark, pd, feats, id))
+        prefixIvfDir.foreach(pd => graft.operators.Similarity
+          .appendToPrefixIvfIndexCommitted(spark, pd, feats, id,
+            maxDriftRatio))
         bm25Dir.foreach(bm => graft.operators.TextOps
           .appendToBm25IndexCommitted(spark, bm, product, id))
         // the decontam gram index tracks the CURATED corpus too, so
@@ -773,6 +777,8 @@ object Curation {
             .compactSidecar(spark, _, "bits", mrpf))
           prefixDir.foreach(graft.operators.Similarity
             .compactPrefixIndex(spark, _, mrpf))
+          prefixIvfDir.foreach(graft.operators.Similarity
+            .compactPrefixIvfIndex(spark, _, mrpf))
           bm25Dir.foreach(graft.operators.TextOps
             .compactBm25Index(spark, _, mrpf))
           gramDir.foreach(graft.operators.TextOps

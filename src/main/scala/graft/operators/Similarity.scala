@@ -466,7 +466,92 @@ object Similarity {
         s"writePrefixIvfIndex: prefixDim $prefixDim > vector dim $dim")
       Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      // drift-guard baseline over PREFIX distances (the geometry the
+      // coarse quantizer ranks in) — the [[writeIvfIndex]] stats
+      // contract, so [[readIvfStats]] and the committed-append
+      // markers compose unchanged
+      val base = embeddings
+        .select(array_min(centroidDistArray(
+          slice(col("embedding"), 1, prefixDim), cents))
+          .getField("d").as("d"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsumD(col("d")).as("sum_sqdist"))
+        .head()
+      writeIvfStats(spark, root, base.getAs[Long]("n"),
+        base.getAs[Double]("sum_sqdist"))
     }
+  }
+
+  /** EXACTLY-ONCE append to a [[writePrefixIvfIndex]] layout — the
+    * daily-ingest form for the IVF-pruned matryoshka index, composing
+    * the two committed-append contracts it derives from: batch
+    * prefixes are assigned to the STORED prefix centroids under the
+    * [[appendToIvfIndex]] drift guard (mean squared nearest-centroid
+    * distance IN PREFIX SPACE vs the recorded baseline — stale
+    * centroids silently strand new vectors in far lists), and both
+    * sublayouts land staged under deterministic `b<id>-*` names with
+    * the marker last ([[appendToPrefixIndexCommitted]]'s two-sublayout
+    * crash story; `full/` lands FIRST for the same
+    * coarse-candidates-must-rerank ordering reason). The marker
+    * carries the stats contribution, so [[readIvfStats]] composes
+    * baseline + markers exactly as on the dense IVF layout.
+    */
+  def appendToPrefixIvfIndexCommitted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, batchId: Long, maxDriftRatio: Double = 4.0,
+      sourcePath: Option[String] = None): Unit = {
+    val root = IndexGen.root(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(root)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(d, s"_commits/batch-$batchId")
+    if (!fs.exists(marker)) {
+      val (prefixDim, guarded) = prefixEncodeGuarded(spark, root, batch)
+      val cents = readCentroids(spark, root)
+      val (n0, s0) = readIvfStats(spark, root)
+      require(n0 > 0, s"index at $root has an empty baseline — rebuild it")
+      val best = array_min(centroidDistArray(
+        slice(col("embedding"), 1, prefixDim), cents))
+      val assigned = guarded
+        .withColumn("cid", best.getField("cid"))
+        .withColumn("__d", best.getField("d"))
+        .localCheckpoint(true)
+      val agg = assigned
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsumD(col("__d")).as("sum_sqdist"))
+        .head()
+      val nb = agg.getAs[Long]("n")
+      val sb = agg.getAs[Double]("sum_sqdist")
+      if (nb > 0) {
+        if (sb / nb > maxDriftRatio * (s0 / n0))
+          throw new IllegalStateException(
+            f"prefix-IVF append drift guard: batch mean sq-dist " +
+              f"${sb / nb}%.4f exceeds $maxDriftRatio× the index " +
+              f"baseline ${s0 / n0}%.4f — rebuild (writePrefixIvfIndex) " +
+              "instead of appending")
+        val stagingF = new org.apache.hadoop.fs.Path(d,
+          s".staging-batch-$batchId-full")
+        assigned.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(stagingF.toString)
+        sweepAndMoveStaged(fs, stagingF,
+          new org.apache.hadoop.fs.Path(d, "full"), batchId)
+        val stagingP = new org.apache.hadoop.fs.Path(d,
+          s".staging-batch-$batchId-prefix")
+        assigned
+          .select(col("vec_id"),
+            slice(col("embedding"), 1, prefixDim).as("pvec"), col("cid"))
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(stagingP.toString)
+        sweepAndMoveStaged(fs, stagingP,
+          new org.apache.hadoop.fs.Path(d, "prefix"), batchId)
+        writeCommitMarker(fs, marker, s"$nb $sb")
+        IndexCache.invalidate(root)
+      } else {
+        writeCommitMarker(fs, marker, s"0 0.0")
+        ()
+      }
+    }
+    sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
   /** Probe the IVF-pruned matryoshka layout: the query PREFIX picks

@@ -4098,6 +4098,47 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(afterFiles.forall(_ == 1),
       s"compaction must leave one file per list: ${afterFiles.toSeq}")
+    // COMMITTED APPEND: an exact clone of query 0 lands in both
+    // sublayouts under one marker and ranks 1.0 on the next probe;
+    // results equal the one-shot over the union corpus
+    val clone = Seq((500L, qvecs.head._2)).toDF("vec_id", "embedding")
+    Similarity.appendToPrefixIvfIndexCommitted(spark, dir, clone, 1L)
+    val afterAppend = Similarity.prefixIvfSearchIndexed(spark, dir,
+      qvecs, nprobe = 8, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(afterAppend.head == ((0L, 500L, 1.0, 1L)),
+      s"appended clone must rank first: ${afterAppend.take(3)}")
+    assert(afterAppend ==
+      Similarity.prefixRerankTopK(emb.union(clone), Seq(0L, 1L, 2L),
+        prefixDim = 16, cand = 10, k = 5)
+        .as[(Long, Long, Double, Long)].collect().toSeq,
+      "append must equal the one-shot over the union")
+    // stats compose baseline + marker, replay is a marker no-op
+    assert(Similarity.indexedCorpusCount(spark, dir) == 81L)
+    Similarity.appendToPrefixIvfIndexCommitted(spark, dir, clone, 1L)
+    assert(Similarity.indexedCorpusCount(spark, dir) == 81L,
+      "replaying a committed prefix-IVF append must be a no-op")
+    assert(Similarity.prefixIvfSearchIndexed(spark, dir, qvecs,
+      nprobe = 8, cand = 10, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq == afterAppend)
+    // drift guard: a batch far outside the trained prefix cells
+    // refuses loudly instead of silently degrading recall
+    val far = Seq((900L, Array.fill(64)(100.0f)))
+      .toDF("vec_id", "embedding")
+    val drift = intercept[IllegalStateException] {
+      Similarity.appendToPrefixIvfIndexCommitted(spark, dir, far, 2L)
+    }
+    assert(drift.getMessage.contains("drift guard"), drift.getMessage)
+    // wrong-dim batch fails at the meta seam with both dims named
+    def chainHas2(t: Throwable, m: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(e => Option(e.getMessage).exists(_.contains(m)))
+    val badDim = Seq((901L, Array.fill(32)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val eDim = intercept[Exception] {
+      Similarity.appendToPrefixIvfIndexCommitted(spark, dir, badDim, 3L)
+    }
+    assert(chainHas2(eDim, "!= index dim 64"), eDim.getMessage)
   }
 
   test("index state cache: warm probes equal cold, and every maintenance op (committed/plain append, compaction, rebuild) is visible to the next probe") {
