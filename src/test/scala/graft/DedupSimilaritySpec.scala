@@ -3429,6 +3429,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (s"$dir/state", s"$dir/out", s"$dir/idx", s"$dir/src", s"$dir/ckpt")
     val (sq8Dir, bqDir) = (s"$dir/sq8", s"$dir/bq")
     val pfxDir = s"$dir/prefix"
+    val pivfDir = s"$dir/prefixivf"
     new java.io.File(srcDir).mkdirs()
     val st0 = Curation.stateOf(corpus)
     Curation.writeState(st0, stateDir)
@@ -3440,6 +3441,8 @@ class DedupSimilaritySpec extends SparkSpecBase {
     Similarity.writeSq8Index(bootVecs, sq8Dir)
     Similarity.writeBqIndex(bootVecs, bqDir)
     Similarity.writePrefixIndex(bootVecs, pfxDir, prefixDim = 16)
+    Similarity.writePrefixIvfIndex(bootVecs, pivfDir, prefixDim = 16,
+      nlist = 4, iters = 2)
     val n0 = Similarity.indexedCorpusCount(spark, idxDir)
     val sq8N0 = spark.read.parquet(s"${iroot(sq8Dir)}/codes").count()
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3460,7 +3463,8 @@ class DedupSimilaritySpec extends SparkSpecBase {
         .option("maxFilesPerTrigger", 1).json(srcDir),
       stateDir, outDir, idxDir, ckpt,
       maxDriftRatio = 100.0, sq8Dir = Some(sq8Dir), bqDir = Some(bqDir),
-      prefixDir = Some(pfxDir), triggerMs = 100L)
+      prefixDir = Some(pfxDir), prefixIvfDir = Some(pivfDir),
+      triggerMs = 100L)
     val q1 = startStream()
     q1.processAllAvailable()
     Files.write(Paths.get(s"$srcDir/b2.json"), Seq(
@@ -3491,6 +3495,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
       == (p0 ++ p1).toSeq.sorted)
     assert(sidecarIds(s"${iroot(pfxDir)}/full").sorted
       == (p0 ++ p1).toSeq.sorted)
+    // ...and the IVF-pruned prefix leg: both sublayouts + stats
+    assert(sidecarIds(s"${iroot(pivfDir)}/prefix").sorted
+      == (p0 ++ p1).toSeq.sorted)
+    assert(sidecarIds(s"${iroot(pivfDir)}/full").sorted
+      == (p0 ++ p1).toSeq.sorted)
+    assert(Similarity.indexedCorpusCount(spark, pivfDir)
+      == n0 + p0.size + p1.size,
+      "prefix-IVF stats must track baseline + both committed batches")
     assert(spark.read.parquet(s"${iroot(sq8Dir)}/codes").count()
       == sq8N0 + p0.size + p1.size)
     // probe-visibility through the composed featurization: a product
@@ -3516,6 +3528,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
       Seq((9200L, qv)), cand = 5, k = 1)
       .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
     assert(pfxHit.head == ((someId, 1.0)), s"prefix probe: ${pfxHit.toSeq}")
+    // ...and through the PRUNED matryoshka funnel (exhaustive probe
+    // so the planted row cannot hide in an unprobed list)
+    val pivfHit = Similarity.prefixIvfSearchIndexed(spark, pivfDir,
+      Seq((9300L, qv)), nprobe = 4, cand = 5, k = 1)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(pivfHit.head == ((someId, 1.0)),
+      s"prefix-IVF probe: ${pivfHit.toSeq}")
     // ---- crash between sink commit and checkpoint commit: batch 1
     // replays END TO END; neither state may double-apply
     val vBefore = new java.io.File(stateDir).listFiles().map(_.getName)
@@ -3535,6 +3554,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(sidecarIds(s"${iroot(sq8Dir)}/codes").sorted == (p0 ++ p1).toSeq.sorted &&
       sidecarIds(s"${iroot(bqDir)}/bits").sorted == (p0 ++ p1).toSeq.sorted,
       "replay double-appended a sidecar")
+    assert(sidecarIds(s"${iroot(pivfDir)}/prefix").sorted
+      == (p0 ++ p1).toSeq.sorted &&
+      Similarity.indexedCorpusCount(spark, pivfDir)
+        == n0 + p0.size + p1.size,
+      "replay double-appended the prefix-IVF leg")
     // ---- crash BEFORE the marker (the not-yet-committed half of the
     // append): deleting the marker simulates it — the replay re-moves
     // deterministically named files over the stale ones, never doubles
