@@ -106,8 +106,11 @@ object Bench {
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
       try {
+        // bit_xor, not sum: summing 64M hashed longs overflows
+        // bigint under ANSI (Spark 4 default) — xor is overflow-free
+        // and identically CPU-bound
         spark.range(0L, 64L * 1000 * 1000, 1L, 32)
-          .selectExpr("sum(xxhash64(id * 2654435761)) AS h")
+          .selectExpr("bit_xor(xxhash64(id * 2654435761)) AS h")
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }

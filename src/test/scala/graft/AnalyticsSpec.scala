@@ -37,6 +37,14 @@ class AnalyticsSpec extends SparkSpecBase {
       "the exact round-7 scenario must be refused")
   }
 
+  test("bench calibration row: the fixed CPU job actually runs (a failing expression would silently record -1 and void drift adjudication)") {
+    // round-12 regression guard: the first calib expression summed
+    // 64M hashed longs and ARITHMETIC_OVERFLOWed under ANSI — the
+    // catch-all turned that into a silent -1 in the artifact
+    val c = Bench.calibSec(spark, runs = 1)
+    assert(c > 0, s"calibration job must complete, got $c")
+  }
+
   test("bench short line: fits the driver's tail window, failures first") {
     // round-8 advice #1: the driver keeps only the last ~2000 chars of
     // sbt output, and the full 152-query record outgrew it — the r8
