@@ -103,7 +103,7 @@ object Bench {
     * real regression. min-of-`runs`, the battery discipline.
     */
   private[graft] def calibSec(spark: SparkSession, runs: Int): Double = {
-    val times = (1 to runs).map { _ =>
+    def once(): Double = {
       val t0 = System.nanoTime()
       try {
         // bit_xor, not sum: summing 64M hashed longs overflows
@@ -115,6 +115,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // one UNRECORDED warmup: the first execution pays JIT for this
+    // expression (measured 2.6× the warm floor in the r12 capture) —
+    // an ambient probe wants steady-state, not compiler state
+    once()
+    val times = (1 to runs).map(_ => once())
     if (times.contains(-1.0)) -1.0 else times.min
   }
 

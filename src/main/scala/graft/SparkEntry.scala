@@ -4061,6 +4061,23 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
         cand = 50)
     }),
+    // recall@10 of the PRUNED matryoshka funnel vs brute force — the
+    // dial that prices what nprobe/nlist list pruning costs on top of
+    // the truncation (compare against emb_prefix_rerank_recall, the
+    // unpruned funnel's dial)
+    "emb_prefix_ivf_recall" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensurePrefixIvfIndex(s,
+        s"$d/embeddings.parquet", emb, prefixDim = 16, nlist = 16)
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.recallAtK(
+        Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
+          cand = 50),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
     // recall of the rerank funnel vs brute force — the dial that says
     // how much candidate width buys back from the truncation
     "emb_prefix_rerank_recall" -> ((s, d) => {
@@ -6058,6 +6075,12 @@ SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
 ORDER BY query_id, rank"""),
+
+    // recall dial of the pruned funnel: the shared recall tail over
+    // the pruned-probe CTE chain (scored = its reranked survivors)
+    "emb_prefix_ivf_recall" -> (prefixIvfCtes(prefixDim = 16,
+      nlist = 16, nprobe = 4, iters = 3, cand = 50,
+      Seq(0L, 1L, 2L)) + recallTailSql("pivf")),
 
     // recall@10 of the rerank funnel vs exact brute force
     "emb_prefix_rerank_recall" ->
