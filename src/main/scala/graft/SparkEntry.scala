@@ -1524,15 +1524,17 @@ ORDER BY query_id, rank"""
     */
   private def prefixIvfCtes(prefixDim: Int, nlist: Int, nprobe: Int,
                             iters: Int, cand: Int,
-                            queryIds: Seq[Long]): String = {
+                            queryIds: Seq[Long],
+                            corpusFilter: Option[String] = None): String = {
     val qIn = queryIds.mkString(", ")
     val p = s"[1:$prefixDim]"
+    val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
     s"""WITH pfxsrc AS (
   SELECT vec_id, embedding$p AS embedding FROM embeddings
 ),
 ${kmeansAssignCtes("pfxsrc", nlist, iters, prefixDim)},
 nn AS (
-  SELECT vec_id, embedding, ${normSql("embedding")} AS norm
+  SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
@@ -1552,7 +1554,7 @@ nn AS (
   FROM nn JOIN af ON af.vec_id = nn.vec_id
   JOIN qp ON qp.cid = af.cid
   JOIN q ON q.query_id = qp.query_id
-  WHERE nn.vec_id <> qp.query_id
+  WHERE nn.vec_id <> qp.query_id$cFil
 ), cut AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
@@ -4061,6 +4063,23 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
         cand = 50)
     }),
+    // FILTERED search on the pruned matryoshka layout: the label
+    // predicate rides the pruned coarse scan as a pushed parquet
+    // filter (the layout carries the column — columnar at rest, so
+    // unfiltered probes never read it), filtered rows never eat
+    // candidate slots
+    "emb_prefix_ivf_filtered" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensurePrefixIvfIndex(s,
+        s"$d/embeddings.parquet", emb, prefixDim = 16, nlist = 16,
+        carryCols = Seq("label"))
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
+        cand = 50, pred = Some(col("label").isin(3, 7)))
+    }),
     // recall@10 of the PRUNED matryoshka funnel vs brute force — the
     // dial that prices what nprobe/nlist list pruning costs on top of
     // the truncation (compare against emb_prefix_rerank_recall, the
@@ -6071,6 +6090,16 @@ ORDER BY query_id, rank"""),
     "emb_prefix_ivf_indexed" -> (prefixIvfCtes(prefixDim = 16,
       nlist = 16, nprobe = 4, iters = 3, cand = 50,
       Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
+ORDER BY query_id, rank"""),
+
+    // filtered search: identical pruned replay with the label
+    // predicate on the corpus side of the coarse stage
+    "emb_prefix_ivf_filtered" -> (prefixIvfCtes(prefixDim = 16,
+      nlist = 16, nprobe = 4, iters = 3, cand = 50, Seq(0L, 1L, 2L),
+      corpusFilter = Some("nn.label IN (3, 7)")) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10

@@ -440,7 +440,8 @@ object Similarity {
     */
   def writePrefixIvfIndex(embeddings: DataFrame, dir: String,
                           prefixDim: Int, nlist: Int = 16,
-                          iters: Int = 3): Unit = {
+                          iters: Int = 3,
+                          carryCols: Seq[String] = Nil): Unit = {
     require(prefixDim > 0, s"prefixDim must be positive: $prefixDim")
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -448,9 +449,16 @@ object Similarity {
       val pfx = embeddings.select(col("vec_id"),
         slice(col("embedding"), 1, prefixDim).as("embedding"))
       val cents = trainCentroids(pfx, nlist, iters)
+      // carryCols: metadata columns stored IN the prefix sublayout so
+      // a FILTERED probe's predicate rides the pruned coarse scan as
+      // a pushed parquet filter. Cost is at-rest bytes only: parquet
+      // is columnar, so an UNfiltered probe's ReadSchema never touches
+      // the carried columns — one shared index serves every filter
+      // over the carried set.
       embeddings
-        .select(col("vec_id"),
-          slice(col("embedding"), 1, prefixDim).as("pvec"))
+        .select((Seq(col("vec_id"),
+          slice(col("embedding"), 1, prefixDim).as("pvec")) ++
+          carryCols.map(col)): _*)
         .withColumn("cid", nearestCentroid(col("pvec"), cents))
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
@@ -536,9 +544,18 @@ object Similarity {
           new org.apache.hadoop.fs.Path(d, "full"), batchId)
         val stagingP = new org.apache.hadoop.fs.Path(d,
           s".staging-batch-$batchId-prefix")
+        // a CARRYING layout's appended rows must carry the same
+        // metadata columns, or filtered probes would read nulls for
+        // them and silently exclude every appended row — the carried
+        // set is discovered from the stored schema, and a batch
+        // missing one fails loudly at the select
+        val carried = spark.read.parquet(s"$root/prefix")
+          .schema.fieldNames
+          .filterNot(Set("vec_id", "pvec", "cid")).toSeq
         assigned
-          .select(col("vec_id"),
-            slice(col("embedding"), 1, prefixDim).as("pvec"), col("cid"))
+          .select((Seq(col("vec_id"),
+            slice(col("embedding"), 1, prefixDim).as("pvec")) ++
+            carried.map(col) :+ col("cid")): _*)
           .repartition(col("cid"))
           .write.mode("overwrite").partitionBy("cid")
           .parquet(stagingP.toString)
@@ -569,7 +586,8 @@ object Similarity {
                              dir: String,
                              queries: Seq[(Long, Array[Float])],
                              nprobe: Int = 4, cand: Int = 50,
-                             k: Int = 10): DataFrame = {
+                             k: Int = 10,
+                             pred: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val root = IndexGen.root(spark, dir)
     val prefixDim = IndexCache.cached(s"$root#pivf-prefix-dim",
@@ -607,9 +625,14 @@ object Similarity {
       IndexCache.dirStamp(spark, s"$root/prefix")) {
       spark.read.parquet(s"$root/prefix")
     }
-    // literal IN on the partition column → pruned scan (the plan lock)
-    val coarse = prefix
-      .filter(col("cid").isin(probeCids: _*))
+    // literal IN on the partition column → pruned scan (the plan
+    // lock). A FILTERED search's metadata predicate restricts the
+    // CORPUS side here, BEFORE scoring — on a layout built with
+    // `carryCols` it lands on the same pruned scan as a pushed
+    // parquet filter, and filtered-out rows never eat candidate
+    // slots (never a post-ranking drop, the [[ivfTopK]] contract).
+    val pruned0 = prefix.filter(col("cid").isin(probeCids: _*))
+    val coarse = pred.map(pruned0.filter).getOrElse(pruned0)
       .join(broadcast(qpre), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("norm", l2norm(col("pvec")))
@@ -649,15 +672,21 @@ object Similarity {
     }
 
   /** [[ensureIvfIndex]]'s build-once contract for the IVF-pruned
-    * matryoshka layout. */
+    * matryoshka layout. `carryCols` is part of the layout tag: a
+    * carrying index is a different at-rest shape, so a filtered
+    * deployment and a plain one never share (or clobber) a dir. */
   def ensurePrefixIvfIndex(spark: org.apache.spark.sql.SparkSession,
                            sourcePath: String, embeddings: DataFrame,
                            prefixDim: Int, nlist: Int = 16,
                            iters: Int = 3,
-                           indexRoot: Option[String] = None): String =
-    ensureIndexDir(spark, sourcePath,
-      s"prefixivf$prefixDim-$nlist", indexRoot)(dir =>
-      writePrefixIvfIndex(embeddings, dir, prefixDim, nlist, iters))
+                           carryCols: Seq[String] = Nil,
+                           indexRoot: Option[String] = None): String = {
+    val tag = s"prefixivf$prefixDim-$nlist" +
+      (if (carryCols.isEmpty) "" else carryCols.mkString("+", "+", ""))
+    ensureIndexDir(spark, sourcePath, tag, indexRoot)(dir =>
+      writePrefixIvfIndex(embeddings, dir, prefixDim, nlist, iters,
+        carryCols))
+  }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-0.5, 0.5). Fixed seed — index build is

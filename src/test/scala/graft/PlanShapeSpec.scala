@@ -349,6 +349,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("collect_top_k"))
     assert(!p.contains("CartesianProduct"),
       "the pruned coarse pass must join on cid, never cross-join")
+    // FILTERED search: the metadata predicate reaches the SAME pruned
+    // scan as a pushed parquet filter (the layout carries the column)
+    // — never a post-scan drop of most of the scanned bytes
+    val pf = executedPlan("emb_prefix_ivf_filtered")
+    assert("PartitionFilters: \\[cid#\\d+ IN".r.findFirstIn(pf).isDefined)
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findFirstIn(pf).isDefined,
+      "label predicate must push into the pruned prefix scan:\n" +
+        pf.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
   }
 
   test("bloom split-leakage: train scan pruned by the holdout sketch, no train-scale broadcast") {
