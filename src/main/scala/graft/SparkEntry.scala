@@ -1525,10 +1525,15 @@ ORDER BY query_id, rank"""
   private def prefixIvfCtes(prefixDim: Int, nlist: Int, nprobe: Int,
                             iters: Int, cand: Int,
                             queryIds: Seq[Long],
-                            corpusFilter: Option[String] = None): String = {
+                            corpusFilter: Option[String] = None,
+                            queryPred: Option[String] = None): String = {
     val qIn = queryIds.mkString(", ")
     val p = s"[1:$prefixDim]"
     val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
+    // queryPred replaces the driver-side id list — the table-vs-index
+    // (prefixIvfKnnJoin) replay, where the query side is a predicate
+    // over the same table rather than an enumerated list
+    val qSel = queryPred.getOrElse(s"vec_id IN ($qIn)")
     s"""WITH pfxsrc AS (
   SELECT vec_id, embedding$p AS embedding FROM embeddings
 ),
@@ -1538,7 +1543,7 @@ nn AS (
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
-  FROM embeddings WHERE vec_id IN ($qIn)
+  FROM embeddings WHERE $qSel
 ), qp AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
@@ -4063,6 +4068,19 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
         cand = 50)
     }),
+    // table-vs-index kNN JOIN over the pruned matryoshka layout:
+    // every 97th vector is a query ROW (never a driver-side list),
+    // prefix assignment scan-local, coarse join on the list id,
+    // full-dim rerank of the cand survivors
+    "emb_prefix_ivf_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensurePrefixIvfIndex(s,
+        s"$d/embeddings.parquet", emb, prefixDim = 16, nlist = 16)
+      Similarity.prefixIvfKnnJoin(s, idx,
+        emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id"), col("embedding")),
+        k = 10, nprobe = 4, cand = 50)
+    }),
     // FILTERED search on the pruned matryoshka layout: the label
     // predicate rides the pruned coarse scan as a pushed parquet
     // filter (the layout carries the column — columnar at rest, so
@@ -6090,6 +6108,16 @@ ORDER BY query_id, rank"""),
     "emb_prefix_ivf_indexed" -> (prefixIvfCtes(prefixDim = 16,
       nlist = 16, nprobe = 4, iters = 3, cand = 50,
       Seq(0L, 1L, 2L)) + s"""
+SELECT query_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10
+ORDER BY query_id, rank"""),
+
+    // table-vs-index replay: same pruned CTE chain with the query
+    // side as a predicate over the table
+    "emb_prefix_ivf_knn_join" -> (prefixIvfCtes(prefixDim = 16,
+      nlist = 16, nprobe = 4, iters = 3, cand = 50, Seq(),
+      queryPred = Some("(vec_id % 97) = 0")) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= 10

@@ -582,6 +582,16 @@ object Similarity {
     * the pruned form is oracle-replayed through the k-means CTE
     * chain trained on the sliced source.
     */
+  /** (prefix_dim, full dim) of a [[writePrefixIvfIndex]] layout,
+    * cached per generation root. */
+  private def prefixIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                            root: String): (Int, Int) =
+    IndexCache.cached(s"$root#pivf-meta",
+      IndexCache.dirStamp(spark, s"$root/meta")) {
+      val r = spark.read.parquet(s"$root/meta").head()
+      (r.getAs[Int]("prefix_dim"), r.getAs[Int]("dim"))
+    }
+
   def prefixIvfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                              dir: String,
                              queries: Seq[(Long, Array[Float])],
@@ -590,10 +600,7 @@ object Similarity {
                              pred: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val root = IndexGen.root(spark, dir)
-    val prefixDim = IndexCache.cached(s"$root#pivf-prefix-dim",
-      IndexCache.dirStamp(spark, s"$root/meta")) {
-      spark.read.parquet(s"$root/meta").head().getAs[Int]("prefix_dim")
-    }
+    val (prefixDim, _) = prefixIvfMeta(spark, root)
     val cents = readCentroids(spark, root)
     def pre(c: Column): Column = slice(c, 1, prefixDim)
     // probe-list selection runs on the query PREFIX against the
@@ -670,6 +677,111 @@ object Similarity {
         maxRecordsPerFile)
       rewriteFlat(spark, oldRoot, staging, "full", maxRecordsPerFile)
     }
+
+  /** Approximate kNN JOIN against the IVF-pruned matryoshka layout —
+    * the table-vs-index form of [[prefixIvfSearchIndexed]] (the
+    * [[knnJoinIndexed]] contract on this layout): `queries` is a
+    * DataFrame of full-dim (vec_id, embedding) rows, potentially
+    * corpus-sized, so nothing routes through a driver-side list.
+    * Each query's PREFIX is assigned its `nprobe` nearest stored
+    * prefix centroids SCAN-LOCALLY (sorted (d, cid) struct array
+    * against the broadcast centroid literal, ties to the smaller
+    * cid), exploded to (cid, query) and equi-joined against the
+    * cid-partitioned prefix lists; the coarse prefix cosine cuts
+    * `cand` per query and the exact full-dim rerank reads `full/`
+    * for the survivors. Shuffles carry (cid, query-prefix) pairs and
+    * the cand·|queries| survivor dim — never an n×m product; both
+    * rankings are bounded CollectTopK. Self-matches excluded.
+    */
+  def prefixIvfKnnJoin(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, k: Int = 10,
+                       nprobe: Int = 4, cand: Int = 50): DataFrame = {
+    val root = IndexGen.root(spark, dir)
+    val (prefixDim, fullDim) = prefixIvfMeta(spark, root)
+    // seam-level dim check (the knnJoinIndexed contract): a query
+    // side from the wrong encoder fails here with both dims named
+    queries.select(size(col("embedding"))).take(1).foreach { r =>
+      require(r.getInt(0) == fullDim,
+        s"prefixIvfKnnJoin: query embedding dim ${r.getInt(0)} != " +
+          s"index dim $fullDim at $root — the query side was " +
+          "featurized for a different index")
+    }
+    val cents = readCentroids(spark, root)
+    def pre(c: Column): Column = slice(c, 1, prefixDim)
+    val assigned = queries
+      .select(col("vec_id").as("query_id"),
+        pre(col("embedding")).as("qvec"),
+        l2norm(pre(col("embedding"))).as("qnorm"),
+        explode(transform(
+          slice(array_sort(centroidDistArray(pre(col("embedding")),
+            cents)), 1, nprobe),
+          p => p.getField("cid"))).as("cid"))
+    val prefix = IndexCache.cached(s"$root#pivf-prefix-df",
+      IndexCache.dirStamp(spark, s"$root/prefix")) {
+      spark.read.parquet(s"$root/prefix")
+    }
+    val coarse = prefix
+      .join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("norm", l2norm(col("pvec")))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("pvec"), col("qvec")) /
+          (col("norm") * col("qnorm")), 4).as("cos_sim"))
+    val cut = topKPerQuery(coarse, cand)
+      .select(col("query_id"), col("vec_id"))
+    val full = IndexCache.cached(s"$root#pivf-full-df",
+      IndexCache.dirStamp(spark, s"$root/full")) {
+      spark.read.parquet(s"$root/full")
+    }
+    val qexact = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qfull"), l2norm(col("embedding")).as("qn"))
+    val scored = full
+      .withColumn("norm", l2norm(col("embedding")))
+      .join(cut, Seq("vec_id"))
+      .join(qexact, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qfull")) /
+          (col("norm") * col("qn")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** [[serveAnnBatch]] on the matryoshka layout: one query
+    * micro-batch through [[prefixIvfKnnJoin]], results
+    * batch-partitioned with replay-idempotent overwrite. */
+  def servePrefixIvfBatch(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, batch: DataFrame, batchId: Long,
+                          outDir: String, k: Int = 10, nprobe: Int = 4,
+                          cand: Int = 50): Unit =
+    prefixIvfKnnJoin(spark, dir, batch, k, nprobe, cand)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** [[startAnnServing]] on the matryoshka layout — a stream of
+    * full-dim query vectors served through the pruned-prefix coarse
+    * pass + full-dim rerank. Every batch re-resolves the index, so
+    * maintenance appends ([[appendToPrefixIvfIndexCommitted]] /
+    * the composed nightly job's `prefixIvfDir` leg) are visible to
+    * the NEXT serving batch with no restart.
+    */
+  def startPrefixIvfServing(queries: DataFrame, dir: String,
+                            outDir: String, checkpointDir: String,
+                            k: Int = 10, nprobe: Int = 4,
+                            cand: Int = 50, triggerMs: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        servePrefixIvfBatch(batch.sparkSession, dir, batch, id, outDir,
+          k, nprobe, cand)
+        ()
+      }
+      .start()
 
   /** [[ensureIvfIndex]]'s build-once contract for the IVF-pruned
     * matryoshka layout. `carryCols` is part of the layout tag: a

@@ -4165,6 +4165,54 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(chainHas2(eDim, "!= index dim 64"), eDim.getMessage)
   }
 
+  test("prefix-IVF serving stream: batches served through the pruned funnel equal the direct join; a maintenance append is visible to the NEXT batch without restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("pivf-serve").toString
+    Similarity.writePrefixIvfIndex(emb, dir, prefixDim = 16, nlist = 4,
+      iters = 2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("pivf-serve-out").toString
+    val q1 = (0L until 3L)
+      .map(i => (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(q1)
+    val stream = Similarity.startPrefixIvfServing(
+      mem.toDF().toDF("vec_id", "embedding"), dir, s"$tmp/out",
+      s"$tmp/ckpt", k = 3, nprobe = 4, cand = 10, triggerMs = 50L)
+    try {
+      stream.processAllAvailable()
+      val served0 = spark.read.parquet(s"$tmp/out")
+        .filter($"batch_id" === 0)
+        .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+      val direct = Similarity.prefixIvfKnnJoin(spark, dir,
+        q1.toDF("vec_id", "embedding"), k = 3, nprobe = 4, cand = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+      assert(served0 == direct && served0.nonEmpty,
+        s"served $served0 != direct $direct")
+      // maintenance lands a clone of query 1000 between batches —
+      // the NEXT serving batch must see it at cosine 1.0, no restart
+      Similarity.appendToPrefixIvfIndexCommitted(spark, dir,
+        Seq((777L, q1.head._2)).toDF("vec_id", "embedding"), 10L,
+        maxDriftRatio = 1e9)
+      mem.addData(q1)
+      stream.processAllAvailable()
+      val served1 = spark.read.parquet(s"$tmp/out")
+        .filter($"batch_id" === 1 && $"query_id" === 1000L &&
+          $"rank" === 1)
+        .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+      assert(served1.head == ((777L, 1.0)),
+        s"appended clone must top the next batch: ${served1.toSeq}")
+    } finally stream.stop()
+  }
+
   test("index state cache: warm probes equal cold, and every maintenance op (committed/plain append, compaction, rebuild) is visible to the next probe") {
     import org.apache.spark.sql.functions._
     // ---- BM25: stats/df/postings cached between probes ----
