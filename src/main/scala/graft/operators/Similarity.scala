@@ -503,6 +503,13 @@ object Similarity {
     * coarse-candidates-must-rerank ordering reason). The marker
     * carries the stats contribution, so [[readIvfStats]] composes
     * baseline + markers exactly as on the dense IVF layout.
+    *
+    * Deliberately NO plain (non-committed) variant: this layout
+    * exists for serving pipelines, and every maintenance path that
+    * feeds it can replay (the composed nightly job, any
+    * foreachBatch) — a bare append that double-counts stats on
+    * replay would be a trap with no caller here. One-off rebuilds
+    * go through [[writePrefixIvfIndex]].
     */
   def appendToPrefixIvfIndexCommitted(
       spark: org.apache.spark.sql.SparkSession, dir: String,

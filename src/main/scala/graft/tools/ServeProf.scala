@@ -137,6 +137,31 @@ object ServeProf {
         f"batches=$nBatches)")
     }
 
+    // matryoshka serving leg: the same query load through the
+    // pruned-prefix coarse pass + full-dim rerank
+    // (startPrefixIvfServing), beside the dense-IVF q/s above
+    val pivfIdx = Similarity.ensurePrefixIvfIndex(spark,
+      s"$d/embeddings.parquet", Tables.embeddings(spark, d),
+      prefixDim = 16, nlist = 16)
+    locally {
+      val mem = MemoryStream[(Long, Array[Float])]
+      annQueries.grouped(perBatch).foreach(b => mem.addData(b.toSeq))
+      val out = s"$tmp/pivf/out"
+      val t0 = System.nanoTime()
+      val q = Similarity.startPrefixIvfServing(
+        mem.toDF().toDF("vec_id", "embedding"), pivfIdx, out,
+        s"$tmp/pivf/ckpt", k = 5, nprobe = 4, cand = 50,
+        triggerMs = 1L)
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val served = spark.read.parquet(out)
+        .select($"query_id").distinct().count()
+      println(f"[serveprof] prefix-ivf k=5 nprobe=4 cand=50: " +
+        f"${annQueries.length} queries / $sec%.2f s = " +
+        f"${annQueries.length / sec}%.0f q/s (served=$served, " +
+        f"batches=$nBatches)")
+    }
+
     // BM25 query load: real document texts (worst-case long queries —
     // every token of the doc is a query term)
     val bmPerBatch = sys.env.getOrElse("SPARK_GRAFT_PROF_BM_QPB", "128").toInt
