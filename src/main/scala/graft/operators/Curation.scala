@@ -323,12 +323,18 @@ object Curation {
         Seq("cluster_id"))
       .filter(col("doc_id") =!= col("best_doc"))
       .select(col("doc_id"))
-    // b4/b5/b6 feed MULTIPLE funnel branches (4/5/6/7); lazy PERSIST
-    // dedupes the shared work within the one funnel action without
-    // adding eager serial jobs (the localCheckpoint chain is already
-    // the instability amplifier this path is audited for)
+    // b4/b5/b6 feed MULTIPLE funnel branches (4/5/6/7); a LAZY
+    // localCheckpoint dedupes the shared work within the one funnel
+    // action without adding eager serial jobs (the eager-pin chain
+    // is the instability amplifier this path is audited for), and —
+    // unlike persist() — registers no CacheManager entry: a
+    // long-running maintenance stream calling this per micro-batch
+    // must not accumulate cached plans that only an explicit
+    // unpersist would release (blocks here are RDD-lifecycle-owned,
+    // reclaimed by the ContextCleaner like every other
+    // localCheckpoint on this path)
     val b4 = cross.join(losers, Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // 5: the batch bench split (from b3, pre-dedup — bench membership
     // is not forfeited by losing dedup, same as the full pipeline)
     // contributes grams and leaves training
@@ -342,7 +348,7 @@ object Curation {
           hashFn = Dedup.md5Seeded)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // 6: DSIR under the merged dim vs the corpus aggregate ratio
     val tgt = col("source").isin(targetSources: _*)
     val mergedDsir = TextOps.mergeDim(state.dsirDim,
@@ -350,7 +356,7 @@ object Curation {
     val keep = dsirKeepAgainst(
       TextOps.dsirMassesWithDim(b5, mergedDsir), state.dsirGlob)
     val b6 = b5.join(keep, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val packed = TextOps.packSequences(b6, budget, shards)
     Stages(raw, b2, b3, b4, b5, b6, packed)
   }

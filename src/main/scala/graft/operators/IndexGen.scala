@@ -179,6 +179,20 @@ private[graft] object IndexGen {
     */
   def publish(spark: SparkSession, dir: String, n: Int): Unit = {
     val fs = fsOf(spark, dir)
+    // ANY publish failure releases this writer's lease: a transient
+    // FS error here would otherwise lock the index's maintenance
+    // against the writer's OWN retry for the whole lease timeout
+    // (stage() of the same n finds the orphaned lease and refuses).
+    // The CAS-loser case is covered too — the winner already deleted
+    // lease-n at its own publish, so the extra delete is a no-op.
+    try publishInner(spark, fs, dir, n)
+    catch { case e: Throwable =>
+      fs.delete(leasePath(dir, n), false); throw e
+    }
+  }
+
+  private def publishInner(spark: SparkSession, fs: FileSystem,
+                           dir: String, n: Int): Unit = {
     // pointer CAS: the generation this writer staged against must
     // still be the published maximum. A writer that lost the lease
     // race via a stale-lease break fails HERE, before deleting the
@@ -204,14 +218,21 @@ private[graft] object IndexGen {
     fs.delete(ptr, false)
     require(fs.rename(tmp, ptr), s"index publish: failed to flip $ptr")
     val keep = retainGens(spark)
+    val Lease = "^\\.lease-(\\d+)$".r
     fs.listStatus(gdir).foreach(_.getPath.getName match {
       case Ptr(m) if m.toInt < n - keep =>
         fs.delete(new Path(dir, s"gen-${m.toInt}"), true)
         fs.delete(new Path(gdir, s"ptr-${m.toInt}"), false)
         ()
+      // leases at or below the just-published generation are spent
+      // (their publication happened or was abandoned) — prune them so
+      // a crash between pointer flip and lease delete cannot leave a
+      // permanent marker
+      case Lease(m) if m.toInt <= n =>
+        fs.delete(new Path(gdir, s".lease-${m.toInt}"), false)
+        ()
       case _ => ()
     })
-    fs.delete(leasePath(dir, n), false)
     // in-JVM cache entries for every generation of this index drop:
     // the next reader re-resolves and reloads against the new root
     IndexCache.invalidate(dir)

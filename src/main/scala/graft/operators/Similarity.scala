@@ -200,20 +200,23 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     IndexGen.buildFresh(spark, dir) { root =>
+      // dim guard FIRST (one sampled row): slice() silently truncates
+      // a too-large prefixDim — validate before the two corpus-scale
+      // writes, not after. The full dimension is recorded beside the
+      // prefix width because the append guard needs it (a shorter
+      // appended vector would yield a short pvec whose probe dot
+      // fails rows-deep instead of at the seam — the BQ meta
+      // contract).
+      val dim = embeddings.select(size(col("embedding")).as("d"))
+        .head().getInt(0)
+      require(prefixDim <= dim,
+        s"writePrefixIndex: prefixDim $prefixDim > vector dim $dim")
       embeddings
         .select(col("vec_id"),
           slice(col("embedding"), 1, prefixDim).as("pvec"))
         .write.mode("overwrite").parquet(s"$root/prefix")
       embeddings.select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$root/full")
-      // full dimension recorded beside the prefix width: the append
-      // guard needs it (a shorter appended vector would yield a
-      // short pvec whose probe dot fails rows-deep instead of at the
-      // seam — the BQ meta contract)
-      val dim = embeddings.select(size(col("embedding")).as("d"))
-        .head().getInt(0)
-      require(prefixDim <= dim,
-        s"writePrefixIndex: prefixDim $prefixDim > vector dim $dim")
       Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     }
@@ -446,6 +449,13 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     IndexGen.buildFresh(spark, dir) { root =>
+      // dim guard FIRST (one sampled row): slice() silently truncates
+      // a too-large prefixDim, so validating after the corpus writes
+      // would burn two full-corpus passes before aborting
+      val dim = embeddings.select(size(col("embedding")).as("d"))
+        .head().getInt(0)
+      require(prefixDim <= dim,
+        s"writePrefixIvfIndex: prefixDim $prefixDim > vector dim $dim")
       val pfx = embeddings.select(col("vec_id"),
         slice(col("embedding"), 1, prefixDim).as("embedding"))
       val cents = trainCentroids(pfx, nlist, iters)
@@ -468,10 +478,6 @@ object Similarity {
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-      val dim = embeddings.select(size(col("embedding")).as("d"))
-        .head().getInt(0)
-      require(prefixDim <= dim,
-        s"writePrefixIvfIndex: prefixDim $prefixDim > vector dim $dim")
       Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
       // drift-guard baseline over PREFIX distances (the geometry the
@@ -578,6 +584,16 @@ object Similarity {
     sourcePath.foreach(refreshIndexMarker(spark, dir, _))
   }
 
+  /** (prefix_dim, full dim) of a [[writePrefixIvfIndex]] layout,
+    * cached per generation root. */
+  private def prefixIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                            root: String): (Int, Int) =
+    IndexCache.cached(s"$root#pivf-meta",
+      IndexCache.dirStamp(spark, s"$root/meta")) {
+      val r = spark.read.parquet(s"$root/meta").head()
+      (r.getAs[Int]("prefix_dim"), r.getAs[Int]("dim"))
+    }
+
   /** Probe the IVF-pruned matryoshka layout: the query PREFIX picks
     * its `nprobe` nearest stored centroids driver-side (nlist×
     * prefixDim doubles — the [[ivfSearchIndexed]] loop, ties to the
@@ -589,16 +605,6 @@ object Similarity {
     * the pruned form is oracle-replayed through the k-means CTE
     * chain trained on the sliced source.
     */
-  /** (prefix_dim, full dim) of a [[writePrefixIvfIndex]] layout,
-    * cached per generation root. */
-  private def prefixIvfMeta(spark: org.apache.spark.sql.SparkSession,
-                            root: String): (Int, Int) =
-    IndexCache.cached(s"$root#pivf-meta",
-      IndexCache.dirStamp(spark, s"$root/meta")) {
-      val r = spark.read.parquet(s"$root/meta").head()
-      (r.getAs[Int]("prefix_dim"), r.getAs[Int]("dim"))
-    }
-
   def prefixIvfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                              dir: String,
                              queries: Seq[(Long, Array[Float])],

@@ -80,12 +80,20 @@ object Adapters {
     * the corpus) resolve through the client driver-side, and the
     * result lands as a broadcastable (ip_address, country) dim. This
     * is [[graft.operators.Analytics.geoTopCountries]]'s static-dim
-    * seam fed by a LIVE client instead of the fixture dim; the
-    * `maxIps` guard fails loudly rather than issuing an unbounded
-    * number of HTTP calls.
+    * seam fed by a LIVE client instead of the fixture dim.
+    *
+    * `maxIps` bounds the CALL COUNT, honestly priced in TIME too:
+    * lookups run sequentially on the driver (the reference's
+    * memo-cached loop), so the worst case is maxIps × the client
+    * timeout — the 10 000 default is ~4 min of fresh lookups at
+    * typical latencies, and public endpoints rate-limit well below
+    * that (ip-api free tier ≈ 45 req/min). Raising it is a deliberate
+    * choice; a deployment that needs six-figure IP dims should batch
+    * them offline into a static dim ([[graft.operators.Analytics
+    * .geoRangeDim]] is the production-shaped alternative).
     */
   def geoDimOf(spark: SparkSession, activity: DataFrame,
-               client: GeoClient, maxIps: Int = 100000): DataFrame = {
+               client: GeoClient, maxIps: Int = 10000): DataFrame = {
     import spark.implicits._
     val ips = activity.select(col("ip_address")).na.drop().distinct()
       .limit(maxIps + 1).as[String].collect()
@@ -179,6 +187,21 @@ object Adapters {
         s"--$boundary--\r\n"
     }
 
+    /** The exact DATA bytes sent: CRLF-normalized FIRST (the body
+      * and HTML templates join with \n; bare LF inside DATA violates
+      * RFC 5321 and is rejected outright by modern MTAs — and a line
+      * after a bare LF would also escape dot-stuffing), THEN
+      * dot-stuffed per RFC 5321 §4.5.2. Exposed for the spec: the
+      * fake server's readLine cannot distinguish bare LF from CRLF,
+      * so the no-bare-newline property is asserted on these bytes.
+      */
+    private[graft] def wirePayload(subject: String, body: String,
+                                   nowIso: String): String =
+      mimeMessage(subject, body, nowIso)
+        .replace("\r\n", "\n").replace("\n", "\r\n")
+        .split("\r\n", -1).map(l =>
+          if (l.startsWith(".")) "." + l else l).mkString("\r\n")
+
     override def notify(alertType: String, severity: String,
                         description: String): Unit = {
       val nowIso = now()
@@ -208,10 +231,7 @@ object Adapters {
         send(s"MAIL FROM:<$user>"); expect("250")
         recipients.foreach { r => send(s"RCPT TO:<$r>"); expect("250") }
         send("DATA"); expect("354")
-        // dot-stuffing per RFC 5321 §4.5.2
-        val msg = mimeMessage(subject, body, nowIso)
-          .split("\r\n", -1).map(l =>
-            if (l.startsWith(".")) "." + l else l).mkString("\r\n")
+        val msg = wirePayload(subject, body, nowIso)
         out.print(msg)
         if (!msg.endsWith("\r\n")) out.print("\r\n")
         send("."); expect("250")

@@ -138,9 +138,14 @@ object Scale1Prof {
             -1.0
         }
       }
-      // full warmup pass at sf0.1 (JIT + index builds) so cold-start
-      // doesn't deflate the measured exponents of the early rows
+      // full warmup pass at BOTH scales: sf0.1 for JIT, and sf1 so
+      // the timed sf1 run doesn't include one-time ensure*Index
+      // builds over 10× data inside its window — a cold build
+      // inflates an index-backed row's exponent far above its actual
+      // probe scaling (the round-12 review's false->1.3-flag risk);
+      // warm-vs-warm measures the serving path both sides
       names.foreach(time1(_, sf01))
+      names.foreach(time1(_, sf1))
       var flagged = List.empty[String]
       names.foreach { name =>
         val t01 = time1(name, sf01)

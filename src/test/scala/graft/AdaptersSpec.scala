@@ -119,6 +119,17 @@ class AdaptersSpec extends SparkSpecBase {
     assert(lines.contains("Time       : 2026-08-16T00:00:00"))
     assert(lines.count(_.startsWith("Content-Type: text/")) == 2,
       "multipart/alternative must carry plain AND html parts")
+    // the PRODUCTION wire payload must carry NO bare LF (RFC 5321;
+    // modern MTAs reject bare-newline DATA outright, and a line
+    // after a bare LF escapes dot-stuffing). The fake server's
+    // readLine accepts bare LF, so this is asserted on the exact
+    // bytes notify() sends.
+    val wire = n.wirePayload("s", "line1\nline2\n.dot", "t")
+    assert(!wire.replace("\r\n", "").contains("\n") &&
+      !wire.replace("\r\n", "").contains("\r"),
+      "wire payload must contain no bare LF/CR")
+    assert(wire.contains("\r\n..dot"),
+      "a leading-dot line after an LF boundary must be dot-stuffed")
   }
 
   test("twilio notifier: per-phone form posts with basic auth; failures counted, never thrown; fanout isolates a failing channel") {
