@@ -715,16 +715,31 @@ FROM t"""
       assigned.unpersist()
       ()
     }
-    val users = Tables.events(s, d).select(col("user_id")).distinct()
+    // Stream-side SESSION CLONE with state/shuffle partitions sized
+    // to the micro-batch volume (round-12 verdict #4): the floor's
+    // dominant per-trigger cost is one state-store lifecycle (RocksDB
+    // open + scan + changelog commit) PER STATE PARTITION per batch,
+    // and the caller's 32 analytic shuffle partitions mean 32 state
+    // stores for a ≤15k-row micro-batch. 8 keeps the same semantics
+    // (dedup results are partition-count-invariant) at a quarter of
+    // the fixed cost; a 100 TB deployment raises
+    // spark.graft.stream.statePartitions with its executor count —
+    // the dial is a conf, not a constant. Cloned so the dial never
+    // leaks into the caller's session.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.statePartitions")
+        .getOrElse("8"))
+    val users = Tables.events(ss, d).select(col("user_id")).distinct()
       .select(col("user_id"),
         concat(lit("user_"), col("user_id")).as("username"),
         when(col("user_id") % 7 === 0, "Admin")
           .when(col("user_id") % 3 === 0, "Guest")
           .otherwise("User").as("role"))
-    val reader = s.readStream.schema(Tables.GeneralLogSchema)
+    val reader = ss.readStream.schema(Tables.GeneralLogSchema)
     val source = (if (batched) reader.option("maxFilesPerTrigger", "1")
                   else reader).parquet(feedDir)
-    val q = Ingest.start(s, source, users,
+    val q = Ingest.start(ss, source, users,
       Ingest.IngestConfig(s"$tmp/logs", s"$tmp/alerts", s"$tmp/ckpt",
         triggerMs = 0L, blocksDir = Some(s"$tmp/blocks")))
     try q.processAllAvailable() finally q.stop()
@@ -958,15 +973,45 @@ FROM t"""
   WHERE a.vec_id % 25 = 0
 )"""
 
-  /** DuckDB replay of [[graft.operators.Similarity.semDedup]] over the
-    * planted corpus: the shared Lloyd k-means chain assigns clusters,
-    * then the order-free dominance prune drops every vector with
-    * cosine ≥ minCos to a smaller-id vector in the same cluster.
+  /** Rungs of Similarity.semDedupNlist the oracle replays (nlist =
+    * smallest power of two with n/k ≤ 64) — enumerated to 4,096
+    * vectors, 8× headroom over sf0.1's planted 480; a larger corpus
+    * selects NULL → empty c0 → the row fails LOUDLY rather than
+    * silently replaying the wrong rung (the OracleGeometryRungs
+    * stance). Extending is mechanical: append rungs.
     */
-  private def semDedupOracleSql(nlist: Int, iters: Int, dim: Int,
+  private val SemDedupOracleRungs: Seq[(Long, Int)] =
+    Seq((64L, 1), (128L, 2), (256L, 4), (512L, 8),
+      (1024L, 16), (2048L, 32), (4096L, 64))
+
+  private def semDedupNlistCaseSql: String =
+    SemDedupOracleRungs
+      .map { case (hi, k) => s"WHEN n <= $hi THEN $k" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+
+  /** The clustered-embedding fixture as a DuckDB CTE — the SQL twin
+    * of [[clusteredEmbeddings]] (same float-cast arithmetic as the
+    * planted-clone CTE, so the engines agree bit-for-bit).
+    */
+  private def ClusteredCorpusCte: String =
+    s"""ce AS MATERIALIZED (
+  SELECT e.vec_id, e.label,
+    list_transform(list_zip(c.embedding, e.embedding),
+      s -> CAST(CAST(s[1] AS DOUBLE) + 0.25 * CAST(s[2] AS DOUBLE) AS FLOAT)) AS embedding
+  FROM embeddings e JOIN embeddings c ON c.vec_id = (e.vec_id % 8) * 50
+)"""
+
+  /** DuckDB replay of [[graft.operators.Similarity.semDedup]] over the
+    * planted corpus: the shared Lloyd k-means chain assigns clusters
+    * (k DATA-DEPENDENT — the semDedupNlist rung derived from the same
+    * corpus count on both engines), then the order-free dominance
+    * prune drops every vector with cosine ≥ minCos to a smaller-id
+    * vector in the same cluster.
+    */
+  private def semDedupOracleSql(iters: Int, dim: Int,
                                 minCos: Double): String =
     s"""WITH $PlantedCorpusCte,
-${kmeansAssignCtes("pe", nlist, iters, dim)},
+${kmeansAssignCtes("pe", 0, iters, dim, nlistCaseSql = Some(semDedupNlistCaseSql))},
 nn AS (
   SELECT vec_id, embedding, ${normSql("embedding")} AS norm FROM pe
 ), mm AS MATERIALIZED (
@@ -1063,13 +1108,32 @@ ORDER BY m.vec_id"""
     * iterations, decimal-exact means, (dist, cid) tie-break).
     */
   private def kmeansAssignCtes(src: String, nlist: Int, iters: Int,
-                               dim: Int, suffix: String = ""): String = {
-    val init =
-      s"""c0$suffix AS (
+                               dim: Int, suffix: String = "",
+                               nlistCaseSql: Option[String] = None): String = {
+    // nlistCaseSql: a CASE-over-count rung expression replacing the
+    // fixed nlist — the DATA-DEPENDENT k replay (semDedup auto
+    // sizing): both engines derive k from the same corpus count, so
+    // rung selection cannot diverge; a corpus above the enumerated
+    // rung ceiling selects NULL → c0 empties → the row fails LOUDLY
+    // (the OracleGeometryRungs stance).
+    val init = nlistCaseSql match {
+      case Some(kase) =>
+        s"""rung$suffix AS (
+  SELECT $kase AS k FROM (SELECT count(*) AS n FROM $src)
+), c0$suffix AS (
+  SELECT cid, cent FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+    FROM $src
+  ), rung$suffix WHERE cid < rung$suffix.k
+)"""
+      case None =>
+        s"""c0$suffix AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
   FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $nlist)
 )"""
+    }
     val iterCtes = (0 until iters).map { i =>
       s"""a$i$suffix AS (
   SELECT vec_id, cid FROM (
@@ -1106,7 +1170,9 @@ ORDER BY m.vec_id"""
   private def ivfScoredCtes(nlist: Int, nprobe: Int, iters: Int,
                             dim: Int, queryIds: Seq[Long],
                             corpusFilter: Option[String] = None,
-                            queryPred: Option[String] = None): String = {
+                            queryPred: Option[String] = None,
+                            src: String = "embeddings",
+                            prelude: String = ""): String = {
     val qIn = queryIds.mkString(", ")
     val cf = s"c$iters"
     val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
@@ -1114,15 +1180,15 @@ ORDER BY m.vec_id"""
     // (knnJoinIndexed) replay, where the query side is a predicate
     // over the same table rather than an enumerated list
     val qSel = queryPred.getOrElse(s"q.vec_id IN ($qIn)")
-    s"""WITH ${kmeansAssignCtes("embeddings", nlist, iters, dim)},
+    s"""WITH $prelude${kmeansAssignCtes(src, nlist, iters, dim)},
 nn AS (
-  SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm FROM embeddings
+  SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm FROM $src
 ), qp AS (
   SELECT query_id, qe, qnorm, cid FROM (
     SELECT q.vec_id AS query_id, q.embedding AS qe, nq.norm AS qnorm, c.cid,
       row_number() OVER (PARTITION BY q.vec_id
         ORDER BY ${sqDistSql("q.embedding", "c.cent")}, c.cid) AS rn
-    FROM embeddings q JOIN nn nq ON nq.vec_id = q.vec_id
+    FROM $src q JOIN nn nq ON nq.vec_id = q.vec_id
     CROSS JOIN $cf c
     WHERE $qSel
   ) WHERE rn <= $nprobe
@@ -1277,6 +1343,29 @@ nn AS (
     * definition serves every recall rung (pq / sq8 / residual ivf-pq)
     * so a tie-break or isnan change cannot diverge between them.
     */
+  /** The banded kNN-join recall replay over a parameterized corpus
+    * body (`pe` feeds [[BandSigCtes]]' data-dependent rung): shared
+    * by the uniform-noise and clustered-fixture recall rows, so ONE
+    * SQL string locks both regimes.
+    */
+  private def knnJoinRecallOracleSql(peBody: String,
+                                     prelude: String = ""): String =
+    s"""WITH ${prelude}pe AS MATERIALIZED (
+  $peBody
+), $BandSigCtes, cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id
+  FROM bvt x JOIN bvt y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.vec_id % 97 = 0 AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    round(${dotSql("eb.embedding", "ea.embedding")} / (eb.norm * ea.norm), 4) AS cos_sim
+  FROM cand c JOIN nn ea ON ea.vec_id = c.query_id
+  JOIN nn eb ON eb.vec_id = c.vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding, norm AS qnorm
+  FROM nn WHERE vec_id % 97 = 0
+)""" + recallTailSql("knnk")
+
   private def recallTailSql(approxCte: String): String = s"""
 , $approxCte AS (
   SELECT query_id, vec_id FROM (
@@ -1526,7 +1615,9 @@ ORDER BY query_id, rank"""
                             iters: Int, cand: Int,
                             queryIds: Seq[Long],
                             corpusFilter: Option[String] = None,
-                            queryPred: Option[String] = None): String = {
+                            queryPred: Option[String] = None,
+                            src: String = "embeddings",
+                            prelude: String = ""): String = {
     val qIn = queryIds.mkString(", ")
     val p = s"[1:$prefixDim]"
     val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
@@ -1534,16 +1625,16 @@ ORDER BY query_id, rank"""
     // (prefixIvfKnnJoin) replay, where the query side is a predicate
     // over the same table rather than an enumerated list
     val qSel = queryPred.getOrElse(s"vec_id IN ($qIn)")
-    s"""WITH pfxsrc AS (
-  SELECT vec_id, embedding$p AS embedding FROM embeddings
+    s"""WITH ${prelude}pfxsrc AS (
+  SELECT vec_id, embedding$p AS embedding FROM $src
 ),
 ${kmeansAssignCtes("pfxsrc", nlist, iters, prefixDim)},
 nn AS (
   SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm
-  FROM embeddings
+  FROM $src
 ), q AS (
   SELECT vec_id AS query_id, embedding, ${normSql("embedding")} AS qnorm
-  FROM embeddings WHERE $qSel
+  FROM $src WHERE $qSel
 ), qp AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
@@ -2670,6 +2761,36 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     base.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))
       .unionByName(plantedClones(base))
+  }
+
+  /** Clustered-embedding fixture (round-12 verdict #2): the synthetic
+    * embeddings are uniform noise, so every recall row priced on them
+    * measures the WORST case — this derives a deterministic
+    * mixture-of-tight-clusters corpus FROM the base table (the
+    * planted-clone discipline, replayed exactly by the oracle):
+    * vector i = center(i mod 8) + 0.25·eᵢ, centers = the base vectors
+    * at vec_id ∈ {0, 50, …, 350}. Within-cluster cosines land in the
+    * near-dup regime the ANN dials are designed for (≈0.94–0.97),
+    * cross-cluster at the noise ceiling (≈0.5), so the clustered
+    * recall rows price the dials at their DESIGN POINT beside the
+    * noise worst case. Same (vec_id, label, embedding) schema as the
+    * base table.
+    */
+  private[graft] def clusteredEmbeddings(s: SparkSession,
+                                         d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val centers = base
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+      .select((col("vec_id") / 50).cast("int").as("ck"),
+        col("embedding").as("cvec"))
+    base
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (col("vec_id") % 8).cast("int").as("ck"))
+      .join(broadcast(centers), Seq("ck"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("cvec"), col("embedding"), (c, e) =>
+          (c.cast("double") + lit(0.25) * e.cast("double")).cast("float"))
+          .as("embedding"))
   }
 
   /** Incremental-ingest embedding fixture (emb_novel): the corpus is
@@ -3905,6 +4026,16 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         Similarity.ivfTopK(emb, Seq(0L, 1L, 2L)),
         Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
     }),
+    // the same nprobe dial at the DESIGN POINT: clustered fixture,
+    // identical dials (nlist=16, nprobe=2) — k-means carves the true
+    // clusters, so the pruned probe should hold near-exact recall
+    // where the noise row above pays the worst case
+    "emb_ivf_clustered_recall" -> ((s, d) => {
+      val ce = clusteredEmbeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(ce, Seq(0L, 1L, 2L)),
+        Similarity.bruteForceTopK(ce, Seq(0L, 1L, 2L)))
+    }),
     // production read path: durable fingerprint-guarded index (built
     // once per source version), probed with caller-supplied query
     // vectors — here fetched from the BASE table (3 rows, pushed-down
@@ -4115,6 +4246,26 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           cand = 50),
         Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
     }),
+    // the pruned matryoshka funnel at the DESIGN POINT: same dials
+    // over the clustered fixture. The durable index is keyed under a
+    // separate indexRoot — the fixture derives from the same source
+    // parquet, so the fingerprint guard still rebuilds on source
+    // change, but the noise corpus's index dir is never aliased
+    "emb_prefix_ivf_clustered_recall" -> ((s, d) => {
+      import s.implicits._
+      val ce = clusteredEmbeddings(s, d)
+      val idx = Similarity.ensurePrefixIvfIndex(s,
+        s"$d/embeddings.parquet", ce, prefixDim = 16, nlist = 16,
+        indexRoot = Some(s"${s.conf.get("spark.sql.warehouse.dir")}" +
+          "/graft-clustered-index"))
+      val qvecs = ce.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.recallAtK(
+        Similarity.prefixIvfSearchIndexed(s, idx, qvecs, nprobe = 4,
+          cand = 50),
+        Similarity.bruteForceTopK(ce, Seq(0L, 1L, 2L)))
+    }),
     // recall of the rerank funnel vs brute force — the dial that says
     // how much candidate width buys back from the truncation
     "emb_prefix_rerank_recall" -> ((s, d) => {
@@ -4160,6 +4311,19 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Similarity.recallAtK(
         Similarity.knnJoin(q, emb),
         Similarity.bruteForceTopK(emb, qids))
+    }),
+    // the same dial at the DESIGN POINT (round-12 verdict #2): the
+    // clustered fixture, where band collisions concentrate inside
+    // true clusters — noise row above is the worst case, this row is
+    // the regime the near-dup model actually serves
+    "emb_knn_join_clustered_recall" -> ((s, d) => {
+      val ce = clusteredEmbeddings(s, d)
+      val q = ce.filter(col("vec_id") % 97 === 0)
+      import s.implicits._
+      val qids = q.select(col("vec_id")).as[Long].collect().sorted.toSeq
+      Similarity.recallAtK(
+        Similarity.knnJoin(q, ce),
+        Similarity.bruteForceTopK(ce, qids))
     }),
     // hot-band occupancy accounting (the pre-flight read for choosing
     // maxBandDf): bucket count, hot-bucket count and blocking mass
@@ -4210,9 +4374,13 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
       Similarity.embeddingNearDupClusters(plantedEmbeddings(s, d))),
     // SemDeDup (Abbas et al. 2023): k-means cluster then prune
     // within-cluster cosine near-dups — the clustered Σ|c|² bound on
-    // the pair stage; planted clones are the semantic duplicates
+    // the pair stage; planted clones are the semantic duplicates.
+    // nlist AUTO-SIZED from the corpus count (semDedupNlist rung:
+    // 120 → 2 at sf0.01, 480 → 8 at sf0.1) and replayed
+    // data-dependently by the oracle — the emb_near_dups rung-replay
+    // pattern
     "emb_semdedup" -> ((s, d) =>
-      Similarity.semDedup(plantedEmbeddings(s, d), nlist = 8,
+      Similarity.semDedup(plantedEmbeddings(s, d),
         iters = 3, minCos = 0.9)),
     // int8 scalar quantization error profile (embedding compression
     // for storage/ANN at scale: s = max|x|/127, q = round(x/s))
@@ -5817,23 +5985,16 @@ ORDER BY anchor_id"""
     // recall@10 of the joinful candidate funnel vs brute force over
     // the same query table (the shared recall tail; q carries the
     // exact norms nn already computed)
-    "emb_knn_join_recall" -> {
-      s"""WITH pe AS MATERIALIZED (
-  SELECT vec_id, embedding FROM embeddings
-), $BandSigCtes, cand AS (
-  SELECT DISTINCT x.vec_id AS query_id, y.vec_id
-  FROM bvt x JOIN bvt y ON x.band = y.band AND x.bv = y.bv
-  WHERE x.vec_id % 97 = 0 AND x.vec_id <> y.vec_id
-), scored AS (
-  SELECT c.query_id, c.vec_id,
-    round(${dotSql("eb.embedding", "ea.embedding")} / (eb.norm * ea.norm), 4) AS cos_sim
-  FROM cand c JOIN nn ea ON ea.vec_id = c.query_id
-  JOIN nn eb ON eb.vec_id = c.vec_id
-), q AS (
-  SELECT vec_id AS query_id, embedding, norm AS qnorm
-  FROM nn WHERE vec_id % 97 = 0
-)""" + recallTailSql("knnk")
-    },
+    "emb_knn_join_recall" ->
+      knnJoinRecallOracleSql("SELECT vec_id, embedding FROM embeddings"),
+
+    // the same joinful-ANN recall dial priced at the DESIGN POINT —
+    // the clustered fixture, where band collisions concentrate inside
+    // true clusters (compare against emb_knn_join_recall's noise
+    // worst case; SCALE.md carries the pair)
+    "emb_knn_join_clustered_recall" ->
+      knnJoinRecallOracleSql("SELECT vec_id, embedding FROM ce",
+        prelude = s"$ClusteredCorpusCte, "),
 
     "emb_near_dup_clusters" -> (s"WITH $PlantedNearDupCtes" +
       clusterCtesSql("SELECT vec_a AS doc_a, vec_b AS doc_b FROM banded " +
@@ -6139,6 +6300,14 @@ ORDER BY query_id, rank"""),
       nlist = 16, nprobe = 4, iters = 3, cand = 50,
       Seq(0L, 1L, 2L)) + recallTailSql("pivf")),
 
+    // the pruned matryoshka funnel priced at the DESIGN POINT: same
+    // dials, clustered fixture (emb_prefix_ivf_recall is the noise
+    // worst case)
+    "emb_prefix_ivf_clustered_recall" -> (prefixIvfCtes(prefixDim = 16,
+      nlist = 16, nprobe = 4, iters = 3, cand = 50,
+      Seq(0L, 1L, 2L), src = "ce",
+      prelude = s"$ClusteredCorpusCte,\n") + recallTailSql("pivf")),
+
     // recall@10 of the rerank funnel vs exact brute force
     "emb_prefix_rerank_recall" ->
       (prefixRerankCtes(50, Seq(0L, 1L, 2L)) + recallTailSql("rrk")),
@@ -6199,6 +6368,17 @@ SELECT x.query_id,
 FROM brute x LEFT JOIN ivfk l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""),
+
+    // the pruned IVF probe priced at the DESIGN POINT: identical
+    // dials over the clustered fixture — recallTailSql over a q CTE
+    // drawn from the clustered nn
+    "emb_ivf_clustered_recall" -> (ivfScoredCtes(nlist = 16, nprobe = 2,
+      iters = 3, dim = 64, queryIds = Seq(0L, 1L, 2L), src = "ce",
+      prelude = s"$ClusteredCorpusCte,\n") + s"""
+, q AS (
+  SELECT vec_id AS query_id, embedding, norm AS qnorm
+  FROM nn WHERE vec_id IN (0, 1, 2)
+)""" + recallTailSql("ivfck")),
 
     "doc_familiarity" ->
       """WITH bg AS (
@@ -6413,7 +6593,7 @@ SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens,
 FROM c ORDER BY doc_id""",
 
     "emb_semdedup" ->
-      semDedupOracleSql(nlist = 8, iters = 3, dim = 64, minCos = 0.9),
+      semDedupOracleSql(iters = 3, dim = 64, minCos = 0.9),
 
     // semantic decontamination: max rounded cosine of each planted-
     // corpus vector against the eval set (every 95th base vector),

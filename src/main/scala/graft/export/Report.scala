@@ -116,6 +116,16 @@ object Report {
     */
   trait Notifier extends Serializable {
     def notify(alertType: String, severity: String, description: String): Unit
+    /** Username-carrying overload — the reference's dispatch_alert
+      * includes the triggering alert's actor in the email body
+      * (alert.get('username','unknown'), app.py:605-617), so the seam
+      * must carry it or notified operators lose the attribution.
+      * Default delegates to the 3-arg form for transports that don't
+      * render the actor (SMS trims to severity+description).
+      */
+    def notify(alertType: String, severity: String, description: String,
+               username: String): Unit =
+      notify(alertType, severity, description)
   }
 
   final class CollectingNotifier extends Notifier {
@@ -173,9 +183,11 @@ object Report {
   def dispatchAlerts(classified: DataFrame, notifier: Notifier): Long = {
     var n = 0L
     Detect.deriveAlerts(classified)
-      .select("alert_type", "severity_level", "suspicious_reasons")
+      .select("alert_type", "severity_level", "suspicious_reasons",
+        "username")
       .toLocalIterator().forEachRemaining { row =>
-        notifier.notify(row.getString(0), row.getString(1), row.getString(2))
+        notifier.notify(row.getString(0), row.getString(1), row.getString(2),
+          Option(row.getString(3)).filter(_.nonEmpty).getOrElse("unknown"))
         n += 1
       }
     n

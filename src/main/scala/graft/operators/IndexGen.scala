@@ -46,21 +46,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * legacy-only cost).
   *
   * Single-writer assumption, now ENFORCED rather than documented
-  * (round-11 verdict #3): [[stage]] takes a create-exclusive lease
-  * marker (`_gen/.lease-<n>`) — a second concurrent writer staging
+  * (round-11 verdict #3, tightened round 13): [[stage]] takes a
+  * create-exclusive lease marker (`_gen/.lease-<n>` carrying a
+  * per-writer NONCE) and stages into a writer-unique root
+  * (`.staging-gen-<n>-<nonce>`) — a second concurrent writer staging
   * the same generation fails loudly at the seam with
-  * [[ConcurrentMaintenanceException]], index intact. Belt on top:
-  * [[publish]] re-verifies the pointer it is superseding is still
-  * the maximum before touching the target gen dir (pointer CAS), so
-  * even a writer that slipped past the lease (stale-lease break
-  * below) cannot clobber a generation another writer published
-  * first. A lease left by a CRASHED writer is broken after
-  * `graft.index.leaseTimeoutMs` (default 15 min) — the one
-  * documented window where two live writers could both hold the
-  * lease is a writer stalled longer than the timeout, and the CAS
-  * catches that loser at publish. [[Curation.startCorpusMaintenance]]
-  * remains the intended one-actor structure; the lease turns a
-  * misconfiguration into a named error instead of a corrupt index.
+  * [[ConcurrentMaintenanceException]], index intact. [[publish]]
+  * then verifies LEASE OWNERSHIP (lease nonce == staging nonce)
+  * before touching anything, and re-verifies the pointer it is
+  * superseding is still the maximum (pointer CAS) as the second
+  * belt. A lease left by a CRASHED writer is broken after
+  * `graft.index.leaseTimeoutMs` (default 15 min); a STALLED (not
+  * crashed) writer that resumes after its lease was broken cannot
+  * publish a rival's half-built staging — the paths are disjoint
+  * per writer and its ownership check fails first — closing the
+  * round-12 ADVICE hole where a shared staging path let the
+  * straggler rename the rival's in-progress build into place.
+  * [[Curation.startCorpusMaintenance]] remains the intended
+  * one-actor structure; the lease turns a misconfiguration into a
+  * named error instead of a corrupt index.
   */
 private[graft] object IndexGen {
   import org.apache.hadoop.fs.{FileSystem, Path}
@@ -124,13 +128,26 @@ private[graft] object IndexGen {
     * [[ConcurrentMaintenanceException]] here, before touching any
     * index state. A lease older than `graft.index.leaseTimeoutMs`
     * is presumed crashed and broken.
+    *
+    * The staging root is WRITER-UNIQUE (`.staging-gen-<n>-<nonce>`,
+    * the nonce recorded in the lease file): a writer that loses its
+    * lease to a stale-break can never have ITS half-built staging
+    * renamed into place by the rival (paths differ), and its own
+    * [[publish]] fails the lease-ownership check before touching the
+    * pointer ladder. Stagings left by prior (dead or stale-broken)
+    * writers of this generation are cleared here, under the fresh
+    * lease.
     */
   def stage(spark: SparkSession, dir: String): (Int, String) = {
     val fs = fsOf(spark, dir)
     val n = currentGen(fs, dir).map(_ + 1).getOrElse(0)
-    acquireLease(spark, fs, dir, n)
-    val staging = new Path(dir, s".staging-gen-$n")
-    fs.delete(staging, true)
+    val nonce = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    acquireLease(spark, fs, dir, n, nonce)
+    val orphans = fs.globStatus(new Path(dir, s".staging-gen-$n-*"))
+    if (orphans != null)
+      orphans.foreach(s => fs.delete(s.getPath, true))
+    val staging = new Path(dir, s".staging-gen-$n-$nonce")
     fs.mkdirs(staging)
     (n, staging.toString)
   }
@@ -138,8 +155,26 @@ private[graft] object IndexGen {
   private def leasePath(dir: String, n: Int): Path =
     new Path(new Path(dir, "_gen"), s".lease-$n")
 
+  /** The nonce recorded in generation `n`'s lease file, if the lease
+    * exists and parses. Lease body is `<millis> <nonce>`. */
+  private def leaseNonce(fs: FileSystem, dir: String,
+                         n: Int): Option[String] = {
+    val lease = leasePath(dir, n)
+    if (!fs.exists(lease)) None
+    else {
+      val in = fs.open(lease)
+      val body =
+        try {
+          val buf = new Array[Byte](256)
+          val read = in.read(buf)
+          if (read <= 0) "" else new String(buf, 0, read, "UTF-8")
+        } finally in.close()
+      body.split("\\s+").drop(1).headOption
+    }
+  }
+
   private def acquireLease(spark: SparkSession, fs: FileSystem,
-                           dir: String, n: Int): Unit = {
+                           dir: String, n: Int, nonce: String): Unit = {
     val gdir = new Path(dir, "_gen")
     fs.mkdirs(gdir)
     val lease = leasePath(dir, n)
@@ -157,7 +192,7 @@ private[graft] object IndexGen {
             "index — see IndexGen scaladoc.")
       }
     try os.write(
-      s"${System.currentTimeMillis()}".getBytes("UTF-8"))
+      s"${System.currentTimeMillis()} $nonce".getBytes("UTF-8"))
     finally os.close()
   }
 
@@ -170,33 +205,60 @@ private[graft] object IndexGen {
     ()
   }
 
-  /** Publish staged generation `n`: rename the staging root into
+  /** Publish staged generation `n` from `staging` (the path
+    * [[stage]] returned): verify LEASE OWNERSHIP (the lease's nonce
+    * must match this staging's — a writer whose stale lease was
+    * broken by a rival fails here, before touching the pointer
+    * ladder or anyone's staging), rename the staging root into
     * place, flip the pointer (create-then-rename, atomic), prune
     * generations older than the immediately prior one. A crash
     * before the pointer rename leaves a complete-but-unpublished
     * gen dir the next stage() of the same number clears; readers
     * never resolve it.
     */
-  def publish(spark: SparkSession, dir: String, n: Int): Unit = {
+  def publish(spark: SparkSession, dir: String, n: Int,
+              staging: String): Unit = {
     val fs = fsOf(spark, dir)
-    // ANY publish failure releases this writer's lease: a transient
-    // FS error here would otherwise lock the index's maintenance
-    // against the writer's OWN retry for the whole lease timeout
-    // (stage() of the same n finds the orphaned lease and refuses).
-    // The CAS-loser case is covered too — the winner already deleted
-    // lease-n at its own publish, so the extra delete is a no-op.
-    try publishInner(spark, fs, dir, n)
+    // A lease-ownership loser must NOT delete the lease — it belongs
+    // to the rival writer. Any OTHER publish failure releases this
+    // writer's lease: a transient FS error here would otherwise lock
+    // the index's maintenance against the writer's OWN retry for the
+    // whole lease timeout (stage() of the same n finds the orphaned
+    // lease and refuses). The CAS-loser case is covered too — the
+    // winner already deleted lease-n at its own publish, so the
+    // extra delete is a no-op.
+    verifyLeaseOwnership(fs, dir, n, staging)
+    try publishInner(spark, fs, dir, n, staging)
     catch { case e: Throwable =>
       fs.delete(leasePath(dir, n), false); throw e
     }
   }
 
+  private val StagingNonce = "^\\.staging-gen-\\d+-([0-9a-f]+)$".r
+
+  private def verifyLeaseOwnership(fs: FileSystem, dir: String, n: Int,
+                                   staging: String): Unit = {
+    val mine = new Path(staging).getName match {
+      case StagingNonce(x) => Some(x)
+      case _ => None
+    }
+    val held = leaseNonce(fs, dir, n)
+    if (mine.isEmpty || held != mine)
+      throw new ConcurrentMaintenanceException(
+        s"index publish lease-ownership check failed for gen-$n of " +
+          s"$dir: lease ${held.fold("is gone")(x => s"carries nonce $x")}, " +
+          s"this writer staged ${mine.getOrElse("(no nonce)")} — a rival " +
+          "writer broke this writer's stale lease; this staging is " +
+          "abandoned, the rival's generation is untouched.")
+  }
+
   private def publishInner(spark: SparkSession, fs: FileSystem,
-                           dir: String, n: Int): Unit = {
-    // pointer CAS: the generation this writer staged against must
-    // still be the published maximum. A writer that lost the lease
-    // race via a stale-lease break fails HERE, before deleting the
-    // target dir a faster writer may have published.
+                           dir: String, n: Int,
+                           stagingPath: String): Unit = {
+    // pointer CAS (second belt under the lease-ownership check): the
+    // generation this writer staged against must still be the
+    // published maximum — catches a rival that published and
+    // released the lease before this writer's ownership read.
     val cur = currentGen(fs, dir)
     if (cur != (if (n == 0) None else Some(n - 1)))
       throw new ConcurrentMaintenanceException(
@@ -204,7 +266,7 @@ private[graft] object IndexGen {
           s"generation is ${cur.fold("none")(m => s"gen-$m")}, " +
           s"expected ${if (n == 0) "none" else s"gen-${n - 1}"} — " +
           "another writer published first; this staging is abandoned.")
-    val staging = new Path(dir, s".staging-gen-$n")
+    val staging = new Path(stagingPath)
     val target = new Path(dir, s"gen-$n")
     fs.delete(target, true)
     require(fs.rename(staging, target),
@@ -233,6 +295,17 @@ private[graft] object IndexGen {
         ()
       case _ => ()
     })
+    // stagings of this or older generations left by dead or
+    // lease-broken rivals are garbage now — their publish can never
+    // succeed (ownership check) and no future stage() reuses them
+    val Stg = "^\\.staging-gen-(\\d+)-[0-9a-f]+$".r
+    val stale = fs.globStatus(new Path(dir, ".staging-gen-*"))
+    if (stale != null) stale.foreach { s =>
+      s.getPath.getName match {
+        case Stg(m) if m.toInt <= n => fs.delete(s.getPath, true); ()
+        case _ => ()
+      }
+    }
     // in-JVM cache entries for every generation of this index drop:
     // the next reader re-resolves and reloads against the new root
     IndexCache.invalidate(dir)
@@ -251,7 +324,7 @@ private[graft] object IndexGen {
     catch { case e: Throwable =>
       releaseLease(spark, dir, n); throw e
     }
-    publish(spark, dir, n)
+    publish(spark, dir, n, staging)
   }
 
   /** Advance a generation by REWRITING some sublayouts (compaction's
@@ -273,7 +346,7 @@ private[graft] object IndexGen {
     } catch { case e: Throwable =>
       releaseLease(spark, dir, n); throw e
     }
-    publish(spark, dir, n)
+    publish(spark, dir, n, staging)
   }
 
   private def internalName(name: String): Boolean =

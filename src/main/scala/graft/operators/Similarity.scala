@@ -613,7 +613,19 @@ object Similarity {
                              pred: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val root = IndexGen.root(spark, dir)
-    val (prefixDim, _) = prefixIvfMeta(spark, root)
+    val (prefixDim, fullDim) = prefixIvfMeta(spark, root)
+    // seam-level dim check (the prefixIvfKnnJoin contract): a query
+    // vector from the wrong encoder fails HERE with both dims named —
+    // a short vector would otherwise throw a raw index error in the
+    // driver-side probe loop, and a wrong-full-dim one would silently
+    // probe on its first prefixDim components before mis-scoring in
+    // the rerank
+    queries.headOption.foreach { case (qid, v) =>
+      require(v.length == fullDim,
+        s"prefixIvfSearchIndexed: query $qid embedding dim " +
+          s"${v.length} != index dim $fullDim at $root — the query " +
+          "side was featurized for a different index")
+    }
     val cents = readCentroids(spark, root)
     def pre(c: Column): Column = slice(c, 1, prefixDim)
     // probe-list selection runs on the query PREFIX against the
@@ -3445,6 +3457,27 @@ object Similarity {
           greatest(col("expected"), lit(1L)).cast("double"), 4).as("recall"))
   }
 
+  /** Mean-cell-size target of [[semDedupNlist]]: auto-sized nlist
+    * holds expected cluster size in (TargetCell/2, TargetCell], so
+    * within-cell pair work per cluster is bounded by TargetCell²/2
+    * and TOTAL pair volume by n · TargetCell/2 — linear in the
+    * corpus. */
+  private[graft] val SemDedupTargetCell = 64L
+
+  /** Data-dependent nlist for [[semDedup]] (the GeometryLadder rung
+    * discipline, round-12 verdict #1): the smallest power of two k
+    * with n / k ≤ [[SemDedupTargetCell]]. Rung boundaries land at
+    * n = 64·2^j: n ≤ 64 → 1, ≤ 128 → 2, ≤ 256 → 4, ≤ 512 → 8, … —
+    * pinned by spec and replayed data-dependently by the DuckDB
+    * oracle (both engines derive k from the same corpus count, so
+    * they cannot diverge on rung selection).
+    */
+  def semDedupNlist(n: Long): Int = {
+    var k = 1L
+    while (k * SemDedupTargetCell < n && k < (1L << 30)) k <<= 1
+    k.toInt
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * deduplication by cluster-then-prune: k-means the corpus (the
     * SAME deterministic Lloyd replay as [[trainCentroids]], so the
@@ -3462,18 +3495,33 @@ object Similarity {
     * because min-id per dominance chain is never dominated.)
     *
     * Scale shape: the pair stage is the clustered bound Σ_c |c|² —
-    * the whole point of the paper's clustering — so with nlist grown
-    * ∝ n (constant expected cluster size c̄) candidate volume is
-    * O(n · c̄), the k-means analog of the banded-LSH occupancy bound;
-    * the join is an equi-join on cid (hash-partitioned, no
+    * the whole point of the paper's clustering — and `nlist = 0`
+    * (the default) GROWS nlist with the corpus ([[semDedupNlist]]:
+    * the smallest power of two holding mean cell size ≤
+    * [[SemDedupTargetCell]] = 64, the GeometryLadder rung
+    * discipline), so candidate volume is O(n · c̄) with c̄ bounded —
+    * the k-means analog of the banded-LSH occupancy bound — instead
+    * of the fixed-nlist n²/k quadratic (round-12 verdict #1). The
+    * prune join is an equi-join on cid (hash-partitioned, no
     * cartesian), and at warehouse scale the corpus would be written
-    * cid-partitioned once ([[writeIvfIndex]] layout) so the self-join
-    * co-locates without a shuffle. Returns one row per vector:
-    * (vec_id, cluster_id, keep).
+    * cid-partitioned once ([[writeIvfIndex]] layout) so the
+    * self-join co-locates without a shuffle. The residual
+    * super-linear term is Lloyd ASSIGNMENT (n·nlist scan-local
+    * FLOPs, no shuffle — with nlist ∝ n that is quadratic compute
+    * even though shuffle volume stays linear): at warehouse scale
+    * the assignment reuses the serving IVF coarse quantizer
+    * (hierarchical assignment, the standard faiss stance) rather
+    * than flat distance-to-every-centroid; at profiled scales the
+    * FLOP term is dwarfed by the pair stage it bounds (SCALE.md
+    * round-13 re-measure). An explicit `nlist > 0` pins the
+    * geometry (the tuning dial, and the way a 100 TB caller with a
+    * known corpus count avoids the sizing `count()`). Returns one
+    * row per vector: (vec_id, cluster_id, keep).
     */
-  def semDedup(embeddings: DataFrame, nlist: Int = 8, iters: Int = 3,
+  def semDedup(embeddings: DataFrame, nlist: Int = 0, iters: Int = 3,
                minCos: Double = 0.9): DataFrame = {
-    val cents = trainCentroids(embeddings, nlist, iters)
+    val k = if (nlist > 0) nlist else semDedupNlist(embeddings.count())
+    val cents = trainCentroids(embeddings, k, iters)
     val assigned = embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
       .withColumn("norm", l2norm(col("embedding")))

@@ -82,26 +82,39 @@ object Adapters {
     * is [[graft.operators.Analytics.geoTopCountries]]'s static-dim
     * seam fed by a LIVE client instead of the fixture dim.
     *
-    * `maxIps` bounds the CALL COUNT, honestly priced in TIME too:
+    * `maxIps` bounds the CALL COUNT and `maxBuildMs` bounds the TIME:
     * lookups run sequentially on the driver (the reference's
-    * memo-cached loop), so the worst case is maxIps × the client
-    * timeout — the 10 000 default is ~4 min of fresh lookups at
-    * typical latencies, and public endpoints rate-limit well below
-    * that (ip-api free tier ≈ 45 req/min). Raising it is a deliberate
+    * memo-cached loop), so the count cap alone does NOT bound wall
+    * time — 10 000 fresh lookups at the 5 s default client timeout is
+    * ~14 h worst case, and even healthy responses at ip-api's stated
+    * free-tier ~45 req/min take ~3.7 h. The 10-minute default budget
+    * fails LOUDLY mid-build with progress named (the client memoizes,
+    * so a retry resumes where it stopped); ~1 200 fresh sub-500 ms
+    * lookups fit inside it. Raising either cap is a deliberate
     * choice; a deployment that needs six-figure IP dims should batch
     * them offline into a static dim ([[graft.operators.Analytics
     * .geoRangeDim]] is the production-shaped alternative).
     */
   def geoDimOf(spark: SparkSession, activity: DataFrame,
-               client: GeoClient, maxIps: Int = 10000): DataFrame = {
+               client: GeoClient, maxIps: Int = 10000,
+               maxBuildMs: Long = 600000): DataFrame = {
     import spark.implicits._
     val ips = activity.select(col("ip_address")).na.drop().distinct()
       .limit(maxIps + 1).as[String].collect()
     require(ips.length <= maxIps,
       s"geoDimOf: > $maxIps distinct IPs — raise maxIps deliberately " +
         "or pre-aggregate; refusing an unbounded HTTP fan-out")
-    ips.toSeq.map(ip => (ip, client.lookup(ip).country))
-      .toDF("ip_address", "country")
+    val deadline = System.currentTimeMillis() + maxBuildMs
+    val dim = ips.toSeq.zipWithIndex.map { case (ip, i) =>
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"geoDimOf: time budget ${maxBuildMs} ms exhausted after $i " +
+            s"of ${ips.length} lookups — the endpoint is slow or " +
+            "rate-limited; retry resumes from the client's memo cache, " +
+            "or raise maxBuildMs / pre-build a static dim")
+      (ip, client.lookup(ip).country)
+    }
+    dim.toDF("ip_address", "country")
   }
 
   /** GeoTracker.get_top_countries over the live dim: count activity
@@ -203,11 +216,19 @@ object Adapters {
           if (l.startsWith(".")) "." + l else l).mkString("\r\n")
 
     override def notify(alertType: String, severity: String,
-                        description: String): Unit = {
+                        description: String): Unit =
+      notify(alertType, severity, description, username = "unknown")
+
+    /** The actor-carrying form ([[graft.export.Report.dispatchAlerts]]
+      * calls this one): the reference email body renders
+      * alert.get('username','unknown') — "unknown" only when the
+      * alert carries no actor. */
+    override def notify(alertType: String, severity: String,
+                        description: String, username: String): Unit = {
       val nowIso = now()
       val subject = alertSubject(severity, alertType)
       val body = alertBody(severity, alertType, description,
-        username = "unknown", nowIso = nowIso)
+        username = username, nowIso = nowIso)
       val sock = socketFactory(host, port)
       try {
         val in = new java.io.BufferedReader(
@@ -300,8 +321,14 @@ object Adapters {
       extends graft.export.Report.Notifier {
     override def notify(alertType: String, severity: String,
                         description: String): Unit =
+      notify(alertType, severity, description, username = "unknown")
+    // the actor threads through the fan-out so email transports keep
+    // the attribution while SMS-shaped targets drop it in their own
+    // 3-arg default
+    override def notify(alertType: String, severity: String,
+                        description: String, username: String): Unit =
       targets.foreach { t =>
-        try t.notify(alertType, severity, description)
+        try t.notify(alertType, severity, description, username)
         catch { case _: Exception => () }
       }
   }

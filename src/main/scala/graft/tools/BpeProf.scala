@@ -76,6 +76,66 @@ object BpeProf {
       return
     }
 
+    // `fidelity` mode (round-12 verdict #6): QUANTIFY the batched
+    // trainer's cross-iteration approximation against sequential BPE
+    // on the real sf0.1 documents. Sequential recounts after every
+    // merge; batched (m=64) defers pairs created inside a batch to
+    // the next count. Within-iteration equivalence is proven
+    // (BpeSpec); this measures what the deferral costs ACROSS
+    // iterations: (a) merge-TABLE agreement — the rule SETS compared
+    // at equal merge count, plus the order-sensitive common prefix;
+    // (b) the tokenization delta — per-doc subword counts under each
+    // trained vocab, mean/max relative delta and the corpus total.
+    // Sequential is affordable once at a few hundred merges; the
+    // agreement trend across M = 64/128/256 is the honest
+    // extrapolation basis for the 1k+ production counts.
+    if (args.contains("fidelity")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      def docCounts(vocab: org.apache.spark.sql.DataFrame) = {
+        val segLen = vocab.select(col("w"),
+          size(col("toks")).cast("long").as("n_sub"))
+        docs.select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(broadcast(segLen), Seq("w"))
+          .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_sub"))
+      }
+      Seq(64, 128, 256).foreach { m =>
+        val t0 = System.nanoTime()
+        val (seqR, seqV) = TextOps.trainBpeState(docs, m)
+        val tSeq = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (batR, batV) = TextOps.trainBpeBatchedState(docs, m, 64)
+        val tBat = (System.nanoTime() - t1) / 1e9
+        val sPairs = seqR.map(r => (r._2, r._3))
+        val bPairs = batR.map(r => (r._2, r._3))
+        val agree = (sPairs.toSet & bPairs.toSet).size
+        val prefix = sPairs.zip(bPairs).takeWhile(p => p._1 == p._2).size
+        val joined = docCounts(seqV).withColumnRenamed("n_sub", "ns")
+          .join(docCounts(batV).withColumnRenamed("n_sub", "nb"), Seq("doc_id"))
+          .select(col("ns"), col("nb"),
+            (abs(col("ns") - col("nb")).cast("double") / col("ns"))
+              .as("rel"))
+          .agg(sum(col("ns")).as("tot_seq"), sum(col("nb")).as("tot_bat"),
+            avg(col("rel")).as("mean_rel"), max(col("rel")).as("max_rel"))
+          .collect()(0)
+        seqV.unpersist(); batV.unpersist()
+        println(f"[bpeprof-fid] M=$m%4d  rule_set_agree=$agree%4d/" +
+          f"${sPairs.size}%d (${100.0 * agree / sPairs.size}%.1f%%)  " +
+          f"order_prefix=$prefix%4d  tokens_seq=${joined.getLong(0)}%d  " +
+          f"tokens_bat=${joined.getLong(1)}%d  " +
+          f"doc_delta_mean=${100 * joined.getDouble(2)}%.3f%%  " +
+          f"doc_delta_max=${100 * joined.getDouble(3)}%.3f%%  " +
+          f"t_seq=$tSeq%.1f s  t_bat=$tBat%.1f s")
+        ()
+      }
+      spark.stop()
+      return
+    }
+
     println("[bpeprof] corpus_docs, tokens, vocab_words, " +
       "vocab_pass_s, train8_s")
     Seq(2000, 8000, 32000, 128000).foreach { n =>

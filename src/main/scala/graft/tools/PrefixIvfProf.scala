@@ -26,7 +26,42 @@ object PrefixIvfProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d = args.filterNot(_ == "clustered").headOption
+      .getOrElse("/root/testdata/sf0.1")
+
+    // `clustered` mode (round-12 verdict #2's dial-pricing leg): the
+    // pruned matryoshka funnel's recall on the CLUSTERED fixture is
+    // bounded by `cand` against the cluster size — within a tight
+    // cluster every member's PREFIX cosine is nearly equal (the
+    // shared center dominates the first 16 dims), so the coarse cut
+    // keeps a near-arbitrary `cand` of ~n/8 cluster members and the
+    // full-dim rerank can only recover what the cut kept. This sweeps
+    // cand (and nprobe) and prints recall@10 vs exact brute force —
+    // the table that tells a deployment how to size cand relative to
+    // its cluster mass (noise-regime rows are blind to this: there
+    // the coarse ranking is informative and cand=50 suffices).
+    if (args.contains("clustered")) {
+      val ce = graft.SparkEntry.clusteredEmbeddings(spark, d)
+        .localCheckpoint()
+      val qids = Seq(0L, 1L, 2L)
+      val queries = ce.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("pivf-clustered").toString
+      Similarity.writePrefixIvfIndex(ce, tmp, prefixDim = 16, nlist = 16)
+      val exact = Similarity.bruteForceTopK(ce, qids)
+      for (nprobe <- Seq(4, 8, 16); cand <- Seq(50, 100, 200, 400)) {
+        val rec = Similarity.recallAtK(
+          Similarity.prefixIvfSearchIndexed(spark, tmp, queries,
+            nprobe = nprobe, cand = cand), exact)
+          .agg(avg(col("recall"))).head().getDouble(0)
+        println(f"[pivfprof-clustered] nprobe=$nprobe%2d cand=$cand%3d " +
+          f"recall@10=$rec%.3f")
+      }
+      spark.stop()
+      return
+    }
     val runs = 5
     val emb = graft.sources.Tables.embeddings(spark, d)
     val n = emb.count()

@@ -162,6 +162,70 @@ object Scale1Prof {
       return
     }
 
+    // `sf10` mode (round-12 verdict #5): one more DECADE for the
+    // connected-components / banding family — the highest measured
+    // engine exponents (doc_simhash_clusters 0.57, doc_phrase_lookup
+    // 0.47, doc_cluster_dedup 0.45 at sf0.1→sf1) are fine at 10× but
+    // were unmeasured at 100×. Same synthesized-tables trick, 100
+    // disjoint-vocabulary copies (c1..c99 token prefixes): per-copy
+    // duplicate/banding structure is exactly sf0.1's, corpus-level
+    // dims grow 100×. Prints BOTH decade exponents per row; the
+    // audit flag stays exponent > 1.3 on either decade.
+    if (args.contains("sf10")) {
+      val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+        "/tmp/graft-sf10")
+      if (!new java.io.File(s"$sf10/documents.parquet").exists()) {
+        val docs = spark.read.parquet(s"$sf01/documents.parquet")
+        val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        (0 until 100).map { k =>
+          val tagged =
+            if (k == 0) docs
+            else docs.withColumn("text",
+              array_join(transform(split(col("text"), " "),
+                t => concat(lit(s"c$k"), t)), " "))
+          tagged.withColumn("doc_id", col("doc_id") + lit(k * n))
+        }.reduce(_ unionByName _)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$sf10/documents.parquet")
+        println(s"[scale1-sf10] built $sf10")
+      }
+      val ccRows = Seq("doc_simhash_clusters", "doc_cluster_dedup",
+        "doc_phrase_lookup", "doc_simhash_neardups", "doc_line_dedup")
+      def timeAt(name: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        try {
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[scale1-sf10] $name@$dir failed: ${e.getMessage}")
+            -1.0
+        }
+      }
+      // warm pass per scale: JIT + one-time ensure* index builds land
+      // outside the timed window (the tail-mode discipline)
+      ccRows.foreach(timeAt(_, sf01))
+      ccRows.foreach(timeAt(_, sf1))
+      ccRows.foreach(timeAt(_, sf10))
+      var flagged = List.empty[String]
+      ccRows.foreach { name =>
+        val t01 = timeAt(name, sf01)
+        val t1 = timeAt(name, sf1)
+        val t10 = timeAt(name, sf10)
+        val e1 = if (t01 > 0 && t1 > 0) math.log10(t1 / t01) else Double.NaN
+        val e2 = if (t1 > 0 && t10 > 0) math.log10(t10 / t1) else Double.NaN
+        if (e1 > 1.3 || e2 > 1.3) flagged ::= name
+        println(f"[scale1-sf10] $name%-24s sf0.1=$t01%7.2f  sf1=$t1%8.2f" +
+          f"  sf10=$t10%9.2f  exp01_1=$e1%5.2f  exp1_10=$e2%5.2f")
+      }
+      println(s"[scale1-sf10] FLAGGED(>1.3): " +
+        (if (flagged.isEmpty) "none" else flagged.sorted.mkString(", ")))
+      spark.stop()
+      return
+    }
+
     val rows = Seq(
       "doc_substring_dupes", "doc_decontam_normalized",
       "doc_split_leakage", "doc_line_dedup", "doc_cluster_dedup",

@@ -95,7 +95,8 @@ class AdaptersSpec extends SparkSpecBase {
       user = "dam@example.test", password = "s3cret",
       recipients = Seq("soc@example.test", "oncall@example.test"),
       now = () => "2026-08-16T00:00:00")
-    n.notify("SQL Injection", "Critical", "union select detected")
+    n.notify("SQL Injection", "Critical", "union select detected",
+      username = "alice")
     serverThread.join(10000)
     server.close()
     val lines = received.toArray(Array.empty[String]).toSeq
@@ -116,6 +117,9 @@ class AdaptersSpec extends SparkSpecBase {
     assert(lines.contains("Subject: [DAM Critical] SQL Injection"))
     assert(lines.contains("Severity   : Critical"))
     assert(lines.contains("Description: union select detected"))
+    // the actor attribution the reference emails carry
+    // (alert.get('username','unknown')) — threaded, not hardcoded
+    assert(lines.contains("User       : alice"))
     assert(lines.contains("Time       : 2026-08-16T00:00:00"))
     assert(lines.count(_.startsWith("Content-Type: text/")) == 2,
       "multipart/alternative must carry plain AND html parts")
@@ -169,5 +173,33 @@ class AdaptersSpec extends SparkSpecBase {
       }, got))
     fan.notify("T", "High", "d")
     assert(got.sent.size() == 1)
+    // the 4-arg actor form fans out too, reaching username-aware
+    // targets with the attribution intact
+    val users = scala.collection.mutable.ArrayBuffer.empty[String]
+    new Adapters.FanoutNotifier(Seq(new graft.export.Report.Notifier {
+      override def notify(t: String, s: String, d: String): Unit = ()
+      override def notify(t: String, s: String, d: String, u: String): Unit = {
+        users += u; ()
+      }
+    })).notify("T", "High", "d", "bob")
+    assert(users.toSeq == Seq("bob"))
+  }
+
+  test("geoDimOf: time budget fails loudly mid-build with progress named") {
+    val slow = new Adapters.GeoClient {
+      override def lookup(ip: String): Adapters.GeoInfo = {
+        Thread.sleep(30)
+        Adapters.GeoInfo("X", "Y", 0, 0, "Z")
+      }
+    }
+    val activity = (0 until 50).map(i => (s"10.2.0.$i", i.toLong))
+      .toDF("ip_address", "activity_id")
+    val e = intercept[IllegalStateException] {
+      Adapters.geoDimOf(spark, activity, slow, maxBuildMs = 100)
+    }
+    assert(e.getMessage.contains("time budget") &&
+      e.getMessage.contains("of 50 lookups"))
+    // a generous budget completes
+    assert(Adapters.geoDimOf(spark, activity.limit(3), slow).count() == 3)
   }
 }

@@ -2168,6 +2168,41 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(none == 0L)
   }
 
+  test("semDedupNlist: rung boundaries pinned; nlist=0 auto-sizes from the corpus count and equals the explicit rung") {
+    // the GeometryLadder discipline for semDedup (round-12 verdict
+    // #1): smallest power of two holding mean cell size ≤ 64 — rung
+    // boundaries land exactly at 64·2^j
+    assert(Similarity.semDedupNlist(1L) == 1)
+    assert(Similarity.semDedupNlist(64L) == 1)
+    assert(Similarity.semDedupNlist(65L) == 2)
+    assert(Similarity.semDedupNlist(128L) == 2)
+    assert(Similarity.semDedupNlist(129L) == 4)
+    assert(Similarity.semDedupNlist(256L) == 4)
+    assert(Similarity.semDedupNlist(480L) == 8)   // sf0.1 planted corpus
+    assert(Similarity.semDedupNlist(512L) == 8)
+    assert(Similarity.semDedupNlist(120L) == 2)   // sf0.01 planted corpus
+    assert(Similarity.semDedupNlist(4096L) == 64)
+    assert(Similarity.semDedupNlist(1000000L) == 16384)
+    // mean cell size stays in (32, 64] at every rung boundary+1
+    Seq(65L, 129L, 257L, 513L, 1025L).foreach { n =>
+      val k = Similarity.semDedupNlist(n)
+      val cell = n.toDouble / k
+      assert(cell <= 64.0 && cell > 16.0, s"n=$n k=$k cell=$cell")
+    }
+    // auto (nlist = 0, the default) is EXACTLY the explicit rung —
+    // 110 vectors → rung 2
+    val rng = new scala.util.Random(29)
+    val corpus = (0 until 110)
+      .map(i => (i.toLong, Array.fill(64)((rng.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.semDedup(corpus, iters = 2)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val pinned = Similarity.semDedup(corpus, nlist = 2, iters = 2)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(auto == pinned, "auto nlist must replay the rung exactly")
+    assert(auto.map(_._2).distinct.size <= 2)
+  }
+
   test("mineTriplets: best positive and hard negative per anchor, both required") {
     val rng = new scala.util.Random(53)
     val dim = 64
@@ -4470,24 +4505,75 @@ class DedupSimilaritySpec extends SparkSpecBase {
     IndexGen.releaseLease(spark, dir, n)
     TextOps.compactBm25Index(spark, dir)
     assert(probe() == expected)
-    // CAS belt: writer A stages, stalls past the lease timeout;
+    // ownership belt: writer A stages, stalls past the lease timeout;
     // writer B breaks the stale lease and publishes first; A's
-    // publish must fail the pointer CAS without touching B's
+    // publish must fail the lease-ownership check (its lease is gone
+    // — B broke it, published, and pruned it) without touching B's
     // generation
     // -1 (not 0): the break condition is age > timeout, and a
     // same-millisecond stage would tie at age 0
     spark.conf.set("graft.index.leaseTimeoutMs", "-1")
     try {
-      val (n2, _) = IndexGen.stage(spark, dir)
+      val (n2, stg2) = IndexGen.stage(spark, dir)
       TextOps.compactBm25Index(spark, dir) // breaks A's stale lease, wins
       val rootAfterB = iroot(dir)
-      val cas = intercept[IndexGen.ConcurrentMaintenanceException] {
-        IndexGen.publish(spark, dir, n2)
+      val lost = intercept[IndexGen.ConcurrentMaintenanceException] {
+        IndexGen.publish(spark, dir, n2, stg2)
       }
-      assert(cas.getMessage.contains("CAS"))
+      assert(lost.getMessage.contains("lease-ownership"))
       assert(iroot(dir) == rootAfterB,
-        "the CAS loser must not perturb the published generation")
+        "the ownership loser must not perturb the published generation")
       assert(probe() == expected)
+    } finally spark.conf.unset("graft.index.leaseTimeoutMs")
+  }
+
+  test("stale-lease straggler cannot publish the rival's half-built staging: writer-unique staging + publish lease-ownership check (round-12 ADVICE hole)") {
+    import graft.operators.IndexGen
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("lease-straggler").toString
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(hconf)
+    def writeMarker(root: String, body: String): Unit = {
+      val os = fs.create(new Path(root, "payload.txt"), true)
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+    }
+    def readMarker(root: String): String = {
+      val in = fs.open(new Path(root, "payload.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // gen-0 exists (normal build)
+    IndexGen.buildFresh(spark, dir)(root => writeMarker(root, "gen0"))
+    assert(readMarker(IndexGen.root(spark, dir)) == "gen0")
+    spark.conf.set("graft.index.leaseTimeoutMs", "-1")
+    try {
+      // writer A stages gen-1, builds, then stalls past the timeout
+      val (nA, stgA) = IndexGen.stage(spark, dir)
+      writeMarker(stgA, "A-half-built")
+      // writer B breaks A's stale lease and stages the SAME generation
+      val (nB, stgB) = IndexGen.stage(spark, dir)
+      assert(nA == nB, "both writers contend for the same generation")
+      assert(stgA != stgB, "staging roots must be writer-unique")
+      // B is still building (its staging is half-written)
+      writeMarker(stgB, "B-half-built")
+      // A resumes and tries to publish: the pointer CAS would PASS
+      // (published max is still gen-0) — only the lease-ownership
+      // check stops A, and A's staging path can never alias B's
+      val e = intercept[IndexGen.ConcurrentMaintenanceException] {
+        IndexGen.publish(spark, dir, nA, stgA)
+      }
+      assert(e.getMessage.contains("lease-ownership"))
+      assert(readMarker(IndexGen.root(spark, dir)) == "gen0",
+        "the straggler must not publish anything")
+      assert(fs.exists(new Path(stgB)),
+        "the rival's in-progress staging must be untouched")
+      // B finishes and publishes its OWN staging — clean win
+      IndexGen.publish(spark, dir, nB, stgB)
+      assert(readMarker(IndexGen.root(spark, dir)) == "B-half-built")
+      // A's abandoned staging was pruned by B's publish
+      assert(!fs.exists(new Path(stgA)),
+        "the loser's abandoned staging is garbage-collected at publish")
     } finally spark.conf.unset("graft.index.leaseTimeoutMs")
   }
 }

@@ -171,6 +171,21 @@ class MutationsReportSpec extends SparkSpecBase {
     notifier.sent.forEach { case (_, sev, _) =>
       assert(sev == "High" || sev == "Critical")
     }
+    // the seam carries the triggering alert's ACTOR (reference
+    // dispatch_alert renders alert.get('username','unknown')): a
+    // username-aware notifier sees real usernames, "unknown" only
+    // where the alert carries none
+    val actors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    Report.dispatchAlerts(cls, new Report.Notifier {
+      override def notify(t: String, s: String, d: String): Unit = ()
+      override def notify(t: String, s: String, d: String,
+                          username: String): Unit = { actors.add(username); () }
+    })
+    val seen = actors.toArray(Array.empty[String]).toSeq
+    assert(seen.size == n)
+    assert(seen.exists(_ != "unknown"),
+      "dispatch must thread real usernames through the seam")
+    assert(seen.forall(_.nonEmpty))
   }
 
   test("report_log append: schema matches bootstrap, id deterministic") {
