@@ -3509,11 +3509,12 @@ object Similarity {
     * super-linear term is Lloyd ASSIGNMENT (n·nlist scan-local
     * FLOPs, no shuffle — with nlist ∝ n that is quadratic compute
     * even though shuffle volume stays linear): at warehouse scale
-    * the assignment reuses the serving IVF coarse quantizer
-    * (hierarchical assignment, the standard faiss stance) rather
-    * than flat distance-to-every-centroid; at profiled scales the
+    * use [[semDedupIndexed]] / [[semDedupWithCentroids]] — assign
+    * against the serving IVF index's stored quantizer (trained once,
+    * on a sample if desired) instead of retraining here, the
+    * standard faiss hierarchical stance; at profiled scales the
     * FLOP term is dwarfed by the pair stage it bounds (SCALE.md
-    * round-13 re-measure). An explicit `nlist > 0` pins the
+    * round-13 re-measure: exponent 1.26 → 0.58). An explicit `nlist > 0` pins the
     * geometry (the tuning dial, and the way a 100 TB caller with a
     * known corpus count avoids the sizing `count()`). Returns one
     * row per vector: (vec_id, cluster_id, keep).
@@ -3521,7 +3522,22 @@ object Similarity {
   def semDedup(embeddings: DataFrame, nlist: Int = 0, iters: Int = 3,
                minCos: Double = 0.9): DataFrame = {
     val k = if (nlist > 0) nlist else semDedupNlist(embeddings.count())
-    val cents = trainCentroids(embeddings, k, iters)
+    semDedupWithCentroids(embeddings, trainCentroids(embeddings, k, iters),
+      minCos)
+  }
+
+  /** [[semDedup]] against CALLER-SUPPLIED centroids — the hierarchical
+    * 100 TB form: skip the Lloyd training entirely and assign against
+    * an already-trained coarse quantizer (typically the serving IVF
+    * index's stored centroids, [[readCentroids]] on its resolved
+    * root), so the full-corpus cost is ONE assignment scan + the
+    * bounded within-cell prune. Identical semantics to [[semDedup]]
+    * given the same centroids (spec-pinned); the caller owns keeping
+    * mean cell size bounded (the [[semDedupNlist]] discipline).
+    */
+  def semDedupWithCentroids(embeddings: DataFrame,
+                            cents: Array[Array[Double]],
+                            minCos: Double = 0.9): DataFrame = {
     val assigned = embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
       .withColumn("norm", l2norm(col("embedding")))
@@ -3537,6 +3553,20 @@ object Similarity {
       .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
         col("__drop").isNull.as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** [[semDedupWithCentroids]] fed by a DURABLE IVF index's stored
+    * coarse quantizer: the corpus is assigned to the SERVING index's
+    * centroids (one scan, no training), so nightly semantic dedup
+    * and ANN serving share one quantizer and one maintenance
+    * lifecycle — the faiss-style hierarchical stance the 100 TB
+    * recipe names.
+    */
+  def semDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, embeddings: DataFrame,
+                      minCos: Double = 0.9): DataFrame = {
+    val root = IndexGen.root(spark, dir)
+    semDedupWithCentroids(embeddings, readCentroids(spark, root), minCos)
   }
 
   /** Above this eval-set size the per-eval cosine terms switch from

@@ -94,6 +94,25 @@ object IndexBuildProf {
       ("bm25(64)", (t, d) => TextOps.writeBm25Index(t, d), "doc"),
       ("gram(8,64)", (t, d) => TextOps.writeGramIndex(t, d), "doc"))
 
+    // JVM/JIT warmup: one untimed build of every kind at sf0.1 —
+    // without this the sf0.1 row absorbs first-JVM codegen cost and
+    // the decade comparison reads backwards (the first capture showed
+    // bm25/gram absolute time FALLING at 10×, a pure warmup artifact)
+    locally {
+      val wEmb = spark.read.parquet(s"$sf01/embeddings.parquet")
+        .localCheckpoint()
+      val wDocs = spark.read.parquet(s"$sf01/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+        .localCheckpoint()
+      builds.foreach { case (_, build, kind) =>
+        val dir = freshDir()
+        build(if (kind == "emb") wEmb else wDocs, dir)
+        rm(new java.io.File(dir))
+      }
+      wEmb.unpersist(); wDocs.unpersist()
+      ()
+    }
+
     for (dir <- Seq(sf01, sf1)) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .localCheckpoint()

@@ -230,7 +230,11 @@ object Scale1Prof {
       "doc_substring_dupes", "doc_decontam_normalized",
       "doc_split_leakage", "doc_line_dedup", "doc_cluster_dedup",
       "doc_simhash_clusters", "doc_jaccard_pairs", "doc_bpe_tokens",
-      "emb_ivfpq_ann", "doc_phrase_lookup")
+      "emb_ivfpq_ann", "doc_phrase_lookup",
+      // round-12 verdict #1 re-measure: the battery's one superlinear
+      // row (exponent 1.26 under fixed nlist=8) with the auto-sized
+      // rung (480 -> 8, 4800 -> 128; cell stays <= 64)
+      "emb_semdedup")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {

@@ -2168,6 +2168,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(none == 0L)
   }
 
+  test("semDedupIndexed: assignment against a durable IVF index's stored quantizer equals retraining semDedup on the same geometry") {
+    val rng = new scala.util.Random(31)
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, Array.fill(64)((rng.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdedup-ivf").toString
+    // the serving index IS the quantizer: same deterministic Lloyd,
+    // so assigning against its stored centroids must reproduce the
+    // retraining path bit-for-bit
+    Similarity.writeIvfIndex(corpus, dir, nlist = 4, iters = 3)
+    val indexed = Similarity.semDedupIndexed(spark, dir, corpus)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val retrained = Similarity.semDedup(corpus, nlist = 4, iters = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(indexed == retrained,
+      "indexed assignment must equal the retraining path")
+    assert(indexed.map(_._2).distinct.size > 1)
+  }
+
   test("semDedupNlist: rung boundaries pinned; nlist=0 auto-sizes from the corpus count and equals the explicit rung") {
     // the GeometryLadder discipline for semDedup (round-12 verdict
     // #1): smallest power of two holding mean cell size ≤ 64 — rung
