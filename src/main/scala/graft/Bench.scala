@@ -199,7 +199,7 @@ object Bench {
     // calibration row BEFORE the battery (and again after): the
     // ambient yardstick every drift claim must cite
     val calibStart = calibSec(spark, runs)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val allTimes = SparkEntry.queries.map { case (name, fn) =>
       // min-of-N: noop sink materializes every output column (count()
       // would let Catalyst prune projections and under-report)
       val times = (1 to runs).map { _ =>
@@ -210,9 +210,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0 }
       }
-      // any failure reports the -1 sentinel, never a bogus fast time
+      name -> times
+    }
+    // any failure reports the -1 sentinel, never a bogus fast time
+    val results = allTimes.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    // companion aggregate over the FIRST 3 runs of the same capture:
+    // the round driver measures min-of-3, the committed record
+    // min-of-5 — this prices how much of any driver-vs-committed gap
+    // is the aggregation depth (same box, same runs) vs the driver's
+    // ambient. Free: no extra runs.
+    val totalMinFirst3 =
+      if (runs >= 4 && !results.values.exists(_ == -1.0))
+        allTimes.values.map(_.take(3).min).sum
+      else -1.0
     // stream fixed-cost floors (round-10 verdict #6): the identical
     // Ingest machinery over an EMPTY spool — startup + trigger +
     // RocksDB/checkpoint/sink cost with zero pipeline work. Reported
@@ -255,7 +267,10 @@ object Bench {
     val totalPerCalib =
       if (calibMean > 0 && results.nonEmpty) results.values.sum / calibMean
       else -1.0
-    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"total_per_calib":${ms(totalPerCalib)},"load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"stream_floor":$floorsJson,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs; stream_floor = same streaming machinery over an empty spool (fixed cost; steady-state = row - floor)","n_queries":${results.size}"""
+    val minFirst3PerCalib =
+      if (calibMean > 0 && totalMinFirst3 > 0) totalMinFirst3 / calibMean
+      else -1.0
+    val meta = s""""sf":"$sfDir","runs_per_query":$runs,"agg":"min","calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"total_per_calib":${ms(totalPerCalib)},"total_min_first3":${ms(totalMinFirst3)},"total_min_first3_per_calib":${ms(minFirst3PerCalib)},"load_avg_start":$load0,"load_avg_end":$load1,"load_gate":"$gate","load_gate_max":$maxLoad,"cold_classify_build_sec":${ms(coldBuild)},"stream_floor":$floorsJson,"warm":"activity+classified views pre-materialized (classify-at-ingest); per-query sec = min of $runs runs; stream_floor = same streaming machinery over an empty spool (fixed cost; steady-state = row - floor)","n_queries":${results.size}"""
     // full record: every query — the committed artifact and the
     // last-run scratch file hold this
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$meta,"total_sec_tail":${ms(total)}}"""

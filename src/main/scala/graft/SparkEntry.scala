@@ -1109,29 +1109,36 @@ ORDER BY m.vec_id"""
     */
   private def kmeansAssignCtes(src: String, nlist: Int, iters: Int,
                                dim: Int, suffix: String = "",
-                               nlistCaseSql: Option[String] = None): String = {
+                               nlistCaseSql: Option[String] = None,
+                               trainSrc: Option[String] = None): String = {
     // nlistCaseSql: a CASE-over-count rung expression replacing the
     // fixed nlist — the DATA-DEPENDENT k replay (semDedup auto
     // sizing): both engines derive k from the same corpus count, so
     // rung selection cannot diverge; a corpus above the enumerated
     // rung ceiling selects NULL → c0 empties → the row fails LOUDLY
     // (the OracleGeometryRungs stance).
+    // trainSrc: the SAMPLED-TRAINING replay (writeIvfIndexSampled) —
+    // the Lloyd chain (init + iteration assignments/means) runs over
+    // the training frame while the final `af` assignment covers the
+    // full `src`, exactly the engine's train-on-sample/assign-all
+    // split.
+    val tsrc = trainSrc.getOrElse(src)
     val init = nlistCaseSql match {
       case Some(kase) =>
         s"""rung$suffix AS (
-  SELECT $kase AS k FROM (SELECT count(*) AS n FROM $src)
+  SELECT $kase AS k FROM (SELECT count(*) AS n FROM $tsrc)
 ), c0$suffix AS (
   SELECT cid, cent FROM (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-    FROM $src
+    FROM $tsrc
   ), rung$suffix WHERE cid < rung$suffix.k
 )"""
       case None =>
         s"""c0$suffix AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $nlist)
+  FROM (SELECT vec_id, embedding FROM $tsrc ORDER BY vec_id LIMIT $nlist)
 )"""
     }
     val iterCtes = (0 until iters).map { i =>
@@ -1140,13 +1147,13 @@ ORDER BY m.vec_id"""
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${sqDistSql("e.embedding", "c.cent")}, c.cid) AS rn
-    FROM $src e CROSS JOIN c$i$suffix c
+    FROM $tsrc e CROSS JOIN c$i$suffix c
   ) WHERE rn = 1
 ), m$i$suffix AS (
   SELECT a.cid, t.i AS pos,
     CAST(sum(CAST(CAST(e.embedding[t.i + 1] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
       / count(*) AS m
-  FROM $src e JOIN a$i$suffix a USING (vec_id) CROSS JOIN range($dim) t(i)
+  FROM $tsrc e JOIN a$i$suffix a USING (vec_id) CROSS JOIN range($dim) t(i)
   GROUP BY a.cid, t.i
 ), c${i + 1}$suffix AS (
   SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
@@ -1172,7 +1179,8 @@ ORDER BY m.vec_id"""
                             corpusFilter: Option[String] = None,
                             queryPred: Option[String] = None,
                             src: String = "embeddings",
-                            prelude: String = ""): String = {
+                            prelude: String = "",
+                            trainSrc: Option[String] = None): String = {
     val qIn = queryIds.mkString(", ")
     val cf = s"c$iters"
     val cFil = corpusFilter.map(f => s" AND $f").getOrElse("")
@@ -1180,7 +1188,8 @@ ORDER BY m.vec_id"""
     // (knnJoinIndexed) replay, where the query side is a predicate
     // over the same table rather than an enumerated list
     val qSel = queryPred.getOrElse(s"q.vec_id IN ($qIn)")
-    s"""WITH $prelude${kmeansAssignCtes(src, nlist, iters, dim)},
+    s"""WITH $prelude${kmeansAssignCtes(src, nlist, iters, dim,
+      trainSrc = trainSrc)},
 nn AS (
   SELECT vec_id, label, embedding, ${normSql("embedding")} AS norm FROM $src
 ), qp AS (
@@ -1203,9 +1212,11 @@ nn AS (
   private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
                            dim: Int, queryIds: Seq[Long],
                            corpusFilter: Option[String] = None,
-                           queryPred: Option[String] = None): String =
+                           queryPred: Option[String] = None,
+                           prelude: String = "",
+                           trainSrc: Option[String] = None): String =
     ivfScoredCtes(nlist, nprobe, iters, dim, queryIds, corpusFilter,
-      queryPred) + s"""
+      queryPred, prelude = prelude, trainSrc = trainSrc) + s"""
 SELECT query_id, vec_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
 FROM scored WHERE NOT isnan(cos_sim) QUALIFY rank <= $k ORDER BY query_id, rank"""
@@ -4026,6 +4037,32 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
         Similarity.ivfTopK(emb, Seq(0L, 1L, 2L)),
         Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
     }),
+    // what sample-training costs in recall: the same nprobe dial with
+    // the quantizer trained on the vec_id % 4 sample — prices the
+    // 100 TB build recipe's quality side next to its build-cost side
+    "emb_ivf_sampled_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.ensureIvfSampledIndex(s,
+        s"$d/embeddings.parquet", emb, sampleMod = 4)
+      import s.implicits._
+      val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.recallAtK(
+        Similarity.ivfSearchIndexed(s, idx, qvecs),
+        Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L)))
+    }),
+    // ...and the same sampled quantizer at the DESIGN POINT: on the
+    // clustered fixture a 1-in-4 sample still sees every cluster's
+    // mass, so most of the full-trained recall survives (measured
+    // 0.87 vs 1.0 at sf0.1; the noise row above is the worst case)
+    "emb_ivf_sampled_clustered_recall" -> ((s, d) => {
+      val ce = clusteredEmbeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(ce, Seq(0L, 1L, 2L),
+          trainOn = Some(ce.filter(col("vec_id") % 4 === 0))),
+        Similarity.bruteForceTopK(ce, Seq(0L, 1L, 2L)))
+    }),
     // the same nprobe dial at the DESIGN POINT: clustered fixture,
     // identical dials (nlist=16, nprobe=2) — k-means carves the true
     // clusters, so the pruned probe should hold near-exact recall
@@ -4043,6 +4080,20 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
     "emb_ivf_indexed" -> ((s, d) => {
       val idx = Similarity.ensureIvfIndex(s, s"$d/embeddings.parquet",
         Tables.embeddings(s, d))
+      import s.implicits._
+      val qvecs = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      Similarity.ivfSearchIndexed(s, idx, qvecs)
+    }),
+    // the 100 TB build recipe made first-class: the coarse quantizer
+    // trains on the deterministic vec_id % 4 sample (bounding Lloyd's
+    // per-iteration pass), the full corpus pays only the assignment
+    // scan + partitioned write; the probe is the standard pruned read
+    "emb_ivf_sampled_indexed" -> ((s, d) => {
+      val idx = Similarity.ensureIvfSampledIndex(s,
+        s"$d/embeddings.parquet", Tables.embeddings(s, d), sampleMod = 4)
       import s.implicits._
       val qvecs = Tables.embeddings(s, d)
         .filter(col("vec_id").isin(0L, 1L, 2L))
@@ -6108,6 +6159,16 @@ ORDER BY d.doc_id"""),
     "emb_ivf_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2, iters = 3,
       k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L)),
 
+    // sampled-training build (the 100 TB recipe): the Lloyd chain
+    // trains on the deterministic vec_id % 4 sample, the FULL corpus
+    // is assigned to those centroids — prelude CTE + trainSrc split
+    // the replay exactly as writeIvfIndexSampled splits the build
+    "emb_ivf_sampled_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2,
+      iters = 3, k = 10, dim = 64, queryIds = Seq(0L, 1L, 2L),
+      prelude =
+        "samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),\n",
+      trainSrc = Some("samp")),
+
     // the table-vs-index join: same Lloyd replay, query side a
     // predicate over the table instead of an enumerated id list
     "emb_knn_join_indexed" -> ivfOracleSql(nlist = 16, nprobe = 2,
@@ -6368,6 +6429,33 @@ SELECT x.query_id,
 FROM brute x LEFT JOIN ivfk l
   ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id"""),
+
+    // the sampled-training quantizer's recall dial: the Lloyd chain
+    // trains on the vec_id % 4 sample (trainSrc), the probe and the
+    // brute side are the standard replay
+    "emb_ivf_sampled_recall" -> (ivfScoredCtes(nlist = 16, nprobe = 2,
+      iters = 3, dim = 64, queryIds = Seq(0L, 1L, 2L),
+      prelude =
+        "samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),\n",
+      trainSrc = Some("samp")) + s"""
+, q AS (
+  SELECT vec_id AS query_id, embedding, norm AS qnorm
+  FROM nn WHERE vec_id IN (0, 1, 2)
+)""" + recallTailSql("ivfsk")),
+
+    // the sampled quantizer at the design point: Lloyd trains on the
+    // 1-in-4 sample OF THE CLUSTERED fixture, probe + brute over the
+    // full clustered corpus
+    "emb_ivf_sampled_clustered_recall" -> (ivfScoredCtes(nlist = 16,
+      nprobe = 2, iters = 3, dim = 64, queryIds = Seq(0L, 1L, 2L),
+      src = "ce",
+      prelude = s"$ClusteredCorpusCte,\n" +
+        "samp AS (SELECT vec_id, embedding FROM ce WHERE vec_id % 4 = 0),\n",
+      trainSrc = Some("samp")) + s"""
+, q AS (
+  SELECT vec_id AS query_id, embedding, norm AS qnorm
+  FROM nn WHERE vec_id IN (0, 1, 2)
+)""" + recallTailSql("ivfsck")),
 
     // the pruned IVF probe priced at the DESIGN POINT: identical
     // dials over the clustered fixture — recallTailSql over a q CTE

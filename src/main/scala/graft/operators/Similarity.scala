@@ -1004,8 +1004,11 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
               nlist: Int = 16, nprobe: Int = 2,
-              iters: Int = 3, pred: Option[Column] = None): DataFrame = {
-    val cents = trainCentroids(embeddings, nlist, iters)
+              iters: Int = 3, pred: Option[Column] = None,
+              trainOn: Option[DataFrame] = None): DataFrame = {
+    // trainOn: the one-shot face of [[writeIvfIndexSampled]]'s
+    // train-on-sample / assign-all split (recall dials price it)
+    val cents = trainCentroids(trainOn.getOrElse(embeddings), nlist, iters)
     val assigned = embeddings
       .withColumn("cid", nearestCentroid(col("embedding"), cents))
       .withColumn("norm", l2norm(col("embedding")))
@@ -1041,7 +1044,33 @@ object Similarity {
     * corpus; index build is one training pass + one partitioned write.
     */
   def writeIvfIndex(embeddings: DataFrame, dir: String, nlist: Int = 16,
-                    iters: Int = 3): Unit = {
+                    iters: Int = 3): Unit =
+    writeIvfIndexWithTrain(embeddings, embeddings, dir, nlist, iters)
+
+  /** [[writeIvfIndex]] with the coarse quantizer trained on a BOUNDED
+    * SAMPLE of the corpus — the 100 TB build recipe the build-cost
+    * table names (SCALE.md): Lloyd's per-iteration cost is a full
+    * pass over its TRAINING frame, so at warehouse scale the quantizer
+    * trains on `vec_id % sampleMod == 0` (deterministic, oracle-
+    * replayable — no Bernoulli RNG) and the full corpus pays only the
+    * ONE assignment scan + partitioned write it would pay anyway.
+    * k-means quality degrades gracefully under uniform subsampling
+    * (centroids estimate density, and the deterministic modulus is
+    * independent of embedding geometry); recall dials price the
+    * result exactly like any other index. Identical layout, stats
+    * baseline still computed over the FULL corpus (the append drift
+    * guard must measure what the index actually holds).
+    */
+  def writeIvfIndexSampled(embeddings: DataFrame, dir: String,
+                           sampleMod: Long = 4, nlist: Int = 16,
+                           iters: Int = 3): Unit =
+    writeIvfIndexWithTrain(embeddings,
+      embeddings.filter(col("vec_id") % sampleMod === 0),
+      dir, nlist, iters)
+
+  private def writeIvfIndexWithTrain(embeddings: DataFrame,
+                                     trainOn: DataFrame, dir: String,
+                                     nlist: Int, iters: Int): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // ladder-native build ([[IndexGen]]): the complete layout lands
@@ -1049,7 +1078,7 @@ object Similarity {
     // — a rebuild over a live index never disturbs in-flight readers
     // and never inherits stale `_commits` markers into its stats
     IndexGen.buildFresh(spark, dir) { root =>
-      val cents = trainCentroids(embeddings, nlist, iters)
+      val cents = trainCentroids(trainOn, nlist, iters)
       embeddings
         .withColumn("cid", nearestCentroid(col("embedding"), cents))
         .withColumn("norm", l2norm(col("embedding")))
@@ -1947,6 +1976,19 @@ object Similarity {
                      indexRoot: Option[String] = None): String =
     ensureIndexDir(spark, sourcePath, "ivf", indexRoot)(
       dir => writeIvfIndex(embeddings, dir, nlist, iters))
+
+  /** [[ensureIvfIndex]]'s build-once contract for the sampled-training
+    * build ([[writeIvfIndexSampled]]). `sampleMod` keys the index
+    * directory: changing the sampling geometry is a different index,
+    * not a refresh of the same one.
+    */
+  def ensureIvfSampledIndex(spark: org.apache.spark.sql.SparkSession,
+                            sourcePath: String, embeddings: DataFrame,
+                            sampleMod: Long = 4, nlist: Int = 16,
+                            iters: Int = 3,
+                            indexRoot: Option[String] = None): String =
+    ensureIndexDir(spark, sourcePath, s"ivfs-$sampleMod-$nlist", indexRoot)(
+      dir => writeIvfIndexSampled(embeddings, dir, sampleMod, nlist, iters))
 
   /** [[ensureIvfIndex]]'s build-once contract for the IVF-PQ layout
     * ([[writeIvfPqIndex]]). */

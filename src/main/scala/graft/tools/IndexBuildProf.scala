@@ -83,6 +83,12 @@ object IndexBuildProf {
 
     val builds: Seq[(String, (DataFrame, String) => Unit, String)] = Seq(
       ("ivf(nlist=16)", (e, d) => Similarity.writeIvfIndex(e, d), "emb"),
+      // the 100 TB recipe row: quantizer trained on the vec_id % 4
+      // sample, full corpus assigned — the delta vs the row above is
+      // the Lloyd cost the sampling removes
+      ("ivf_sampled(mod=4)",
+        (e, d) => Similarity.writeIvfIndexSampled(e, d, sampleMod = 4),
+        "emb"),
       ("ivfpq(16,4x16)", (e, d) => Similarity.writeIvfPqIndex(e, d), "emb"),
       ("sq8", (e, d) => Similarity.writeSq8Index(e, d), "emb"),
       ("bq", (e, d) => Similarity.writeBqIndex(e, d), "emb"),

@@ -791,6 +791,39 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(viaIndex == oneShot && viaIndex.nonEmpty)
   }
 
+  test("writeIvfIndexSampled: quantizer trains on the vec_id % mod sample, full corpus assigned and counted") {
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val n = emb.count()
+    // mod=1: the sample IS the corpus — layout must equal writeIvfIndex
+    val full = java.nio.file.Files.createTempDirectory("ivfs1").toString
+    Similarity.writeIvfIndexSampled(emb, full, sampleMod = 1,
+      nlist = 8, iters = 2)
+    val plain = java.nio.file.Files.createTempDirectory("ivfp").toString
+    Similarity.writeIvfIndex(emb, plain, nlist = 8, iters = 2)
+    assert(Similarity.readCentroids(spark, iroot(full)).map(_.toSeq).toSeq ==
+      Similarity.readCentroids(spark, iroot(plain)).map(_.toSeq).toSeq)
+    // mod=4: stored centroids = trainCentroids over exactly the sample
+    // (the train-on-sample / assign-all split contract), stats count
+    // the FULL corpus (the drift guard measures what the index holds)
+    val dir = java.nio.file.Files.createTempDirectory("ivfs4").toString
+    Similarity.writeIvfIndexSampled(emb, dir, sampleMod = 4,
+      nlist = 8, iters = 2)
+    val wantCents = Similarity.trainCentroids(
+      emb.filter($"vec_id" % 4 === 0), k = 8, iters = 2)
+    assert(Similarity.readCentroids(spark, iroot(dir)).map(_.toSeq).toSeq ==
+      wantCents.map(_.toSeq).toSeq)
+    assert(spark.read.parquet(s"${iroot(dir)}/lists").count() == n)
+    assert(Similarity.indexedCorpusCount(spark, dir) == n)
+    // the probe is the standard pruned read; every corpus vector is
+    // findable (assignment covered the non-sampled rows too)
+    val qvecs = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val got = Similarity.ivfSearchIndexed(spark, dir, qvecs, k = 10,
+      nprobe = 2)
+    assert(got.count() == 30)
+  }
+
   test("recallAtK: intersection over exact size; missing queries recall 0") {
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L))
       .toDF("query_id", "vec_id")
