@@ -2767,7 +2767,7 @@ FROM stats s LEFT JOIN kt k USING (doc_id) $finalWhere ORDER BY doc_id"""
           .as("embedding"))
   }
 
-  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+  private[graft] def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
     base.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))

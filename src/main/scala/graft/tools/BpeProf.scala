@@ -89,11 +89,34 @@ object BpeProf {
     // Sequential is affordable once at a few hundred merges; the
     // agreement trend across M = 64/128/256 is the honest
     // extrapolation basis for the 1k+ production counts.
+    // `fidelity zipf` (r13): the sf0.1 fixture's massive pair-count
+    // TIE plateaus make rule-set agreement fixture-adversarial (the
+    // r12 caveat) — this re-runs the same measurement on a
+    // smooth-Zipf corpus: 5000-word vocabulary, rank spelled in
+    // letters (alphabet a–p + the 'z' prefix), frequencies ∝ the
+    // same Zipf-ish band as `body`, so pair counts are GRADED like
+    // natural text instead of tied, and the vocabulary supports far
+    // deeper merge chains before saturation.
     if (args.contains("fidelity")) {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
         "/root/testdata/sf0.1")
-      val docs = graft.sources.Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+      def alpha(r: Long): String = {
+        var v = r; val sb = new StringBuilder("z")
+        do { sb.append(('a' + (v % 16)).toChar); v /= 16 } while (v > 0)
+        sb.toString
+      }
+      val zipf = args.contains("zipf")
+      val docs =
+        (if (zipf)
+          spark.range(8000L).map { i =>
+            (i, (0 until 40).map { j =>
+              val x = i * 53 + j
+              val r = (x ^ (x >>> 7)) % (1L + (x % 97) * (x % 89))
+              alpha(r % 5000)
+            }.mkString(" "))
+          }.toDF("doc_id", "text")
+        else graft.sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))).localCheckpoint()
       def docCounts(vocab: org.apache.spark.sql.DataFrame) = {
         val segLen = vocab.select(col("w"),
           size(col("toks")).cast("long").as("n_sub"))
@@ -111,8 +134,9 @@ object BpeProf {
       // worst case; m=8 recounts 8×). M=128/256 document the
       // SATURATED fixed point, where both trainers converge to the
       // identical fully-merged vocab.
-      Seq((64, 8), (64, 16), (64, 32), (64, 64), (128, 64),
-        (256, 64)).foreach { case (m, topM) =>
+      (if (zipf) Seq((64, 8), (64, 64), (256, 64))
+       else Seq((64, 8), (64, 16), (64, 32), (64, 64), (128, 64),
+         (256, 64))).foreach { case (m, topM) =>
         val t0 = System.nanoTime()
         val (seqR, seqV) = TextOps.trainBpeState(docs, m)
         val tSeq = (System.nanoTime() - t0) / 1e9

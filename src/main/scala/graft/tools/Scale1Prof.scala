@@ -189,8 +189,67 @@ object Scale1Prof {
           .write.mode("overwrite").parquet(s"$sf10/documents.parquet")
         println(s"[scale1-sf10] built $sf10")
       }
-      val ccRows = Seq("doc_simhash_clusters", "doc_cluster_dedup",
-        "doc_phrase_lookup", "doc_simhash_neardups", "doc_line_dedup")
+      // 100× embeddings (id-shifted copies, the IndexBuildProf sf1
+      // trick): the r13 follow-up decade for emb_semdedup's
+      // auto-sized rung — at 100× the rung ladder selects nlist=4096
+      // and the Lloyd-assignment FLOP term (n·nlist, scan-local) is
+      // no longer dwarfed by the pair stage it bounds; this measures
+      // whether that documented term flags at the third decade.
+      if (!new java.io.File(s"$sf10/embeddings.parquet").exists()) {
+        val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+        val m = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+        (0 until 100).map(k =>
+          emb.withColumn("vec_id", col("vec_id") + lit(k * m)))
+          .reduce(_ unionByName _)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$sf10/embeddings.parquet")
+        println(s"[scale1-sf10] built $sf10 embeddings")
+      }
+      // `sf10 semdedup decompose` splits the emb_semdedup row into
+      // its stages at each scale — which term owns the third-decade
+      // exponent (1.15): the rung-sizing count, the Lloyd TRAINING
+      // passes (iters × [assignment scan + decimal-mean agg]), or
+      // the assignment + Σ|c|² prune that semDedupWithCentroids
+      // runs. The split decides whether the documented two-level
+      // quantizer escape is worth building or the cost lives
+      // elsewhere.
+      if (args.contains("decompose")) {
+        import graft.operators.Similarity
+        def stage(tag: String, f: () => Unit): Double = {
+          val t0 = System.nanoTime()
+          f(); val t = (System.nanoTime() - t0) / 1e9
+          println(f"[semdedup-decomp] $tag%-34s $t%8.2f s"); t
+        }
+        for (dir <- Seq(sf01, sf1, sf10)) {
+          val emb = graft.SparkEntry.plantedEmbeddings(spark, dir)
+          // warm the lineage once so stage 1 isn't also paying scan JIT
+          emb.write.format("noop").mode("overwrite").save()
+          println(s"[semdedup-decomp] --- $dir ---")
+          var n = 0L
+          stage("count (rung sizing)", () => { n = emb.count(); () })
+          val k = Similarity.semDedupNlist(n)
+          println(s"[semdedup-decomp] n=$n nlist=$k")
+          var cents: Array[Array[Double]] = null
+          stage(s"trainCentroids(k=$k, iters=3)",
+            () => { cents = Similarity.trainCentroids(emb, k, 3); () })
+          stage("assign+prune (semDedupWithCentroids)",
+            () => Similarity.semDedupWithCentroids(emb, cents)
+              .write.format("noop").mode("overwrite").save())
+          stage("assign only (cid scan)",
+            () => emb.withColumn("cid",
+                Similarity.assignCentroid(col("embedding"), cents))
+              .write.format("noop").mode("overwrite").save())
+        }
+        spark.stop()
+        return
+      }
+      // `sf10 semdedup` runs ONLY the auto-rung row at the third
+      // decade (the CC family's decade is already recorded — no need
+      // to re-pay its ~20 min alongside)
+      val ccRows =
+        if (args.contains("semdedup")) Seq("emb_semdedup")
+        else Seq("doc_simhash_clusters", "doc_cluster_dedup",
+          "doc_phrase_lookup", "doc_simhash_neardups", "doc_line_dedup")
       def timeAt(name: String, dir: String): Double = {
         val t0 = System.nanoTime()
         try {
