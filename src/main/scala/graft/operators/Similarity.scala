@@ -900,11 +900,16 @@ object Similarity {
 
   /** Array of (squared-distance, centroid-id) structs for a vector
     * column. `unrolled = false` carries the centroid table as ONE
-    * array-of-arrays literal — DATA, not code — traversed by
-    * higher-order functions (sequence → transform → zip_with fold), so
-    * plan and codegen size are O(1) in nlist; the arithmetic (same
-    * per-element sequential double fold) is bit-identical to the
-    * unrolled form, proven in DedupSimilaritySpec.
+    * reference object — DATA, not code — evaluated by the native
+    * [[graft.functions.CentroidSqDists]] expression (a compiled loop
+    * over a flat double[]), so plan and codegen size are O(1) in
+    * nlist; the arithmetic (same per-element sequential double fold)
+    * is bit-identical to the unrolled form, proven in
+    * DedupSimilaritySpec. (The earlier higher-order-function literal
+    * form had the same O(1)-plan property but interpreted two lambda
+    * layers per centroid per row — measured ~13 MFLOP/s at
+    * nlist=1024, Scale1Prof `sf10 semdedup decompose`; the native
+    * expression removes that overhead without touching the values.)
     */
   private[graft] def centroidDistArray(vec: Column,
       cents: Array[Array[Double]], unrolled: Boolean): Column =
@@ -912,18 +917,7 @@ object Similarity {
       array(cents.zipWithIndex.map { case (c, i) =>
         struct(sqDistTo(vec, c).as("d"), lit(i).as("cid"))
       }: _*)
-    else {
-      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-      transform(sequence(lit(0), lit(cents.length - 1)), i =>
-        struct(
-          aggregate(
-            zip_with(vec, element_at(centsLit, i + 1), (x, w) => {
-              val dlt = x.cast("double") - w
-              dlt * dlt
-            }),
-            lit(0.0), (acc, v) => acc + v).as("d"),
-          i.as("cid")))
-    }
+    else graft.functions.CentroidSqDists.centroid_sq_dists(vec, cents)
 
   private def centroidDistArray(vec: Column,
       cents: Array[Array[Double]]): Column =

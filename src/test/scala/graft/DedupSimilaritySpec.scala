@@ -2577,6 +2577,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ivf == brute)
   }
 
+  test("centroid_sq_dists: double input, tie to smallest cid, loud dim-mismatch seam") {
+    import graft.functions.CentroidSqDists.centroid_sq_dists
+    // double-element input path (the float path is the equivalence
+    // test above); two identical centroids tie — array_min must pick
+    // the SMALLER cid, the unrolled form's documented tie-break
+    val cents = Array(Array(1.0, 2.0), Array(0.0, 0.0), Array(0.0, 0.0))
+    val got = Seq(Tuple1(Array(0.0, 0.0))).toDF("v")
+      .select(array_min(centroid_sq_dists($"v", cents)).as("m"))
+      .select($"m.d", $"m.cid").as[(Double, Int)].head()
+    assert(got == ((0.0, 1)))
+    // seam guard: wrong vector dim fails loudly with both dims named
+    val err = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+        .select(centroid_sq_dists($"v", cents)).collect()
+    }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("3") && msg.contains("2"), s"got: $msg")
+  }
+
   test("bloomNovel: exact anti-join result, sketch prunes, no false negatives") {
     import org.apache.spark.sql.graftshim.BloomShim
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
