@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * the equivalence against the unrolled expression tree). What
   * changes is the cost: the HOF form interprets two lambda layers
   * and allocates a zipped array per centroid per row (measured
-  * ~13 MFLOP/s at nlist=1024 — Scale1Prof `sf10 semdedup
+  * ~0.1 GFLOP/s at nlist=1024 — Scale1Prof `sf10 semdedup
   * decompose`), while this runs one compiled loop over a flat
   * `double[]` reference object per row. The centroid matrix rides
   * the plan as DATA (a reference object, not code), so plan and

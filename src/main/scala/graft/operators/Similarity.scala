@@ -888,13 +888,18 @@ object Similarity {
       }),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Above this nlist the coarse quantizer switches from the unrolled
-    * per-centroid expression tree (fully codegen'd — fastest when
-    * small) to the data-driven [[centroidDistArray]] form: an unrolled
-    * tree grows the generated code linearly in nlist and blows the
-    * 64 KB JVM method / codegen limits somewhere in the hundreds,
-    * while a 100 TB corpus wants nlist in the thousands (round-4
-    * verdict #6).
+  /** Historical unroll ceiling, kept for the equivalence spec: below
+    * it the quantizer used to emit one [[sqDistTo]] expression per
+    * centroid (an unrolled tree grows generated code linearly in
+    * nlist and blows the 64 KB JVM method / codegen limits somewhere
+    * in the hundreds — round-4 verdict #6). The native
+    * [[graft.functions.CentroidSqDists]] expression now serves EVERY
+    * nlist: AssignProf measured it 14×/22×/49× faster than the
+    * unrolled form at k = 8/16/64 (the unrolled tree's per-centroid
+    * [[sqDistTo]] is itself an interpreted zip_with + aggregate fold,
+    * so "unrolled = codegen'd arithmetic" was never true), and the
+    * two forms are bit-identical by spec — so the dial no longer
+    * selects a plan, it only names the ceiling the spec exercises.
     */
   private[graft] val UnrollNlistMax = 64
 
@@ -907,7 +912,7 @@ object Similarity {
     * is bit-identical to the unrolled form, proven in
     * DedupSimilaritySpec. (The earlier higher-order-function literal
     * form had the same O(1)-plan property but interpreted two lambda
-    * layers per centroid per row — measured ~13 MFLOP/s at
+    * layers per centroid per row — measured ~0.1 GFLOP/s at
     * nlist=1024, Scale1Prof `sf10 semdedup decompose`; the native
     * expression removes that overhead without touching the values.)
     */
@@ -921,7 +926,7 @@ object Similarity {
 
   private def centroidDistArray(vec: Column,
       cents: Array[Array[Double]]): Column =
-    centroidDistArray(vec, cents, cents.length <= UnrollNlistMax)
+    centroidDistArray(vec, cents, unrolled = false)
 
   /** Nearest-centroid id for a vector column (argmin via array_min
     * over (dist, id) structs — struct ordering compares dist first).
@@ -3004,47 +3009,38 @@ object Similarity {
   private[graft] val UnrollPlanesMax = 64
 
   /** [[signBandCols]] as ONE array column (index = band, value =
-    * packed r sign bits), with the plane matrix carried as a single
-    * array-of-arrays literal — DATA, not code — traversed by
-    * higher-order functions, so plan size is O(1) in planes. The
-    * arithmetic (per-plane zip_with double fold, ascending-j integer
-    * bit sum) is bit-identical to the unrolled form
-    * (DedupSimilaritySpec proves it across [[UnrollPlanesMax]]).
+    * packed r sign bits), with the plane matrix carried as a flat
+    * double[] reference object — DATA, not code — evaluated by the
+    * native [[graft.functions.SignBands]] expression, so plan size is
+    * O(1) in planes and each row runs one compiled loop. The
+    * arithmetic (per-plane sequential double fold with the
+    * coalesce-null-to-0.0 padding, ascending-j integer bit sum) is
+    * bit-identical to the unrolled form (DedupSimilaritySpec proves
+    * it across [[UnrollPlanesMax]]). (The earlier HOF literal-matrix
+    * form had the same O(1)-plan property but interpreted three
+    * nested lambda layers — the CentroidSqDists finding applied to
+    * the ladder's hundreds-of-planes rungs.)
     */
   private[graft] def signBandArray(vec: Column, planes: Int, bands: Int,
                                    dim: Int = 64): Column = {
     require(planes % bands == 0, "bands must divide planes")
-    val r = planes / bands
-    val mat = typedlit((0 until planes).map(p => hyperplane(p, dim)))
-    val pow = typedlit((0 until r).map(j => 1 << j))
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(sequence(lit(0), lit(r - 1)), lit(0), (acc, j) => {
-        val proj = aggregate(
-          zip_with(vec, element_at(mat, b * lit(r) + j + 1), (x, w) =>
-            coalesce(x.cast("double") * w, lit(0.0))),
-          lit(0.0), (a, v) => a + v)
-        acc + when(proj >= 0, element_at(pow, j + 1)).otherwise(lit(0))
-      }))
+    graft.functions.SignBands.sign_bands(vec,
+      (0 until planes).map(p => hyperplane(p, dim)), bands)
   }
 
   /** Exploded (vec_id, band, bv) banded signatures for an embedding
-    * frame — unrolled below [[UnrollPlanesMax]] planes (fully inside
-    * the scan stage), literal-matrix HOF form above.
+    * frame — the native [[signBandArray]] expression at EVERY plane
+    * count (the unrolled [[signBandCols]] tree is kept for the
+    * equivalence spec only: its per-plane fold is itself interpreted
+    * HOF evaluation, so it was never the faster form — the
+    * [[UnrollNlistMax]] finding).
     */
   private[graft] def bandedSignatures(embeddings: DataFrame, planes: Int,
                                       bands: Int): DataFrame =
-    if (planes <= UnrollPlanesMax) {
-      val bvs = signBandCols(col("embedding"), planes, bands)
-      embeddings.select(col("vec_id"),
-        explode(array(bvs.zipWithIndex.map { case (bv, b) =>
-          struct(lit(b).as("band"), bv.as("bv"))
-        }: _*)).as("e"))
-        .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
-    } else
-      embeddings
-        .select(col("vec_id"),
-          posexplode(signBandArray(col("embedding"), planes, bands)))
-        .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
+    embeddings
+      .select(col("vec_id"),
+        posexplode(signBandArray(col("embedding"), planes, bands)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
 
   /** Corpus-size-adaptive geometry ladder for the banded near-dup
     * blocker: rung (maxCorpus, r, bands) is selected so expected

@@ -239,6 +239,27 @@ object Scale1Prof {
             () => emb.withColumn("cid",
                 Similarity.assignCentroid(col("embedding"), cents))
               .write.format("noop").mode("overwrite").save())
+          // the prune's inner 'dropped' subquery alone (same shape as
+          // the operator's): apportions the assign+prune residual
+          // between the pair-scoring self-join and the final
+          // keep-join + sort
+          stage("pair-score join only (dropped)", () => {
+            val assigned = emb
+              .withColumn("cid",
+                Similarity.assignCentroid(col("embedding"), cents))
+              .withColumn("norm", Similarity.l2norm(col("embedding")))
+              .select(col("vec_id"), col("cid"), col("embedding"),
+                col("norm"))
+            assigned.alias("a")
+              .join(assigned.alias("b"),
+                col("a.cid") === col("b.cid") &&
+                  col("a.vec_id") < col("b.vec_id"))
+              .filter(round(Similarity.dot(col("a.embedding"),
+                col("b.embedding")) /
+                (col("a.norm") * col("b.norm")), 4) >= 0.9)
+              .select(col("b.vec_id").as("vec_id")).distinct()
+              .write.format("noop").mode("overwrite").save()
+          })
         }
         spark.stop()
         return
