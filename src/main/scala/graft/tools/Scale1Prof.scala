@@ -266,11 +266,15 @@ object Scale1Prof {
       }
       // `sf10 semdedup` runs ONLY the auto-rung row at the third
       // decade (the CC family's decade is already recorded — no need
-      // to re-pay its ~20 min alongside)
-      val ccRows =
-        if (args.contains("semdedup")) Seq("emb_semdedup")
-        else Seq("doc_simhash_clusters", "doc_cluster_dedup",
-          "doc_phrase_lookup", "doc_simhash_neardups", "doc_line_dedup")
+      // to re-pay its ~20 min alongside); `sf10 rows=a,b,c` names an
+      // arbitrary row set
+      val ccRows = args.find(_.startsWith("rows=")) match {
+        case Some(r) => r.stripPrefix("rows=").split(",").toSeq
+        case None =>
+          if (args.contains("semdedup")) Seq("emb_semdedup")
+          else Seq("doc_simhash_clusters", "doc_cluster_dedup",
+            "doc_phrase_lookup", "doc_simhash_neardups", "doc_line_dedup")
+      }
       def timeAt(name: String, dir: String): Double = {
         val t0 = System.nanoTime()
         try {
