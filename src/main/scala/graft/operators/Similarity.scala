@@ -3622,6 +3622,15 @@ object Similarity {
     * (`maxEval`, the bounded-enum contract) and enters the plan as
     * literals — the corpus is scanned ONCE with a scan-local max-cosine
     * projection: no join, no shuffle, no corpus movement of any kind.
+    * Cost model (measured, SCALE.md r13): per corpus row the scan
+    * pays |evals| × dim exact-decimal work, so throughput is linear
+    * in the corpus at a FIXED benchmark but degrades linearly as the
+    * eval set grows — an eval frame that scales with a corpus is the
+    * wrong tool here (the sf10 fixture audit measured exactly that
+    * n² shape before pinning the eval set); for corpus-scale
+    * cross-containment use the banded join family
+    * ([[embeddingNovel]] / [[knnJoin]]), whose candidate volume is
+    * sub-quadratic by the GeometryLadder occupancy bound.
     * Per corpus row: max over eval vectors of round(cos, 4), the
     * matching eval id (ties → smallest id), and the keep flag
     * (max < minCos). Zero-norm pairs (NaN cosine) are skipped exactly

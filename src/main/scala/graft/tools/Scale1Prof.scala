@@ -264,6 +264,32 @@ object Scale1Prof {
         spark.stop()
         return
       }
+      // `sf10 decontam-pinned`: the emb_decontam row FLAGGED at the
+      // third decade (exp 1.87) because the fixture's eval set is a
+      // corpus FRACTION (vec_id % 95) — the fixture scales the
+      // benchmark with the corpus, which the operator's contract
+      // (eval = a CONSTANT benchmark, broadcast literals) never does.
+      // This isolates the corpus-scan exponent: same corpora, eval
+      // set PINNED to sf0.1's 21 vectors at every scale.
+      if (args.contains("decontam-pinned")) {
+        import graft.operators.Similarity
+        val ev = graft.sources.Tables.embeddings(spark, sf01)
+          .filter(col("vec_id") % 95 === 0)
+        for (dir <- Seq(sf01, sf1, sf10)) {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            Similarity.semanticDecontam(
+                graft.SparkEntry.plantedEmbeddings(spark, dir), ev,
+                minCos = 0.9)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          println(f"[decontam-pinned] $dir%-22s ${Seq(once(), once()).min}%8.2f s")
+        }
+        spark.stop()
+        return
+      }
       // `sf10 semdedup` runs ONLY the auto-rung row at the third
       // decade (the CC family's decade is already recorded — no need
       // to re-pay its ~20 min alongside); `sf10 rows=a,b,c` names an
