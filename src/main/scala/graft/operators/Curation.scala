@@ -120,15 +120,27 @@ object Curation {
     // 3: line-level boilerplate dedup; emptied docs leave the corpus.
     // The engine-side line hashing stays the default fast family —
     // the oracle replays this stage with raw line strings.
+    // s3/mem/s4/s5 each feed MULTIPLE downstream references (s4's
+    // lineage repeats inside s5/s6/packed, and funnel/rejectReasons
+    // reference every stage in ONE action) — LAZY localCheckpoints
+    // dedupe the shared work within that action without adding eager
+    // serial jobs and without a CacheManager entry (the b4/b5/b6
+    // pattern the round-12 curation audit measured; eager pins were
+    // measured net-negative there). Before this, filter pushdown
+    // specialized each copy of the s4/s5 lineage (train's benchMod
+    // filter pushed into a REPEATED minhash-CC + contamination
+    // subtree), so exchange reuse never deduped them.
     val s3 = s2.select(col("doc_id"), col("source"))
       .join(TextOps.dedupLines(s2, lineMinDf)
         .filter(col("n_kept") > 0)
         .select(col("doc_id"), col("text_deduped").as("text")),
         Seq("doc_id"))
-      .localCheckpoint(true)
-    // 4: near-dup clusters, quality-aware survivor
-    val mem = Dedup.minhashClusters(s3, threshold = minJaccard,
-      hashFn = Dedup.md5Seeded).localCheckpoint(true)
+      .localCheckpoint(false)
+    // 4: near-dup clusters, quality-aware survivor (membership via
+    // the sort-free form: the presentation sort would be discarded
+    // by the losers join's shuffle)
+    val mem = Dedup.minhashClustersRaw(s3, threshold = minJaccard,
+      hashFn = Dedup.md5Seeded).localCheckpoint(false)
     val losers = mem.join(
         Dedup.bestInCluster(s3, mem)
           .select(col("cluster_id"), col("best_doc")),
@@ -136,6 +148,7 @@ object Curation {
       .filter(col("doc_id") =!= col("best_doc"))
       .select(col("doc_id"))
     val s4 = s3.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     // 5: decontamination — the benchmark split probes the survivors
     val bench = s3.filter(col("doc_id") % benchMod === 0)
     val train = s4.filter(col("doc_id") % benchMod =!= 0)
@@ -144,6 +157,7 @@ object Curation {
           hashFn = Dedup.md5Seeded)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     // 6: DSIR-weighted selection at the corpus aggregate ratio,
     // cross-multiplied in decimal (doc ratio tm/rm >= Σtm/Σrm ⟺
     // tm·Σrm >= rm·Σtm — exact, no float threshold)
@@ -315,7 +329,9 @@ object Curation {
     val cross = Dedup.minhashNovel(b3, state.corpusText,
       threshold = minJaccard).localCheckpoint(true)
     // 4b: intra-batch clusters among the survivors, quality survivor
-    val mem = Dedup.minhashClusters(cross, threshold = minJaccard,
+    // (sort-free membership: the presentation sort would be discarded
+    // by the losers join's shuffle)
+    val mem = Dedup.minhashClustersRaw(cross, threshold = minJaccard,
       hashFn = Dedup.md5Seeded).localCheckpoint(true)
     val losers = mem.join(
         Dedup.bestInCluster(cross, mem)

@@ -595,9 +595,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+      // `ocomp` (the round's input label) rides to the checkpoint so
+      // the convergence check below is a shuffle-free scan of the
+      // just-materialized blocks — the former next⋈labels check was
+      // its own join + AQE stage chain EVERY round, and at bench SF
+      // the loop is job-count-bound (CcProf: 84 of the row's 90 jobs
+      // were loop rounds), the doc_curation_novel amplifier again
       val prop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("ocomp"))
       // pointer jump: comp := comp(comp) — every comp value is itself a
       // labeled node (labels originate from node ids), so the lookup is
       // total; left+coalesce only guards the final converged rounds
@@ -605,13 +612,12 @@ object Dedup {
         .join(prop.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"),
+          col("ocomp"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
+      converged = next.filter(col("comp") =!= col("ocomp"))
         .limit(1).count() == 0L
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     if (!converged)
@@ -690,6 +696,18 @@ object Dedup {
                       k: Int = 16, bands: Int = 4, ngram: Int = 3,
                       hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
     clusterMembership(
+      minhashPairsRaw(docs, threshold, k, bands, ngram, hashFn))
+
+  /** [[minhashClusters]] membership without the presentation sort —
+    * the form join consumers (the curation funnel's survivor stage)
+    * should take: the global range sort would be discarded by the
+    * very next shuffle (same rationale as [[simhashClustersRaw]]).
+    */
+  private[graft] def minhashClustersRaw(docs: DataFrame,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      ngram: Int = 3,
+      hashFn: (Int, Column) => Column = xxSeeded): DataFrame =
+    clusterMembershipRaw(
       minhashPairsRaw(docs, threshold, k, bands, ngram, hashFn))
 
   /** Exact n-gram Jaccard between all pairs within a caller-supplied

@@ -1119,9 +1119,19 @@ object TextOps {
   }
 
   /** The per-(doc, split, window-hash) count frame both leakage forms
-    * consume — window hashing is scan-local, counts partial-aggregate
-    * map-side, and the frame pins ONCE (localCheckpoint) for its two
-    * consumers.
+    * consume — window hashing is scan-local, and so is the COUNTING:
+    * the former `groupBy(doc_id, split, h)` shuffled the whole
+    * exploded window stream to aggregate keys that are unique per doc
+    * anyway (TextProf: that exchange+aggregate was ~4.5 s of the
+    * 6.8 s row at sf0.1, and at 100 TB it is a full corpus-scale
+    * shuffle whose partial aggregation buys nothing on near-unique
+    * keys). Every window of a doc lives in the doc's own row, so the
+    * per-doc histogram folds inside the scan: sort the doc's window
+    * hashes, find run starts, emit (hash, run length) — identical
+    * (doc_id, split, h, c, n_windows) rows, ZERO shuffles. `get` (not
+    * `element_at`) for the boundary probes: 0-based and null on
+    * out-of-range, no ANSI throw. The frame still pins ONCE
+    * (localCheckpoint) for its consumers.
     */
   private def splitWindowHashes(docs: DataFrame, n: Int,
                                 hashFn: (Int, Column) => Column)
@@ -1132,11 +1142,17 @@ object TextOps {
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), col("split"),
         size(col("gs")).cast("long").as("n_windows"),
-        explode(col("gs")).as("g"))
+        sort_array(transform(col("gs"), g => hashFn(0, g))).as("sh"))
+      .withColumn("st",
+        filter(sequence(lit(0), size(col("sh")) - 1),
+          i => (i === 0) || (get(col("sh"), i) =!= get(col("sh"), i - 1))))
       .select(col("doc_id"), col("split"), col("n_windows"),
-        hashFn(0, col("g")).as("h"))
-      .groupBy(col("doc_id"), col("split"), col("h"))
-      .agg(count(lit(1)).as("c"), min(col("n_windows")).as("n_windows"))
+        explode(transform(col("st"), (s, j) =>
+          struct(get(col("sh"), s).as("h"),
+            (coalesce(get(col("st"), j + 1), size(col("sh"))) - s)
+              .cast("long").as("c")))).as("hc"))
+      .select(col("doc_id"), col("split"), col("hc.h").as("h"),
+        col("hc.c").as("c"), col("n_windows"))
       .localCheckpoint(true)
 
   /** The shared report tail: semi-join the holdout windows against a
